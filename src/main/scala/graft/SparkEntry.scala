@@ -1,13 +1,74 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.Combine
+import graft.serve.LensQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 is a named entry in `registry`: a DataFrame
+  * program plus (when SQL-expressible) the equivalent DuckDB oracle SQL over
+  * the same parquet tables. Column names are aliased identically on both
+  * sides (the driver's compare sorts columns by name before hashing).
+  *
+  * Determinism rules used throughout:
+  *  - aggregated/derived doubles are `round(_, 6)` on both sides (FP
+  *    summation order differs between engines);
+  *  - temporal outputs are rendered as strings with matching patterns
+  *    (`date_format` ↔ `strftime`);
+  *  - every top-k/limit query carries a total-order tiebreak.
+  */
 object SparkEntry {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (name, query, oracle SQL — None ⇒ driver does a rows-only check). */
+  private val registry: Seq[(String, Q, Option[String])] = Seq(
+    // §3.2 flagship: scan+agg+2 left joins+derived arithmetic+projection
+    ("q_flagship_enriched", Combine.enrichedOrders _, Some(Combine.enrichedOrdersSql)),
+    // §2.4 aggregations
+    ("q_agg_multi", LensQueries.aggMulti _, Some(LensQueries.aggMultiSql)),
+    ("q_date_histogram_avg", LensQueries.dateHistogramAvg _, Some(LensQueries.dateHistogramAvgSql)),
+    ("q_count_by_label", LensQueries.countByLabel _, Some(LensQueries.countByLabelSql)),
+    ("q_min_by_group", LensQueries.minByGroup _, Some(LensQueries.minByGroupSql)),
+    ("q_cardinality", LensQueries.cardinality _, Some(LensQueries.cardinalitySql)),
+    ("q_cardinality_approx", LensQueries.cardinalityApprox _, None),
+    // §2.3 joins
+    ("q_join_dims", LensQueries.joinDims _, Some(LensQueries.joinDimsSql)),
+    ("q_join_fact_agg", LensQueries.joinFactAgg _, Some(LensQueries.joinFactAggSql)),
+    // §2.2 filters/projections
+    ("q_filter_range_project", LensQueries.filterRangeProject _, Some(LensQueries.filterRangeProjectSql)),
+    ("q_project_cast", LensQueries.projectCast _, Some(LensQueries.projectCastSql)),
+    // §2.5 windows
+    ("q_last_value_per_key", LensQueries.lastValuePerKey _, Some(LensQueries.lastValuePerKeySql)),
+    ("q_differences_daily", LensQueries.differencesDaily _, Some(LensQueries.differencesDailySql)),
+    ("q_pct_change_daily", LensQueries.pctChangeDaily _, Some(LensQueries.pctChangeDailySql)),
+    ("q_tail_n_per_key", LensQueries.tailNPerKey _, Some(LensQueries.tailNPerKeySql)),
+    // §2.6 sorts / top-k
+    ("q_topk_by_metric", LensQueries.topKByMetric _, Some(LensQueries.topKByMetricSql)),
+    ("q_terms_other_bucket", LensQueries.termsOtherBucket _, Some(LensQueries.termsOtherBucketSql)),
+    ("q_sort_latest", LensQueries.sortLatest _, Some(LensQueries.sortLatestSql)),
+    // §2.7 set ops
+    ("q_union_labeled", LensQueries.unionLabeled _, Some(LensQueries.unionLabeledSql)),
+    ("q_distinct_pairs", LensQueries.distinctPairs _, Some(LensQueries.distinctPairsSql)),
+    // §2.5 W1 date histogram with empty-bucket padding
+    ("q_date_spine_padded", LensQueries.dateSpinePadded _, Some(LensQueries.dateSpinePaddedSql)),
+    // §2.8 scalar functions
+    ("q_case_threshold_label", LensQueries.caseThresholdLabel _, Some(LensQueries.caseThresholdLabelSql)),
+    ("q_scalar_datetime", LensQueries.scalarDatetime _, Some(LensQueries.scalarDatetimeSql)),
+    ("q_business_days", LensQueries.businessDays _, Some(LensQueries.businessDaysSql)),
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Combine.enrichedOrders(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(s)) => n -> s }.toMap
 }

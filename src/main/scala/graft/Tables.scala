@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Parquet carries its own authoritative schema in the footer, so unlike the
+  * reference's JSON raw layer (schema inference + re-cast,
+  * `scripts/formatting/format_to_parquet.py:65-75`) no cast step is needed
+  * here. Column pruning is left to call sites + Catalyst so the parquet scan
+  * only reads what each query projects.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
+  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) which Spark 4 refuses
+    * to read as a timestamp. Read it as a raw long (legacy conf) and convert
+    * ns → µs with integer division (`div`, not `/`: double division would
+    * lose precision on ~1.7e18 ns epoch values) into a real TimestampType. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}
