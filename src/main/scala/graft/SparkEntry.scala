@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.Combine
 import graft.serve.LensQueries
+import graft.functions.{Sentiment, TextFunctions}
+import graft.operators.{Dedup, Forecast, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +59,37 @@ object SparkEntry {
     ("q_case_threshold_label", LensQueries.caseThresholdLabel _, Some(LensQueries.caseThresholdLabelSql)),
     ("q_scalar_datetime", LensQueries.scalarDatetime _, Some(LensQueries.scalarDatetimeSql)),
     ("q_business_days", LensQueries.businessDays _, Some(LensQueries.businessDaysSql)),
+    // text analysis (LLM-pipeline operators)
+    ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
+    ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
+    ("q_lang_id", TextFunctions.langIdQuery _, None),
+    ("q_fingerprint", TextFunctions.fingerprintQuery _, None),
+    // sentiment (UD1/UD2)
+    ("q_sentiment", Sentiment.sentimentQuery _, None),
+    ("q_sentiment_distribution", Sentiment.sentimentDistributionQuery _, None),
+    // dedup family
+    ("q_dedup_exact", Dedup.exact _, Some(Dedup.exactSql)),
+    ("q_dedup_minhash", Dedup.minhashSummary _, None),
+    ("q_dedup_minhash_pairs", Dedup.minhashNearDups _, None),
+    ("q_dedup_simhash", Dedup.simhashSummary _, None),
+    ("q_dedup_ngram_jaccard",
+      ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q, None),
+    // similarity search
+    ("q_ann_bruteforce",
+      ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)): Q, None),
+    ("q_ann_lsh",
+      ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)): Q, None),
+    ("q_ann_ivf",
+      ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)): Q, None),
+    ("q_ivf_assign", Similarity.ivfAssign _, None),
+    ("q_embed_neardup", Similarity.embeddingNearDupSummary _, None),
+    // forecast (UD3)
+    ("q_forecast", Forecast.forecastQuery _, None),
+    // multimodal plumbing
+    ("q_media_features", Multimodal.extractFeatures _, None),
+    ("q_media_frames",
+      ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)): Q, None),
+    ("q_media_summary", Multimodal.mediaSummary _, None),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

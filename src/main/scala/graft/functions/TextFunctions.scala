@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, language-ID and document
+  * fingerprinting. All but langId are pure `functions._` column expressions
+  * (whole-stage codegen'd, no UDFs) so they hold up on 100 TB of text.
+  */
+object TextFunctions {
+
+  /** Single-space-normalized, lowercased text — the canonical form every
+    * dedup/fingerprint operator keys on. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace token count: non-empty pieces of a \s+ split. (Counting
+    * non-empty pieces, rather than trim-then-split, is robust to leading
+    * tabs/newlines — Spark's `trim` strips only spaces.) */
+  def tokenCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => length(t) > 0))
+
+  /** Token array (lowercased, whitespace-split). */
+  def tokens(c: Column): Column =
+    filter(split(normText(c), " "), t => length(t) > 0)
+
+  // ------------------------------------------------------------ quality
+  /** Heuristic document-quality metrics: length, token stats, alpha/digit/
+    * punct ratios, and a clamped composite score. Mirrors the ratio-based
+    * quality filters used by public LLM-corpus pipelines (C4/Gopher-style
+    * rules); every term is plain column arithmetic. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    val nTok = tokenCount(t).cast("double")
+    // raw (unrounded) ratios — the composite score MUST be computed from
+    // these, not the rounded display columns, so Spark and the DuckDB oracle
+    // perform bit-identical IEEE arithmetic before the final round
+    val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")) / nullif(len, lit(0.0))
+    val digitRatio = length(regexp_replace(t, "[^0-9]", "")) / nullif(len, lit(0.0))
+    val avgTokLen = length(regexp_replace(t, "\\s+", "")) / nullif(nTok, lit(0.0))
+    df
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("alpha_ratio", round(alphaRatio, 6))
+      .withColumn("digit_ratio", round(digitRatio, 6))
+      .withColumn("avg_token_len", round(avgTokLen, 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), greatest(lit(0.0),
+          alphaRatio * 0.5
+            + least(nTok / 100.0, lit(1.0)) * 0.3
+            + least(avgTokLen / 10.0, lit(1.0)) * 0.2)), 6))
+  }
+
+  def qualityQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityMetrics(Tables.documents(spark, dir), "text")
+      .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio", "digit_ratio",
+        "avg_token_len", "quality_score")
+
+  /** DuckDB oracle for the quality metrics. regexp_replace carries the 'g'
+    * flag (DuckDB replaces only the first match by default; Spark replaces
+    * all). */
+  val qualityQuerySql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    LENGTH(text) AS n_chars_m,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |         x -> x <> '')) AS INT) AS n_tokens,
+      |    LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      |    LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+      |    LENGTH(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+      |  FROM documents)
+      |SELECT doc_id, n_chars_m, n_tokens,
+      |  ROUND(n_alpha / NULLIF(CAST(n_chars_m AS DOUBLE), 0.0), 6) AS alpha_ratio,
+      |  ROUND(n_digit / NULLIF(CAST(n_chars_m AS DOUBLE), 0.0), 6) AS digit_ratio,
+      |  ROUND(n_nonspace / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) AS avg_token_len,
+      |  ROUND(LEAST(1.0, GREATEST(0.0,
+      |    (n_alpha / NULLIF(CAST(n_chars_m AS DOUBLE), 0.0)) * 0.5
+      |    + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+      |    + LEAST((n_nonspace / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)) / 10.0, 1.0) * 0.2)), 6)
+      |    AS quality_score
+      |FROM base""".stripMargin
+
+  // ------------------------------------------------------------ lang-ID
+  /** Tiny per-language stopword profiles (public, common function words).
+    * Deterministic n-gram-free heuristic: score = fraction of tokens hitting
+    * each language's stopword set; argmax wins, 'und' (undetermined) when
+    * nothing scores. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+      "was", "for", "on", "with", "as", "at", "by", "it", "this", "that"),
+    "fr" -> Seq("le", "la", "les", "un", "une", "des", "et", "ou", "de", "du",
+      "en", "est", "sont", "pour", "sur", "avec", "au", "par", "ce", "que"),
+    "de" -> Seq("der", "die", "das", "ein", "eine", "und", "oder", "von", "zu",
+      "im", "ist", "sind", "für", "auf", "mit", "als", "bei", "es", "dies", "dass"),
+    "es" -> Seq("el", "la", "los", "las", "un", "una", "y", "o", "de", "del",
+      "en", "es", "son", "para", "sobre", "con", "al", "por", "este", "que"))
+
+  /** Language-ID over a token array column, computed with higher-order array
+    * functions (no UDF): per language, count stopword hits via
+    * `size(array_intersect-like filter)`, then argmax with a greatest+CASE
+    * cascade. */
+  def langScores(tokCol: Column): Map[String, Column] =
+    stopwords.map { case (lang, words) =>
+      val wordArr = array(words.map(lit): _*)
+      lang -> (size(filter(tokCol, t => array_contains(wordArr, t))).cast("double")
+        / nullif(size(tokCol).cast("double"), lit(0.0)))
+    }
+
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(spark, dir).withColumn("toks", tokens(col("text")))
+    val scores = langScores(col("toks"))
+    val scored = scores.foldLeft(df) { case (d, (lang, c)) =>
+      d.withColumn(s"score_$lang", round(coalesce(c, lit(0.0)), 6))
+    }
+    val langs = scores.keys.toSeq.sorted
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0.0, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .select(Seq(col("doc_id"), col("lang"), col("pred_lang"))
+        ++ langs.map(l => col(s"score_$l")): _*)
+  }
+
+  // ------------------------------------------------------------ fingerprint
+  /** 64-bit document fingerprint: xxhash64 over the normalized text — the
+    * exact-dup key that survives whitespace/case jitter. Codegen'd built-in
+    * hash, no UDF. */
+  def fingerprint(c: Column): Column = xxhash64(normText(c))
+
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        md5(col("text")).as("md5_hex"))
+
+  // ------------------------------------------------------------ token stats
+  def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(tokenCount(col("text"))), 6).as("avg_tokens"),
+        round(avg(length(col("text"))), 6).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+
+  val tokenStatsQuerySql: String =
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  ROUND(AVG(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |        x -> x <> '')) AS DOUBLE)), 6) AS avg_tokens,
+      |  ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)), 6) AS avg_chars,
+      |  MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang""".stripMargin
+}

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoders
+import graft.Tables
+import graft.functions.TextFunctions.{normText, tokens}
+
+/** Document deduplication for a training-data pipeline, at the scales an LLM
+  * corpus needs: exact (hash group-by), MinHash+LSH (shingle → minhash →
+  * band → bucket join → verify), SimHash (64-bit + chunk-banded hamming
+  * search), and n-gram Jaccard.
+  *
+  * Scale design (100 TB): every stage is a hash shuffle on a key with
+  * near-uniform distribution (xxhash64 of shingles / band signatures), so no
+  * skew; candidate generation only ever self-joins *bucketed* rows, never
+  * all-pairs; verification runs only on LSH survivors. All hashing is the
+  * codegen'd built-in xxhash64 — no UDF in the hot path. The only non-SQL
+  * kernel is the SimHash bit-vote, a typed `Aggregator` (partial-aggregable,
+  * map-side combinable).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup via hash group-by on normalized text: one shuffle keyed by
+    * md5; keeps the smallest doc_id per group (deterministic winner). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(normText(col("text"))).as("text_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5,
+      |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------ shingling
+  /** Word n-gram shingles as an array column; docs shorter than n shingle to
+    * the whole text. Guarded so `sequence` never sees a negative bound. */
+  def shingleArr(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** (doc_id, shingle_hash) — exploded, distinct per doc. */
+  private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingleArr(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+
+  // ------------------------------------------------------------ MinHash/LSH
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band ⇒ s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+  /** Per-doc MinHash signature: k independent hash slots, each the min of
+    * xxhash64(shingle_hash, slot) over the doc's shingles. One hash shuffle
+    * keyed by doc_id; k mins computed map-side (partial agg). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    docShingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band signature. Bucket join on
+    * (band, band_sig) — never all-pairs. */
+  def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until NumHashes / NumBands).map(r => col(s"h${b * (NumHashes / NumBands) + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from signature agreement (the cheap LSH-side check). */
+  def estimateJaccard(sigs: DataFrame, cands: DataFrame): DataFrame = {
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    cands
+      .join(sigArr.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigArr.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard",
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 6))
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard on candidate pairs only (the expensive verify,
+    * gated behind LSH): join each side's shingle set, intersection/union by
+    * counting. */
+  def exactJaccard(spark: SparkSession, dir: String, cands: DataFrame,
+      n: Int = 3): DataFrame = {
+    val sh = docShingles(spark, dir, n)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sa = sh.toDF("da", "sha")
+    val sb = sh.toDF("db", "shb")
+    val inter = cands
+      .join(sa, col("doc_a") === col("da"))
+      .join(sb, col("doc_b") === col("db") && col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → band-bucket candidates
+    * → estimate → exact verify. Emits verified pairs with jaccard ≥ 0.7. */
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val cands = minhashCandidates(sigs)
+    val est = estimateJaccard(sigs, cands)
+    val exact = exactJaccard(spark, dir, cands)
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+  }
+
+  /** Per-doc dedup summary — total-coverage view (one row per doc even when
+    * it has no near-dup), so downstream keep/drop decisions are a single
+    * anti-join. */
+  def minhashSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val pairs = minhashNearDups(spark, dir)
+    val partners = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("jaccard")))
+    val agg = partners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near_dups"), max("jaccard").as("max_jaccard"),
+        min("partner").as("min_partner"))
+    docs.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        col("min_partner"))
+  }
+
+  // ------------------------------------------------------------ SimHash
+  /** 64-bit SimHash bit-vote aggregator over token hashes. Typed Aggregator
+    * ⇒ partial-aggregable (map-side combine), the property that matters at
+    * scale: per-doc state is a fixed 64-int vector regardless of doc size. */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) { b(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    override def finish(b: Array[Int]): Long = {
+      var sig = 0L; var j = 0
+      while (j < 64) { if (b(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Per-doc 64-bit SimHash over token hashes (frequency-weighted via token
+    * multiplicity). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val simhash = udaf(SimHashAgg)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .groupBy("doc_id")
+      .agg(simhash(col("th")).as("simhash"))
+  }
+
+  /** SimHash near-dups: band the 64-bit signature into 4×16-bit chunks (a
+    * pair within hamming distance ≤ 3 must agree on ≥ 1 chunk — pigeonhole),
+    * bucket-join per chunk, verify with bit_count(xor). */
+  def simhashNearDups(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(spark, dir)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk").as("chunk"), col("c.val").as("val"))
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.val") === col("r.val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Per-doc SimHash summary (total coverage, like minhashSummary). */
+  def simhashSummary(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(spark, dir)
+    val pairs = simhashNearDups(spark, dir)
+    val partners = pairs.select(col("doc_a").as("doc_id"), col("hamming"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("hamming")))
+    val agg = partners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near_dups"), min("hamming").as("min_hamming"))
+    sigs.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("min_hamming"))
+  }
+
+  // ------------------------------------------------------------ n-gram Jaccard
+  /** Exact n-gram Jaccard via inverted-index self-join: pairs are generated
+    * only for docs sharing ≥1 shingle (sparse by construction), with a
+    * document-frequency cap dropping ultra-common shingles — the standard
+    * guard that keeps the self-join skew-free at corpus scale (a shingle in
+    * f docs contributes f² pair rows; capping f bounds the blow-up). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, n: Int = 3, dfCap: Int = 1000): DataFrame = {
+    val sh = docShingles(spark, dir, n)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
+      "sh")
+    val sa = rare.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val sb = rare.select(col("doc_id").as("db"), col("sh").as("shb"))
+    val inter = sa.join(sb, col("sha") === col("shb") && col("da") < col("db"))
+      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Three tiers, in ascending scale:
+  *  - `bruteForceTopK` — exact cosine top-k of a bounded query set against
+  *    the corpus: one broadcast of the queries, one linear scan. The
+  *    correctness baseline.
+  *  - `lshTopK` — random-hyperplane LSH: 8-bit signatures from fixed
+  *    Rademacher (±1) hyperplanes, bucket join + 1-bit multiprobe, exact
+  *    re-rank inside buckets. Sub-linear candidate set; the 100 TB path for
+  *    high-cosine retrieval.
+  *  - `ivfTopK` — IVF-style: coarse-quantize the corpus by nearest centroid
+  *    (centroids = per-`label` mean vectors), probe only the query's nearest
+  *    cell. Mirrors a FAISS IVF flat index in pure DataFrame ops.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions —
+  * JVM-evaluated per row, no Python/serialization boundary, no UDF.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** dot(a, b) over two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Corpus with precomputed L2 norm (computed once, reused by every join). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+      .withColumn("nrm", norm(col("emb")))
+
+  // ------------------------------------------------------------ brute force
+  /** Exact cosine top-k for the first `nQueries` vectors (by vec_id).
+    * Queries are broadcast; the corpus is scanned once; per-query top-k via
+    * rank window over the (nQueries × N) scored pairs. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cosine")
+  }
+
+  // ------------------------------------------------------------ LSH
+  val NumPlanes = 8
+
+  /** Deterministic Rademacher hyperplanes: coefficient (p, d) = ±1 from the
+    * parity of a splittable hash — no RNG state, same planes on every
+    * executor. */
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dim) { (p, d) =>
+      // xxhash-free host-side mix (Weyl sequence + finalizer), deterministic
+      val x = (p.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL)
+      val mixed = {
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      if ((mixed & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** 8-bit signature column: bit p = sign(dot(v, plane_p)). Plane
+    * coefficients are array literals folded into the plan — the signature is
+    * 8 zip_with/aggregate expressions, no explode, no shuffle. */
+  def signature(emb: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k with 1-bit multiprobe: each query probes
+    * its own bucket plus the 8 hamming-1 neighbors, exact cosine re-rank on
+    * the candidates only. */
+  def lshTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir).withColumn("sig", signature(col("emb")))
+    val probes = array((lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))): _*)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("sig").as("q_sig"))
+      .withColumn("probe_sig", explode(transform(probes, m => col("q_sig").bitwiseXOR(m))))
+    val scored = c.join(broadcast(q), col("sig") === col("probe_sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cosine")
+  }
+
+  // ------------------------------------------------------------ IVF
+  /** Per-label mean centroid: posexplode → (label, pos) mean → re-assemble.
+    * Two small shuffles; centroid set is labels × dim (tiny) → broadcast. */
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    c.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"),
+        transform(col("pm"), s => s.getField("m")).as("centroid"))
+  }
+
+  /** Assign every vector to its nearest centroid (coarse quantization). */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = centroids(spark, dir)
+      .withColumn("c_nrm", norm(col("centroid")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("c_label").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        round(dot(col("emb"), col("centroid")) / (col("nrm") * col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
+        col("cos_c").as("cos_to_centroid"))
+  }
+
+  /** IVF search: route each query to its nearest centroid, exact top-k only
+    * within that cell (nprobe=1). */
+  def ivfTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val assign = ivfAssign(spark, dir)
+    val c = corpus(spark, dir)
+      .join(assign.select(col("vec_id"), col("assigned_label").as("cell")), "vec_id")
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    c.join(broadcast(q), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cosine")
+  }
+
+  // ------------------------------------------------------------ near-dup
+  /** Embedding-cosine near-dup summary: exact top-1 neighbor per vector
+    * (full pairwise at test scale; the LSH/IVF tiers are the scale path),
+    * with an is_near_dup flag at cosine ≥ 0.9. One row per vector. */
+  def embeddingNearDupSummary(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val r = c.select(col("vec_id").as("r_id"), col("emb").as("r_emb"), col("nrm").as("r_nrm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("r_id").asc)
+    c.crossJoin(r)
+      .filter(col("vec_id") =!= col("r_id"))
+      .withColumn("cosine",
+        round(dot(col("emb"), col("r_emb")) / (col("nrm") * col("r_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("r_id").as("nearest_id"), col("cosine"),
+        (col("cosine") >= 0.9).as("is_near_dup"))
+  }
+}

@@ -1,0 +1,276 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Forecast, Multimodal, Similarity}
+import graft.functions.{Sentiment, TextFunctions}
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("exact dedup: one group per distinct normalized text") {
+    val groups = Dedup.exact(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(groups.count() <= docs)
+    assert(groups.agg(sum("n_copies")).collect()(0).getLong(0) == docs)
+  }
+
+  test("minhash LSH finds the planted near-dup pairs") {
+    val pairs = Dedup.minhashNearDups(spark, sf).collect()
+    assert(pairs.nonEmpty, "expected planted near-dups at jaccard>=0.7")
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.7)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    // estimate should correlate with exact on high-sim pairs
+    pairs.foreach { r =>
+      assert(math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("jaccard")) < 0.5)
+    }
+  }
+
+  test("minhash summary covers every document") {
+    val s = Dedup.minhashSummary(spark, sf)
+    assert(s.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("simhash: identical docs get identical signatures, near-dups close") {
+    val sigs = Dedup.simhashSignatures(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // near-dup pair from minhash should have small hamming distance
+    val pairs = Dedup.minhashNearDups(spark, sf).collect()
+    assume(pairs.nonEmpty)
+    val close = pairs.count { p =>
+      val h = java.lang.Long.bitCount(
+        sigs(p.getAs[Long]("doc_a")) ^ sigs(p.getAs[Long]("doc_b")))
+      h <= 16
+    }
+    assert(close >= pairs.length / 2,
+      s"only $close/${pairs.length} minhash pairs are simhash-close")
+  }
+
+  test("ngram jaccard inverted-index agrees with minhash verify") {
+    val nj = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mh = Dedup.minhashNearDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    // minhash pairs are a subset of brute pairs (LSH can miss, never invent)
+    mh.foreach { case (k, j) =>
+      assert(nj.contains(k), s"pair $k found by LSH but not by inverted index")
+      assert(math.abs(nj(k) - j) < 1e-9)
+    }
+  }
+
+  test("shingles of short docs fall back to whole text") {
+    import spark.implicits._
+    val df = Seq((1L, "one two")).toDF("doc_id", "text")
+    val sh = df.select(explode(Dedup.shingleArr(col("text"), 3)).as("s")).collect()
+    assert(sh.map(_.getString(0)).toSeq == Seq("one two"))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("brute-force topk matches driver-side exact computation") {
+    val got = Similarity.bruteForceTopK(spark, sf, nQueries = 3, k = 3).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- Seq(0L, 1L, 2L)) {
+      val expected = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(emb(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      val gotIds = got(q).sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(gotIds == expected, s"query $q: $gotIds vs $expected")
+    }
+  }
+
+  test("lsh topk returns plausible neighbors (subset quality)") {
+    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Double]("cosine")).max }
+    val lsh = Similarity.lshTopK(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(lsh.nonEmpty, "LSH returned no candidates at all")
+    // every LSH cosine must be <= the brute-force best (it's a subset)
+    lsh.foreach { case (q, rs) =>
+      rs.foreach(r => assert(r.getAs[Double]("cosine") <= brute(q) + 1e-9))
+    }
+  }
+
+  test("ivf assign: every vector assigned, cos to centroid in [-1,1]") {
+    val a = Similarity.ivfAssign(spark, sf).collect()
+    assert(a.length == Tables.embeddings(spark, sf).count())
+    a.foreach { r =>
+      val c = r.getAs[Double]("cos_to_centroid")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("embedding near-dup summary: one row per vector, top-1 symmetrical bound") {
+    val s = Similarity.embeddingNearDupSummary(spark, sf).collect()
+    assert(s.length == Tables.embeddings(spark, sf).count())
+    s.foreach(r => assert(r.getAs[Long]("nearest_id") != r.getAs[Long]("vec_id")))
+  }
+}
+
+class TextSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("token count edge cases") {
+    val df = Seq("", "  ", "one", "one two  three", "\ttab\nnewline ").toDF("t")
+    val got = df.select(TextFunctions.tokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(0, 0, 1, 3, 2))
+  }
+
+  test("lang id picks the stopword-matching language") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy", "en"),
+      (2L, "le chat est sur la table et il est pour le chien", "fr"),
+      (3L, "der hund und die katze sind für das haus", "de"),
+      (4L, "el perro y el gato son para la casa", "es")).toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("tmp_docs")
+    // reuse the scoring directly on this frame
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = TextFunctions.langScores(toks).foldLeft(df.withColumn("toks", toks)) {
+      case (d, (l, c)) => d.withColumn(s"score_$l", coalesce(c, lit(0.0)))
+    }
+    val langs = Seq("de", "en", "es", "fr")
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0.0, lit(l)).otherwise(acc)
+    }
+    val out = scored.withColumn("pred", pred).select("lang", "pred").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val df = Seq("Hello  World", "hello world", " HELLO\tWORLD ").toDF("t")
+    val fps = df.select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps.distinct.length == 1)
+  }
+
+  test("quality score bounded [0,1]") {
+    val m = TextFunctions.qualityQuery(spark, sf).collect()
+    m.foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+}
+
+class SentimentSpec extends AnyFunSuite {
+  test("lexicon polarity and label thresholds") {
+    assert(Sentiment.compound("great excellent win") > 0.5)
+    assert(Sentiment.compound("crash loss fraud crisis") < -0.5)
+    assert(Sentiment.compound("table chair window") == 0.0)
+    assert(Sentiment.label(0.05) == "positive")
+    assert(Sentiment.label(-0.05) == "negative")
+    assert(Sentiment.label(0.049) == "neutral")
+    assert(Sentiment.label(-0.049) == "neutral")
+  }
+
+  test("negation flips, boosters amplify") {
+    val pos = Sentiment.compound("good")
+    val negated = Sentiment.compound("not good")
+    val boosted = Sentiment.compound("very good")
+    assert(negated < 0 && pos > 0)
+    assert(boosted > pos)
+  }
+
+  test("deterministic across calls") {
+    val t = "profit surge beats fear of decline"
+    assert(Sentiment.compound(t) == Sentiment.compound(t))
+  }
+}
+
+class ForecastSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val out = Forecast.forecastQuery(spark, sf).collect()
+
+  test("per qualifying key: exactly 90 actual + 30 forecast rows") {
+    val byKey = out.groupBy(_.getAs[String]("symbol"))
+    assert(byKey.nonEmpty, "no series qualified (need >=60 rows)")
+    byKey.foreach { case (k, rows) =>
+      val actual = rows.count(_.getAs[String]("type") == "actual")
+      val fc = rows.count(_.getAs[String]("type") == "forecast")
+      assert(actual == 90, s"$k: $actual actuals")
+      assert(fc == 30, s"$k: $fc forecasts")
+    }
+  }
+
+  test("forecast dates are business days strictly after history") {
+    out.filter(_.getAs[String]("type") == "forecast").foreach { r =>
+      val d = java.time.LocalDate.parse(r.getAs[String]("date"))
+      assert(d.getDayOfWeek != java.time.DayOfWeek.SATURDAY)
+      assert(d.getDayOfWeek != java.time.DayOfWeek.SUNDAY)
+    }
+  }
+
+  test("confidence band contains prediction and widens") {
+    val fc = out.filter(_.getAs[String]("type") == "forecast")
+    fc.foreach { r =>
+      val p = r.getAs[Double]("predicted_close")
+      assert(r.getAs[Double]("confidence_lower") <= p + 1e-9)
+      assert(r.getAs[Double]("confidence_upper") >= p - 1e-9)
+    }
+    val widths = fc.groupBy(_.getAs[String]("symbol")).map { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("date"))
+      val w = sorted.map(r => r.getAs[Double]("confidence_upper") - r.getAs[Double]("confidence_lower"))
+      w.head <= w.last + 1e-9
+    }
+    assert(widths.forall(identity), "CI band must widen with horizon")
+  }
+
+  test("series below 60 rows produce nothing") {
+    import spark.implicits._
+    val tiny = (1 to 59).map(i =>
+      Forecast.SeriesPoint("k", f"2024-01-$i%02d", 100.0 + i, 0.0))
+    val got = Forecast.forecastGroup("k", tiny.iterator)
+    assert(got.isEmpty)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("media table: binary payload + metadata, one row per doc") {
+    val m = Multimodal.mediaTable(spark, sf)
+    assert(m.count() == Tables.documents(spark, sf).count())
+    val schema = m.schema.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("payload") == "binary")
+    assert(Set("image", "audio", "video").contains(
+      m.select("kind").distinct().collect().head.getString(0)))
+  }
+
+  test("feature extraction: deterministic, entropy bounded") {
+    val f = Multimodal.extractFeatures(spark, sf).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val e = r.getAs[Double]("byte_entropy")
+      assert(e >= 0.0 && e <= 8.0)
+      val vec = r.getSeq[Float](r.fieldIndex("feature_vec"))
+      assert(vec.length == 8)
+      assert(math.abs(vec.map(_.toDouble).sum - 1.0) < 1e-3, "L1-normalized histogram")
+    }
+    val again = Multimodal.extractFeatures(spark, sf).collect()
+    assert(f.map(_.getAs[Long]("checksum")).toSet == again.map(_.getAs[Long]("checksum")).toSet)
+  }
+
+  test("frame sampling covers video payloads with indexed frames") {
+    val fr = Multimodal.frameSample(spark, sf).collect()
+    assert(fr.nonEmpty)
+    val byMedia = fr.groupBy(_.getAs[Long]("media_id"))
+    byMedia.foreach { case (_, rows) =>
+      val idx = rows.map(_.getAs[Int]("frame_idx")).sorted
+      assert(idx.toSeq == (0 until rows.length), "frame indices contiguous from 0")
+    }
+  }
+}
