@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.etl.Combine
+import graft.etl.{Combine, Format}
 import graft.serve.LensQueries
 import graft.functions.{Sentiment, TextFunctions}
 import graft.operators.{Dedup, Forecast, Multimodal, Similarity}
@@ -85,6 +85,8 @@ object SparkEntry {
     ("q_embed_neardup", Similarity.embeddingNearDupSummary _, None),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
+    // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)
+    ("q_format_combine", Format.fixturePipelineQuery _, None),
     // multimodal plumbing
     ("q_media_features", Multimodal.extractFeatures _, None),
     ("q_media_frames",

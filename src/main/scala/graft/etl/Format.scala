@@ -1,0 +1,141 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The Raw→Formatted (Bronze→Silver) normalization stage — the reference's
+  * `format_data` job (`scripts/formatting/format_to_parquet.py`) rebuilt
+  * Spark-first:
+  *
+  *  - S1: multiLine JSON array scan over ALL date partitions via glob —
+  *    but with an EXPLICIT schema (the reference lets Spark infer and then
+  *    re-casts, `format_to_parquet.py:65-75`; inference costs an extra eager
+  *    scan job and is non-deterministic under schema drift, SURVEY §1.4).
+  *  - P1: type assertion casts (OHLC→double, volume/market_cap→long).
+  *  - F1: string timestamps → real UTC TimestampType columns.
+  *  - P3: news filtered to pub_date_utc ≥ 2020-01-01
+  *    (`format_to_parquet.py:141`).
+  *  - S4: full-refresh parquet sink — plain `overwrite` (the reference's
+  *    rmtree+append is a WSL2 workaround, SURVEY §1.5), partitioned where a
+  *    downstream benefits from pruning.
+  */
+object Format {
+
+  val stocksSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType), StructField("date", StringType),
+    StructField("open", DoubleType), StructField("high", DoubleType),
+    StructField("low", DoubleType), StructField("close", DoubleType),
+    StructField("volume", LongType), StructField("fetched_at", StringType)))
+
+  val companySchema: StructType = StructType(Seq(
+    StructField("symbol", StringType), StructField("name", StringType),
+    StructField("sector", StringType), StructField("industry", StringType),
+    StructField("country", StringType), StructField("market_cap", LongType),
+    StructField("currency", StringType), StructField("fetched_at", StringType)))
+
+  val newsSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("symbol", StringType),
+    StructField("title", StringType), StructField("summary", StringType),
+    StructField("pub_date", StringType), StructField("provider", StringType),
+    StructField("url", StringType), StructField("category", StringType),
+    StructField("image", StringType), StructField("sentiment_score", DoubleType),
+    StructField("sentiment_label", StringType), StructField("fetched_at", StringType)))
+
+  private def readRaw(spark: SparkSession, glob: String, schema: StructType): DataFrame =
+    spark.read
+      .option("multiLine", "true") // raw files are pretty-printed JSON ARRAYS
+      .schema(schema)
+      .json(glob)
+
+  /** stocks: casts are asserted by the explicit schema; adds typed date and
+    * UTC fetched_at (`format_to_parquet.py:68-75`). */
+  def formatStocks(spark: SparkSession, rawDir: String): DataFrame =
+    readRaw(spark, s"$rawDir/yahoo/stocks/*/stocks.json", stocksSchema)
+      .withColumn("date_d", to_date(col("date"), "yyyy-MM-dd"))
+      .withColumn("fetched_at_utc", to_timestamp(col("fetched_at")))
+      .drop("fetched_at")
+
+  /** company_info (`format_to_parquet.py:104-107`). */
+  def formatCompany(spark: SparkSession, rawDir: String): DataFrame =
+    readRaw(spark, s"$rawDir/yahoo/company_info/*/company_info.json", companySchema)
+      .withColumn("fetched_at_utc", to_timestamp(col("fetched_at")))
+      .drop("fetched_at")
+
+  /** news: UTC timestamps + the ≥2020 filter + duplicate-id drop (U2,
+    * `finnhub_news.py:176-188` does the dedup at ingestion; we push it here
+    * so the formatted layer is clean regardless of source behavior).
+    * Deterministic winner per id via row_number over pub_date_utc. */
+  def formatNews(spark: SparkSession, rawDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("pub_date_utc").desc, col("fetched_at_utc").desc)
+    readRaw(spark, s"$rawDir/finnhub/news/*/news.json", newsSchema)
+      .withColumn("pub_date_utc", to_timestamp(col("pub_date")))
+      .withColumn("fetched_at_utc", to_timestamp(col("fetched_at")))
+      .filter(col("pub_date_utc") >= lit("2020-01-01 00:00:00").cast("timestamp"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "pub_date", "fetched_at")
+  }
+
+  /** Run the full stage: write the three formatted tables as parquet.
+    * stocks is partitioned by symbol — the access pattern downstream
+    * (per-symbol forecast, per-symbol drill-down) prunes on it. */
+  def run(spark: SparkSession, rawDir: String, outDir: String): Unit = {
+    formatStocks(spark, rawDir)
+      .write.mode("overwrite").partitionBy("symbol").parquet(s"$outDir/stocks")
+    formatCompany(spark, rawDir)
+      .write.mode("overwrite").parquet(s"$outDir/company_info")
+    formatNews(spark, rawDir)
+      .write.mode("overwrite").parquet(s"$outDir/news")
+  }
+
+  /** The reference's Gold combine (`combine_sources.py:45-131`) on the
+    * formatted finance tables (the true-schema twin of
+    * `Combine.enrichedOrders`, which runs the same plan shape on the
+    * driver's star schema). */
+  def combine(spark: SparkSession, formattedDir: String): DataFrame =
+    combineFrames(
+      spark.read.parquet(s"$formattedDir/stocks"),
+      spark.read.parquet(s"$formattedDir/company_info"),
+      spark.read.parquet(s"$formattedDir/news"))
+
+  def combineFrames(stocks: DataFrame, companyInfo: DataFrame,
+      news: DataFrame): DataFrame = {
+    val company = companyInfo
+      .select("symbol", "name", "sector", "industry", "market_cap")
+    val newsAgg = news
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("news_count"), max("pub_date_utc").as("latest_news_date"))
+    stocks
+      .join(broadcast(company), Seq("symbol"), "left")
+      .join(newsAgg, Seq("symbol"), "left")
+      .withColumn("daily_range", col("high") - col("low"))
+      .withColumn("daily_change_pct",
+        (col("close") - col("open")) / nullif(col("open"), lit(0.0)) * 100)
+      .select("symbol", "name", "sector", "industry", "date", "open", "high",
+        "low", "close", "volume", "market_cap", "daily_range",
+        "daily_change_pct", "news_count", "latest_news_date", "fetched_at_utc")
+  }
+
+  /** Whole Bronze→Gold pipeline as a registered query: deterministic raw
+    * JSON fixtures → multiLine JSON scan (S1) → format → combine. The sfDir
+    * parameter is unused (the raw layer is the fixture set); registered so
+    * the driver's gate exercises the JSON-source path end-to-end. */
+  def fixturePipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = "/tmp/graft_fixtures"
+    val marker = java.nio.file.Paths.get(root, "raw", "_DONE")
+    if (!java.nio.file.Files.exists(marker)) {
+      Fixtures.writeRawLayer(root)
+      java.nio.file.Files.createFile(marker)
+    }
+    val rawDir = s"$root/raw"
+    combineFrames(formatStocks(spark, rawDir), formatCompany(spark, rawDir),
+      formatNews(spark, rawDir))
+      .withColumn("latest_news_date",
+        date_format(col("latest_news_date"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("fetched_at_utc",
+        date_format(col("fetched_at_utc"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("date_d")
+  }
+}

@@ -105,7 +105,7 @@ object Dedup {
     * counting. */
   def exactJaccard(spark: SparkSession, dir: String, cands: DataFrame,
       n: Int = 3): DataFrame = {
-    val sh = docShingles(spark, dir, n)
+    val sh = docShingles(spark, dir, n).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sa = sh.toDF("da", "sha")
     val sb = sh.toDF("db", "shb")
@@ -124,10 +124,12 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → band-bucket candidates
-    * → estimate → exact verify. Emits verified pairs with jaccard ≥ 0.7. */
+    * → estimate → exact verify. Emits verified pairs with jaccard ≥ 0.7.
+    * Signatures and candidates feed three downstream joins, so they are
+    * cached — without it the whole shingle pipeline re-executes per use. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
-    val cands = minhashCandidates(sigs)
+    val sigs = minhashSignatures(spark, dir).cache()
+    val cands = minhashCandidates(sigs).cache()
     val est = estimateJaccard(sigs, cands)
     val exact = exactJaccard(spark, dir, cands)
     est.join(exact, Seq("doc_a", "doc_b"))
@@ -234,8 +236,8 @@ object Dedup {
     * guard that keeps the self-join skew-free at corpus scale (a shingle in
     * f docs contributes f² pair rows; capping f bounds the blow-up). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, n: Int = 3, dfCap: Int = 1000): DataFrame = {
-    val sh = docShingles(spark, dir, n)
+      threshold: Double = 0.5, n: Int = 3, dfCap: Int = 20): DataFrame = {
+    val sh = docShingles(spark, dir, n).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),

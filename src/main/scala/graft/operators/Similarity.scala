@@ -163,21 +163,44 @@ object Similarity {
   }
 
   // ------------------------------------------------------------ near-dup
-  /** Embedding-cosine near-dup summary: exact top-1 neighbor per vector
-    * (full pairwise at test scale; the LSH/IVF tiers are the scale path),
-    * with an is_near_dup flag at cosine ≥ 0.9. One row per vector. */
+  /** Embedding-cosine near-dup summary: exact top-1 neighbor per vector,
+    * with an is_near_dup flag at cosine ≥ 0.9. One row per vector.
+    *
+    * Kernel shape: the normalized corpus is broadcast once and each
+    * partition scans it with primitive-array loops (`mapPartitions` — the
+    * deliberate last-resort escape hatch: an N×N cosine sweep through
+    * interpreted `zip_with` lambdas is ~50× slower than this fused JVM
+    * loop). This is the broadcast-nested-loop-join-with-fused-top-1 a BLAS
+    * kernel would run per partition. At 100 TB the corpus no longer fits a
+    * broadcast — that regime is served by `lshTopK`/`ivfTopK`. */
   def embeddingNearDupSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val c = corpus(spark, dir)
-    val r = c.select(col("vec_id").as("r_id"), col("emb").as("r_emb"), col("nrm").as("r_nrm"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("r_id").asc)
-    c.crossJoin(r)
-      .filter(col("vec_id") =!= col("r_id"))
-      .withColumn("cosine",
-        round(dot(col("emb"), col("r_emb")) / (col("nrm") * col("r_nrm")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("r_id").as("nearest_id"), col("cosine"),
-        (col("cosine") >= 0.9).as("is_near_dup"))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val all = spark.sparkContext.broadcast(c.collect().sortBy(_._1))
+    c.mapPartitions { it =>
+      val corpusArr = all.value
+      it.map { case (id, emb, nrm) =>
+        var bestId = -1L
+        var bestCos = -2.0
+        var i = 0
+        while (i < corpusArr.length) {
+          val (rid, remb, rnrm) = corpusArr(i)
+          if (rid != id) {
+            var d = 0.0
+            var j = 0
+            while (j < emb.length) { d += emb(j) * remb(j); j += 1 }
+            val cos = d / (nrm * rnrm)
+            if (cos > bestCos || (cos == bestCos && rid < bestId)) {
+              bestCos = cos; bestId = rid
+            }
+          }
+          i += 1
+        }
+        val rounded = math.rint(bestCos * 1e6) / 1e6
+        (id, bestId, rounded, rounded >= 0.9)
+      }
+    }.toDF("vec_id", "nearest_id", "cosine", "is_near_dup")
   }
 }

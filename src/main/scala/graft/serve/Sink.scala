@@ -1,0 +1,60 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving-layer sinks — the engine's replacement for the reference's
+  * Elasticsearch bulk-upsert path (`scripts/indexing/to_elasticsearch.py`):
+  * keyed, idempotent parquet tables (SURVEY §1.5).
+  */
+object Sink {
+
+  /** Deterministic document key `{symbol}_{date}`
+    * (`to_elasticsearch.py:78`) — the idempotence anchor. */
+  def withDocId(df: DataFrame, cols: String*): DataFrame =
+    df.withColumn("doc_id", concat_ws("_", cols.map(col): _*))
+
+  /** Render timestamps as ISO-8601 Z strings exactly as the ES sink does
+    * (`to_elasticsearch.py:96-98`). */
+  def isoString(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, date_format(col(c), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  /** Keyed upsert into a parquet table: rows in `updates` replace existing
+    * rows with the same key; everything else is retained. File-format MERGE
+    * (read → anti-join → union → overwrite); on a Delta/Iceberg table this
+    * is a single MERGE INTO. Re-running with the same updates is a no-op
+    * (idempotent, like the ES deterministic-id bulk upsert). */
+  def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
+      keys: Seq[String]): Unit = {
+    val exists = try {
+      spark.read.parquet(path).schema.nonEmpty
+    } catch { case _: Throwable => false }
+    val merged = if (exists) {
+      val current = spark.read.parquet(path)
+      current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(updates)
+    } else updates
+    // write via a temp dir: the plan reads the same path it overwrites
+    val tmp = path + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Partition-level idempotent refresh: overwrite ONLY the partitions
+    * present in `updates` (dynamic partition overwrite). The scalable form
+    * of the reference's full-refresh: a daily run rewrites one date
+    * partition, not the table. */
+  def refreshPartitions(spark: SparkSession, updates: DataFrame, path: String,
+      partitionCol: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updates.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.etl.Format
+
+/** Structured-Streaming superset of the Format stage (SURVEY §2.10): the
+  * reference is pure batch (daily Airflow cron), but its raw layer — an
+  * append-only, date-partitioned JSON directory — is exactly a file-source
+  * stream. `Trigger.AvailableNow` processes whatever partitions exist and
+  * stops: same results as the batch job, plus exactly-once incremental
+  * semantics via checkpointing (each daily partition is processed once,
+  * instead of the reference's full re-read of every partition on every run,
+  * `scripts/formatting/format_to_parquet.py:57`).
+  *
+  * At scale this is the difference between O(history) and O(1 day) per run.
+  */
+object StreamFormat {
+
+  /** Streaming scan of the raw stocks layer (explicit schema — mandatory
+    * for file-source streams). */
+  def stocksStream(spark: SparkSession, rawDir: String): DataFrame =
+    spark.readStream
+      .option("multiLine", "true")
+      .schema(Format.stocksSchema)
+      .json(s"$rawDir/yahoo/stocks/*/")
+      .withColumn("date_d", to_date(col("date"), "yyyy-MM-dd"))
+      .withColumn("fetched_at_utc", to_timestamp(col("fetched_at")))
+      .drop("fetched_at")
+
+  /** Incremental format job: AvailableNow drain into partitioned parquet.
+    * Returns after the (finite) run completes. */
+  def runAvailableNow(spark: SparkSession, rawDir: String, outDir: String,
+      checkpoint: String): Unit = {
+    val q: StreamingQuery = stocksStream(spark, rawDir).writeStream
+      .format("parquet")
+      .option("path", s"$outDir/stocks_stream")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("symbol")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Windowed streaming aggregation with watermark — the Lens
+    * date-histogram (W1) as a live query: per-symbol daily OHLC-style
+    * rollup over the stream. Memory-sink runner for tests. */
+  def dailyRollupToMemory(spark: SparkSession, rawDir: String,
+      queryName: String): StreamingQuery =
+    stocksStream(spark, rawDir)
+      .withColumn("ts", to_timestamp(col("date_d")))
+      .withWatermark("ts", "10 days")
+      .groupBy(window(col("ts"), "1 day"), col("symbol"))
+      .agg(max("high").as("day_high"), min("low").as("day_low"),
+        sum("volume").as("day_volume"), count(lit(1)).as("n_rows"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

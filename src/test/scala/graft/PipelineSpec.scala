@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Fixtures, Format}
+import graft.serve.Sink
+import graft.streaming.StreamFormat
+import java.nio.file.Files
+
+/** End-to-end pipeline: raw JSON fixtures → Format (Silver) → Combine
+  * (Gold) → keyed serving sink, mirroring the reference DAG
+  * `format_data >> combine_data >> index_data`
+  * (`airflow/dags/yahoo_finance_pipeline.py:110-112`). */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val root: String = Files.createTempDirectory("graft_e2e").toString
+  lazy val rawDir: String = Fixtures.writeRawLayer(root)
+  lazy val formattedDir: String = {
+    Format.run(spark, rawDir, s"$root/formatted")
+    s"$root/formatted"
+  }
+
+  test("format stocks: explicit schema, typed date, duplicate partitions both read") {
+    val s = spark.read.parquet(s"$formattedDir/stocks")
+    assert(s.schema("open").dataType.typeName == "double")
+    assert(s.schema("volume").dataType.typeName == "long")
+    assert(s.schema("date_d").dataType.typeName == "date")
+    assert(s.schema("fetched_at_utc").dataType.typeName == "timestamp")
+    // 5 symbols × 70 rows + 70 duplicated rows from the second partition
+    assert(s.count() == 5 * 70 + 70)
+  }
+
+  test("format news: pre-2020 filtered, duplicate ids deduped") {
+    val n = spark.read.parquet(s"$formattedDir/news")
+    val ids = n.select("id").collect().map(_.getString(0))
+    assert(!ids.contains("n7"), "pre-2020 article must be filtered (P3)")
+    assert(ids.length == ids.distinct.length, "duplicate ids must dedup (U2)")
+    assert(n.count() == 6) // 8 raw − 1 pre-2020 − 1 dup
+  }
+
+  test("combine: reference Gold schema, news counts, orphan symbol nulls") {
+    val g = Format.combine(spark, formattedDir)
+    assert(g.columns.toSeq == Seq("symbol", "name", "sector", "industry",
+      "date", "open", "high", "low", "close", "volume", "market_cap",
+      "daily_range", "daily_change_pct", "news_count", "latest_news_date",
+      "fetched_at_utc"))
+    val byAapl = g.filter(col("symbol") === "AAPL").select("news_count").distinct().collect()
+    assert(byAapl.map(_.getLong(0)).toSeq == Seq(2L))
+    // orphan symbol: dim columns null after left join
+    val orphan = g.filter(col("symbol") === Fixtures.OrphanSymbol)
+    assert(orphan.count() > 0)
+    assert(orphan.filter(col("name").isNotNull).count() == 0)
+    // open==0 row: daily_change_pct must be null (guarded division), not error
+    assert(g.filter(col("open") === 0.0 && col("daily_change_pct").isNotNull).count() == 0)
+  }
+
+  test("keyed upsert: idempotent, updates replace, others retained") {
+    val path = s"$root/serving/enriched"
+    val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
+    Sink.upsertByKey(spark, g, path, Seq("doc_id"))
+    val n1 = spark.read.parquet(path).count()
+    // re-run with identical updates → same count (idempotent)
+    Sink.upsertByKey(spark, g, path, Seq("doc_id"))
+    assert(spark.read.parquet(path).count() == n1)
+    // modify one row, upsert only it → count unchanged, value changed
+    val one = spark.read.parquet(path).limit(1)
+      .withColumn("news_count", lit(999L))
+    Sink.upsertByKey(spark, one, path, Seq("doc_id"))
+    val after = spark.read.parquet(path)
+    assert(after.count() == n1)
+    assert(after.filter(col("news_count") === 999L).count() == 1)
+  }
+
+  test("partition refresh: only touched partitions rewritten") {
+    val path = s"$root/serving/by_symbol"
+    val g = Format.combine(spark, formattedDir)
+    Sink.refreshPartitions(spark, g, path, "symbol")
+    val full = spark.read.parquet(path).count()
+    // refresh a single symbol with a 1-row frame: other symbols intact
+    val one = g.filter(col("symbol") === "AAPL").limit(1)
+    Sink.refreshPartitions(spark, one, path, "symbol")
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("symbol") =!= "AAPL").count() ==
+      spark.read.parquet(path).filter(col("symbol") =!= "AAPL").count())
+    assert(after.filter(col("symbol") === "AAPL").count() == 1)
+    assert(after.count() < full)
+  }
+
+  test("streaming format: AvailableNow produces same rows as batch") {
+    val out = s"$root/stream_out"
+    StreamFormat.runAvailableNow(spark, rawDir, out, s"$root/ckpt1")
+    val streamed = spark.read.parquet(s"$out/stocks_stream")
+    val batch = Format.formatStocks(spark, rawDir)
+    assert(streamed.count() == batch.count())
+    // incremental: a second AvailableNow run with no new files adds nothing
+    StreamFormat.runAvailableNow(spark, rawDir, out, s"$root/ckpt1")
+    assert(spark.read.parquet(s"$out/stocks_stream").count() == batch.count())
+  }
+
+  test("streaming daily rollup with watermark") {
+    val q = StreamFormat.dailyRollupToMemory(spark, rawDir, "rollup_test")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select * from rollup_test")
+    assert(got.count() > 0)
+    assert(got.columns.contains("day_high"))
+  }
+}
