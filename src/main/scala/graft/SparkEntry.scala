@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Combine, Format}
-import graft.serve.LensQueries
+import graft.serve.{LensQueries, MoreQueries}
 import graft.functions.{Sentiment, TextFunctions}
 import graft.operators.{Dedup, Forecast, Multimodal, Similarity}
 
@@ -59,6 +59,15 @@ object SparkEntry {
     ("q_case_threshold_label", LensQueries.caseThresholdLabel _, Some(LensQueries.caseThresholdLabelSql)),
     ("q_scalar_datetime", LensQueries.scalarDatetime _, Some(LensQueries.scalarDatetimeSql)),
     ("q_business_days", LensQueries.businessDays _, Some(LensQueries.businessDaysSql)),
+    // batch 2: wide agg battery, nested terms, join variants, windows
+    ("q_agg_battery", MoreQueries.aggBattery _, Some(MoreQueries.aggBatterySql)),
+    ("q_nested_terms", MoreQueries.nestedTerms _, Some(MoreQueries.nestedTermsSql)),
+    ("q_semi_anti_join", MoreQueries.semiAntiJoin _, Some(MoreQueries.semiAntiJoinSql)),
+    ("q_recent_window_avg", MoreQueries.recentWindowAvg _, Some(MoreQueries.recentWindowAvgSql)),
+    ("q_month_ranges", MoreQueries.monthRanges _, Some(MoreQueries.monthRangesSql)),
+    ("q_ranked_within_group", MoreQueries.rankedWithinGroup _, Some(MoreQueries.rankedWithinGroupSql)),
+    ("q_exists_null_fill", MoreQueries.existsNullFill _, Some(MoreQueries.existsNullFillSql)),
+    ("q_unix_roundtrip", MoreQueries.unixRoundtrip _, Some(MoreQueries.unixRoundtripSql)),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
