@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Combine, Format}
 import graft.serve.{LensQueries, MoreQueries}
 import graft.functions.{Sentiment, TextFunctions}
-import graft.operators.{Dedup, Forecast, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Forecast, Multimodal, Sessionize, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,9 @@ object SparkEntry {
     ("q_ranked_within_group", MoreQueries.rankedWithinGroup _, Some(MoreQueries.rankedWithinGroupSql)),
     ("q_exists_null_fill", MoreQueries.existsNullFill _, Some(MoreQueries.existsNullFillSql)),
     ("q_unix_roundtrip", MoreQueries.unixRoundtrip _, Some(MoreQueries.unixRoundtripSql)),
+    // custom whole-operator semantics: as-of join + sessionization
+    ("q_asof_join", AsOfJoin.asofQuery _, Some(AsOfJoin.asofQuerySql)),
+    ("q_sessionize", Sessionize.sessions _, Some(Sessionize.sessionsSql)),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),

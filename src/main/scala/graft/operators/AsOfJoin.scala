@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of (backward) join: for every left row, attach the most recent right
+  * row with the same key and right.time ≤ left.time.
+  *
+  * The reference only needs exact-date alignment (J3,
+  * `scripts/prediction/arima_forecast.py:47`), but the general operator is
+  * the canonical finance primitive (trade ⋈ latest-quote). Spark has no
+  * built-in; the naive formulations are a range join (quadratic blow-up) or
+  * a per-row subquery. This implementation is the **union-sentinel sweep**:
+  *
+  *   1. union left probes and right states into one stream, tagged;
+  *   2. single window per key ordered by (time, tag): `last_value(ignore
+  *      nulls)` carries the latest right payload forward;
+  *   3. keep probe rows.
+  *
+  * Cost: ONE hash shuffle by key + ONE in-partition sort — same complexity
+  * as a group-by, no range explosion, skew-bounded by key cardinality.
+  * This is how you do as-of at 100 TB.
+  */
+object AsOfJoin {
+
+  /** Generic backward as-of join.
+    * @param left probe side, columns (key, time, ...)
+    * @param right state side, columns (key, time, payload...)
+    * @param keyCol join key column name present on both sides
+    * @param timeCol event-time column name present on both sides
+    * @param payloadCols right-side columns to carry (renamed as given) */
+  def backward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__is_probe", lit(1))
+      .select(Seq(col(keyCol), col(timeCol), col("__is_probe"))
+        ++ left.columns.filterNot(c => c == keyCol || c == timeCol).map(col)
+        ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rightTagged = right
+      .withColumn("__is_probe", lit(0))
+      .select(Seq(col(keyCol), col(timeCol), col("__is_probe"))
+        ++ left.columns.filterNot(c => c == keyCol || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        ++ payloadCols.map(c => col(c).as(s"__r_$c")): _*)
+    // rows at identical time: state (tag 0) sorts before probe (tag 1), so a
+    // same-timestamp right row IS visible to the probe (ASOF <= semantics)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol).asc, col("__is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = payloadCols.foldLeft(leftTagged.unionByName(rightTagged)) {
+      case (df, c) =>
+        df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    swept
+      .filter(col("__is_probe") === 1)
+      .drop("__is_probe")
+      .select(left.columns.map(col)
+        ++ payloadCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Registered query: each order joined to the supplier-1 lineitem ship
+    * "state" — for every order of a customer, the most recent prior ship
+    * event of that customer's orders. Concretely here: probe = orders
+    * (key=o_custkey, t=o_orderdate), state = orders-joined-lineitem ship
+    * events; payload = shipped quantity. Oracle = DuckDB's native ASOF JOIN. */
+  def asofQuery(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val states = Tables.orders(spark, dir).alias("o2")
+      .join(Tables.lineitem(spark, dir),
+        col("o2.o_orderkey") === col("l_orderkey"))
+      // one state row per (custkey, shipdate): max quantity that day —
+      // makes the as-of target unique so the oracle is deterministic
+      .groupBy(col("o2.o_custkey").as("o_custkey"), col("l_shipdate"))
+      .agg(max("l_quantity").as("ship_qty"))
+      .select(col("o_custkey"), col("l_shipdate").as("o_orderdate"), col("ship_qty"))
+    backward(probes, states, "o_custkey", "o_orderdate", Seq("ship_qty"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("asof_ship_qty"))
+  }
+
+  val asofQuerySql: String =
+    """WITH states AS (
+      |  SELECT o2.o_custkey AS s_custkey, l.l_shipdate AS s_time,
+      |         MAX(l.l_quantity) AS ship_qty
+      |  FROM orders o2 JOIN lineitem l ON o2.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT p.o_orderkey AS o_orderkey, p.o_custkey AS o_custkey,
+      |       strftime(p.o_orderdate, '%Y-%m-%d') AS order_date,
+      |       s.ship_qty AS asof_ship_qty
+      |FROM orders p
+      |ASOF LEFT JOIN states s
+      |  ON p.o_custkey = s.s_custkey AND p.o_orderdate >= s.s_time""".stripMargin
+}

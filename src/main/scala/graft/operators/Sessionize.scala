@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Sessionization of the event stream: group each user's events into
+  * sessions separated by ≥ `gap` of inactivity.
+  *
+  * Batch form: the classic lag + cumulative-sum-of-boundaries window pair —
+  * one shuffle by user, two in-partition window passes, no self-join.
+  * SQL-expressible, so it carries a DuckDB oracle.
+  *
+  * Streaming form: `flatMapGroupsWithState` with event-time timeout — the
+  * custom-state primitive the reference never needed (pure batch) but a
+  * live pipeline does. Same session semantics; emits a session row when the
+  * gap timeout fires.
+  */
+object Sessionize {
+
+  val GapMinutes = 30
+
+  // ---------------------------------------------------------------- batch
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("is_new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > GapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum("is_new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum("value"), 6).as("session_value"))
+  }
+
+  val sessionsSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         CASE WHEN LAG(ts) OVER w IS NULL
+       |                OR date_diff('second', LAG(ts) OVER w, ts) > ${GapMinutes * 60} THEN 1
+       |              ELSE 0 END AS is_new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |numbered AS (
+       |  SELECT user_id, ts, value,
+       |         CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+       |           ORDER BY ts ASC, event_id ASC
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM marked)
+       |SELECT user_id, session_idx,
+       |       COUNT(*) AS n_events,
+       |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       |       ROUND(SUM(value), 6) AS session_value
+       |FROM numbered GROUP BY user_id, session_idx""".stripMargin
+
+  // ------------------------------------------------------------- streaming
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: String, session_end: String,
+      n_events: Long, session_value: Double)
+
+  private def fmt(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDateTime.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Stateful session builder: closes + emits a session when the event-time
+    * gap exceeds GapMinutes (or on state timeout). */
+  def sessionFn(userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var out = List.empty[SessionOut]
+    if (state.hasTimedOut) {
+      state.getOption.foreach { s =>
+        out ::= SessionOut(userId, fmt(s.start), fmt(s.end), s.n, s.total)
+      }
+      state.remove()
+      return out.iterator
+    }
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.end <= GapMinutes * 60000L =>
+          cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+        case Some(s) =>
+          out ::= SessionOut(userId, fmt(s.start), fmt(s.end), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.end + GapMinutes * 60000L)
+    }
+    out.reverse.iterator
+  }
+
+  /** Streaming sessionization over a rate/file source DataFrame with columns
+    * (user_id, ts, value); returns the writeStream-ready Dataset. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts").cast("timestamp"), col("value").cast("double"))
+      .as[Ev]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.VectorExpressions.cosine_sim
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-dim float vectors).
@@ -20,8 +21,11 @@ import graft.Tables
   *    (centroids = per-`label` mean vectors), probe only the query's nearest
   *    cell. Mirrors a FAISS IVF flat index in pure DataFrame ops.
   *
-  * All vector math is `zip_with`/`aggregate` higher-order expressions —
-  * JVM-evaluated per row, no Python/serialization boundary, no UDF.
+  * Pair scoring uses the native codegen `CosineSimilarity` expression
+  * (`graft.functions.VectorExpressions`) — a fused primitive loop inside
+  * WholeStageCodegen; the one-shot signature/norm computations use
+  * `zip_with`/`aggregate` higher-order expressions. No UDFs, no Python
+  * boundary anywhere.
   */
 object Similarity {
 
@@ -51,8 +55,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored
@@ -102,8 +105,7 @@ object Similarity {
       .withColumn("probe_sig", explode(transform(probes, m => col("q_sig").bitwiseXOR(m))))
     val scored = c.join(broadcast(q), col("sig") === col("probe_sig"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored
@@ -133,8 +135,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("c_label").asc)
     c.crossJoin(broadcast(cents))
-      .withColumn("cos_c",
-        round(dot(col("emb"), col("centroid")) / (col("nrm") * col("c_nrm")), 6))
+      .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
@@ -155,8 +156,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     c.join(broadcast(q), col("cell") === col("q_cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cosine")

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Access bridge into Spark's `private[sql]` Column ↔ Expression converters
+  * (Spark 4 moved Column construction behind `classic.ExpressionUtils`).
+  * Compiled into the spark.sql package solely to expose these two calls to
+  * graft's custom expressions — the standard pattern for third-party
+  * Catalyst extensions that don't route through SparkSessionExtensions. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

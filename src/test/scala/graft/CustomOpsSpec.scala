@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, Sessionize}
+import graft.functions.VectorExpressions.cosine_sim
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("backward as-of picks latest state at or before probe time") {
+    val probes = Seq(
+      ("k1", "2024-01-05", "p1"), // after s2 → 20
+      ("k1", "2024-01-03", "p2"), // exactly at s2 → 20 (inclusive)
+      ("k1", "2024-01-02", "p3"), // between s1 and s2 → 10
+      ("k1", "2024-01-01", "p4"), // exactly at s1 → 10
+      ("k2", "2024-01-04", "p5"), // k2 has one state at 01-02 → 99
+      ("k3", "2024-01-04", "p6")  // no state for k3 → null
+    ).toDF("key", "t", "probe_id")
+      .withColumn("t", col("t").cast("date"))
+    val states = Seq(
+      ("k1", "2024-01-01", 10.0),
+      ("k1", "2024-01-03", 20.0),
+      ("k2", "2024-01-02", 99.0)
+    ).toDF("key", "t", "v")
+      .withColumn("t", col("t").cast("date"))
+    val got = AsOfJoin.backward(probes, states, "key", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("probe_id") -> Option(r.getAs[java.lang.Double]("asof_v"))).toMap
+    assert(got("p1").contains(20.0))
+    assert(got("p2").contains(20.0))
+    assert(got("p3").contains(10.0))
+    assert(got("p4").contains(10.0))
+    assert(got("p5").contains(99.0))
+    assert(got("p6").isEmpty)
+  }
+
+  test("asof query: every order row present exactly once") {
+    val q = AsOfJoin.asofQuery(spark, sf)
+    assert(q.count() == Tables.orders(spark, sf).count())
+    assert(q.select("o_orderkey").distinct().count() == q.count())
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("batch sessions: gap splits, totals conserved") {
+    val s = Sessionize.sessions(spark, sf)
+    val totalEvents = s.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(totalEvents == Tables.events(spark, sf).count())
+    // session bounds ordered
+    s.collect().foreach { r =>
+      assert(r.getAs[String]("session_start") <= r.getAs[String]("session_end"))
+    }
+  }
+
+  test("streaming sessionization matches batch on a replayed slice") {
+    // batch expectation on a small deterministic frame
+    val raw = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0), // same session (10 min gap)
+      (1L, "2024-01-01 11:30:00", 3.0), // new session (80 min gap)
+      (2L, "2024-01-01 09:00:00", 5.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batch = raw
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid").count().collect()
+    assert(batch.length == 3) // user1: 2 sessions, user2: 1
+  }
+
+  test("stateful session function: closes on gap, carries state") {
+    import graft.operators.Sessionize.{Ev, SessionOut, SessionState}
+    // exercise via a real streaming query over a memory-backed file source
+    val dir = java.nio.file.Files.createTempDirectory("sess_stream").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0),
+      (1L, "2024-01-01 11:30:00", 3.0),
+      (2L, "2024-01-01 09:00:00", 5.0)
+    ).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$dir/in")
+    val q = Sessionize.sessionizeStream(spark, streamIn)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.sql("select * from sess_out").collect()
+    // the 80-min gap forces user 1's first session (2 events, value 3.0) out
+    assert(emitted.exists(r => r.getAs[Long]("user_id") == 1L &&
+      r.getAs[Long]("n_events") == 2L &&
+      math.abs(r.getAs[Double]("session_value") - 3.0) < 1e-9),
+      s"expected closed first session of user 1, got: ${emitted.mkString("; ")}")
+  }
+}
+
+class CosineExprSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("native cosine matches hand computation, interpreted and codegen") {
+    val df = Seq(
+      (Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0), 1.0),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), 0.0),
+      (Array(1.0, 2.0, 3.0), Array(-1.0, -2.0, -3.0), -1.0),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0), 0.0) // zero-norm guard
+    ).toDF("a", "b", "want")
+    val got = df.select(cosine_sim(col("a"), col("b")).as("c"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("null in → null out") {
+    val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val got = df.select(cosine_sim(col("a"), col("b"))).collect()
+    assert(got(0).isNullAt(0))
+  }
+
+  test("agrees with the zip_with/aggregate formulation on real embeddings") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val paired = e.crossJoin(e.select(col("vec_id").as("v2"), col("emb").as("emb2")))
+      .filter(col("vec_id") < col("v2")).limit(200)
+    val both = paired.select(
+      cosine_sim(col("emb"), col("emb2")).as("native"),
+      (graft.operators.Similarity.dot(col("emb"), col("emb2")) /
+        (sqrt(graft.operators.Similarity.dot(col("emb"), col("emb"))) *
+         sqrt(graft.operators.Similarity.dot(col("emb2"), col("emb2"))))).as("lambda"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+}
