@@ -61,10 +61,13 @@ object Dedup {
   /** Per-doc MinHash signature: k independent hash slots, each the min of
     * xxhash64(shingle_hash, slot) over the doc's shingles. One hash shuffle
     * keyed by doc_id; k mins computed map-side (partial agg). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFromShingles(docShingles(spark, dir))
+
+  def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    docShingles(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing any band signature. Bucket join on
@@ -104,8 +107,10 @@ object Dedup {
     * gated behind LSH): join each side's shingle set, intersection/union by
     * counting. */
   def exactJaccard(spark: SparkSession, dir: String, cands: DataFrame,
-      n: Int = 3): DataFrame = {
-    val sh = docShingles(spark, dir, n).cache()
+      n: Int = 3): DataFrame =
+    exactJaccardFromShingles(docShingles(spark, dir, n).cache(), cands)
+
+  def exactJaccardFromShingles(sh: DataFrame, cands: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sa = sh.toDF("da", "sha")
     val sb = sh.toDF("db", "shb")
@@ -128,10 +133,11 @@ object Dedup {
     * Signatures and candidates feed three downstream joins, so they are
     * cached — without it the whole shingle pipeline re-executes per use. */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir).cache()
+    val sh = docShingles(spark, dir).cache()
+    val sigs = signaturesFromShingles(sh).cache()
     val cands = minhashCandidates(sigs).cache()
     val est = estimateJaccard(sigs, cands)
-    val exact = exactJaccard(spark, dir, cands)
+    val exact = exactJaccardFromShingles(sh, cands)
     est.join(exact, Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")

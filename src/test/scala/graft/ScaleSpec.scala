@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** Plan-quality and scale-mechanics assertions: these guard the properties
+  * SCALE.md claims — pushdown reaching the scan, dims broadcasting, bucketed
+  * joins eliminating exchanges, salting preserving results. */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship: dim join is broadcast, no sort-merge for the dim") {
+    val plan = physicalPlan(etl.Combine.enrichedOrders(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("range filter is pushed into the parquet scan") {
+    val df = serve.LensQueries.filterRangeProject(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(l_shipdate"), s"filter not pushed:\n$scan")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scan.contains("l_extendedprice"), "unprojected column read from parquet")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = physicalPlan(serve.LensQueries.sortLatest(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k physical op:\n$plan")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket_db LOCATION '$dir'")
+    try {
+      Tables.orders(spark, sf).write
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_bucket_db.orders_b")
+      Tables.lineitem(spark, sf)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n")).write
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_bucket_db.liagg_b")
+      val o = spark.table("graft_bucket_db.orders_b")
+      val l = spark.table("graft_bucket_db.liagg_b")
+      val joined = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      val withoutBroadcast = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: no shuffle Exchange on either side
+      assert(!withoutBroadcast.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$withoutBroadcast")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_bucket_db CASCADE")
+    }
+  }
+
+  test("salted join returns identical rows to the plain join") {
+    val left = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_quantity"), col("l_linenumber"))
+    val right = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val plain = left.join(right, Seq("k"))
+    val salted = Skew.saltedJoin(left, right, "k", "l_linenumber", 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted agg matches direct aggregation") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Skew.saltedCountSum(ev, "event_type", "event_id", "value", 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, (n, t)) =>
+      assert(salted(k)._1 == n)
+      assert(math.abs(salted(k)._2 - t) < 1e-6)
+    }
+  }
+
+  test("streaming dedup: dropDuplicates with watermark removes replayed ids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-01 10:00:00", "a"), // duplicate id
+      (2L, "2024-01-01 10:05:00", "b")
+    ).toDF("event_id", "ts", "payload")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val q = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, payload STRING")
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("select * from sdedup_out").count() == 2)
+  }
+}
