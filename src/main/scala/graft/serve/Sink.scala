@@ -43,6 +43,29 @@ object Sink {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** NaN/Infinity → null scrub for JSON-bound frames
+    * (`to_elasticsearch.py:71-74` — NaN is not valid JSON): applied to every
+    * double column. */
+  def nanToNull(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType.typeName == "double").foldLeft(df) {
+      case (d, f) =>
+        d.withColumn(f.name,
+          when(isnan(col(f.name)) || col(f.name).isin(
+            Double.PositiveInfinity, Double.NegativeInfinity), lit(null))
+            .otherwise(col(f.name)))
+    }
+
+  /** Raw-layer JSON sink, date-partitioned (S5 —
+    * `scripts/ingestion/yahoo_stocks.py:68-81` writes
+    * `raw/<table>/YYYY-MM-DD/`): the Spark-writer form, with NaN scrubbed
+    * and timestamps already rendered by callers. */
+  def writeRawJson(df: DataFrame, path: String, dateCol: String): Unit =
+    nanToNull(df)
+      .withColumn("ingest_date", date_format(col(dateCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("ingest_date")
+      .json(path)
+
   /** Partition-level idempotent refresh: overwrite ONLY the partitions
     * present in `updates` (dynamic partition overwrite). The scalable form
     * of the reference's full-refresh: a daily run rewrites one date

@@ -98,6 +98,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/stocks_stream").count() == batch.count())
   }
 
+  test("raw JSON sink: date-partitioned, NaN scrubbed to null") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00", 1.5),
+      ("b", "2024-01-02 11:00:00", Double.NaN),
+      ("c", "2024-01-02 12:00:00", Double.PositiveInfinity)
+    ).toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val out = s"$root/raw_json_sink"
+    Sink.writeRawJson(df, out, "ts")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("ingest_date=2024-01-01", "ingest_date=2024-01-02"))
+    val back = spark.read.json(s"$out")
+    assert(back.filter(col("v").isNotNull).count() == 1) // NaN and Inf scrubbed
+  }
+
   test("streaming daily rollup with watermark") {
     val q = StreamFormat.dailyRollupToMemory(spark, rawDir, "rollup_test")
     q.processAllAvailable()
