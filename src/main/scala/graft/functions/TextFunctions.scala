@@ -137,6 +137,32 @@ object TextFunctions {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         md5(col("text")).as("md5_hex"))
 
+  // ------------------------------------------------------------ BPE-ish
+  /** BPE-ish pre-tokenization (the GPT-2-style split simplified to its
+    * ASCII core so the regex is portable between Java and RE2): letter runs,
+    * digit runs, and single non-space punctuation each become one
+    * pre-token. Counts approximate LLM token budgets far better than
+    * whitespace words (punctuation and numbers tokenize separately). */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpeIshPattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  def bpeCountQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        tokenCount(col("text")).as("n_ws_tokens"))
+
+  val bpeCountQuerySql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+      |    AS n_bpe_tokens,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT)
+      |    AS n_ws_tokens
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------ token stats
   def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -185,6 +185,41 @@ object MoreQueries {
       |FROM (SELECT DISTINCT user_id FROM events) u
       |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- multi-join
+  /** Deep join tree: revenue per nation (lineitem⋈orders⋈customer⋈nation⋈
+    * region + filtered year + grouped sum). Exercises Catalyst join
+    * ordering: small dims broadcast, the two fact joins hash-partition on
+    * their keys. */
+  def revenuePerNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val revenuePerNationSql: String =
+    """SELECT r.r_name AS r_name, n.n_name AS n_name,
+      |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- F4
   /** Unix-seconds round-trip (F4, `finnhub_news.py:91-92`): ts → epoch
     * seconds → rebuilt timestamp string. */
