@@ -73,4 +73,10 @@ object VectorExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** SQL API: after `register(spark)`, `spark.sql("SELECT cosine_sim(a,b)")`
+    * resolves to the same native expression. Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 }

@@ -245,8 +245,11 @@ object Dedup {
       threshold: Double = 0.5, n: Int = 3, dfCap: Int = 20): DataFrame = {
     val sh = docShingles(spark, dir, n).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // df == 1 shingles can never intersect (drop them: typically most of the
+    // index); df > cap shingles are the skew guard (stop-phrases, f² blow-up)
     val rare = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap),
       "sh")
     val sa = rare.select(col("doc_id").as("da"), col("sh").as("sha"))
     val sb = rare.select(col("doc_id").as("db"), col("sh").as("shb"))

@@ -129,6 +129,16 @@ class CosineExprSpec extends AnyFunSuite {
     assert(got(0).isNullAt(0))
   }
 
+  test("SQL registration: cosine_sim callable from spark.sql") {
+    graft.functions.VectorExpressions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c," +
+        " cosine_sim(array(2.0d, 0.0d), array(5.0d, 0.0d)) AS d")
+      .collect()(0)
+    assert(math.abs(got.getDouble(0)) < 1e-12)
+    assert(math.abs(got.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("agrees with the zip_with/aggregate formulation on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
