@@ -83,6 +83,13 @@ object SparkEntry {
     // sentiment (UD1/UD2)
     ("q_sentiment", Sentiment.sentimentQuery _, None),
     ("q_sentiment_distribution", Sentiment.sentimentDistributionQuery _, None),
+    // corpus curation (composed pipeline + tf-idf reporting)
+    ("q_dedup_clusters", graft.operators.Curation.dupClusters _, None),
+    ("q_corpus_curate",
+      ((s: SparkSession, d: String) => graft.operators.Curation.curate(s, d)): Q, None),
+    ("q_tfidf_top_terms",
+      ((s: SparkSession, d: String) => graft.operators.Curation.tfidfTopTerms(s, d)): Q,
+      Some(graft.operators.Curation.tfidfTopTermsSql)),
     // dedup family
     ("q_dedup_exact", Dedup.exact _, Some(Dedup.exactSql)),
     ("q_dedup_minhash", Dedup.minhashSummary _, None),

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Corpus curation — the composed training-data pipeline over `documents`:
+  * near-dup graph → connected components → canonical representative per
+  * cluster → quality/language gates → keep/drop decision with reason.
+  */
+object Curation {
+
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation: every vertex repeatedly adopts the smallest
+    * doc_id reachable in one hop; converges in O(log(diameter)) rounds
+    * (dup clusters are tiny — pairs/triangles — so the bound is loose).
+    * Each round is one join + one min-aggregate; this is the standard
+    * large-graph CC under Pregel semantics, expressed on DataFrames.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor labels + own label → min
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dst_comp"), "dst")
+        .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for every document: component id for near-dup
+    * members (from the MinHash-LSH pair graph), own id for singletons.
+    * keep = (doc_id == canonical representative = min id in component). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(spark, dir).select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+    Tables.documents(spark, dir).select("doc_id")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** The end-to-end curation decision: dedup keep-list ∧ quality gate ∧
+    * length gate, with a drop reason (first failing rule wins). The final
+    * shape a data pipeline materializes before tokenization. */
+  def curate(spark: SparkSession, dir: String,
+      minQuality: Double = 0.3, minTokens: Int = 10): DataFrame = {
+    val quality = TextFunctions.qualityQuery(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val clusters = dupClusters(spark, dir)
+    quality.join(clusters, "doc_id")
+      .withColumn("drop_reason",
+        when(!col("keep"), "near_duplicate")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .otherwise(lit(null)))
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        col("quality_score"), col("drop_reason"),
+        col("drop_reason").isNull.as("keep"))
+  }
+
+  // ---------------------------------------------------------------- tf-idf
+  /** Top-5 terms per language by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
+    * the corpus-analysis query a curation run reports. Fully SQL-expressible
+    * → DuckDB oracle. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // tiny action on metadata; acceptable driver-side
+    val terms = docs
+      .select(col("doc_id"), col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "term", "tf", "df", "tfidf")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, lang,
+      |         UNNEST(list_filter(regexp_split_to_array(
+      |           LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |           x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT lang, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |idf AS (SELECT term, COUNT(*) AS df
+      |        FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.lang AS lang, tf.term AS term, tf.tf AS tf, idf.df AS df,
+      |         ROUND(tf.tf * LN((n.n_docs + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n)
+      |SELECT lang, rk, term, tf, df, tfidf
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+      |WHERE rk <= 5""".stripMargin
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Dedup}
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("connected components: chains collapse to min label") {
+    // graph: 1-2, 2-3 (chain), 10-11, isolated vertices absent from edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = Curation.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("dup clusters: every doc labeled, one keeper per cluster") {
+    val c = Curation.dupClusters(spark, sf)
+    assert(c.count() == Tables.documents(spark, sf).count())
+    val perCluster = c.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+        count(lit(1)).as("n"))
+      .collect()
+    perCluster.foreach { r =>
+      assert(r.getLong(1) == 1L, s"cluster ${r.get(0)} has ${r.getLong(1)} keepers")
+    }
+    // planted near-dups must share a cluster
+    val pairs = Dedup.minhashNearDups(spark, sf).collect()
+    assume(pairs.nonEmpty)
+    val comp = c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { p =>
+      assert(comp(p.getAs[Long]("doc_a")) == comp(p.getAs[Long]("doc_b")))
+    }
+  }
+
+  test("curation: keep iff no drop reason; near-dup losers dropped") {
+    val cur = Curation.curate(spark, sf).collect()
+    cur.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("drop_reason") == null))
+    }
+    val dropped = cur.filter(_.getAs[String]("drop_reason") == "near_duplicate")
+    val pairs = Dedup.minhashNearDups(spark, sf).count()
+    assert(dropped.length > 0 == pairs > 0)
+  }
+
+  test("tfidf: k per lang, rank ordered, df consistent") {
+    val t = Curation.tfidfTopTerms(spark, sf).collect()
+    val byLang = t.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val ranked = rows.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to rows.length))
+      val scores = ranked.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
