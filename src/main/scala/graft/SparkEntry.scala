@@ -80,6 +80,7 @@ object SparkEntry {
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
     ("q_lang_id", TextFunctions.langIdQuery _, None),
     ("q_fingerprint", TextFunctions.fingerprintQuery _, None),
+    ("q_winnow_fingerprint", TextFunctions.winnowQuery _, None),
     // sentiment (UD1/UD2)
     ("q_sentiment", Sentiment.sentimentQuery _, None),
     ("q_sentiment_distribution", Sentiment.sentimentDistributionQuery _, None),
@@ -115,6 +116,8 @@ object SparkEntry {
     ("q_media_frames",
       ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)): Q, None),
     ("q_media_summary", Multimodal.mediaSummary _, None),
+    ("q_media_resize",
+      ((s: SparkSession, d: String) => Multimodal.resize(s, d)): Q, None),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -163,6 +163,57 @@ object TextFunctions {
       |    AS n_ws_tokens
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ winnowing
+  /** Winnowing document fingerprints (the rolling-hash scheme from the
+    * published MOSS/winnowing algorithm): polynomial rolling hash over char
+    * k-grams of the normalized text, then the minimum hash in each sliding
+    * window of w k-grams (rightmost-min tie-break), deduplicated in order.
+    * Guarantees: any shared substring of length ≥ w+k−1 between two docs
+    * yields ≥ 1 shared fingerprint — the basis of local (substring-level)
+    * near-dup detection, complementing MinHash's global Jaccard.
+    * Per-doc kernel → Scala UDF (never in a relational hot path). */
+  def winnow(text: String, k: Int = 8, w: Int = 12): Array[Long] = {
+    if (text == null) return Array.empty
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k) return if (s.isEmpty) Array.empty else Array(s.hashCode.toLong)
+    val B = 1000000007L
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow *= B; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prevPick = -1
+    var start = 0
+    val lastStart = math.max(0, n - w)
+    while (start <= lastStart) {
+      var minIdx = start
+      var j = start + 1
+      val end = math.min(n, start + w)
+      while (j < end) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != prevPick) { out += hashes(minIdx); prevPick = minIdx }
+      start += 1
+    }
+    out.toArray
+  }
+
+  def winnowUdf(k: Int = 8, w: Int = 12) = udf((t: String) => winnow(t, k, w))
+
+  /** Per-doc winnowing fingerprint summary. */
+  def winnowQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fps", winnowUdf()(col("text")))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        hash(col("fps")).as("fp_set_hash"))
+
   // ------------------------------------------------------------ token stats
   def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

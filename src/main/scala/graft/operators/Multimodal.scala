@@ -122,6 +122,35 @@ object Multimodal {
       .drop("frame")
   }
 
+  /** Resize, stubbed at the codec layer: a real implementation decodes,
+    * rescales pixels, re-encodes. The deterministic fake keeps every
+    * `stride`-th byte (a nearest-neighbor downsample of the byte stream) and
+    * rewrites the metadata accordingly — exercising the real pipeline shape:
+    * binary in → smaller binary out → metadata update, batch per partition. */
+  def resizeStub(payload: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+    out
+  }
+
+  def resize(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("media_id", "kind", "payload", "width", "height")
+      .as[Media]
+      .mapPartitions { it =>
+        it.map { m =>
+          val small = resizeStub(m.payload, stride)
+          Media(m.media_id, m.kind, small,
+            math.max(1, m.width / stride), math.max(1, m.height / stride))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), length(col("payload")).as("n_bytes"),
+        col("width"), col("height"), xxhash64(col("payload")).as("payload_fp"))
+  }
+
   /** Metadata/feature summary per kind — the query a curation pipeline runs
     * to monitor a multimodal corpus. */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame =

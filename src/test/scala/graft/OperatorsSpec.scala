@@ -264,6 +264,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map(_.getAs[Long]("checksum")).toSet == again.map(_.getAs[Long]("checksum")).toSet)
   }
 
+  test("resize: payload shrinks by stride, metadata updated") {
+    val before = Multimodal.mediaTable(spark, sf)
+      .select("media_id", "width").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val after = Multimodal.resize(spark, sf, stride = 4).collect()
+    assert(after.length == before.size)
+    after.foreach { r =>
+      assert(r.getAs[Int]("width") == math.max(1, before(r.getAs[Long]("media_id")) / 4))
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+
+  test("winnowing: deterministic, and shared long substrings share fingerprints") {
+    import graft.functions.TextFunctions.winnow
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    assert(winnow(a).toSeq == winnow(a).toSeq)
+    // guarantee: common substring of length >= w+k-1 (19) gives >= 1 shared fp
+    val common = "a very long shared passage that both documents contain verbatim"
+    val d1 = s"prefix one $common suffix alpha"
+    val d2 = s"completely different lead-in $common other tail"
+    val shared = winnow(d1).toSet intersect winnow(d2).toSet
+    assert(shared.nonEmpty)
+    // empty / tiny inputs
+    assert(winnow("").isEmpty)
+    assert(winnow("ab").length == 1)
+  }
+
   test("frame sampling covers video payloads with indexed frames") {
     val fr = Multimodal.frameSample(spark, sf).collect()
     assert(fr.nonEmpty)
