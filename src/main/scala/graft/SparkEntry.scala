@@ -46,6 +46,11 @@ object SparkEntry {
     ("q_differences_daily", LensQueries.differencesDaily _, Some(LensQueries.differencesDailySql)),
     ("q_pct_change_daily", LensQueries.pctChangeDaily _, Some(LensQueries.pctChangeDailySql)),
     ("q_tail_n_per_key", LensQueries.tailNPerKey _, Some(LensQueries.tailNPerKeySql)),
+    // same semantics, bounded-heap physics (map-side combinable Aggregator) —
+    // verified against the identical window oracle
+    ("q_tail_n_heap",
+      ((s: SparkSession, d: String) => graft.operators.TopK.tailKHeap(s, d)): Q,
+      Some(LensQueries.tailNPerKeySql)),
     // §2.6 sorts / top-k
     ("q_topk_by_metric", LensQueries.topKByMetric _, Some(LensQueries.topKByMetricSql)),
     ("q_terms_other_bucket", LensQueries.termsOtherBucket _, Some(LensQueries.termsOtherBucketSql)),
