@@ -19,27 +19,32 @@ object Curation {
     * Each round is one join + one min-aggregate; this is the standard
     * large-graph CC under Pregel semantics, expressed on DataFrames.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, rounds: Int = 5): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+      .distinct()
+    // Iterative algorithms MUST truncate lineage each round: the next round
+    // references labels twice (probe + neighbor side), so the LOGICAL plan
+    // doubles per round — 2^rounds subtree copies. cache() doesn't help (it
+    // dedups execution, not the analyzed plan: optimization/explain still
+    // walk — and OOM on — the exponential tree). localCheckpoint
+    // materializes the round and restarts lineage from the stored blocks,
+    // the standard pattern for DataFrame iteration (cf. GraphFrames).
+    // r rounds propagate the min label over graph distance r; near-dup
+    // clusters are pairs/cliques/short chains, so 5 is a generous bound.
+    val checkpointedEdges = edges.localCheckpoint(true)
+    var labels = checkpointedEdges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-    var converged = false
+      .localCheckpoint(true)
     var i = 0
-    while (!converged && i < maxIter) {
-      // neighbor labels + own label → min
-      val viaEdges = edges
+    while (i < rounds) {
+      val viaEdges = checkpointedEdges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dst_comp"), "dst")
         .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
-      val next = labels.join(viaEdges, Seq("id"), "left")
+      labels = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint(true)
       i += 1
     }
     labels
