@@ -93,6 +93,8 @@ object SparkEntry {
     ("q_dedup_clusters", graft.operators.Curation.dupClusters _, None),
     ("q_corpus_curate",
       ((s: SparkSession, d: String) => graft.operators.Curation.curate(s, d)): Q, None),
+    ("q_heavy_hitters",
+      ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsPerLang(s, d)): Q, None),
     ("q_tfidf_top_terms",
       ((s: SparkSession, d: String) => graft.operators.Curation.tfidfTopTerms(s, d)): Q,
       Some(graft.operators.Curation.tfidfTopTermsSql)),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Mergeable sketch aggregates. First citizen: Misra-Gries heavy hitters —
+  * find frequent terms with a FIXED-SIZE summary instead of a full
+  * (term → count) group-by.
+  *
+  * Why it matters at 100 TB: the exact "top terms" query shuffles one row
+  * per distinct term (billions for web text); the MG summary shuffles at
+  * most k counters per partition, and the summaries MERGE (Agarwal et al.,
+  * "Mergeable Summaries", PODS 2012), so it composes with partial
+  * aggregation exactly like sum/count. Deterministic (no randomness).
+  *
+  * Guarantee: any term with true frequency > N/(k+1) is present in the
+  * output, and reported counts undercount by at most N/(k+1).
+  */
+object Sketches {
+
+  class HeavyHittersAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    /** Classic MG step: increment if tracked; insert if room; otherwise
+      * decrement every counter (dropping zeros). */
+    override def reduce(b: Map[String, Long], term: String): Map[String, Long] =
+      if (b.contains(term)) b.updated(term, b(term) + 1L)
+      else if (b.size < k) b.updated(term, 1L)
+      else b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+
+    /** Mergeable-summaries merge: pointwise sum, then if over k entries
+      * subtract the (k+1)-th largest count from all and drop non-positives
+      * (error bounds add, guarantee preserved). */
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val summed = y.foldLeft(x) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (summed.size <= k) summed
+      else {
+        val kth = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        summed.collect { case (t, c) if c - kth > 0 => t -> (c - kth) }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (t, c) => (-c, t) }
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** Approximate top terms per language over `documents` via the MG sketch:
+    * explode tokens → one fixed-size summary per language. Compare with
+    * `Curation.tfidfTopTerms` (exact, full shuffle) — same corpus question,
+    * sketch physics. */
+  def heavyTermsPerLang(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val hh = udaf(new HeavyHittersAgg(k), Encoders.STRING)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("lang")
+      .agg(hh(col("term")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "tc")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("tc._1").as("term"), col("tc._2").as("approx_count"))
+      .filter(col("rk") <= 10)
+  }
+}

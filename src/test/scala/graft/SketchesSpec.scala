@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+import graft.functions.TextFunctions
+
+class SketchesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("MG kernel: guarantee — freq > N/(k+1) terms always tracked") {
+    val agg = new Sketches.HeavyHittersAgg(4)
+    // stream: 'a' x10, 'b' x6, then 14 distinct noise terms; N=30, N/(k+1)=6
+    val stream = Seq.fill(10)("a") ++ Seq.fill(6)("b") ++ (1 to 14).map(i => s"noise$i")
+    val summary = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(summary.contains("a"), s"'a' must survive: $summary")
+    // merge path: split stream across two partial summaries
+    val (s1, s2) = stream.splitAt(13)
+    val merged = agg.merge(
+      s1.foldLeft(agg.zero)(agg.reduce), s2.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.contains("a"), s"'a' must survive merge: $merged")
+    assert(merged.size <= 4)
+  }
+
+  test("MG undercount bounded by N/(k+1)") {
+    val agg = new Sketches.HeavyHittersAgg(9)
+    val stream = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(Seq.fill(50)("hot") ++ (1 to 100).map(i => s"t${i % 25}"))
+    val summary = stream.foldLeft(agg.zero)(agg.reduce)
+    val n = stream.length
+    assert(summary("hot") >= 50 - n / 10)
+    assert(summary("hot") <= 50)
+  }
+
+  test("distributed heavy terms: top-1 matches exact count per lang") {
+    val approx = Sketches.heavyTermsPerLang(spark, sf).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("count").desc, col("term").asc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the single heaviest term per lang is far above the MG threshold in
+    // this corpus, so sketch and exact must agree on it
+    exact.foreach { case (lang, term) =>
+      assert(approx(lang) == term, s"$lang: sketch says ${approx(lang)}, exact $term")
+    }
+  }
+}
