@@ -18,9 +18,11 @@ object Bench {
       // toRdd.count() executes the FULL physical plan (projections included);
       // Dataset.count() would let Catalyst prune all computed columns and
       // time an empty aggregate instead of the query.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+      // a crashed query must be visibly -1, not a fast-looking elapsed time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

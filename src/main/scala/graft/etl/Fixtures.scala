@@ -45,9 +45,11 @@ object Fixtures {
       while (d.getDayOfWeek.getValue >= 6) d = d.plusDays(1)
       val open = if (symbol == Symbols.head && i == 10) 0.0 // open==0 edge row
         else close * (0.99 + rnd() * 0.02)
-      val high = math.max(open, close) * (1.0 + rnd() * 0.01)
-      val low = math.min(open, if (open == 0.0) close else open) * (1.0 - rnd() * 0.01)
-      close = (if (open == 0.0) close else open) * (0.98 + rnd() * 0.04)
+      val base = if (open == 0.0) close else open
+      close = base * (0.98 + rnd() * 0.04)
+      // bracket AFTER the new close is known so low <= {open, close} <= high
+      val high = math.max(base, close) * (1.0 + rnd() * 0.01)
+      val low = math.min(base, close) * (1.0 - rnd() * 0.01)
       val vol = (1000000 + rnd() * 9000000).toLong
       val row =
         s"""  {"symbol": ${jstr(symbol)}, "date": ${jstr(d.toString)},

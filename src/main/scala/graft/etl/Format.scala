@@ -136,6 +136,5 @@ object Format {
         date_format(col("latest_news_date"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("fetched_at_utc",
         date_format(col("fetched_at_utc"), "yyyy-MM-dd HH:mm:ss"))
-      .drop("date_d")
   }
 }

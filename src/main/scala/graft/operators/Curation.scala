@@ -39,11 +39,21 @@ object Curation {
       .localCheckpoint(true)
     var i = 0
     while (i < rounds) {
+      // (a) neighbor-min: adopt the smallest label one hop away
       val viaEdges = checkpointedEdges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dst_comp"), "dst")
         .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
-      labels = labels.join(viaEdges, Seq("id"), "left")
+      val hopped = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // (b) pointer-jump: comp := comp(comp). Doubles the effective
+      // propagation distance per round, so r rounds cover radius ~2^r —
+      // one-hop-only propagation covers only radius r and mislabels longer
+      // dup chains (members pointing at a non-root representative).
+      val jump = hopped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      labels = hopped
+        .join(jump, hopped("comp") === jump("jid"), "left")
+        .select(hopped("id"), least(hopped("comp"),
+          coalesce(col("jcomp"), hopped("comp"))).as("comp"))
         .localCheckpoint(true)
       i += 1
     }

@@ -131,7 +131,11 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: signature → band-bucket candidates
     * → estimate → exact verify. Emits verified pairs with jaccard ≥ 0.7.
     * Signatures and candidates feed three downstream joins, so they are
-    * cached — without it the whole shingle pipeline re-executes per use. */
+    * cached — without it the whole shingle pipeline re-executes per use.
+    * Deliberately NOT unpersisted: CacheManager keys entries by analyzed
+    * plan, so the dedup/cluster/curation queries of one session all share
+    * these entries; an eager unpersist would force each query to recompute
+    * the pipeline. Bounded by session lifetime (Verify/Bench runs). */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir).cache()
     val sigs = signaturesFromShingles(sh).cache()
@@ -201,8 +205,10 @@ object Dedup {
   /** SimHash near-dups: band the 64-bit signature into 4×16-bit chunks (a
     * pair within hamming distance ≤ 3 must agree on ≥ 1 chunk — pigeonhole),
     * bucket-join per chunk, verify with bit_count(xor). */
-  def simhashNearDups(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(spark, dir)
+  def simhashNearDups(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashNearDupsFromSigs(simhashSignatures(spark, dir), maxHamming)
+
+  def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk"),
@@ -223,8 +229,10 @@ object Dedup {
 
   /** Per-doc SimHash summary (total coverage, like minhashSummary). */
   def simhashSummary(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(spark, dir)
-    val pairs = simhashNearDups(spark, dir)
+    // one signature computation (cached) feeds both the pair search and the
+    // final join — recomputing it was the costliest stage run twice
+    val sigs = simhashSignatures(spark, dir).cache()
+    val pairs = simhashNearDupsFromSigs(sigs)
     val partners = pairs.select(col("doc_a").as("doc_id"), col("hamming"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("hamming")))
     val agg = partners.groupBy("doc_id")

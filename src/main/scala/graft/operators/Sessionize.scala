@@ -90,7 +90,10 @@ object Sessionize {
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.end <= GapMinutes * 60000L =>
-          cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+          // min() on start too: a late-but-within-watermark event earlier
+          // than the stored start must extend the session backward
+          cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+            s.n + 1, s.total + e.value))
         case Some(s) =>
           out ::= SessionOut(userId, fmt(s.start), fmt(s.end), s.n, s.total)
           cur = Some(SessionState(t, t, 1, e.value))

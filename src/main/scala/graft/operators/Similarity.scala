@@ -37,7 +37,10 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Corpus with precomputed L2 norm (computed once, reused by every join). */
+  /** Corpus frame; `nrm` is consumed only by the exact top-1 kernel
+    * (cosine_sim computes norms internally for the join queries — unused
+    * columns are pruned by Catalyst, and the query projections no longer
+    * carry them into broadcasts). */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
@@ -52,7 +55,7 @@ object Similarity {
       nQueries: Int = 20, k: Int = 5): DataFrame = {
     val c = corpus(spark, dir)
     val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
@@ -100,8 +103,7 @@ object Similarity {
     val c = corpus(spark, dir).withColumn("sig", signature(col("emb")))
     val probes = array((lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))): _*)
     val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("sig").as("q_sig"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("sig").as("q_sig"))
       .withColumn("probe_sig", explode(transform(probes, m => col("q_sig").bitwiseXOR(m))))
     val scored = c.join(broadcast(q), col("sig") === col("probe_sig"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -150,8 +152,7 @@ object Similarity {
     val c = corpus(spark, dir)
       .join(assign.select(col("vec_id"), col("assigned_label").as("cell")), "vec_id")
     val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell").as("q_cell"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     c.join(broadcast(q), col("cell") === col("q_cell"))

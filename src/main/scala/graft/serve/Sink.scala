@@ -34,13 +34,17 @@ object Sink {
       current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(updates)
     } else updates
-    // write via a temp dir: the plan reads the same path it overwrites
+    // stage + rename: the plan reads the same path it overwrites, so write
+    // to a staging dir first; the swap is then a delete + rename (tiny
+    // failure window, no second full write — the previous version re-wrote
+    // the whole table twice). On object stores this becomes a table-format
+    // commit (Delta/Iceberg MERGE) instead.
     val tmp = path + "__staging"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
   /** NaN/Infinity → null scrub for JSON-bound frames

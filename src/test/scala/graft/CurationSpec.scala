@@ -17,6 +17,14 @@ class CurationSpec extends AnyFunSuite {
     assert(comp(10L) == 10L && comp(11L) == 10L)
   }
 
+  test("connected components: long chain (radius 12) fully converges via pointer jumps") {
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val comp = Curation.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 12L).foreach(id => assert(comp(id) == 1L, s"node $id -> ${comp(id)}"))
+  }
+
   test("dup clusters: every doc labeled, one keeper per cluster") {
     val c = Curation.dupClusters(spark, sf)
     assert(c.count() == Tables.documents(spark, sf).count())

@@ -42,6 +42,25 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 }
 
+/** Minimal in-memory GroupState for driving sessionFn directly. */
+class TestGroupState[S](var opt: Option[S])
+    extends org.apache.spark.sql.streaming.GroupState[S] {
+  override def exists: Boolean = opt.isDefined
+  override def get: S = opt.get
+  override def getOption: Option[S] = opt
+  override def update(s: S): Unit = { opt = Some(s) }
+  override def remove(): Unit = { opt = None }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = {}
+  override def setTimeoutDuration(duration: String): Unit = {}
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = {}
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = {}
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = {}
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = {}
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
+
 class SessionizeSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
@@ -76,6 +95,21 @@ class SessionizeSpec extends AnyFunSuite {
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sid").count().collect()
     assert(batch.length == 3) // user1: 2 sessions, user2: 1
+  }
+
+  test("stateful session: late within-gap event extends session start backward") {
+    import graft.operators.Sessionize.{Ev, SessionState}
+    val state = new TestGroupState(Option.empty[SessionState])
+    // first batch: one event at 10:10
+    graft.operators.Sessionize.sessionFn(1L,
+      Iterator(Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1.0)), state).toList
+    // second batch: late event at 10:00 (within gap) must move start back
+    graft.operators.Sessionize.sessionFn(1L,
+      Iterator(Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2.0)), state).toList
+    val s = state.getOption.get
+    assert(s.start == java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime)
+    assert(s.end == java.sql.Timestamp.valueOf("2024-01-01 10:10:00").getTime)
+    assert(s.n == 2)
   }
 
   test("stateful session function: closes on gap, carries state") {

@@ -76,15 +76,19 @@ class PipelineSpec extends AnyFunSuite {
     val path = s"$root/serving/by_symbol"
     val g = Format.combine(spark, formattedDir)
     Sink.refreshPartitions(spark, g, path, "symbol")
-    val full = spark.read.parquet(path).count()
+    // capture the BEFORE state: per-symbol counts prior to the partial refresh
+    val before = spark.read.parquet(path).groupBy("symbol").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // refresh a single symbol with a 1-row frame: other symbols intact
     val one = g.filter(col("symbol") === "AAPL").limit(1)
     Sink.refreshPartitions(spark, one, path, "symbol")
-    val after = spark.read.parquet(path)
-    assert(after.filter(col("symbol") =!= "AAPL").count() ==
-      spark.read.parquet(path).filter(col("symbol") =!= "AAPL").count())
-    assert(after.filter(col("symbol") === "AAPL").count() == 1)
-    assert(after.count() < full)
+    val after = spark.read.parquet(path).groupBy("symbol").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("AAPL") == 1L)
+    (before.keySet - "AAPL").foreach { s =>
+      assert(after(s) == before(s), s"untouched partition $s was modified")
+    }
+    assert(after.keySet == before.keySet)
   }
 
   test("streaming format: AvailableNow produces same rows as batch") {
