@@ -29,11 +29,15 @@ object Sink {
     val exists = try {
       spark.read.parquet(path).schema.nonEmpty
     } catch { case _: Throwable => false }
+    // collapse duplicate keys WITHIN the batch first — deterministic-id
+    // upsert semantics (the ES sink's `{symbol}_{date}` ids collapse
+    // same-key docs to one, `to_elasticsearch.py:78`)
+    val deduped = updates.dropDuplicates(keys)
     val merged = if (exists) {
       val current = spark.read.parquet(path)
-      current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(updates)
-    } else updates
+      current.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(deduped)
+    } else deduped
     // stage + rename: the plan reads the same path it overwrites, so write
     // to a staging dir first; the swap is then a delete + rename (tiny
     // failure window, no second full write — the previous version re-wrote

@@ -43,6 +43,34 @@ object StreamFormat {
     q.awaitTermination()
   }
 
+  /** Stream-static enrichment: the streaming fact joined to a static
+    * (broadcastable) dim — the streaming form of the Gold combine's J1. The
+    * static side is re-read per micro-batch, so dim updates are picked up
+    * without restarting the query. */
+  def enrichedStream(spark: SparkSession, rawDir: String,
+      companyDf: org.apache.spark.sql.DataFrame): DataFrame =
+    stocksStream(spark, rawDir)
+      .join(broadcast(companyDf.select("symbol", "name", "sector")),
+        Seq("symbol"), "left")
+
+  /** Streaming serving path: foreachBatch → keyed upsert, the streaming
+    * twin of the reference's idempotent ES bulk indexing
+    * (`to_elasticsearch.py:66-80`). Each micro-batch merges by doc id, so
+    * replays are idempotent — exactly-once at the table level. */
+  def upsertStream(spark: SparkSession, rawDir: String, companyDf: org.apache.spark.sql.DataFrame,
+      outPath: String, checkpoint: String): Unit = {
+    val q = enrichedStream(spark, rawDir, companyDf).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keyed = graft.serve.Sink.withDocId(batch, "symbol", "date")
+        graft.serve.Sink.upsertByKey(batch.sparkSession, keyed, outPath, Seq("doc_id"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Windowed streaming aggregation with watermark — the Lens
     * date-histogram (W1) as a live query: per-symbol daily OHLC-style
     * rollup over the stream. Memory-sink runner for tests. */

@@ -117,6 +117,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.filter(col("v").isNotNull).count() == 1) // NaN and Inf scrubbed
   }
 
+  test("streaming upsert serving path: idempotent across replays") {
+    val out = s"$root/stream_upsert"
+    val company = spark.read.parquet(s"$formattedDir/company_info")
+    StreamFormat.upsertStream(spark, rawDir, company, out, s"$root/ckpt_upsert")
+    val n1 = spark.read.parquet(out).count()
+    val distinctKeys = spark.read.parquet(out).select("doc_id").distinct().count()
+    assert(n1 == distinctKeys, "doc_id must be unique after upsert")
+    // replay from a FRESH checkpoint (reprocesses everything): same state
+    StreamFormat.upsertStream(spark, rawDir, company, out, s"$root/ckpt_upsert2")
+    assert(spark.read.parquet(out).count() == n1)
+    // enrichment columns present
+    assert(spark.read.parquet(out).columns.contains("sector"))
+  }
+
   test("streaming daily rollup with watermark") {
     val q = StreamFormat.dailyRollupToMemory(spark, rawDir, "rollup_test")
     q.processAllAvailable()
