@@ -220,6 +220,40 @@ object MoreQueries {
       |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- SQL API
+  /** The same engine through the SQL front-end: temp views + `spark.sql`,
+    * including the registered native `cosine_sim` function. Demonstrates
+    * that every relational operator here is reachable from plain SQL — the
+    * front-end a reference user would migrate dashboards to. */
+  def sqlApiQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT o.o_orderpriority AS priority,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(AVG(o.o_totalprice), 4) AS avg_price,
+        |       ROUND(SUM(li.net), 4) AS net_revenue
+        |FROM v_orders o
+        |JOIN (SELECT l_orderkey,
+        |             SUM(l_extendedprice * (1.0 - l_discount)) AS net
+        |      FROM v_lineitem GROUP BY l_orderkey) li
+        |  ON o.o_orderkey = li.l_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin)
+  }
+
+  val sqlApiQuerySql: String =
+    """SELECT o.o_orderpriority AS priority,
+      |       COUNT(*) AS n_orders,
+      |       ROUND(AVG(o.o_totalprice), 4) AS avg_price,
+      |       ROUND(SUM(li.net), 4) AS net_revenue
+      |FROM orders o
+      |JOIN (SELECT l_orderkey,
+      |             SUM(l_extendedprice * (1.0 - l_discount)) AS net
+      |      FROM lineitem GROUP BY l_orderkey) li
+      |  ON o.o_orderkey = li.l_orderkey
+      |GROUP BY o.o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- F4
   /** Unix-seconds round-trip (F4, `finnhub_news.py:91-92`): ts → epoch
     * seconds → rebuilt timestamp string. */
