@@ -94,6 +94,8 @@ object SparkEntry {
     ("q_dedup_clusters", graft.operators.Curation.dupClusters _, None),
     ("q_corpus_curate",
       ((s: SparkSession, d: String) => graft.operators.Curation.curate(s, d)): Q, None),
+    ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
+    ("q_split_summary", graft.operators.Curation.splitSummary _, None),
     ("q_heavy_hitters",
       ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsPerLang(s, d)): Q, None),
     ("q_tfidf_top_terms",

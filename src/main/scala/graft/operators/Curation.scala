@@ -92,6 +92,30 @@ object Curation {
         col("drop_reason").isNull.as("keep"))
   }
 
+  // ---------------------------------------------------------------- splits
+  /** Deterministic train/val/test assignment: bucket = xxhash64(doc_id,
+    * seed) mod 100 → [0,80) train / [80,90) val / [90,100) test. Content-
+    * independent of row order and partitioning, reproducible across runs
+    * and engines (no RNG state) — the property a corpus split MUST have so
+    * reshuffling the lake never moves a document across the eval boundary.
+    * Plus a deterministic within-split shuffle order (hash with a second
+    * seed) for training export. */
+  def splitAssign(spark: SparkSession, dir: String, seed: Int = 42): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id"), lit(seed)), lit(100L)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .withColumn("shuffle_key", xxhash64(col("doc_id"), lit(seed + 1)))
+      .select("doc_id", "split", "bucket", "shuffle_key")
+
+  def splitSummary(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(spark, dir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), min("bucket").as("min_bucket"),
+        max("bucket").as("max_bucket"))
+
   // ---------------------------------------------------------------- tf-idf
   /** Top-5 terms per language by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
     * the corpus-analysis query a curation run reports. Fully SQL-expressible

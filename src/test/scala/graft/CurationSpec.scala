@@ -54,6 +54,23 @@ class CurationSpec extends AnyFunSuite {
     assert(dropped.length > 0 == pairs > 0)
   }
 
+  test("split assignment: total coverage, disjoint, deterministic, ~80/10/10") {
+    val a = Curation.splitAssign(spark, sf).collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    val bySplit = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val n = a.length.toDouble
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9)
+    // deterministic: identical assignment on recompute
+    val b = Curation.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach(r => assert(b(r.getLong(0)) == r.getString(1)))
+    // different seed ⇒ different (not identical) assignment
+    val c = Curation.splitAssign(spark, sf, seed = 7).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.exists(r => c(r.getLong(0)) != r.getString(1)))
+  }
+
   test("tfidf: k per lang, rank ordered, df consistent") {
     val t = Curation.tfidfTopTerms(spark, sf).collect()
     val byLang = t.groupBy(_.getString(0))
