@@ -75,6 +75,8 @@ object SparkEntry {
     ("q_unix_roundtrip", MoreQueries.unixRoundtrip _, Some(MoreQueries.unixRoundtripSql)),
     ("q_revenue_per_nation", MoreQueries.revenuePerNation _, Some(MoreQueries.revenuePerNationSql)),
     ("q_sql_api", MoreQueries.sqlApiQuery _, Some(MoreQueries.sqlApiQuerySql)),
+    ("q_rollup_battery", MoreQueries.rollupBattery _, Some(MoreQueries.rollupBatterySql)),
+    ("q_pivot_daily", MoreQueries.pivotDaily _, Some(MoreQueries.pivotDailySql)),
     ("q_range_join", graft.operators.RangeJoin.eventsInSessions _,
       Some(graft.operators.RangeJoin.eventsInSessionsSql)),
     ("q_bpe_token_count", TextFunctions.bpeCountQuery _, Some(TextFunctions.bpeCountQuerySql)),

@@ -19,6 +19,9 @@ import java.nio.charset.StandardCharsets
 object Fixtures {
 
   val Symbols: Seq[String] = Seq("AAPL", "MSFT", "GOOG", "AMZN", "TSLA")
+
+  /** Bump when generator logic changes — invalidates cached fixture dirs. */
+  val contentVersion: String = "fixtures-v2-ohlc-bracketed"
   /** Symbol present in stocks but intentionally absent from company_info. */
   val OrphanSymbol = "TSLA"
 

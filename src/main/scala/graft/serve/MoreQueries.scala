@@ -220,6 +220,53 @@ object MoreQueries {
       |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- rollup
+  /** Hierarchical subtotals via ROLLUP — (flag, status), (flag), and grand
+    * total in one pass. Rolled-up group columns are rendered through
+    * coalesce to a sentinel so the null-vs-'ALL' representation is identical
+    * on both engines; grouping_id disambiguates a real NULL key from a
+    * rolled-up one. */
+  def rollupBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("gid"))
+
+  val rollupBatterySql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS n,
+      |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- pivot
+  /** Pivot as conditional aggregation (event types → columns): the portable
+    * formulation of `groupBy(day).pivot(event_type)` — fixed column set, so
+    * the schema is static and the oracle trivial. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t =>
+      round(sum(when(col("event_type") === t, col("value")).otherwise(0.0)), 6).as(s"v_$t"))
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val pivotDailySql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 6) AS v_click,
+      |  ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 6) AS v_view,
+      |  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS v_purchase,
+      |  ROUND(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END), 6) AS v_signup,
+      |  ROUND(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 6) AS v_error
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- SQL API
   /** The same engine through the SQL front-end: temp views + `spark.sql`,
     * including the registered native `cosine_sim` function. Demonstrates
