@@ -220,6 +220,36 @@ object MoreQueries {
       |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- quantiles
+  /** Percentile battery: exact continuous-interpolation percentiles per
+    * group (Spark `percentile` ≡ DuckDB `quantile_cont`). The
+    * t-digest/GK-sketch twin for the 100 TB path is
+    * `percentileApproxQuery` (rows-only — approximate by design). */
+  def percentilesQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  val percentilesQuerySql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Sketch-based percentiles (approx_percentile, fixed-size mergeable
+    * state) — what actually runs at 100 TB; exactness asserted within
+    * tolerance in tests instead of the oracle. */
+  def percentileApproxQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"))
+
   // ---------------------------------------------------------------- rollup
   /** Hierarchical subtotals via ROLLUP — (flag, status), (flag), and grand
     * total in one pass. Rolled-up group columns are rendered through

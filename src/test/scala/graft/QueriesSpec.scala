@@ -76,6 +76,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(types.nonEmpty)
   }
 
+  test("approx percentiles within 10% of exact") {
+    val exact = serve.MoreQueries.percentilesQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = serve.MoreQueries.percentileApproxQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.1, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 < 0.1, s"$k p90")
+    }
+  }
+
   test("approx cardinality within 5% of exact") {
     val exact = serve.LensQueries.cardinality(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
