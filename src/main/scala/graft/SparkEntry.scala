@@ -98,6 +98,10 @@ object SparkEntry {
     ("q_dedup_clusters", graft.operators.Curation.dupClusters _, None),
     ("q_corpus_curate",
       ((s: SparkSession, d: String) => graft.operators.Curation.curate(s, d)): Q, None),
+    ("q_keyword_search",
+      ((s: SparkSession, d: String) => TextFunctions.keywordSearch(s, d)): Q,
+      Some(TextFunctions.keywordSearchSql())),
+    ("q_modality_agreement", graft.operators.Curation.modalityAgreement _, None),
     ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
     ("q_split_summary", graft.operators.Curation.splitSummary _, None),
     ("q_heavy_hitters",

@@ -163,6 +163,23 @@ object TextFunctions {
       |    AS n_ws_tokens
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ search
+  /** Keyword search over documents — the relational stand-in for the
+    * reference's ES full-text query facet (`.keyword` vs `text` mapping,
+    * `to_elasticsearch.py:121-129`): case-insensitive containment + a
+    * leading snippet. LIKE on a lowered column pushes to the scan as a
+    * string-contains filter. */
+  def keywordSearch(spark: SparkSession, dir: String, term: String = "window"): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(lower(col("text")).contains(term.toLowerCase))
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 60).as("snippet"))
+
+  def keywordSearchSql(term: String = "window"): String =
+    s"""SELECT doc_id, lang, source, substr(text, 1, 60) AS snippet
+       |FROM documents
+       |WHERE lower(text) LIKE '%${term.toLowerCase}%'""".stripMargin
+
   // ------------------------------------------------------------ winnowing
   /** Winnowing document fingerprints (the rolling-hash scheme from the
     * published MOSS/winnowing algorithm): polynomial rolling hash over char

@@ -92,6 +92,23 @@ object Curation {
         col("drop_reason").isNull.as("keep"))
   }
 
+  // ---------------------------------------------------------------- x-modal
+  /** Cross-modal dedup audit: every text-level near-dup pair (MinHash-LSH)
+    * annotated with the embedding cosine of the same ids — the report a
+    * curation run uses to decide whether text dups are also semantic dups
+    * (left join: ids without embeddings keep null cosine). */
+  def modalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.cosine_sim
+    val pairs = Dedup.minhashNearDups(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    pairs
+      .join(emb.select(col("vec_id").as("doc_a"), col("e").as("e_a")), Seq("doc_a"), "left")
+      .join(emb.select(col("vec_id").as("doc_b"), col("e").as("e_b")), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(cosine_sim(col("e_a"), col("e_b")), 6).as("embedding_cosine"))
+  }
+
   // ---------------------------------------------------------------- splits
   /** Deterministic train/val/test assignment: bucket = xxhash64(doc_id,
     * seed) mod 100 → [0,80) train / [80,90) val / [90,100) test. Content-
