@@ -175,10 +175,16 @@ object TextFunctions {
       .select(col("doc_id"), col("lang"), col("source"),
         substring(col("text"), 1, 60).as("snippet"))
 
-  def keywordSearchSql(term: String = "window"): String =
+  def keywordSearchSql(term: String = "window"): String = {
+    // escape LIKE metacharacters and SQL quotes so the pattern matches the
+    // Spark side's literal contains() for ANY term (%, _, ', \)
+    val esc = term.toLowerCase
+      .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace("'", "''")
     s"""SELECT doc_id, lang, source, substr(text, 1, 60) AS snippet
        |FROM documents
-       |WHERE lower(text) LIKE '%${term.toLowerCase}%'""".stripMargin
+       |WHERE lower(text) LIKE '%$esc%' ESCAPE '\\'""".stripMargin
+  }
 
   // ------------------------------------------------------------ winnowing
   /** Winnowing document fingerprints (the rolling-hash scheme from the

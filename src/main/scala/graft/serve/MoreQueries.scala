@@ -306,11 +306,14 @@ object MoreQueries {
     graft.functions.VectorExpressions.register(spark)
     Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
     Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    // colinear_check exercises the REGISTERED native expression through the
+    // SQL text itself; the oracle pins its value (colinear vectors → 1.0)
     spark.sql(
       """SELECT o.o_orderpriority AS priority,
         |       COUNT(*) AS n_orders,
         |       ROUND(AVG(o.o_totalprice), 4) AS avg_price,
-        |       ROUND(SUM(li.net), 4) AS net_revenue
+        |       ROUND(SUM(li.net), 4) AS net_revenue,
+        |       ROUND(cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)), 6) AS colinear_check
         |FROM v_orders o
         |JOIN (SELECT l_orderkey,
         |             SUM(l_extendedprice * (1.0 - l_discount)) AS net
@@ -323,7 +326,8 @@ object MoreQueries {
     """SELECT o.o_orderpriority AS priority,
       |       COUNT(*) AS n_orders,
       |       ROUND(AVG(o.o_totalprice), 4) AS avg_price,
-      |       ROUND(SUM(li.net), 4) AS net_revenue
+      |       ROUND(SUM(li.net), 4) AS net_revenue,
+      |       1.0 AS colinear_check
       |FROM orders o
       |JOIN (SELECT l_orderkey,
       |             SUM(l_extendedprice * (1.0 - l_discount)) AS net

@@ -25,14 +25,23 @@ object Sink {
     * is a single MERGE INTO. Re-running with the same updates is a no-op
     * (idempotent, like the ES deterministic-id bulk upsert). */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], versionCol: Option[String] = None): Unit = {
     val exists = try {
       spark.read.parquet(path).schema.nonEmpty
     } catch { case _: Throwable => false }
     // collapse duplicate keys WITHIN the batch first — deterministic-id
     // upsert semantics (the ES sink's `{symbol}_{date}` ids collapse
-    // same-key docs to one, `to_elasticsearch.py:78`)
-    val deduped = updates.dropDuplicates(keys)
+    // same-key docs to one, `to_elasticsearch.py:78`). With a versionCol the
+    // LATEST row wins (ES last-write-wins); without one the survivor is
+    // arbitrary — only acceptable when same-key rows are identical.
+    val deduped = versionCol match {
+      case Some(v) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(v).desc)
+        updates.withColumn("__v_rn", row_number().over(w))
+          .filter(col("__v_rn") === 1).drop("__v_rn")
+      case None => updates.dropDuplicates(keys)
+    }
     val merged = if (exists) {
       val current = spark.read.parquet(path)
       current.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")

@@ -44,9 +44,11 @@ object StreamFormat {
   }
 
   /** Stream-static enrichment: the streaming fact joined to a static
-    * (broadcastable) dim — the streaming form of the Gold combine's J1. The
-    * static side is re-read per micro-batch, so dim updates are picked up
-    * without restarting the query. */
+    * (broadcastable) dim — the streaming form of the Gold combine's J1.
+    * Note: a parquet-backed dim freezes its FILE LISTING at analysis time,
+    * so picking up dim updates mid-query requires a re-listable source
+    * (catalog table / Delta); with a plain parquet DataFrame the dim is a
+    * snapshot for the query's lifetime. */
   def enrichedStream(spark: SparkSession, rawDir: String,
       companyDf: org.apache.spark.sql.DataFrame): DataFrame =
     stocksStream(spark, rawDir)
@@ -64,7 +66,8 @@ object StreamFormat {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val keyed = graft.serve.Sink.withDocId(batch, "symbol", "date")
-        graft.serve.Sink.upsertByKey(batch.sparkSession, keyed, outPath, Seq("doc_id"))
+        graft.serve.Sink.upsertByKey(batch.sparkSession, keyed, outPath,
+          Seq("doc_id"), versionCol = Some("fetched_at_utc"))
       }
       .trigger(Trigger.AvailableNow())
       .start()
