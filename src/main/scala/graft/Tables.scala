@@ -18,6 +18,17 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a small-file input across the cluster before per-row-expensive
+    * work. The small tables here are single parquet files with ONE row
+    * group, so Spark plans ONE task — every downstream lambda/UDF/kernel
+    * runs single-threaded until the first shuffle (neither AQE nor
+    * maxPartitionBytes can split inside a row group). One tiny round-robin
+    * shuffle buys full parallelism. At lake scale inputs arrive multi-file
+    * and this is a no-op decision, but the principle (right-size INPUT
+    * partitions to the compute, not just shuffle partitions) stands. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")

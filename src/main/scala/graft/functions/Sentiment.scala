@@ -77,7 +77,7 @@ object Sentiment {
   /** Score + label every document; then the A6 donut aggregation shape on
     * top (count per label). */
   def sentimentQuery(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    graft.Tables.spread(spark, Tables.documents(spark, dir))
       .withColumn("sentiment_score", scoreUdf(col("text")))
       .withColumn("sentiment_label",
         when(col("sentiment_score") >= 0.05, "positive")

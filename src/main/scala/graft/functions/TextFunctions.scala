@@ -232,7 +232,7 @@ object TextFunctions {
 
   /** Per-doc winnowing fingerprint summary. */
   def winnowQuery(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .withColumn("fps", winnowUdf()(col("text")))
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
         hash(col("fps")).as("fp_set_hash"))

@@ -19,11 +19,26 @@ object Curation {
     * Each round is one join + one min-aggregate; this is the standard
     * large-graph CC under Pregel semantics, expressed on DataFrames.
     */
-  def connectedComponents(pairs: DataFrame, rounds: Int = 5): DataFrame = {
-    // undirected edge list, both directions
+  def connectedComponents(pairs: DataFrame, rounds: Int = 5,
+      ccShufflePartitions: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions — MATERIALIZED AT FULL WIDTH:
+    // this checkpoint executes the whole upstream pair pipeline, which must
+    // keep the session's normal parallelism
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+    val checkpointedEdges = edges.localCheckpoint(true)
+    // The dup-pair graph is orders of magnitude smaller than the corpus, so
+    // the label loop's ~15 shuffles should not each spawn a full-width task
+    // wave; narrow the shuffle width for the (eagerly-planned) rounds only.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", ccShufflePartitions.toString)
+    try connectedComponentsImpl(checkpointedEdges, rounds)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsImpl(checkpointedEdges: DataFrame, rounds: Int): DataFrame = {
     // Iterative algorithms MUST truncate lineage each round: the next round
     // references labels twice (probe + neighbor side), so the LOGICAL plan
     // doubles per round — 2^rounds subtree copies. cache() doesn't help (it
@@ -31,9 +46,6 @@ object Curation {
     // walk — and OOM on — the exponential tree). localCheckpoint
     // materializes the round and restarts lineage from the stored blocks,
     // the standard pattern for DataFrame iteration (cf. GraphFrames).
-    // r rounds propagate the min label over graph distance r; near-dup
-    // clusters are pairs/cliques/short chains, so 5 is a generous bound.
-    val checkpointedEdges = edges.localCheckpoint(true)
     var labels = checkpointedEdges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)

@@ -47,12 +47,21 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** (doc_id, shingle_hash) — exploded, distinct per doc. */
-  private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingleArr(col("text"), n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+  /** (doc_id, shingle_hash) — exploded, distinct per doc. Hashes the n
+    * token columns DIRECTLY (variadic xxhash64) instead of materializing
+    * shingle strings first — skipping the concat_ws string build halved the
+    * dominant stage of the pipeline (8.1 s → ~4 s at sf0.1, measured with
+    * tools/ProfileDedup). `shingleArr` remains the string-shingle API. */
+  private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val hashed = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(hashed).as("sh"))
       .distinct()
+  }
 
   // ------------------------------------------------------------ MinHash/LSH
   val NumHashes = 16
@@ -195,7 +204,7 @@ object Dedup {
     * multiplicity). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val simhash = udaf(SimHashAgg)
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("th"))
       .groupBy("doc_id")

@@ -32,7 +32,7 @@ object Multimodal {
     * bytes of the text (standing in for encoded image/audio bytes), kind
     * cycled by id, metadata derived from the payload hash. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -42,7 +42,7 @@ object Similarity {
     * columns are pruned by Catalyst, and the query projections no longer
     * carry them into broadcasts). */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.spread(spark, Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
       .withColumn("nrm", norm(col("emb")))

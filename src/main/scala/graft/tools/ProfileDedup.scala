@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s   ($n rows)")
+    }
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    t("scan documents") { docs.count() }
+    val sh = docs.select(col("doc_id"), explode(Dedup.shingleArr(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh")).distinct().cache()
+    t("shingles (cold+cache)") { sh.count() }
+    val sigs = Dedup.signaturesFromShingles(sh).cache()
+    t("signatures") { sigs.count() }
+    val cands = Dedup.minhashCandidates(sigs).cache()
+    t("candidates") { cands.count() }
+    t("est jaccard") { Dedup.estimateJaccard(sigs, cands).count() }
+    t("exact jaccard") { Dedup.exactJaccardFromShingles(sh, cands).count() }
+    t("full minhashNearDups cold2") { Dedup.minhashNearDups(spark, dir).count() }
+    t("connected components") { graft.operators.Curation.connectedComponents(
+      Dedup.minhashNearDups(spark, dir).select("doc_a","doc_b")).count() }
+    spark.stop()
+  }
+}
