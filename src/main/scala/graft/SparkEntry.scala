@@ -32,6 +32,7 @@ object SparkEntry {
     ("q_agg_multi", LensQueries.aggMulti _, Some(LensQueries.aggMultiSql)),
     ("q_date_histogram_avg", LensQueries.dateHistogramAvg _, Some(LensQueries.dateHistogramAvgSql)),
     ("q_count_by_label", LensQueries.countByLabel _, Some(LensQueries.countByLabelSql)),
+    ("q_date_histogram_auto", LensQueries.dateHistogramAuto _, Some(LensQueries.dateHistogramAutoSql)),
     ("q_min_by_group", LensQueries.minByGroup _, Some(LensQueries.minByGroupSql)),
     ("q_cardinality", LensQueries.cardinality _, Some(LensQueries.cardinalitySql)),
     ("q_cardinality_approx", LensQueries.cardinalityApprox _, None),
@@ -88,7 +89,7 @@ object SparkEntry {
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
-    ("q_lang_id", TextFunctions.langIdQuery _, None),
+    ("q_lang_id", TextFunctions.langIdQuery _, Some(TextFunctions.langIdQuerySql)),
     ("q_fingerprint", TextFunctions.fingerprintQuery _, None),
     ("q_winnow_fingerprint", TextFunctions.winnowQuery _, None),
     // sentiment (UD1/UD2)
@@ -101,6 +102,9 @@ object SparkEntry {
     ("q_keyword_search",
       ((s: SparkSession, d: String) => TextFunctions.keywordSearch(s, d)): Q,
       Some(TextFunctions.keywordSearchSql())),
+    ("q_text_search_scored",
+      ((s: SparkSession, d: String) => TextFunctions.textSearchScored(s, d)): Q,
+      Some(TextFunctions.textSearchScoredSql())),
     ("q_modality_agreement", graft.operators.Curation.modalityAgreement _, None),
     ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
     ("q_split_summary", graft.operators.Curation.splitSummary _, None),
@@ -130,7 +134,7 @@ object SparkEntry {
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)
     ("q_format_combine", Format.fixturePipelineQuery _, None),
     // multimodal plumbing
-    ("q_media_features", Multimodal.extractFeatures _, None),
+    ("q_media_features", Multimodal.featuresQuery _, None),
     ("q_media_frames",
       ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)): Q, None),
     ("q_media_summary", Multimodal.mediaSummary _, None),

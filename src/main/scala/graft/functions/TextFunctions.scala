@@ -98,10 +98,11 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "un", "una", "y", "o", "de", "del",
       "en", "es", "son", "para", "sobre", "con", "al", "por", "este", "que"))
 
-  /** Language-ID over a token array column, computed with higher-order array
-    * functions (no UDF): per language, count stopword hits via
-    * `size(array_intersect-like filter)`, then argmax with a greatest+CASE
-    * cascade. */
+  /** Reference (spec) form of the per-language score: fraction of tokens
+    * hitting the language's stopword set, as an interpreted higher-order
+    * lambda. Kept ONLY as the executable specification the fast relational
+    * [[langIdQuery]] is regression-tested against — do not use in a hot
+    * path (it cost 15.6 s at sf0.1 in round 1). */
   def langScores(tokCol: Column): Map[String, Column] =
     stopwords.map { case (lang, words) =>
       val wordArr = array(words.map(lit): _*)
@@ -109,13 +110,35 @@ object TextFunctions {
         / nullif(size(tokCol).cast("double"), lit(0.0)))
     }
 
+  /** Language-ID as pure relational ops (the 100 TB shape): explode tokens
+    * once (explode_outer keeps empty docs), left-join the broadcast
+    * (lang, word) stopword table, conditional-sum hits per (doc, lang) in a
+    * single hash aggregate, then argmax with a greatest+CASE cascade. All
+    * codegen'd; the shuffle carries one 4-counter row per doc (partial aggs
+    * collapse the token fan-out map-side). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
-    val df = Tables.documents(spark, dir).withColumn("toks", tokens(col("text")))
-    val scores = langScores(col("toks"))
-    val scored = scores.foldLeft(df) { case (d, (lang, c)) =>
-      d.withColumn(s"score_$lang", round(coalesce(c, lit(0.0)), 6))
+    import spark.implicits._
+    val langs = stopwords.keys.toSeq.sorted
+    val langWords = stopwords.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("sw_lang", "sw_word")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val hits = docs
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        explode_outer(col("toks")).as("tok"))
+      .join(broadcast(langWords), col("tok") === col("sw_word"), "left")
+      .groupBy("doc_id", "lang", "n_toks")
+      .agg(
+        sum(when(col("sw_lang") === langs.head, 1L).otherwise(0L)).as(s"hits_${langs.head}"),
+        langs.tail.map(l =>
+          sum(when(col("sw_lang") === l, 1L).otherwise(0L)).as(s"hits_$l")): _*)
+    val scored = langs.foldLeft(hits) { (d, l) =>
+      d.withColumn(s"score_$l",
+        round(coalesce(col(s"hits_$l").cast("double")
+          / nullif(col("n_toks").cast("double"), lit(0.0)), lit(0.0)), 6))
     }
-    val langs = scores.keys.toSeq.sorted
     val best = greatest(langs.map(l => col(s"score_$l")): _*)
     val pred = langs.foldRight(lit("und")) { (l, acc) =>
       when(col(s"score_$l") === best && best > 0.0, lit(l)).otherwise(acc)
@@ -124,6 +147,35 @@ object TextFunctions {
       .withColumn("pred_lang", pred)
       .select(Seq(col("doc_id"), col("lang"), col("pred_lang"))
         ++ langs.map(l => col(s"score_$l")): _*)
+  }
+
+  /** DuckDB oracle for lang-ID: the same scoring via scalar list expressions
+    * (list_filter + list_contains mirror the Spark spec lambda exactly);
+    * scores rounded to 6 dp BEFORE the argmax cascade on both sides. */
+  def langIdQuerySql: String = {
+    val langs = stopwords.keys.toSeq.sorted
+    def wordList(l: String): String =
+      stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val scoreExprs = langs.map { l =>
+      s"""ROUND(COALESCE(CAST(len(list_filter(toks, t -> list_contains(${wordList(l)}, t))) AS DOUBLE)
+         |      / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 0.0), 6) AS score_$l""".stripMargin
+    }.mkString(",\n    ")
+    val bestExpr = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+    val predCascade = langs.map(l =>
+      s"WHEN score_$l = $bestExpr AND $bestExpr > 0.0 THEN '$l'").mkString("\n    ")
+    s"""WITH toked AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreExprs
+       |  FROM toked)
+       |SELECT doc_id, lang,
+       |  CASE $predCascade ELSE 'und' END AS pred_lang,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM scored""".stripMargin
   }
 
   // ------------------------------------------------------------ fingerprint
@@ -184,6 +236,79 @@ object TextFunctions {
     s"""SELECT doc_id, lang, source, substr(text, 1, 60) AS snippet
        |FROM documents
        |WHERE lower(text) LIKE '%$esc%' ESCAPE '\\'""".stripMargin
+  }
+
+  // ------------------------------------------------------------ BM25 search
+  /** BM25-scored full-text search — the relational equivalent of the
+    * reference's scored ES `match` query over the analyzed `text` mapping
+    * (`scripts/indexing/to_elasticsearch.py:121-129`): Okapi BM25 with
+    * k1=1.2, b=0.75 and the Lucene idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: one scan+explode, the term filter prunes the exploded
+    * stream to query-term rows BEFORE any shuffle, per-(doc,term) tf is a
+    * partial+final hash agg, df is a broadcast of |query| rows, and doc
+    * length joins on doc_id. N and Σdl are exact integer driver scalars
+    * (bit-identical in any engine), so the oracle can recompute them.
+    * Ranking sorts by the ROUNDED score so the top-k cut is grid-stable
+    * across engines, with a doc_id tiebreak. */
+  def textSearchScored(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("window", "merge", "vector"),
+      k: Int = 20): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = base.select(col("doc_id"), size(col("toks")).as("dl"))
+    // two exact integer scalars (doc count + total token count) — the only
+    // driver-side actions, both bit-reproducible
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl").cast("long"))).collect()(0)
+    val n = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val tf = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + col("dl").cast("double") * b / avgdl)))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("bm25").desc_nulls_last, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def textSearchScoredSql(terms: Seq[String] = Seq("window", "merge", "vector"),
+      k: Int = 20): String = {
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH toked AS (
+       |  SELECT doc_id,
+       |    list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM toked),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |terms AS (SELECT doc_id, UNNEST(toks) AS term FROM toked),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM terms WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id AS doc_id,
+       |    LN((CAST(stats.n_docs AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+       |      * (tf.tf * (1.2 + 1.0))
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+       |          / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS contrib
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25,
+       |       COUNT(*) AS n_terms_matched
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT $k""".stripMargin
   }
 
   // ------------------------------------------------------------ winnowing

@@ -19,8 +19,14 @@ object Curation {
     * Each round is one join + one min-aggregate; this is the standard
     * large-graph CC under Pregel semantics, expressed on DataFrames.
     */
-  def connectedComponents(pairs: DataFrame, rounds: Int = 5,
-      ccShufflePartitions: Int = 8): DataFrame = {
+  def connectedComponents(pairs: DataFrame, rounds: Int = 10,
+      ccShufflePartitions: Int = 8): DataFrame =
+    connectedComponentsRounds(pairs, rounds, ccShufflePartitions)._1
+
+  /** As [[connectedComponents]], also returning how many label-propagation
+    * rounds actually executed before the fixpoint (for tests/telemetry). */
+  def connectedComponentsRounds(pairs: DataFrame, rounds: Int = 10,
+      ccShufflePartitions: Int = 8): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // undirected edge list, both directions — MATERIALIZED AT FULL WIDTH:
     // this checkpoint executes the whole upstream pair pipeline, which must
@@ -38,7 +44,8 @@ object Curation {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  private def connectedComponentsImpl(checkpointedEdges: DataFrame, rounds: Int): DataFrame = {
+  private def connectedComponentsImpl(checkpointedEdges: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
     // Iterative algorithms MUST truncate lineage each round: the next round
     // references labels twice (probe + neighbor side), so the LOGICAL plan
     // doubles per round — 2^rounds subtree copies. cache() doesn't help (it
@@ -49,8 +56,17 @@ object Curation {
     var labels = checkpointedEdges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // Early termination: per-vertex labels are monotone non-increasing
+    // (every update is a least(...)), so sum(comp) strictly decreases iff
+    // ANY label changed — an unchanged sum proves the fixpoint without a
+    // per-vertex diff join. One cheap aggregate per round on the already-
+    // materialized label blocks.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var i = 0
-    while (i < rounds) {
+    var converged = false
+    while (i < maxRounds && !converged) {
       // (a) neighbor-min: adopt the smallest label one hop away
       val viaEdges = checkpointedEdges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dst_comp"), "dst")
@@ -68,8 +84,11 @@ object Curation {
           coalesce(col("jcomp"), hopped("comp"))).as("comp"))
         .localCheckpoint(true)
       i += 1
+      val s = labelSum(labels)
+      if (s == prevSum) converged = true
+      prevSum = s
     }
-    labels
+    (labels, i)
   }
 
   /** Cluster assignment for every document: component id for near-dup

@@ -98,6 +98,18 @@ object Multimodal {
 
   private def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  /** Registry-facing projection of [[extractFeatures]]: the raw
+    * `feature_vec` array is summarized as `hash(feature_vec)` + its size
+    * (the driver's rows-compare cannot sort an array column — same pattern
+    * as `TextFunctions.winnowQuery`). The full vectors stay available via
+    * the [[extractFeatures]] API. */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("mean_byte"),
+        col("byte_entropy"), col("checksum"),
+        hash(col("feature_vec")).as("feature_fp"),
+        size(col("feature_vec")).as("n_features"))
+
   /** Frame sampling: slice the payload into fixed-size "frames" (video
     * decode analogue), explode to one row per sampled frame, fingerprint
     * each. Every step is a built-in expression except the slicing itself. */

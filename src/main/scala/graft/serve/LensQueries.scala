@@ -52,6 +52,55 @@ object LensQueries {
       |       COUNT(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- W1 auto
+  /** [Lens] `interval: auto` date_histogram (`kibana/export (1).ndjson:4`):
+    * Lens sizes the bucket unit to the queried time range so the chart stays
+    * near ~30–45 bars. Deterministic rule on the requested span (no
+    * data-dependent driver action): ≤45 days → day, ≤315 days → week
+    * (≈45 weekly bars), else month. */
+  def autoInterval(from: java.time.LocalDate, to: java.time.LocalDate): String = {
+    val days = java.time.temporal.ChronoUnit.DAYS.between(from, to)
+    if (days <= 45) "day" else if (days <= 315) "week" else "month"
+  }
+
+  /** One auto-interval histogram regime over `orders` (timestamp fact with a
+    * multi-year span — the only testdata table wide enough to exercise all
+    * three units). Filter pushes to the scan; one partial+final agg. */
+  def dateHistogramAutoRegime(spark: SparkSession, dir: String,
+      regime: String, from: String, to: String): DataFrame = {
+    val unit = autoInterval(java.time.LocalDate.parse(from), java.time.LocalDate.parse(to))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(from))
+        && col("o_orderdate") < to_timestamp(lit(to)))
+      .groupBy(date_format(date_trunc(unit, col("o_orderdate")), "yyyy-MM-dd").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 6).as("avg_price"))
+      .select(lit(regime).as("regime"), lit(unit).as("bucket_unit"),
+        col("bucket"), col("n"), col("avg_price"))
+  }
+
+  /** Fixed date ranges so the chosen unit is SF-independent. */
+  val autoRegimes: Seq[(String, String, String)] = Seq(
+    ("r_month_span", "1995-03-01", "1995-04-01"), // 31 d  -> day
+    ("r_summer",     "1995-01-01", "1995-09-01"), // 243 d -> week
+    ("r_all_years",  "1995-01-01", "2001-09-01")) // ~6.7 y -> month
+
+  /** Registered query: all three regimes unioned, proving the picker crosses
+    * every unit boundary under one oracle. */
+  def dateHistogramAuto(spark: SparkSession, dir: String): DataFrame =
+    autoRegimes.map { case (r, f, t) => dateHistogramAutoRegime(spark, dir, r, f, t) }
+      .reduce(_ unionByName _)
+
+  val dateHistogramAutoSql: String =
+    autoRegimes.map { case (r, f, t) =>
+      val unit = autoInterval(java.time.LocalDate.parse(f), java.time.LocalDate.parse(t))
+      s"""SELECT '$r' AS regime, '$unit' AS bucket_unit,
+         |  strftime(date_trunc('$unit', o_orderdate), '%Y-%m-%d') AS bucket,
+         |  COUNT(*) AS n, ROUND(AVG(o_totalprice), 6) AS avg_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '$f' AND o_orderdate < TIMESTAMP '$t'
+         |GROUP BY 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   // ---------------------------------------------------------------- A6
   /** [Lens] count-of-records by label — the sentiment-distribution donut
     * (`kibana/kibana_saved_objects.ndjson:8`). */

@@ -25,6 +25,17 @@ class CurationSpec extends AnyFunSuite {
     (1L to 12L).foreach(id => assert(comp(id) == 1L, s"node $id -> ${comp(id)}"))
   }
 
+  test("connected components: early termination stops before the round cap") {
+    // pairs/triangles converge in ~2 rounds + 1 fixpoint-confirming round;
+    // the cap (10) must NOT all execute
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val (comp, rounds) = Curation.connectedComponentsRounds(pairs)
+    val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(3L) == 1L && m(11L) == 10L)
+    assert(rounds < 10, s"expected early termination, ran $rounds rounds")
+    assert(rounds >= 2, s"fixpoint needs a confirming round, got $rounds")
+  }
+
   test("dup clusters: every doc labeled, one keeper per cluster") {
     val c = Curation.dupClusters(spark, sf)
     assert(c.count() == Tables.documents(spark, sf).count())

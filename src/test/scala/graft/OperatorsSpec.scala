@@ -150,6 +150,31 @@ class TextSpec extends AnyFunSuite {
       s"expected ${r.getString(0)}, got ${r.getString(1)}"))
   }
 
+  test("join-based langIdQuery matches the lambda spec scoring (regression)") {
+    // pins the round-2 relational rewrite to the round-1 interpreted-lambda
+    // semantics, row for row, on real testdata
+    val got = TextFunctions.langIdQuery(spark, sf).orderBy("doc_id").collect()
+    val df = Tables.documents(spark, sf)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+    val scores = TextFunctions.langScores(col("toks"))
+    val scored = scores.foldLeft(df) { case (d, (l, c)) =>
+      d.withColumn(s"score_$l", round(coalesce(c, lit(0.0)), 6))
+    }
+    val langs = scores.keys.toSeq.sorted
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0.0, lit(l)).otherwise(acc)
+    }
+    val want = scored.withColumn("pred_lang", pred)
+      .select(Seq(col("doc_id"), col("lang"), col("pred_lang"))
+        ++ langs.map(l => col(s"score_$l")): _*)
+      .orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"mismatch: $g vs $w") }
+    // and the predictions are non-degenerate: more than one language appears
+    assert(got.map(_.getAs[String]("pred_lang")).distinct.length > 1)
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val df = Seq("Hello  World", "hello world", " HELLO\tWORLD ").toDF("t")
     val fps = df.select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
