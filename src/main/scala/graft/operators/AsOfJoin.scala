@@ -33,31 +33,36 @@ object AsOfJoin {
     * @param payloadCols right-side columns to carry (renamed as given) */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    // ALL payload columns ride in ONE struct and one last(ignoreNulls) sweep:
+    // sweeping each column independently would (a) skip a genuinely-NULL
+    // payload value in the most recent state row and resurrect an older
+    // row's value, and (b) mix values from different state rows into one
+    // output row. The struct is null only on probe rows, so ignoreNulls
+    // finds the latest STATE ROW as a unit and its inner nulls survive.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
     val leftTagged = left
       .withColumn("__is_probe", lit(1))
       .select(Seq(col(keyCol), col(timeCol), col("__is_probe"))
         ++ left.columns.filterNot(c => c == keyCol || c == timeCol).map(col)
-        ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        :+ lit(null).cast(payloadType).as("__r_payload"): _*)
     val rightTagged = right
       .withColumn("__is_probe", lit(0))
       .select(Seq(col(keyCol), col(timeCol), col("__is_probe"))
         ++ left.columns.filterNot(c => c == keyCol || c == timeCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))
-        ++ payloadCols.map(c => col(c).as(s"__r_$c")): _*)
+        :+ struct(payloadCols.map(col): _*).as("__r_payload"): _*)
     // rows at identical time: state (tag 0) sorts before probe (tag 1), so a
     // same-timestamp right row IS visible to the probe (ASOF <= semantics)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(timeCol).asc, col("__is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = payloadCols.foldLeft(leftTagged.unionByName(rightTagged)) {
-      case (df, c) =>
-        df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    swept
+    leftTagged.unionByName(rightTagged)
+      .withColumn("__r_payload", last(col("__r_payload"), ignoreNulls = true).over(w))
       .filter(col("__is_probe") === 1)
       .drop("__is_probe")
       .select(left.columns.map(col)
-        ++ payloadCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+        ++ payloadCols.map(c => col(s"__r_payload.$c").as(s"asof_$c")): _*)
   }
 
   /** Registered query: each order joined to the supplier-1 lineitem ship

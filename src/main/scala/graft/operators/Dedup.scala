@@ -261,7 +261,13 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, n: Int = 3, dfCap: Int = 20): DataFrame = {
     val sh = docShingles(spark, dir, n).cache()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Candidate generation on the df-capped index ONLY; the reported jaccard
+    // is then exact over the FULL shingle sets (same candidates→exact-verify
+    // split as the MinHash path). Mixing a capped intersection with uncapped
+    // denominators would systematically underestimate pairs that share
+    // common shingles; recall is still bounded by the cap (a pair sharing
+    // ONLY df>cap shingles is never a candidate — the documented skew/recall
+    // trade of any inverted-index join).
     // df == 1 shingles can never intersect (drop them: typically most of the
     // index); df > cap shingles are the skew guard (stop-phrases, f² blow-up)
     val rare = sh.join(
@@ -270,14 +276,10 @@ object Dedup {
       "sh")
     val sa = rare.select(col("doc_id").as("da"), col("sh").as("sha"))
     val sb = rare.select(col("doc_id").as("db"), col("sh").as("shb"))
-    val inter = sa.join(sb, col("sha") === col("shb") && col("da") < col("db"))
-      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+    val cands = sa.join(sb, col("sha") === col("shb") && col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+      .distinct()
+    exactJaccardFromShingles(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

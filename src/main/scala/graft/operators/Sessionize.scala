@@ -76,7 +76,11 @@ object Sessionize {
     * gap exceeds GapMinutes (or on state timeout). */
   def sessionFn(userId: Long, events: Iterator[Ev],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    // drop events already behind the watermark: folding one in could
+    // resurrect (and re-emit) a session the timeout already closed —
+    // duplicate session rows in append mode
+    val wm = state.getCurrentWatermarkMs()
+    val sorted = events.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
     var out = List.empty[SessionOut]
     if (state.hasTimedOut) {
       state.getOption.foreach { s =>
@@ -103,7 +107,10 @@ object Sessionize {
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.end + GapMinutes * 60000L)
+      // clamp: a group whose newest event lags the stream max by nearly the
+      // watermark delay can compute end+gap BELOW the current watermark, and
+      // Spark throws (timeout must be > watermark) killing the query
+      state.setTimeoutTimestamp(math.max(s.end + GapMinutes * 60000L, wm + 1))
     }
     out.reverse.iterator
   }

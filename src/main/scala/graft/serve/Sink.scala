@@ -26,9 +26,15 @@ object Sink {
     * (idempotent, like the ES deterministic-id bulk upsert). */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
       keys: Seq[String], versionCol: Option[String] = None): Unit = {
+    // only a provably-absent table means "first write"; any OTHER read
+    // failure (permissions, corrupt footer) must abort — treating it as
+    // absent would silently overwrite the table with the updates alone
     val exists = try {
       spark.read.parquet(path).schema.nonEmpty
-    } catch { case _: Throwable => false }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+      case _: java.io.FileNotFoundException => false
+    }
     // collapse duplicate keys WITHIN the batch first — deterministic-id
     // upsert semantics (the ES sink's `{symbol}_{date}` ids collapse
     // same-key docs to one, `to_elasticsearch.py:78`). With a versionCol the
@@ -56,8 +62,16 @@ object Sink {
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    // move the live table ASIDE (not delete) before swapping staging in: a
+    // crash between the two renames leaves a recoverable __old copy instead
+    // of no live table at all
+    fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(staging, p)
+    fs.delete(old, true)
   }
 
   /** NaN/Infinity → null scrub for JSON-bound frames

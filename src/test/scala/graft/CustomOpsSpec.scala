@@ -35,6 +35,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("p6").isEmpty)
   }
 
+  test("backward as-of: multi-column payload stays row-consistent, inner nulls survive") {
+    val probes = Seq(("k1", "2024-01-10", "p1")).toDF("key", "t", "probe_id")
+      .withColumn("t", col("t").cast("date"))
+    val states = Seq(
+      ("k1", "2024-01-01", Option(10.0), Option("a")),
+      // latest state row: v is genuinely NULL — must NOT be replaced by the
+      // older row's 10.0, and u must come from THIS row
+      ("k1", "2024-01-05", Option.empty[Double], Option("b"))
+    ).toDF("key", "t", "v", "u")
+      .withColumn("t", col("t").cast("date"))
+    val r = AsOfJoin.backward(probes, states, "key", "t", Seq("v", "u")).collect()(0)
+    assert(r.getAs[Any]("asof_v") == null, "null in latest state must survive")
+    assert(r.getAs[String]("asof_u") == "b")
+  }
+
   test("asof query: every order row present exactly once") {
     val q = AsOfJoin.asofQuery(spark, sf)
     assert(q.count() == Tables.orders(spark, sf).count())
@@ -50,14 +65,22 @@ class TestGroupState[S](var opt: Option[S])
   override def getOption: Option[S] = opt
   override def update(s: S): Unit = { opt = Some(s) }
   override def remove(): Unit = { opt = None }
+  var watermarkMs: Long = 0L
+  var lastTimeout: Option[Long] = None
   override def hasTimedOut: Boolean = false
   override def setTimeoutDuration(durationMs: Long): Unit = {}
   override def setTimeoutDuration(duration: String): Unit = {}
-  override def setTimeoutTimestamp(timestampMs: Long): Unit = {}
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = {
+    // mirror Spark's contract: an event-time timeout at or before the
+    // current watermark is illegal and kills the streaming query
+    require(timestampMs > watermarkMs,
+      s"timeout $timestampMs must be > watermark $watermarkMs")
+    lastTimeout = Some(timestampMs)
+  }
   override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = {}
   override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = {}
   override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = {}
-  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentWatermarkMs(): Long = watermarkMs
   override def getCurrentProcessingTimeMs(): Long = 0L
 }
 
@@ -110,6 +133,38 @@ class SessionizeSpec extends AnyFunSuite {
     assert(s.start == java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime)
     assert(s.end == java.sql.Timestamp.valueOf("2024-01-01 10:10:00").getTime)
     assert(s.n == 2)
+  }
+
+  test("stateful session: timeout is clamped above the watermark") {
+    import graft.operators.Sessionize.{Ev, SessionState}
+    val state = new TestGroupState(Option.empty[SessionState])
+    // batch 1: normal event, timeout = end + gap
+    graft.operators.Sessionize.sessionFn(1L,
+      Iterator(Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 11:59:00"), 1.0)),
+      state).toList
+    // batch 2: watermark has advanced PAST end+gap, and this group's only
+    // event is stale (dropped) — re-arming the timeout from the old state
+    // would be below the watermark, which Spark rejects; the clamp must kick
+    // in (require() inside setTimeoutTimestamp throws if unclamped)
+    state.watermarkMs = java.sql.Timestamp.valueOf("2024-01-01 13:00:00").getTime
+    graft.operators.Sessionize.sessionFn(1L,
+      Iterator(Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 9.0)),
+      state).toList
+    assert(state.lastTimeout.exists(_ > state.watermarkMs))
+  }
+
+  test("stateful session: pre-watermark events are dropped, not folded in") {
+    import graft.operators.Sessionize.{Ev, SessionState}
+    val state = new TestGroupState(Option.empty[SessionState])
+    state.watermarkMs = java.sql.Timestamp.valueOf("2024-01-01 11:00:00").getTime
+    val out = graft.operators.Sessionize.sessionFn(1L, Iterator(
+      Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1.0), // stale
+      Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), 2.0)
+    ), state).toList
+    assert(out.isEmpty)
+    val s = state.getOption.get
+    assert(s.n == 1 && s.total == 2.0, "stale event must not enter the session")
+    assert(s.start == java.sql.Timestamp.valueOf("2024-01-01 11:30:00").getTime)
   }
 
   test("stateful session function: closes on gap, carries state") {
