@@ -36,6 +36,7 @@ object SparkEntry {
     ("q_min_by_group", LensQueries.minByGroup _, Some(LensQueries.minByGroupSql)),
     ("q_cardinality", LensQueries.cardinality _, Some(LensQueries.cardinalitySql)),
     ("q_cardinality_approx", LensQueries.cardinalityApprox _, None),
+    ("q_cardinality_hll", LensQueries.cardinalityHll _, None),
     // §2.3 joins
     ("q_join_dims", LensQueries.joinDims _, Some(LensQueries.joinDimsSql)),
     ("q_join_fact_agg", LensQueries.joinFactAgg _, Some(LensQueries.joinFactAggSql)),
@@ -93,8 +94,9 @@ object SparkEntry {
     ("q_fingerprint", TextFunctions.fingerprintQuery _, None),
     ("q_winnow_fingerprint", TextFunctions.winnowQuery _, None),
     // sentiment (UD1/UD2)
-    ("q_sentiment", Sentiment.sentimentQuery _, None),
-    ("q_sentiment_distribution", Sentiment.sentimentDistributionQuery _, None),
+    ("q_sentiment", Sentiment.sentimentQuery _, Some(Sentiment.sentimentQuerySql)),
+    ("q_sentiment_distribution", Sentiment.sentimentDistributionQuery _,
+      Some(Sentiment.sentimentDistributionQuerySql)),
     // corpus curation (composed pipeline + tf-idf reporting)
     ("q_dedup_clusters", graft.operators.Curation.dupClusters _, None),
     ("q_corpus_curate",
@@ -119,10 +121,12 @@ object SparkEntry {
     ("q_dedup_minhash_pairs", Dedup.minhashNearDups _, None),
     ("q_dedup_simhash", Dedup.simhashSummary _, None),
     ("q_dedup_ngram_jaccard",
-      ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q, None),
+      ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q,
+      Some(Dedup.ngramJaccardPairsSql)),
     // similarity search
     ("q_ann_bruteforce",
-      ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)): Q, None),
+      ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)): Q,
+      Some(Similarity.bruteForceTopKSql)),
     ("q_ann_lsh",
       ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)): Q, None),
     ("q_ann_ivf",

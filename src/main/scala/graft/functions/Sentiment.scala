@@ -85,8 +85,65 @@ object Sentiment {
           .otherwise("neutral"))
       .select("doc_id", "sentiment_score", "sentiment_label")
 
+  /** Distribution reports count + ROUND(SUM, 4): scores live on a 4-dp
+    * decimal grid, so a rounded SUM sits back ON that grid (far from any
+    * rounding boundary in either engine) — an AVG would divide onto an
+    * n-dependent grid where exact decimal ties between Spark (HALF_UP on the
+    * shortest repr) and DuckDB (rint) become reachable. */
   def sentimentDistributionQuery(spark: SparkSession, dir: String): DataFrame =
     sentimentQuery(spark, dir)
       .groupBy("sentiment_label")
-      .agg(count(lit(1)).as("n"), round(avg("sentiment_score"), 6).as("avg_score"))
+      .agg(count(lit(1)).as("n"), round(sum("sentiment_score"), 4).as("sum_score"))
+
+  // ------------------------------------------------------------ oracle SQL
+  /** The compound scorer, re-expressed in DuckDB SQL with the lexicon /
+    * booster / negation tables generated from the SAME Scala maps (single
+    * source of truth, no drift). Every arithmetic step mirrors [[compound]]
+    * in IEEE evaluation order; ×1.0 no-ops are exact so unmatched cases
+    * cannot perturb the sum. */
+  private def caseLookup(expr: String, m: Map[String, Double]): String =
+    "CASE " + expr + m.toSeq.sortBy(_._1)
+      .map { case (w, v) => s" WHEN '$w' THEN $v" }.mkString + " ELSE NULL END"
+
+  private def scoredCte: String = {
+    val lex = caseLookup("toks[i]", lexicon)
+    val boost = caseLookup("toks[i-1]", boosters)
+    val negList = negations.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""toked AS (
+       |  SELECT doc_id,
+       |    list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9'' ]', ' ', 'g'), ' '),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |summed AS (
+       |  SELECT doc_id,
+       |    COALESCE(list_sum(list_transform(range(1, len(toks) + 1), i ->
+       |      CASE WHEN ($lex) IS NULL THEN 0.0 ELSE
+       |        (($lex)
+       |         * (CASE WHEN i > 1 THEN COALESCE(($boost), 1.0) ELSE 1.0 END))
+       |        * (CASE WHEN i > 1 AND list_has_any(
+       |             list_slice(toks, greatest(1, i - 3), i - 1), $negList)
+       |           THEN -0.74 ELSE 1.0 END)
+       |      END)), 0.0) AS total
+       |  FROM toked),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ROUND(total / sqrt(total * total + 15.0), 4) AS sentiment_score
+       |  FROM summed)""".stripMargin
+  }
+
+  def sentimentQuerySql: String =
+    s"""WITH $scoredCte
+       |SELECT doc_id, sentiment_score,
+       |  CASE WHEN sentiment_score >= 0.05 THEN 'positive'
+       |       WHEN sentiment_score <= -0.05 THEN 'negative'
+       |       ELSE 'neutral' END AS sentiment_label
+       |FROM scored""".stripMargin
+
+  def sentimentDistributionQuerySql: String =
+    s"""WITH $scoredCte
+       |SELECT CASE WHEN sentiment_score >= 0.05 THEN 'positive'
+       |            WHEN sentiment_score <= -0.05 THEN 'negative'
+       |            ELSE 'neutral' END AS sentiment_label,
+       |       COUNT(*) AS n, ROUND(SUM(sentiment_score), 4) AS sum_score
+       |FROM scored GROUP BY 1""".stripMargin
 }

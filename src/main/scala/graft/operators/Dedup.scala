@@ -283,4 +283,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** DuckDB oracle for [[ngramJaccardPairs]] (defaults: n=3, dfCap=20,
+    * threshold=0.5). The Spark side shingles by xxhash64 of token triples;
+    * the oracle uses the triple STRINGS — set cardinalities (and therefore
+    * jaccard) are identical up to 64-bit hash collisions (~1e-10 at this
+    * corpus size). Short docs (<3 tokens) fall back to one whole-text
+    * shingle on both sides. */
+  val ngramJaccardPairsSql: String =
+    """WITH toked AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |    FROM toked)),
+      |freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+      |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh)
+      |         WHERE freq.df BETWEEN 2 AND 20),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cands c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN counts ca ON ca.doc_id = doc_a
+      |JOIN counts cb ON cb.doc_id = doc_b
+      |WHERE ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) >= 0.5""".stripMargin
 }

@@ -67,6 +67,35 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cosine")
   }
 
+  /** DuckDB oracle for [[bruteForceTopK]] (defaults nQueries=20, k=5):
+    * cosine spelled out as three sequential list_sum folds so the IEEE
+    * accumulation order matches the native expression's loop; ranking on the
+    * ROUNDED score with the same vec_id tiebreak keeps the top-k cut
+    * grid-stable across engines. */
+  val bruteForceTopKSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    list_sum(list_transform(range(1, len(c.emb) + 1),
+      |      i -> c.emb[i] * q.q_emb[i])) AS dot,
+      |    sqrt(list_sum(list_transform(range(1, len(c.emb) + 1),
+      |      i -> c.emb[i] * c.emb[i])))
+      |    * sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+      |      i -> q.q_emb[i] * q.q_emb[i]))) AS den
+      |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+      |cos AS (
+      |  SELECT q_id, vec_id,
+      |    ROUND(CASE WHEN den = 0.0 THEN 0.0 ELSE dot / den END, 6) AS cosine
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id, cosine FROM (
+      |  SELECT q_id, vec_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+      |  FROM cos)
+      |WHERE rank <= 5""".stripMargin
+
   // ------------------------------------------------------------ LSH
   val NumPlanes = 8
 

@@ -146,6 +146,15 @@ object LensQueries {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_unique_users"))
 
+  /** Custom mergeable-HLL twin of [[cardinalityApprox]] (the §4
+    * TypedImperativeAggregate): same query shape, graft's own sketch. No
+    * oracle (approximate by design); HllSpec pins the error bound. */
+  def cardinalityHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.HllAggregate.hll_distinct(col("user_id"))
+        .as("hll_unique_users"))
+
   // ---------------------------------------------------------------- J1
   /** Left equi-join chain fact⋈dim⋈dim, dims broadcast
     * (`scripts/combination/combine_sources.py:80-84`). */
