@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Sequence packing — the training-data step that concatenates documents
+  * into fixed token-budget sequences (LLM pretraining batches). Two forms:
+  *
+  *  - [[packContiguous]]: deterministic relational assignment — per-language
+  *    cumulative token sum over doc_id order, `pack_id = ⌊cum_before/B⌋`.
+  *    Documents may straddle a boundary (they'd be split at tokenization),
+  *    which is exactly how streaming pretraining pipelines pack. Pure
+  *    window arithmetic → DuckDB oracle.
+  *  - [[packNextFit]]: budget-RESPECTING next-fit — close the bin when the
+  *    next document would overflow (a document larger than the budget gets
+  *    its own bin). Inherently sequential per language, so it runs as the
+  *    per-partition kernel after one hash shuffle on the language key:
+  *    `repartition(lang) → sortWithinPartitions → mapPartitions`. At 100 TB
+  *    the key would be (lang, shard) to bound partition size; packing
+  *    quality is unchanged because bins never cross shards.
+  */
+object Packing {
+
+  val DefaultBudget = 2048
+
+  private def docsWithTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_tokens"))
+
+  // ---------------------------------------------------------- contiguous
+  def packContiguous(spark: SparkSession, dir: String,
+      budget: Int = DefaultBudget): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsWithTokens(spark, dir)
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / budget).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "pack_id")
+  }
+
+  def packContiguousSql(budget: Int = DefaultBudget): String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+       |      AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM toked)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS pack_id
+       |FROM cum""".stripMargin
+
+  // ------------------------------------------------------------ next-fit
+  case class DocTok(doc_id: Long, lang: String, n_tokens: Int)
+
+  def packNextFit(spark: SparkSession, dir: String,
+      budget: Int = DefaultBudget): DataFrame = {
+    import spark.implicits._
+    docsWithTokens(spark, dir)
+      .as[DocTok]
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .mapPartitions { it =>
+        // sequential next-fit within the partition: open a new bin when the
+        // language changes or the document would overflow the budget; key =
+        // (lang, running bin counter) — unique and deterministic given the
+        // sort. A document larger than the budget gets a bin of its own.
+        var curLang: String = null
+        var packSeq = -1L
+        var fill = 0L
+        it.map { d =>
+          if (d.lang != curLang || fill + d.n_tokens > budget) {
+            curLang = d.lang
+            packSeq += 1
+            fill = 0L
+          }
+          fill += d.n_tokens
+          (d.doc_id, d.lang, d.n_tokens, s"${d.lang}_$packSeq")
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens", "pack_key")
+  }
+}

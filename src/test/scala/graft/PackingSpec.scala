@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("contiguous packing: every doc assigned, packs contiguous per lang") {
+    val p = Packing.packContiguous(spark, sf)
+    assert(p.count() == Tables.documents(spark, sf).count())
+    // within a lang, pack_id is non-decreasing in doc_id order and each
+    // pack's preceding cumulative tokens lie in [pack_id*B, (pack_id+1)*B)
+    p.collect().groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      ordered.foreach { r =>
+        val expected = cum / Packing.DefaultBudget
+        assert(r.getAs[Long]("pack_id") == expected)
+        cum += r.getAs[Int]("n_tokens")
+      }
+    }
+  }
+
+  test("next-fit packing respects the budget (single-oversize-doc exception)") {
+    val p = Packing.packNextFit(spark, sf).collect()
+    assert(p.length == Tables.documents(spark, sf).count())
+    val byPack = p.groupBy(_.getAs[String]("pack_key"))
+    byPack.foreach { case (key, rows) =>
+      val total = rows.map(_.getAs[Int]("n_tokens").toLong).sum
+      assert(total <= Packing.DefaultBudget || rows.length == 1,
+        s"pack $key holds $total tokens in ${rows.length} docs")
+      // packs never mix languages
+      assert(rows.map(_.getAs[String]("lang")).distinct.length == 1)
+    }
+    // determinism: rerun yields identical assignment
+    val again = Packing.packNextFit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pack_key")).toMap
+    p.foreach(r => assert(again(r.getAs[Long]("doc_id")) == r.getAs[String]("pack_key")))
+  }
+
+  test("next-fit wastes less budget than pathological and beats doc-per-pack") {
+    val p = Packing.packNextFit(spark, sf).collect()
+    val nPacks = p.map(_.getAs[String]("pack_key")).distinct.length
+    val nDocs = p.length
+    assert(nPacks < nDocs, "packing must actually combine documents")
+  }
+}
