@@ -35,9 +35,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     // short summary on its OWN line first (always parseable even if a log
-    // tail-capture truncates the longer line), then the full contract line
+    // tail-capture truncates the longer line), then the per-query detail
+    // under a DISTINCT metric name so exactly one line carries
+    // "metric":"total" (a grep+json.loads consumer must never see two)
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,7 +57,14 @@ case class HyperLogLog(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // published per-m constants for small m; the closed form is only
+    // specified for m >= 128 (Flajolet et al. 2007, Fig. 3)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
     var invSum = 0.0
     var zeros = 0
     var i = 0

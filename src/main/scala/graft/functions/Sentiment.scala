@@ -101,14 +101,19 @@ object Sentiment {
     * source of truth, no drift). Every arithmetic step mirrors [[compound]]
     * in IEEE evaluation order; ×1.0 no-ops are exact so unmatched cases
     * cannot perturb the sum. */
+  /** SQL-escape a word literal — the tokenizer deliberately preserves
+    * apostrophes, so a future "can't"-style lexicon entry must not break the
+    * generated oracle. */
+  private def q(w: String): String = "'" + w.replace("'", "''") + "'"
+
   private def caseLookup(expr: String, m: Map[String, Double]): String =
     "CASE " + expr + m.toSeq.sortBy(_._1)
-      .map { case (w, v) => s" WHEN '$w' THEN $v" }.mkString + " ELSE NULL END"
+      .map { case (w, v) => s" WHEN ${q(w)} THEN $v" }.mkString + " ELSE NULL END"
 
   private def scoredCte: String = {
     val lex = caseLookup("toks[i]", lexicon)
     val boost = caseLookup("toks[i-1]", boosters)
-    val negList = negations.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+    val negList = negations.toSeq.sorted.map(q).mkString("[", ", ", "]")
     s"""toked AS (
        |  SELECT doc_id,
        |    list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9'' ]', ' ', 'g'), ' '),

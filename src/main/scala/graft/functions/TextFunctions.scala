@@ -258,7 +258,12 @@ object TextFunctions {
     val b = 0.75
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val dl = base.select(col("doc_id"), size(col("toks")).as("dl"))
+    // dl is tiny (doc_id + int) and feeds THREE consumers (stats collect,
+    // length join, and the oracle's Σdl definition) — cache it so the corpus
+    // is tokenized once for lengths; tf is cached because dfreq re-aggregates
+    // it (uncached, Catalyst would re-run the whole explode pipeline for the
+    // df subtree — a third full scan)
+    val dl = base.select(col("doc_id"), size(col("toks")).as("dl")).cache()
     // two exact integer scalars (doc count + total token count) — the only
     // driver-side actions, both bit-reproducible
     val statsRow = dl.agg(count(lit(1)), sum(col("dl").cast("long"))).collect()(0)
@@ -269,6 +274,7 @@ object TextFunctions {
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "term")
       .join(dl, "doc_id")

@@ -68,24 +68,31 @@ object Packing {
       .as[DocTok]
       .repartition(col("lang"))
       .sortWithinPartitions("lang", "doc_id")
-      .mapPartitions { it =>
-        // sequential next-fit within the partition: open a new bin when the
-        // language changes or the document would overflow the budget; key =
-        // (lang, running bin counter) — unique and deterministic given the
-        // sort. A document larger than the budget gets a bin of its own.
-        var curLang: String = null
-        var packSeq = -1L
-        var fill = 0L
-        it.map { d =>
-          if (d.lang != curLang || fill + d.n_tokens > budget) {
-            curLang = d.lang
-            packSeq += 1
-            fill = 0L
-          }
-          fill += d.n_tokens
-          (d.doc_id, d.lang, d.n_tokens, s"${d.lang}_$packSeq")
-        }
-      }
+      .mapPartitions(it => nextFitAssign(it, budget))
       .toDF("doc_id", "lang", "n_tokens", "pack_key")
+  }
+
+  /** Sequential next-fit kernel (one partition): open a new bin when the
+    * language changes or the document would overflow the budget; key =
+    * (lang, running bin counter) — unique and deterministic given the sort.
+    * A document larger than the budget gets a bin of its own. */
+  def nextFitAssign(it: Iterator[DocTok],
+      budget: Int): Iterator[(Long, String, Int, String)] = {
+    // `!started` (not a null sentinel) opens the first bin even when the
+    // first document's lang is itself null
+    var started = false
+    var curLang: String = null
+    var packSeq = -1L
+    var fill = 0L
+    it.map { d =>
+      if (!started || d.lang != curLang || fill + d.n_tokens > budget) {
+        started = true
+        curLang = d.lang
+        packSeq += 1
+        fill = 0L
+      }
+      fill += d.n_tokens
+      (d.doc_id, d.lang, d.n_tokens, s"${d.lang}_$packSeq")
+    }
   }
 }

@@ -26,6 +26,21 @@ object Sink {
     * (idempotent, like the ES deterministic-id bulk upsert). */
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
       keys: Seq[String], versionCol: Option[String] = None): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    def mustRename(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      // Hadoop rename reports most failures (and rename-INTO-existing-dir
+      // nesting hazards) via `false`, not an exception — never ignore it
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"upsertByKey: rename $from -> $to failed")
+    // crash recovery FIRST: a previous run that died between the two swap
+    // renames left the only full copy at __old and nothing live — restore it
+    // before the existence probe, or this run would treat the table as
+    // absent and then delete the sole copy
+    if (!fs.exists(p) && fs.exists(old)) mustRename(old, p)
     // only a provably-absent table means "first write"; any OTHER read
     // failure (permissions, corrupt footer) must abort — treating it as
     // absent would silently overwrite the table with the updates alone
@@ -60,17 +75,15 @@ object Sink {
     // commit (Delta/Iceberg MERGE) instead.
     val tmp = path + "__staging"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
     // move the live table ASIDE (not delete) before swapping staging in: a
-    // crash between the two renames leaves a recoverable __old copy instead
-    // of no live table at all
+    // crash between the two renames leaves a recoverable __old copy (the
+    // entry-time recovery above restores it). Any __old still present HERE
+    // is a stale leftover from a crash after a successful promote (the live
+    // table exists and is newer) — safe to clear.
     fs.delete(old, true)
-    if (fs.exists(p)) fs.rename(p, old)
-    fs.rename(staging, p)
+    if (fs.exists(p)) mustRename(p, old)
+    mustRename(staging, p)
     fs.delete(old, true)
   }
 

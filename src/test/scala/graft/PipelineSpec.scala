@@ -72,6 +72,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(after.filter(col("news_count") === 999L).count() == 1)
   }
 
+  test("upsert crash recovery: a table stranded at __old is restored, not destroyed") {
+    val path = s"$root/serving/crash_recover"
+    val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
+    Sink.upsertByKey(spark, g, path, Seq("doc_id"))
+    val n1 = spark.read.parquet(path).count()
+    // simulate a crash between the two swap renames: live table moved aside,
+    // nothing at the live path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // next upsert must recover the stranded copy and merge INTO it — not
+    // treat the table as absent and overwrite with the 1-row update
+    val one = g.limit(1).withColumn("news_count", lit(777L))
+    Sink.upsertByKey(spark, one, path, Seq("doc_id"))
+    val after = spark.read.parquet(path)
+    assert(after.count() == n1, "pre-crash rows must survive recovery")
+    assert(after.filter(col("news_count") === 777L).count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("partition refresh: only touched partitions rewritten") {
     val path = s"$root/serving/by_symbol"
     val g = Format.combine(spark, formattedDir)
