@@ -117,6 +117,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Packing.packNextFit(s, d)): Q, None),
     ("q_heavy_hitters",
       ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsPerLang(s, d)): Q, None),
+    ("q_heavy_hitters_exact",
+      ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsExact(s, d)): Q,
+      Some(graft.operators.Sketches.heavyTermsExactSql())),
     ("q_tfidf_top_terms",
       ((s: SparkSession, d: String) => graft.operators.Curation.tfidfTopTerms(s, d)): Q,
       Some(graft.operators.Curation.tfidfTopTermsSql)),
@@ -137,7 +140,8 @@ object SparkEntry {
     ("q_ann_ivf",
       ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)): Q, None),
     ("q_ivf_assign", Similarity.ivfAssign _, None),
-    ("q_embed_neardup", Similarity.embeddingNearDupSummary _, None),
+    ("q_embed_neardup", Similarity.embeddingNearDupSummary _,
+      Some(Similarity.embeddingNearDupSummarySql)),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

@@ -233,4 +233,29 @@ object Similarity {
       }
     }.toDF("vec_id", "nearest_id", "cosine", "is_near_dup")
   }
+
+  /** DuckDB oracle for [[embeddingNearDupSummary]]: exact top-1 per vector
+    * over the full N×N sweep, argmax on the UNROUNDED cosine with the same
+    * vec_id tiebreak, rounded only for output — mirroring the kernel. */
+  val embeddingNearDupSummarySql: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, emb,
+      |    sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+      |      i -> emb[i] * emb[i]))) AS nrm
+      |  FROM c),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS nearest_id,
+      |    list_sum(list_transform(range(1, len(a.emb) + 1),
+      |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |top AS (
+      |  SELECT vec_id, nearest_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC NULLS LAST, nearest_id ASC) AS rn
+      |  FROM pairs)
+      |SELECT vec_id, nearest_id, ROUND(cos, 6) AS cosine,
+      |       ROUND(cos, 6) >= 0.9 AS is_near_dup
+      |FROM top WHERE rn = 1""".stripMargin
 }

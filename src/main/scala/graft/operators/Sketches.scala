@@ -71,4 +71,44 @@ object Sketches {
         col("tc._1").as("term"), col("tc._2").as("approx_count"))
       .filter(col("rk") <= 10)
   }
+
+  /** EXACT heavy hitters via the 2-pass sketch-then-verify pattern: pass 1
+    * builds the MG summary per language (candidates — the guarantee says no
+    * term with true frequency > N/(k+1) can be missing); pass 2 recounts
+    * ONLY the ≤k candidates exactly (a broadcast semi-join keeps the
+    * re-aggregation to candidate rows) and filters on the true threshold.
+    * The output is therefore EXACTLY {term : freq > N/(k+1)} with exact
+    * counts — false positives die on the recount, false negatives are
+    * impossible — which is why a plain-SQL oracle can verify a
+    * sketch-powered query. At 100 TB pass 2 shuffles |candidates| rows, not
+    * |distinct terms|. */
+  def heavyTermsExact(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val hh = udaf(new HeavyHittersAgg(k), Encoders.STRING)
+    val candidates = terms
+      .groupBy("lang").agg(hh(col("term")).as("top"))
+      .select(col("lang"), explode(col("top")).as("tc"))
+      .select(col("lang"), col("tc._1").as("term"))
+    val totals = terms.groupBy("lang").agg(count(lit(1)).as("n_terms"))
+    terms
+      .join(broadcast(candidates), Seq("lang", "term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("exact_count"))
+      .join(broadcast(totals), "lang")
+      .filter(col("exact_count") > col("n_terms") / lit(k + 1.0))
+      .select("lang", "term", "exact_count")
+  }
+
+  def heavyTermsExactSql(k: Int = 30): String =
+    s"""WITH terms AS (
+       |  SELECT lang,
+       |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |           x -> x <> '')) AS term
+       |  FROM documents),
+       |tot AS (SELECT lang, COUNT(*) AS n_terms FROM terms GROUP BY 1),
+       |cnt AS (SELECT lang, term, COUNT(*) AS exact_count FROM terms GROUP BY 1, 2)
+       |SELECT cnt.lang AS lang, cnt.term AS term,
+       |       CAST(cnt.exact_count AS BIGINT) AS exact_count
+       |FROM cnt JOIN tot USING (lang)
+       |WHERE cnt.exact_count > tot.n_terms / ${k + 1}.0""".stripMargin
 }

@@ -50,4 +50,28 @@ class SketchesSpec extends AnyFunSuite {
       assert(approx(lang) == term, s"$lang: sketch says ${approx(lang)}, exact $term")
     }
   }
+
+  test("2-pass exact heavy hitters: counts exact, threshold respected, no misses") {
+    import graft.functions.TextFunctions
+    val k = 30
+    val terms = Tables.documents(spark, sf)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val totals = terms.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = terms.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Sketches.heavyTermsExact(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // reported counts are the true counts and clear the threshold
+    got.foreach { case ((lang, term), c) =>
+      assert(c == exactAll((lang, term)))
+      assert(c > totals(lang) / (k + 1.0))
+    }
+    // completeness: EVERY term above threshold is reported (MG guarantee)
+    exactAll.foreach { case ((lang, term), c) =>
+      if (c > totals(lang) / (k + 1.0))
+        assert(got.contains((lang, term)), s"missed heavy hitter ($lang,$term,$c)")
+    }
+    assert(got.nonEmpty)
+  }
 }
