@@ -110,6 +110,7 @@ object SparkEntry {
     ("q_modality_agreement", graft.operators.Curation.modalityAgreement _, None),
     ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
     ("q_split_summary", graft.operators.Curation.splitSummary _, None),
+    ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42), None),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,
       Some(graft.operators.Packing.packContiguousSql())),

@@ -158,6 +158,22 @@ object Curation {
       .withColumn("shuffle_key", xxhash64(col("doc_id"), lit(seed + 1)))
       .select("doc_id", "split", "bucket", "shuffle_key")
 
+  /** Train/eval decontamination audit: near-dup pairs that straddle a split
+    * boundary — the leakage a curation run must catch BEFORE training (an
+    * eval document with a near-duplicate in train inflates benchmarks).
+    * Reuses the cached MinHash-LSH pair pipeline; two broadcast-size joins
+    * against the split assignment. At 100 TB: pairs ≪ corpus, so the split
+    * lookups are the only joins touching full-corpus metadata and they key
+    * on doc_id. */
+  def splitContamination(spark: SparkSession, dir: String, seed: Int = 42): DataFrame = {
+    val splits = splitAssign(spark, dir, seed).select(col("doc_id"), col("split"))
+    Dedup.minhashNearDups(spark, dir)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+  }
+
   def splitSummary(spark: SparkSession, dir: String): DataFrame =
     splitAssign(spark, dir)
       .groupBy("split")

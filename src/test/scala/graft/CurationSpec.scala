@@ -36,6 +36,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rounds >= 2, s"fixpoint needs a confirming round, got $rounds")
   }
 
+  test("split contamination: exactly the cross-split near-dup pairs") {
+    val pairs = Dedup.minhashNearDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assume(pairs.nonEmpty)
+    val splits = Curation.splitAssign(spark, sf, 42).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val got = Curation.splitContamination(spark, sf).collect()
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(pairs.contains((a, b)))
+      assert(r.getAs[String]("split_a") == splits(a))
+      assert(r.getAs[String]("split_b") == splits(b))
+      assert(splits(a) != splits(b))
+    }
+    // completeness: every cross-split pair is reported
+    val expected = pairs.count { case (a, b) => splits(a) != splits(b) }
+    assert(got.length == expected)
+  }
+
   test("dup clusters: every doc labeled, one keeper per cluster") {
     val c = Curation.dupClusters(spark, sf)
     assert(c.count() == Tables.documents(spark, sf).count())
