@@ -141,6 +141,8 @@ object SparkEntry {
     ("q_ann_ivf",
       ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)): Q, None),
     ("q_ivf_assign", Similarity.ivfAssign _, None),
+    ("q_ivf_train",
+      ((s: SparkSession, d: String) => Similarity.ivfTrain(s, d)): Q, None),
     ("q_embed_neardup", Similarity.embeddingNearDupSummary _,
       Some(Similarity.embeddingNearDupSummarySql)),
     // forecast (UD3)

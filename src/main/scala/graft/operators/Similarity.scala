@@ -173,6 +173,62 @@ object Similarity {
         col("cos_c").as("cos_to_centroid"))
   }
 
+  /** Lloyd (k-means) refinement of the IVF coarse quantizer — "training"
+    * the index instead of trusting the label-seeded centroids. Per round:
+    * nearest-centroid assignment under L2 (centroids broadcast: k×dim is
+    * tiny at any corpus scale), then mean re-estimation (posexplode → two
+    * small shuffles keyed by (cell, pos)). Iterative DataFrame loop ⇒
+    * `localCheckpoint` per round truncates the doubling lineage (same
+    * pattern as connected components). Both Lloyd steps use L2, so SSE is
+    * non-increasing — the invariant SimilaritySpec asserts.
+    *
+    * Output: one row per iteration (0 = seed assignment) with the SSE and
+    * the number of vectors that changed cell. */
+  def ivfTrain(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir).select(col("vec_id"), col("emb"))
+      .localCheckpoint(true)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+    def assignTo(cents: DataFrame): DataFrame =
+      c.crossJoin(broadcast(cents))
+        .withColumn("d2", d2(col("emb"), col("centroid")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"))
+        .localCheckpoint(true)
+    def meansOf(assign: DataFrame): DataFrame =
+      assign.join(c, "vec_id")
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), s => s.getField("m")).as("centroid"))
+        .localCheckpoint(true)
+    def sse(assign: DataFrame): Double =
+      assign.agg(coalesce(sum("d2"), lit(0.0))).collect()(0).getDouble(0)
+
+    var cents = centroids(spark, dir)
+      .select(col("c_label").as("cid"), col("centroid")).localCheckpoint(true)
+    var assign = assignTo(cents)
+    val stats = scala.collection.mutable.ArrayBuffer((0, sse(assign), 0L))
+    var i = 1
+    while (i <= iters) {
+      cents = meansOf(assign)
+      val next = assignTo(cents)
+      val moved = next.select(col("vec_id"), col("cid").as("new_cid"))
+        .join(assign.select(col("vec_id"), col("cid")), "vec_id")
+        .filter(col("new_cid") =!= col("cid")).count()
+      assign = next
+      stats += ((i, sse(assign), moved))
+      i += 1
+    }
+    stats.toSeq.toDF("iter", "sse", "n_moved")
+      .select(col("iter"), round(col("sse"), 4).as("sse"), col("n_moved"))
+  }
+
   /** IVF search: route each query to its nearest centroid, exact top-k only
     * within that cell (nprobe=1). */
   def ivfTopK(spark: SparkSession, dir: String,

@@ -111,6 +111,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf train: Lloyd SSE is non-increasing across iterations") {
+    val rows = Similarity.ivfTrain(spark, sf, iters = 3).collect()
+      .sortBy(_.getAs[Int]("iter"))
+    assert(rows.length == 4) // seed + 3 refinements
+    val sses = rows.map(_.getAs[Double]("sse"))
+    sses.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-6, s"SSE increased: $a -> $b (${sses.toSeq})")
+    }
+    assert(rows.head.getAs[Long]("n_moved") == 0L)
+  }
+
   test("embedding near-dup summary: one row per vector, top-1 symmetrical bound") {
     val s = Similarity.embeddingNearDupSummary(spark, sf).collect()
     assert(s.length == Tables.embeddings(spark, sf).count())
