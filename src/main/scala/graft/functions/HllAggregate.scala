@@ -99,4 +99,11 @@ object HllAggregate {
   def hll_distinct(c: Column, p: Int = 12): Column =
     GraftBridge.column(
       HyperLogLog(GraftBridge.expression(c), p).toAggregateExpression())
+
+  /** SQL API: after `register(spark)`, `spark.sql("SELECT hll_distinct(x)
+    * FROM t GROUP BY ...")` resolves to the same native aggregate.
+    * Idempotent (createOrReplace). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftBridge.registerFunction(spark, "hll_distinct",
+      exprs => HyperLogLog(exprs.head).toAggregateExpression())
 }

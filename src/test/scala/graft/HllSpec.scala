@@ -39,6 +39,16 @@ class HllSpec extends AnyFunSuite {
     assert(est == 2L)
   }
 
+  test("SQL-registered hll_distinct matches the DataFrame API") {
+    graft.functions.HllAggregate.register(spark)
+    (1L to 5000L).toDF("v").createOrReplaceTempView("hll_probe")
+    val viaSql = spark.sql("SELECT hll_distinct(v) AS c FROM hll_probe")
+      .collect()(0).getLong(0)
+    val viaDf = (1L to 5000L).toDF("v").agg(hll_distinct(col("v")))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaDf)
+  }
+
   test("q_cardinality_hll tracks exact per-group counts on events") {
     val exact = LensQueries.cardinality(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
