@@ -90,4 +90,22 @@ object StreamFormat {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** Watermarked distinct-cardinality rollup using graft's own mergeable
+    * HLL sketch (`HyperLogLog` TypedImperativeAggregate): the 4 KB register
+    * buffer IS the streaming state per (window, group) — constant in key
+    * cardinality, exactly why sketches are the streaming distinct-count
+    * answer at scale. Append mode: windows emit once the watermark passes. */
+  def distinctRollupToMemory(spark: SparkSession, events: org.apache.spark.sql.DataFrame,
+      queryName: String): StreamingQuery =
+    events
+      .withWatermark("ts", "10 days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(graft.functions.HllAggregate.hll_distinct(col("user_id"))
+        .as("hll_users"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
 }

@@ -160,4 +160,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.count() > 0)
     assert(got.columns.contains("day_high"))
   }
+
+  test("streaming HLL distinct rollup matches exact counts on a small stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hll_stream").toString
+    // 3 event types × ≤40 users over 2 days, plus a far-future row so the
+    // watermark passes the real windows and append mode emits them
+    val rows = (for {
+      et <- Seq("click", "view", "buy")
+      u <- 1 to (10 + et.length * 7)
+      d <- Seq("2024-01-01", "2024-01-02")
+    } yield (u.toLong, s"$d 10:0${u % 6}:00", et)) :+
+      ((999L, "2024-03-01 00:00:00", "click"))
+    rows.toDF("user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_type STRING")
+      .parquet(s"$dir/in")
+    val q = StreamFormat.distinctRollupToMemory(spark, streamIn, "hll_rollup_test")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "select window.start as ws, event_type, hll_users from hll_rollup_test")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString.take(10),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("hll_users")).toMap
+    assert(got.nonEmpty, "watermark must have released the January windows")
+    // small cardinalities → linear counting is exact
+    got.foreach { case ((day, et), n) =>
+      if (day.startsWith("2024-01")) assert(n == 10 + et.length * 7,
+        s"($day,$et): got $n")
+    }
+  }
 }
