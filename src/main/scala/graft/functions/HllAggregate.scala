@@ -101,9 +101,21 @@ object HllAggregate {
       HyperLogLog(GraftBridge.expression(c), p).toAggregateExpression())
 
   /** SQL API: after `register(spark)`, `spark.sql("SELECT hll_distinct(x)
-    * FROM t GROUP BY ...")` resolves to the same native aggregate.
+    * FROM t GROUP BY ...")` (optionally `hll_distinct(x, p)` with an
+    * integer-literal precision) resolves to the same native aggregate.
     * Idempotent (createOrReplace). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftBridge.registerFunction(spark, "hll_distinct",
-      exprs => HyperLogLog(exprs.head).toAggregateExpression())
+    GraftBridge.registerFunction(spark, "hll_distinct", {
+      case Seq(child) => HyperLogLog(child).toAggregateExpression()
+      case Seq(child, p) =>
+        val prec = p match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hll_distinct: precision must be an integer literal, got $other")
+        }
+        HyperLogLog(child, prec).toAggregateExpression()
+      case exprs => throw new IllegalArgumentException(
+        s"hll_distinct expects 1 or 2 arguments, got ${exprs.length}")
+    })
 }

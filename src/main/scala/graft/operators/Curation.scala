@@ -166,9 +166,14 @@ object Curation {
     * lookups are the only joins touching full-corpus metadata and they key
     * on doc_id. */
   def splitContamination(spark: SparkSession, dir: String, seed: Int = 42): DataFrame = {
-    val splits = splitAssign(spark, dir, seed).select(col("doc_id"), col("split"))
-    Dedup.minhashNearDups(spark, dir)
+    // cache the tiny (doc_id, split) projection so the corpus is scanned
+    // once, not once per join side; BROADCAST the pair side (pairs ≪ corpus)
+    // so each lookup streams the split metadata instead of shuffling it
+    val splits = splitAssign(spark, dir, seed).select(col("doc_id"), col("split")).cache()
+    val pairs = Dedup.minhashNearDups(spark, dir)
+    broadcast(pairs)
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .hint("broadcast")
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
       .filter(col("split_a") =!= col("split_b"))
       .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")

@@ -146,17 +146,22 @@ object Similarity {
   }
 
   // ------------------------------------------------------------ IVF
-  /** Per-label mean centroid: posexplode → (label, pos) mean → re-assemble.
-    * Two small shuffles; centroid set is labels × dim (tiny) → broadcast. */
-  def centroids(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
-    c.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg("v").as("m"))
-      .groupBy("label")
+  /** Mean vector per key: posexplode → (key, pos) mean → re-assemble in
+    * position order. Two small shuffles; shared by the label-seeded
+    * centroids and each Lloyd re-estimation round. */
+  private def meanVectors(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(keyCol, "pos").agg(avg("v").as("m"))
+      .groupBy(keyCol)
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("c_label"),
+      .select(col(keyCol),
         transform(col("pm"), s => s.getField("m")).as("centroid"))
-  }
+
+  /** Per-label mean centroid; centroid set is labels × dim (tiny) →
+    * broadcast. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    meanVectors(corpus(spark, dir), "label", "emb")
+      .withColumnRenamed("label", "c_label")
 
   /** Assign every vector to its nearest centroid (coarse quantization). */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
@@ -200,12 +205,7 @@ object Similarity {
         .select(col("vec_id"), col("cid"), col("d2"))
         .localCheckpoint(true)
     def meansOf(assign: DataFrame): DataFrame =
-      assign.join(c, "vec_id")
-        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg("v").as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), s => s.getField("m")).as("centroid"))
+      meanVectors(assign.join(c, "vec_id"), "cid", "emb")
         .localCheckpoint(true)
     def sse(assign: DataFrame): Double =
       assign.agg(coalesce(sum("d2"), lit(0.0))).collect()(0).getDouble(0)

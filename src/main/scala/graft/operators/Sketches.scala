@@ -60,17 +60,28 @@ object Sketches {
     * explode tokens → one fixed-size summary per language. Compare with
     * `Curation.tfidfTopTerms` (exact, full shuffle) — same corpus question,
     * sketch physics. */
-  def heavyTermsPerLang(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
-    val hh = udaf(new HeavyHittersAgg(k), Encoders.STRING)
+  /** Exploded (lang, term) stream — cached: it feeds the MG sketch, the
+    * exact recount, and the totals (and its plan is identical across the
+    * sketch queries, so the CacheManager shares one entry between
+    * q_heavy_hitters and q_heavy_hitters_exact in a session). */
+  private def langTerms(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
-      .groupBy("lang")
-      .agg(hh(col("term")).as("top"))
+      .cache()
+
+  /** MG candidate summary per language (shared by the approximate and the
+    * 2-pass exact query). */
+  private def mgCandidates(terms: DataFrame, k: Int): DataFrame = {
+    val hh = udaf(new HeavyHittersAgg(k), Encoders.STRING)
+    terms.groupBy("lang").agg(hh(col("term")).as("top"))
+  }
+
+  def heavyTermsPerLang(spark: SparkSession, dir: String, k: Int = 30): DataFrame =
+    mgCandidates(langTerms(spark, dir), k)
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "tc")))
       .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
         col("tc._1").as("term"), col("tc._2").as("approx_count"))
       .filter(col("rk") <= 10)
-  }
 
   /** EXACT heavy hitters via the 2-pass sketch-then-verify pattern: pass 1
     * builds the MG summary per language (candidates — the guarantee says no
@@ -83,11 +94,8 @@ object Sketches {
     * sketch-powered query. At 100 TB pass 2 shuffles |candidates| rows, not
     * |distinct terms|. */
   def heavyTermsExact(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
-    val terms = Tables.documents(spark, dir)
-      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
-    val hh = udaf(new HeavyHittersAgg(k), Encoders.STRING)
-    val candidates = terms
-      .groupBy("lang").agg(hh(col("term")).as("top"))
+    val terms = langTerms(spark, dir)
+    val candidates = mgCandidates(terms, k)
       .select(col("lang"), explode(col("top")).as("tc"))
       .select(col("lang"), col("tc._1").as("term"))
     val totals = terms.groupBy("lang").agg(count(lit(1)).as("n_terms"))

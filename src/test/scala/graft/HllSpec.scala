@@ -47,6 +47,16 @@ class HllSpec extends AnyFunSuite {
     val viaDf = (1L to 5000L).toDF("v").agg(hll_distinct(col("v")))
       .collect()(0).getLong(0)
     assert(viaSql == viaDf)
+    // explicit precision is honored, not silently dropped
+    val sqlP8 = spark.sql("SELECT hll_distinct(v, 8) AS c FROM hll_probe")
+      .collect()(0).getLong(0)
+    val dfP8 = (1L to 5000L).toDF("v").agg(hll_distinct(col("v"), 8))
+      .collect()(0).getLong(0)
+    assert(sqlP8 == dfP8)
+    // wrong arity fails with a readable message
+    val e = intercept[Exception](
+      spark.sql("SELECT hll_distinct() FROM hll_probe").collect())
+    assert(e.getMessage.contains("hll_distinct"))
   }
 
   test("q_cardinality_hll tracks exact per-group counts on events") {

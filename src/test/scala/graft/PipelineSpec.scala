@@ -187,10 +187,13 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getAs[java.sql.Timestamp]("ws").toString.take(10),
         r.getAs[String]("event_type")) -> r.getAs[Long]("hll_users")).toMap
     assert(got.nonEmpty, "watermark must have released the January windows")
-    // small cardinalities → linear counting is exact
+    // small-n linear counting is near-exact but NOT collision-proof: ~45
+    // keys into 4096 registers still carry ~20% odds of one shared register
+    // per group, so allow ±1 (the HllSpec pattern) rather than pinning the
+    // current hash layout
     got.foreach { case ((day, et), n) =>
-      if (day.startsWith("2024-01")) assert(n == 10 + et.length * 7,
-        s"($day,$et): got $n")
+      if (day.startsWith("2024-01"))
+        assert(math.abs(n - (10 + et.length * 7)) <= 1, s"($day,$et): got $n")
     }
   }
 }
