@@ -78,6 +78,7 @@ object SparkEntry {
     ("q_revenue_per_nation", MoreQueries.revenuePerNation _, Some(MoreQueries.revenuePerNationSql)),
     ("q_sql_api", MoreQueries.sqlApiQuery _, Some(MoreQueries.sqlApiQuerySql)),
     ("q_rollup_battery", MoreQueries.rollupBattery _, Some(MoreQueries.rollupBatterySql)),
+    ("q_cube_battery", MoreQueries.cubeBattery _, Some(MoreQueries.cubeBatterySql)),
     ("q_percentiles", MoreQueries.percentilesQuery _, Some(MoreQueries.percentilesQuerySql)),
     ("q_percentiles_approx", MoreQueries.percentileApproxQuery _, None),
     ("q_pivot_daily", MoreQueries.pivotDaily _, Some(MoreQueries.pivotDailySql)),

@@ -275,6 +275,27 @@ object MoreQueries {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one pass — completes the grouping-set family next to ROLLUP. */
+  def cubeBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("gid"))
+
+  val cubeBatterySql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS n,
+      |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   // ---------------------------------------------------------------- pivot
   /** Pivot as conditional aggregation (event types → columns): the portable
     * formulation of `groupBy(day).pivot(event_type)` — fixed column set, so
