@@ -68,10 +68,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd squared Euclidean distance over two `array<double>`
+  * columns — same motivation and contract as [[CosineSimilarity]] (the
+  * interpreted `zip_with`+`aggregate` form pays per-element lambda dispatch;
+  * this fuses to a primitive loop inside WholeStageCodegen). Used by the
+  * Lloyd k-means assignment step, where it runs corpus × centroids times per
+  * iteration. Null-intolerant; shorter length used defensively. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for the native cosine expression. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for the native squared-distance expression. */
+  def squared_dist(a: Column, b: Column): Column =
+    GraftBridge.column(SquaredDistance(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** SQL API: after `register(spark)`, `spark.sql("SELECT cosine_sim(a,b)")`

@@ -193,9 +193,11 @@ object Similarity {
     import spark.implicits._
     val c = corpus(spark, dir).select(col("vec_id"), col("emb"))
       .localCheckpoint(true)
+    // native codegen'd L2 — the assignment step evaluates it corpus ×
+    // centroids times per round (the interpreted zip_with lambda cost
+    // ~3 s/iteration at sf0.1)
     def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
+      graft.functions.VectorExpressions.squared_dist(a, b)
     val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
     def assignTo(cents: DataFrame): DataFrame =
       c.crossJoin(broadcast(cents))

@@ -228,6 +228,29 @@ class CosineExprSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("native squared_dist: hand values, null propagation, lambda agreement") {
+    import graft.functions.VectorExpressions.squared_dist
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0), 0.0),
+      (Array(0.0, 0.0), Array(3.0, 4.0), 25.0),
+      (Array(-1.0, 1.0), Array(1.0, -1.0), 8.0)
+    ).toDF("a", "b", "want")
+    df.select(squared_dist(col("a"), col("b")).as("d"), col("want")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    val nulls = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(nulls.select(squared_dist(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // agreement with the interpreted zip_with form on real embeddings
+    val e = Tables.embeddings(spark, sf).limit(30)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val paired = e.crossJoin(e.select(col("vec_id").as("v2"), col("emb").as("emb2")))
+      .filter(col("vec_id") < col("v2")).limit(100)
+    val lambda = aggregate(zip_with(col("emb"), col("emb2"),
+      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    paired.select(squared_dist(col("emb"), col("emb2")).as("n"), lambda.as("l"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
   test("agrees with the zip_with/aggregate formulation on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
