@@ -130,6 +130,7 @@ object SparkEntry {
     ("q_dedup_minhash", Dedup.minhashSummary _, None),
     ("q_dedup_minhash_pairs", Dedup.minhashNearDups _, None),
     ("q_dedup_simhash", Dedup.simhashSummary _, None),
+    ("q_dedup_incremental", Dedup.minhashNearDupsIncremental _, None),
     ("q_dedup_ngram_jaccard",
       ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q,
       Some(Dedup.ngramJaccardPairsSql)),

@@ -79,16 +79,23 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band signature. Bucket join on
-    * (band, band_sig) — never all-pairs. */
-  def minhashCandidates(sigs: DataFrame): DataFrame = {
+  /** Band signatures per doc: one (doc_id, band, sig) row per band — the
+    * LSH bucket key. Shared by the self-join candidate search and the
+    * incremental index-probe search. */
+  def bandedSignatures(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until NumHashes / NumBands).map(r => col(s"h${b * (NumHashes / NumBands) + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band signature. Bucket join on
+    * (band, band_sig) — never all-pairs. */
+  def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val banded = bandedSignatures(sigs)
     val l = banded.alias("l")
     val r = banded.alias("r")
     l.join(r,
@@ -154,6 +161,32 @@ object Dedup {
     est.join(exact, Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+  }
+
+  /** Incremental near-dup detection — a NEW batch probed against an
+    * EXISTING corpus index, skipping the batch×batch and index×index work a
+    * self-join would redo. This is the daily-ingest form of LSH dedup: at
+    * scale the index side's band signatures are precomputed and stored
+    * (partitioned by (band, sig) — the LSH index table); an ingest bands
+    * only the new documents and bucket-joins into the stored index, then
+    * exact-verifies the survivors. Here the split is simulated
+    * deterministically (even doc_id = index, odd = new batch) on the same
+    * cached shingle/signature pipeline the batch path uses.
+    *
+    * Output: (index_id, new_id, jaccard) for verified pairs ≥ 0.7. */
+  def minhashNearDupsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    val sigs = signaturesFromShingles(sh).cache()
+    val banded = bandedSignatures(sigs)
+    val idx = banded.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val fresh = banded.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val cands = idx.join(fresh, Seq("band", "sig"))
+      .select("doc_a", "doc_b").distinct()
+    exactJaccardFromShingles(sh, cands)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"), col("jaccard"))
   }
 
   /** Per-doc dedup summary — total-coverage view (one row per doc even when

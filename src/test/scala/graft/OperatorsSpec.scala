@@ -60,6 +60,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: exactly the cross-parity near-dup pairs, right orientation") {
+    val full = Dedup.minhashNearDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val inc = Dedup.minhashNearDupsIncremental(spark, sf).collect()
+    inc.foreach { r =>
+      val (i, nw) = (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"))
+      assert(i % 2 == 0 && nw % 2 == 1, s"orientation wrong: ($i, $nw)")
+      // the pair must exist in the full self-join result (canonical order)
+      assert(full.contains((math.min(i, nw), math.max(i, nw))))
+    }
+    // completeness: every cross-parity pair of the full result is found
+    val expected = full.count { case (a, b) => a % 2 != b % 2 }
+    assert(inc.length == expected, s"got ${inc.length}, expected $expected")
+    assert(inc.nonEmpty)
+  }
+
   test("shingles of short docs fall back to whole text") {
     import spark.implicits._
     val df = Seq((1L, "one two")).toDF("doc_id", "text")
