@@ -139,10 +139,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)): Q,
       Some(Similarity.bruteForceTopKSql)),
     ("q_ann_lsh",
-      ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)): Q, None),
+      ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)): Q,
+      Some(Similarity.lshTopKSql())),
     ("q_ann_ivf",
-      ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)): Q, None),
-    ("q_ivf_assign", Similarity.ivfAssign _, None),
+      ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)): Q,
+      Some(Similarity.ivfTopKSql())),
+    ("q_ivf_assign", Similarity.ivfAssign _, Some(Similarity.ivfAssignSql)),
     ("q_ivf_train",
       ((s: SparkSession, d: String) => Similarity.ivfTrain(s, d)): Q, None),
     ("q_embed_neardup", Similarity.embeddingNearDupSummary _,

@@ -145,6 +145,50 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cosine")
   }
 
+  /** DuckDB oracle for [[lshTopK]] (defaults nQueries=20, k=5), generated
+    * from the SAME deterministic plane arrays (single source of truth): the
+    * per-plane dot is emitted as the literal signed-term chain
+    * `emb[1]*c1 + emb[2]*c2 + …`, which is the identical left-associated
+    * IEEE accumulation the Spark fold performs; signatures, the 1-bit
+    * multiprobe (xor masks), bucket equi-join, and rounded-cosine re-rank
+    * all mirror the Spark plan. */
+  def lshTopKSql(nQueries: Int = 20, k: Int = 5): String = {
+    def dotChain(alias: String, p: Int): String =
+      planes(p).zipWithIndex.map { case (c, d) =>
+        val sign = if (c >= 0) "+" else "-"
+        s"$sign $alias.emb[${d + 1}]"
+      }.mkString(" ")
+    val sigExpr = (alias: String) => (0 until NumPlanes).map { p =>
+      s"(CASE WHEN (0.0 ${dotChain(alias, p)}) >= 0.0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val masks = (0 +: (0 until NumPlanes).map(1 << _)).mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |s AS (SELECT vec_id, emb, ${sigExpr("c")} AS sig FROM c),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, sig AS q_sig
+       |      FROM s WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q_id, q_emb, UNNEST(list_transform($masks, m -> xor(q_sig, m)))
+       |    AS probe_sig
+       |  FROM q),
+       |scored AS (
+       |  SELECT p.q_id, s.vec_id,
+       |    ROUND(
+       |      list_sum(list_transform(range(1, len(s.emb) + 1),
+       |        i -> s.emb[i] * p.q_emb[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, len(s.emb) + 1),
+       |           i -> s.emb[i] * s.emb[i])))
+       |         * sqrt(list_sum(list_transform(range(1, len(p.q_emb) + 1),
+       |             i -> p.q_emb[i] * p.q_emb[i])))), 6) AS cosine
+       |  FROM probes p JOIN s ON s.sig = p.probe_sig AND s.vec_id <> p.q_id)
+       |SELECT q_id, rank, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // ------------------------------------------------------------ IVF
   /** Mean vector per key: posexplode → (key, pos) mean → re-assemble in
     * position order. Two small shuffles; shared by the label-seeded
@@ -249,6 +293,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cosine")
   }
+
+  // ---------------------------------------------------- IVF oracle SQL
+  private def cosSqlExpr(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
+       |         * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))""".stripMargin
+
+  /** Shared CTE chain: corpus → per-label mean centroids (parallel-unnest
+    * zip gives (pos, v) pairs; `list(m ORDER BY pos)` re-assembles) →
+    * nearest-centroid assignment on the ROUNDED cosine with the label
+    * tiebreak — mirroring `ivfAssign`. */
+  private val ivfSqlCtes: String =
+    s"""c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pv AS (
+       |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c),
+       |cvec AS (
+       |  SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, AVG(v) AS m FROM pv GROUP BY 1, 2)
+       |  GROUP BY label),
+       |assign AS (
+       |  SELECT vec_id, label, c_label AS assigned_label, cos_c AS cos_to_centroid
+       |  FROM (
+       |    SELECT c.vec_id, c.label, cvec.c_label,
+       |      ROUND(${cosSqlExpr("c.emb", "cvec.centroid")}, 6) AS cos_c,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ROUND(${cosSqlExpr("c.emb", "cvec.centroid")}, 6) DESC NULLS LAST,
+       |                 cvec.c_label ASC) AS rk
+       |    FROM c CROSS JOIN cvec)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** DuckDB oracle for [[ivfAssign]]. */
+  val ivfAssignSql: String =
+    s"""WITH $ivfSqlCtes
+       |SELECT vec_id, label, assigned_label, cos_to_centroid FROM assign""".stripMargin
+
+  /** DuckDB oracle for [[ivfTopK]] (defaults nQueries=20, k=5): same
+    * assignment, then exact re-rank within the query's cell only. */
+  def ivfTopKSql(nQueries: Int = 20, k: Int = 5): String =
+    s"""WITH $ivfSqlCtes,
+       |cc AS (
+       |  SELECT c.vec_id, c.emb, a.assigned_label AS cell
+       |  FROM c JOIN assign a USING (vec_id)),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, cell AS q_cell
+       |      FROM cc WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.q_id, cc.vec_id,
+       |    ROUND(${cosSqlExpr("cc.emb", "q.q_emb")}, 6) AS cosine
+       |  FROM cc JOIN q ON cc.cell = q.q_cell AND cc.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
 
   // ------------------------------------------------------------ near-dup
   /** Embedding-cosine near-dup summary: exact top-1 neighbor per vector,
