@@ -67,34 +67,38 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cosine")
   }
 
+  /** The DuckDB cosine mirror, generated in ONE place for every oracle:
+    * three sequential list_sum folds (the IEEE accumulation order of the
+    * native expression's loop), `sqrt(nx)*sqrt(ny)` denominator — NOT
+    * `sqrt(nx*ny)` — and the same zero-denominator → 0.0 guard
+    * `CosineSimilarity` implements (DuckDB x/0.0 yields NULL, which would
+    * hash-diverge on a degenerate zero vector). */
+  private def cosSqlExpr(a: String, b: String): String = {
+    val dot = s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+    val den =
+      s"""(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
+         |         * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))""".stripMargin
+    s"""(CASE WHEN $den = 0.0 THEN 0.0 ELSE $dot
+       |      / $den END)""".stripMargin
+  }
+
   /** DuckDB oracle for [[bruteForceTopK]] (defaults nQueries=20, k=5):
-    * cosine spelled out as three sequential list_sum folds so the IEEE
-    * accumulation order matches the native expression's loop; ranking on the
-    * ROUNDED score with the same vec_id tiebreak keeps the top-k cut
-    * grid-stable across engines. */
-  val bruteForceTopKSql: String =
-    """WITH c AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < 20),
-      |scored AS (
-      |  SELECT q.q_id, c.vec_id,
-      |    list_sum(list_transform(range(1, len(c.emb) + 1),
-      |      i -> c.emb[i] * q.q_emb[i])) AS dot,
-      |    sqrt(list_sum(list_transform(range(1, len(c.emb) + 1),
-      |      i -> c.emb[i] * c.emb[i])))
-      |    * sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
-      |      i -> q.q_emb[i] * q.q_emb[i]))) AS den
-      |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
-      |cos AS (
-      |  SELECT q_id, vec_id,
-      |    ROUND(CASE WHEN den = 0.0 THEN 0.0 ELSE dot / den END, 6) AS cosine
-      |  FROM scored)
-      |SELECT q_id, rank, vec_id, cosine FROM (
-      |  SELECT q_id, vec_id, cosine,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-      |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
-      |  FROM cos)
-      |WHERE rank <= 5""".stripMargin
+    * ranking on the ROUNDED score with the same vec_id tiebreak keeps the
+    * top-k cut grid-stable across engines. */
+  def bruteForceTopKSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < 20),
+       |cos AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    ROUND(${cosSqlExpr("c.emb", "q.q_emb")}, 6) AS cosine
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+       |  FROM cos)
+       |WHERE rank <= 5""".stripMargin
 
   // ------------------------------------------------------------ LSH
   val NumPlanes = 8
@@ -173,13 +177,7 @@ object Similarity {
        |  FROM q),
        |scored AS (
        |  SELECT p.q_id, s.vec_id,
-       |    ROUND(
-       |      list_sum(list_transform(range(1, len(s.emb) + 1),
-       |        i -> s.emb[i] * p.q_emb[i]))
-       |      / (sqrt(list_sum(list_transform(range(1, len(s.emb) + 1),
-       |           i -> s.emb[i] * s.emb[i])))
-       |         * sqrt(list_sum(list_transform(range(1, len(p.q_emb) + 1),
-       |             i -> p.q_emb[i] * p.q_emb[i])))), 6) AS cosine
+       |    ROUND(${cosSqlExpr("s.emb", "p.q_emb")}, 6) AS cosine
        |  FROM probes p JOIN s ON s.sig = p.probe_sig AND s.vec_id <> p.q_id)
        |SELECT q_id, rank, vec_id, cosine FROM (
        |  SELECT q_id, vec_id, cosine,
@@ -295,10 +293,6 @@ object Similarity {
   }
 
   // ---------------------------------------------------- IVF oracle SQL
-  private def cosSqlExpr(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
-       |      / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
-       |         * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))""".stripMargin
 
   /** Shared CTE chain: corpus → per-label mean centroids (parallel-unnest
     * zip gives (pos, v) pairs; `list(m ORDER BY pos)` re-assembles) →
