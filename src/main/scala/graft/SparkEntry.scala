@@ -90,6 +90,10 @@ object SparkEntry {
     ("q_sessionize", Sessionize.sessions _, Some(Sessionize.sessionsSql)),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
+    ("q_redact_pii", TextFunctions.redactQuery _, Some(TextFunctions.redactQuerySql)),
+    ("q_repetition_metrics", TextFunctions.repetitionQuery _, Some(TextFunctions.repetitionQuerySql)),
+    ("q_mixture_weights", graft.operators.Curation.mixtureWeights _,
+      Some(graft.operators.Curation.mixtureWeightsSql)),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
     ("q_lang_id", TextFunctions.langIdQuery _, Some(TextFunctions.langIdQuerySql)),
     ("q_fingerprint", TextFunctions.fingerprintQuery _, None),

@@ -317,6 +317,98 @@ object TextFunctions {
        |ORDER BY bm25 DESC NULLS LAST, doc_id ASC LIMIT $k""".stripMargin
   }
 
+  // ------------------------------------------------------------ PII redaction
+  /** PII scrubbing — the redaction pass every public training corpus runs
+    * (emails, IPv4 addresses, phone-like digit runs → typed placeholder
+    * tokens). Pure `regexp_replace`/`regexp_extract_all` column expressions
+    * (codegen'd, embarrassingly parallel); patterns are ASCII-only so the
+    * Java (Spark) and RE2 (DuckDB) dialects agree. Counts are measured on
+    * the ORIGINAL text per pattern; replacement order email → ip → phone is
+    * fixed on both sides. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d().\\s-]{7,}\\d"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def redactQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        length(redactPii(col("text"))).as("redacted_len"),
+        md5(redactPii(col("text"))).as("redacted_md5"))
+
+  def redactQuerySql: String = {
+    def esc(re: String) = re.replace("\\", "\\\\").replace("'", "''")
+    val e = esc(EmailRe); val i = esc(Ipv4Re); val p = esc(PhoneRe)
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$e')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$i')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$p')) AS INT) AS n_phones,
+       |  LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g'))
+       |    AS redacted_len,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g'))
+       |    AS redacted_md5
+       |FROM documents""".stripMargin
+  }
+
+  // ------------------------------------------------------------ repetition
+  /** Gopher-style within-document repetition metrics: duplicate token-bigram
+    * fraction and duplicate non-empty line fraction — the filters public
+    * corpus pipelines use to drop boilerplate/templated text. All column
+    * expressions, no shuffle. */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val lines = filter(split(col("text"), "\n"), l => length(l) > 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(bigrams).as("n_bigrams"),
+        size(array_distinct(bigrams)).as("n_distinct_bigrams"),
+        round(coalesce(
+          (size(bigrams) - size(array_distinct(bigrams))).cast("double")
+            / nullif(size(bigrams).cast("double"), lit(0.0)), lit(0.0)), 6)
+          .as("dup_bigram_frac"),
+        size(lines).as("n_lines"),
+        (size(lines) - size(array_distinct(lines))).as("n_dup_lines"))
+  }
+
+  val repetitionQuerySql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS toks,
+      |    list_filter(str_split(text, chr(10)), x -> x <> '') AS lines
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, toks, lines,
+      |    CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |      ELSE CAST([] AS VARCHAR[]) END AS bigrams
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  CAST(len(bigrams) AS INT) AS n_bigrams,
+      |  CAST(len(list_distinct(bigrams)) AS INT) AS n_distinct_bigrams,
+      |  ROUND(COALESCE(CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+      |    / NULLIF(CAST(len(bigrams) AS DOUBLE), 0.0), 0.0), 6) AS dup_bigram_frac,
+      |  CAST(len(lines) AS INT) AS n_lines,
+      |  CAST(len(lines) - len(list_distinct(lines)) AS INT) AS n_dup_lines
+      |FROM bi""".stripMargin
+
   // ------------------------------------------------------------ winnowing
   /** Winnowing document fingerprints (the rolling-hash scheme from the
     * published MOSS/winnowing algorithm): polynomial rolling hash over char

@@ -185,6 +185,36 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), min("bucket").as("min_bucket"),
         max("bucket").as("max_bucket"))
 
+  // ---------------------------------------------------------------- mixture
+  /** Domain-mixture weights: per-source sampling weight that reshapes the
+    * corpus toward a target mixture (uniform here) — the knob every
+    * pretraining data recipe tunes. weight = target_frac / actual_frac =
+    * N / (k·n_s); expected_docs = n_s · weight = N/k. One tiny group-by +
+    * a broadcastable single-row total. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("n_docs").as("n_total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6)
+          .as("actual_frac"),
+        round(lit(1.0) / col("n_sources").cast("double"), 6).as("target_frac"),
+        round(col("n_total").cast("double")
+          / (col("n_sources") * col("n_docs")).cast("double"), 6).as("weight"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+      |               COUNT(*) AS n_sources FROM per)
+      |SELECT source, n_docs,
+      |  ROUND(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS actual_frac,
+      |  ROUND(1.0 / CAST(n_sources AS DOUBLE), 6) AS target_frac,
+      |  ROUND(CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE), 6) AS weight
+      |FROM per CROSS JOIN tot""".stripMargin
+
   // ---------------------------------------------------------------- tf-idf
   /** Top-5 terms per language by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
     * the corpus-analysis query a curation run reports. Fully SQL-expressible

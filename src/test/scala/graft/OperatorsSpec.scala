@@ -202,6 +202,38 @@ class TextSpec extends AnyFunSuite {
     assert(got.map(_.getAs[String]("pred_lang")).distinct.length > 1)
   }
 
+  test("PII redaction replaces emails, IPs, and phone runs with typed tokens") {
+    val df = Seq(
+      "contact a.user+tag@sub.example.co or call +1 (415) 555-0100 now",
+      "server at 192.168.0.17 responded",
+      "no pii here at all").toDF("t")
+    val got = df.select(TextFunctions.redactPii(col("t")).as("r")).collect()
+      .map(_.getString(0))
+    assert(got(0).contains("<EMAIL>") && got(0).contains("<PHONE>"))
+    assert(!got(0).contains("@") && !got(0).contains("555"))
+    assert(got(1) == "server at <IP> responded")
+    assert(got(2) == "no pii here at all")
+  }
+
+  test("repetition metrics: duplicated bigrams and lines are counted") {
+    import graft.Tables
+    // "spark is fast" repeated: bigram "spark is" etc. recur
+    val doc = (("spark is fast and spark is fast and spark is fast",
+      1L) :: Nil).toDF("text", "doc_id")
+    val toks = TextFunctions.tokens(col("text"))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val r = doc.select(size(bigrams).as("n"),
+      size(array_distinct(bigrams)).as("d")).collect()(0)
+    assert(r.getInt(0) == 10 && r.getInt(1) < 10, s"$r")
+    // and the registered query runs over the corpus with sane bounds
+    val q = TextFunctions.repetitionQuery(spark, sf).collect()
+    q.foreach { row =>
+      val f = row.getAs[Double]("dup_bigram_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val df = Seq("Hello  World", "hello world", " HELLO\tWORLD ").toDF("t")
     val fps = df.select(TextFunctions.fingerprint(col("t"))).collect().map(_.getLong(0))
