@@ -337,13 +337,16 @@ object TextFunctions {
       PhoneRe, "<PHONE>")
 
   def redactQuery(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread: regex-heavy per-row work must not run in the single-row-group
+    // scan task; compute the redacted text ONCE and derive len+md5 from it
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .withColumn("__red", redactPii(col("text")))
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
         size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
         size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
-        length(redactPii(col("text"))).as("redacted_len"),
-        md5(redactPii(col("text"))).as("redacted_md5"))
+        length(col("__red")).as("redacted_len"),
+        md5(col("__red")).as("redacted_md5"))
 
   def redactQuerySql: String = {
     def esc(re: String) = re.replace("\\", "\\\\").replace("'", "''")
@@ -373,7 +376,9 @@ object TextFunctions {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
     val lines = filter(split(col("text"), "\n"), l => length(l) > 0)
-    Tables.documents(spark, dir)
+    // spread: the bigram lambda is per-row heavy and this query has no
+    // shuffle of its own to widen the single-row-group scan
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
         size(toks).as("n_tokens"),
         size(bigrams).as("n_bigrams"),
