@@ -215,6 +215,34 @@ class TextSpec extends AnyFunSuite {
     assert(got(2) == "no pii here at all")
   }
 
+  test("PII patterns: Java (Spark) matches pinned RE2 (DuckDB) behavior on firing paths") {
+    // the corpus contains no PII, so the oracle only proves the no-op path;
+    // these rows pin engine parity where the patterns actually fire
+    // (expected values were produced by DuckDB RE2 with the same patterns —
+    // note n_phones deliberately counts dotted IPs too: the counts are
+    // per-pattern on the ORIGINAL text, replacement order handles overlap)
+    val df = Seq(
+      ("contact a.user+tag@sub.example.co or call +1 (415) 555-0100 now",
+        "contact <EMAIL> or call <PHONE> now", 1, 0, 1),
+      ("server at 192.168.0.17 responded", "server at <IP> responded", 0, 1, 1),
+      ("no pii here at all", "no pii here at all", 0, 0, 0),
+      ("mixed: bob@x.io and 10.0.0.1 and 020-7946-0958 end",
+        "mixed: <EMAIL> and <IP> and <PHONE> end", 1, 1, 1)
+    ).toDF("t", "want_red", "want_ne", "want_ni", "want_np")
+    df.select(
+      TextFunctions.redactPii(col("t")).as("red"),
+      size(regexp_extract_all(col("t"), lit(TextFunctions.EmailRe), lit(0))).as("ne"),
+      size(regexp_extract_all(col("t"), lit(TextFunctions.Ipv4Re), lit(0))).as("ni"),
+      size(regexp_extract_all(col("t"), lit(TextFunctions.PhoneRe), lit(0))).as("np"),
+      col("want_red"), col("want_ne"), col("want_ni"), col("want_np"))
+      .collect().foreach { r =>
+        assert(r.getAs[String]("red") == r.getAs[String]("want_red"))
+        assert(r.getAs[Int]("ne") == r.getAs[Int]("want_ne"))
+        assert(r.getAs[Int]("ni") == r.getAs[Int]("want_ni"))
+        assert(r.getAs[Int]("np") == r.getAs[Int]("want_np"))
+      }
+  }
+
   test("repetition metrics: duplicated bigrams and lines are counted") {
     import graft.Tables
     // "spark is fast" repeated: bigram "spark is" etc. recur
