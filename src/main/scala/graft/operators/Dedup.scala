@@ -303,15 +303,38 @@ object Dedup {
     // trade of any inverted-index join).
     // df == 1 shingles can never intersect (drop them: typically most of the
     // index); df > cap shingles are the skew guard (stop-phrases, f² blow-up)
-    val rare = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= dfCap),
-      "sh")
+    val withDf = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+    val rare = withDf.filter(col("df") >= 2 && col("df") <= dfCap)
+    // per-doc count of df>cap shingles — the only shingles a pair can share
+    // beyond the rare index (df=1 cannot be shared), so they bound the
+    // unseen part of the intersection
+    val commonCnt = withDf.filter(col("df") > dfCap)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sa = rare.select(col("doc_id").as("da"), col("sh").as("sha"))
     val sb = rare.select(col("doc_id").as("db"), col("sh").as("shb"))
-    val cands = sa.join(sb, col("sha") === col("shb") && col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"))
-      .distinct()
+    // SOUND upper-bound prune before the expensive full-set verify:
+    // n_inter ≤ r_ab (shared rare shingles, counted here for free) +
+    // min(common_a, common_b); jaccard is increasing in n_inter, so pairs
+    // whose bound misses the threshold (minus a 1e-6 rounding slack) cannot
+    // appear in the output — at sf0.1 this cuts ~1.1M candidates to the
+    // few hundred genuine near-dup pairs before the verify join
+    val rInter = sa.join(sb, col("sha") === col("shb") && col("da") < col("db"))
+      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+      .agg(count(lit(1)).as("r_ab"))
+    val cands = rInter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(commonCnt.select(col("doc_id").as("doc_a"), col("n_common").as("c_a")),
+        Seq("doc_a"), "left")
+      .join(commonCnt.select(col("doc_id").as("doc_b"), col("n_common").as("c_b")),
+        Seq("doc_b"), "left")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .withColumn("ub_i", col("r_ab") + least(col("c_a"), col("c_b")))
+      .filter(col("ub_i").cast("double")
+        / (col("n_a") + col("n_b") - col("ub_i")).cast("double")
+        >= threshold - 1e-6)
+      .select("doc_a", "doc_b")
     exactJaccardFromShingles(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
