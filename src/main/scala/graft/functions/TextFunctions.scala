@@ -26,6 +26,16 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(normText(c), " "), t => length(t) > 0)
 
+  /** String n-grams over a token array (1-based sliding window, joined with
+    * a space); empty when fewer than n tokens. The ONE windowing
+    * implementation string-level consumers share (`Dedup.docShingles` keeps
+    * its hashed variant — same window, xxhash64 combiner, long output). */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   // ------------------------------------------------------------ quality
   /** Heuristic document-quality metrics: length, token stats, alpha/digit/
     * punct ratios, and a clamped composite score. Mirrors the ratio-based
@@ -327,7 +337,10 @@ object TextFunctions {
     * fixed on both sides. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\+?\\d[\\d().\\s-]{7,}\\d"
+  // whitespace spelled as an explicit class: Java `\s` includes vertical tab
+  // (\x0B), RE2's does not — the explicit form means the same runs match in
+  // both engines (VT intentionally excluded on both)
+  val PhoneRe = "\\+?\\d[\\d(). \\t\\n\\r\\f-]{7,}\\d"
 
   def redactPii(c: Column): Column =
     regexp_replace(
@@ -349,7 +362,11 @@ object TextFunctions {
         md5(col("__red")).as("redacted_md5"))
 
   def redactQuerySql: String = {
-    def esc(re: String) = re.replace("\\", "\\\\").replace("'", "''")
+    // DuckDB standard string literals do NOT process backslash escapes —
+    // the regex must ship with SINGLE backslashes (doubling them would turn
+    // \d into a literal-backslash match and make the oracle a vacuous
+    // no-op); only quotes need escaping
+    def esc(re: String) = re.replace("'", "''")
     val e = esc(EmailRe); val i = esc(Ipv4Re); val p = esc(PhoneRe)
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$e')) AS INT) AS n_emails,
@@ -371,10 +388,7 @@ object TextFunctions {
     * expressions, no shuffle. */
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = ngrams(toks, 2)
     val lines = filter(split(col("text"), "\n"), l => length(l) > 0)
     // spread: the bigram lambda is per-row heavy and this query has no
     // shuffle of its own to widen the single-row-group scan

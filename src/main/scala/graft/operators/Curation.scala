@@ -194,6 +194,7 @@ object Curation {
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.documents(spark, dir).groupBy("source")
       .agg(count(lit(1)).as("n_docs"))
+      .cache() // feeds both the totals aggregate and the crossJoin side
     val tot = per.agg(sum("n_docs").as("n_total"),
       count(lit(1)).as("n_sources"))
     per.crossJoin(broadcast(tot))

@@ -303,8 +303,12 @@ object Dedup {
     // trade of any inverted-index join).
     // df == 1 shingles can never intersect (drop them: typically most of the
     // index); df > cap shingles are the skew guard (stop-phrases, f² blow-up)
-    val withDf = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
-    val rare = withDf.filter(col("df") >= 2 && col("df") <= dfCap)
+    // pre-filter df=1 BEFORE the join (typically most of the index; neither
+    // consumer wants it) and cache: rare and commonCnt both read this
+    val withDf = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2),
+      "sh").cache()
+    val rare = withDf.filter(col("df") <= dfCap)
     // per-doc count of df>cap shingles — the only shingles a pair can share
     // beyond the rare index (df=1 cannot be shared), so they bound the
     // unseen part of the intersection

@@ -227,7 +227,10 @@ class TextSpec extends AnyFunSuite {
       ("server at 192.168.0.17 responded", "server at <IP> responded", 0, 1, 1),
       ("no pii here at all", "no pii here at all", 0, 0, 0),
       ("mixed: bob@x.io and 10.0.0.1 and 020-7946-0958 end",
-        "mixed: <EMAIL> and <IP> and <PHONE> end", 1, 1, 1)
+        "mixed: <EMAIL> and <IP> and <PHONE> end", 1, 1, 1),
+      // vertical tab inside a digit run: Java \s would match it but RE2
+      // would not — the explicit whitespace class excludes it on BOTH sides
+      ("vt run 123456789 stays", "vt run 123456789 stays", 0, 0, 0)
     ).toDF("t", "want_red", "want_ne", "want_ni", "want_np")
     df.select(
       TextFunctions.redactPii(col("t")).as("red"),
@@ -244,13 +247,11 @@ class TextSpec extends AnyFunSuite {
   }
 
   test("repetition metrics: duplicated bigrams and lines are counted") {
-    import graft.Tables
     // "spark is fast" repeated: bigram "spark is" etc. recur
     val doc = (("spark is fast and spark is fast and spark is fast",
       1L) :: Nil).toDF("text", "doc_id")
     val toks = TextFunctions.tokens(col("text"))
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val bigrams = TextFunctions.ngrams(toks, 2)
     val r = doc.select(size(bigrams).as("n"),
       size(array_distinct(bigrams)).as("d")).collect()(0)
     assert(r.getInt(0) == 10 && r.getInt(1) < 10, s"$r")
