@@ -37,6 +37,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k physical op:\n$plan")
   }
 
+  test("lang-id plan: one exchange, broadcast stopword join, no lambda filter") {
+    // pins the r2 rewrite's recorded shape (PLANS.md): the token fan-out is
+    // collapsed by a partial aggregate before the single shuffle
+    val plan = physicalPlan(functions.TextFunctions.langIdQuery(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"stopword join must broadcast:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("partial_sum"), "conditional sums must combine map-side")
+  }
+
+  test("hll aggregate runs partial/final through ObjectHashAggregate") {
+    val plan = physicalPlan(serve.LensQueries.cardinalityHll(spark, sf))
+    assert(plan.contains("partial_hll_distinct"),
+      s"sketch must build map-side (partial) before the exchange:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
+  }
+
+  test("bm25 search prunes the postings stream before any shuffle") {
+    val qe = functions.TextFunctions.textSearchScored(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // the term IN-filter must sit below the tf aggregate's exchange: find a
+    // Filter mentioning the query terms in the same plan as Generate
+    assert(plan.contains("Generate explode"), s"plan:\n$plan")
+    assert(plan.contains("window") && plan.contains("merge"),
+      s"query-term filter literals must appear in the physical plan:\n$plan")
+  }
+
+  test("contiguous packing: exactly one shuffle (the per-lang window)") {
+    val plan = physicalPlan(operators.Packing.packContiguous(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("Window"), s"plan:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket_db LOCATION '$dir'")
