@@ -37,6 +37,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k physical op:\n$plan")
   }
 
+  test("partitioned serving table: key filter becomes a partition filter, not a scan filter") {
+    // the Gold-layer layout SCALE.md promises: date/symbol-partitioned
+    // tables let a drill-down read only its partition's files
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    import spark.implicits._
+    Seq(("AAPL", 1.0), ("MSFT", 2.0), ("GOOG", 3.0), ("AAPL", 4.0))
+      .toDF("symbol", "v")
+      .write.partitionBy("symbol").parquet(s"$dir/t")
+    val read = spark.read.parquet(s"$dir/t").filter(org.apache.spark.sql.functions.col("symbol") === "AAPL")
+    val scan = read.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").nonEmpty
+      && scan.contains("isnotnull(symbol"),
+      s"expected a non-empty partition filter in:\n$scan")
+    assert(read.count() == 2)
+  }
+
   test("lang-id plan: one exchange, broadcast stopword join, no lambda filter") {
     // pins the r2 rewrite's recorded shape (PLANS.md): the token fan-out is
     // collapsed by a partial aggregate before the single shuffle
