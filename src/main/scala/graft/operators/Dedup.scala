@@ -52,16 +52,21 @@ object Dedup {
     * shingle strings first — skipping the concat_ws string build halved the
     * dominant stage of the pipeline (8.1 s → ~4 s at sf0.1, measured with
     * tools/ProfileDedup). `shingleArr` remains the string-shingle API. */
-  private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val toks = tokens(col("text"))
-    val hashed = when(size(toks) >= n,
+  /** Hashed token-n-gram array for one text column — a pure expression
+    * (row-local, streaming-safe). Shared by the batch inverted index and the
+    * ingest-time signature probe. */
+  def shingleHashArr(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
-    Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(hashed).as("sh"))
-      .distinct()
   }
+
+  private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(shingleHashArr(col("text"), n)).as("sh"))
+      .distinct()
 
   // ------------------------------------------------------------ MinHash/LSH
   val NumHashes = 16
@@ -162,6 +167,30 @@ object Dedup {
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
   }
+
+  /** Row-local MinHash band signatures — NO shuffle: each min-hash slot is
+    * `array_min` over the row's shingle-hash array, so signatures compute
+    * inside a projection. Values are IDENTICAL to the batch
+    * `signaturesFromShingles` path (min over duplicates == min over
+    * distinct). Because it is stateless and shuffle-free it is
+    * streaming-safe: the ingest path computes signatures as events arrive. */
+  def bandSignatureRows(df: DataFrame, docIdCol: String, textCol: String): DataFrame = {
+    val shArr = shingleHashArr(col(textCol))
+    val slots = (0 until NumHashes).map(i =>
+      array_min(transform(shArr, s => xxhash64(s, lit(i)))).as(s"h$i"))
+    bandedSignatures(df.select((col(docIdCol).as("doc_id") +: slots): _*))
+  }
+
+  /** Ingest-time dedup probe: band signatures of incoming documents
+    * (row-local) joined against a STATIC stored LSH index — a stateless
+    * stream-static join, so it runs unchanged on a batch DataFrame or a
+    * readStream. Emits one row per (new doc, index doc, band) bucket
+    * collision; exact verification happens downstream on the candidates. */
+  def dedupProbe(newDocs: DataFrame, staticIndex: DataFrame): DataFrame =
+    bandSignatureRows(newDocs, "doc_id", "text")
+      .withColumnRenamed("doc_id", "new_id")
+      .join(staticIndex, Seq("band", "sig"))
+      .select(col("new_id"), col("doc_id").as("index_id"), col("band"))
 
   /** Incremental near-dup detection — a NEW batch probed against an
     * EXISTING corpus index, skipping the batch×batch and index×index work a

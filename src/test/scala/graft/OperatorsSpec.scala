@@ -76,6 +76,41 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty)
   }
 
+  test("row-local band signatures equal the batch shuffle path exactly") {
+    val batch = Dedup.bandedSignatures(Dedup.minhashSignatures(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rowLocal = Dedup.bandSignatureRows(
+      Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rowLocal == batch)
+  }
+
+  test("streaming dedup probe finds the incremental pairs' bucket collisions") {
+    import spark.implicits._
+    // static index: even docs' band signatures (what a lake would store)
+    val index = Dedup.bandSignatureRows(
+      Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    // stream: odd docs replayed from parquet
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream").toString
+    Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/in")
+    val q = Dedup.dedupProbe(streamIn, index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_probe_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select distinct index_id, new_id from dedup_probe_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every VERIFIED incremental pair must have been a streamed bucket hit
+    // (LSH candidates are a superset of verified pairs)
+    val verified = Dedup.minhashNearDupsIncremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"))).toSet
+    assume(verified.nonEmpty)
+    verified.foreach(p => assert(got.contains(p), s"pair $p not probed"))
+  }
+
   test("shingles of short docs fall back to whole text") {
     import spark.implicits._
     val df = Seq((1L, "one two")).toDF("doc_id", "text")
