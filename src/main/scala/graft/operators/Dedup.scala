@@ -47,14 +47,13 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** (doc_id, shingle_hash) — exploded, distinct per doc. Hashes the n
-    * token columns DIRECTLY (variadic xxhash64) instead of materializing
-    * shingle strings first — skipping the concat_ws string build halved the
-    * dominant stage of the pipeline (8.1 s → ~4 s at sf0.1, measured with
-    * tools/ProfileDedup). `shingleArr` remains the string-shingle API. */
   /** Hashed token-n-gram array for one text column — a pure expression
-    * (row-local, streaming-safe). Shared by the batch inverted index and the
-    * ingest-time signature probe. */
+    * (row-local, streaming-safe), shared by the batch inverted index and
+    * the ingest-time signature probe. Hashes the n token columns DIRECTLY
+    * (variadic xxhash64) instead of materializing shingle strings first —
+    * skipping the concat_ws string build halved the dominant pipeline stage
+    * (8.1 s → ~4 s at sf0.1, tools/ProfileDedup). `shingleArr` remains the
+    * string-shingle API. */
   def shingleHashArr(c: Column, n: Int = 3): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
@@ -63,10 +62,16 @@ object Dedup {
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
   }
 
+  /** (doc_id, shingle_hash) — exploded, distinct per doc. */
   private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(shingleHashArr(col("text"), n)).as("sh"))
       .distinct()
+
+  /** THE per-slot MinHash scheme — single definition so the batch
+    * aggregation path and the row-local probe path can never diverge
+    * (dedupProbe recall against stored indexes depends on equality). */
+  private def slotHash(sh: Column, slot: Int): Column = xxhash64(sh, lit(slot))
 
   // ------------------------------------------------------------ MinHash/LSH
   val NumHashes = 16
@@ -80,7 +85,7 @@ object Dedup {
 
   def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      min(slotHash(col("sh"), i)).as(s"h$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -175,10 +180,16 @@ object Dedup {
     * distinct). Because it is stateless and shuffle-free it is
     * streaming-safe: the ingest path computes signatures as events arrive. */
   def bandSignatureRows(df: DataFrame, docIdCol: String, textCol: String): DataFrame = {
-    val shArr = shingleHashArr(col(textCol))
+    // materialize the shingle array in its OWN projection: lambda-bearing
+    // expressions are excluded from Spark's subexpression elimination, so
+    // inlining shingleHashArr into all 16 slots would tokenize+hash each
+    // row 16×; a multiply-referenced non-cheap alias survives
+    // CollapseProject and is computed once
+    val withArr = df.select(col(docIdCol).as("doc_id"),
+      shingleHashArr(col(textCol)).as("__sh_arr"))
     val slots = (0 until NumHashes).map(i =>
-      array_min(transform(shArr, s => xxhash64(s, lit(i)))).as(s"h$i"))
-    bandedSignatures(df.select((col(docIdCol).as("doc_id") +: slots): _*))
+      array_min(transform(col("__sh_arr"), s => slotHash(s, i))).as(s"h$i"))
+    bandedSignatures(withArr.select((col("doc_id") +: slots): _*))
   }
 
   /** Ingest-time dedup probe: band signatures of incoming documents

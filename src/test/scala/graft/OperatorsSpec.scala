@@ -80,7 +80,7 @@ class DedupSpec extends AnyFunSuite {
     val batch = Dedup.bandedSignatures(Dedup.minhashSignatures(spark, sf))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val rowLocal = Dedup.bandSignatureRows(
-      Tables.documents(spark, sf), "doc_id", "text")
+      Tables.spread(spark, Tables.documents(spark, sf)), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rowLocal == batch)
   }
@@ -89,7 +89,8 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     // static index: even docs' band signatures (what a lake would store)
     val index = Dedup.bandSignatureRows(
-      Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Tables.spread(spark, Tables.documents(spark, sf))
+        .filter(col("doc_id") % 2 === 0), "doc_id", "text")
     // stream: odd docs replayed from parquet
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream").toString
     Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
