@@ -93,6 +93,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("upsert aborts on a corrupt table instead of silently overwriting") {
+    val path = s"$root/serving/corrupt_guard"
+    // a directory that exists but holds an unreadable "parquet" file: the
+    // read fails with a non-absent error, which must PROPAGATE (treating it
+    // as first-write would replace the table with the updates alone)
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/part-00000.parquet"), "not parquet at all")
+    val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
+    intercept[Exception] {
+      Sink.upsertByKey(spark, g, path, Seq("doc_id"))
+    }
+    // the corrupt original is untouched — nothing was deleted or replaced
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/part-00000.parquet")) == "not parquet at all")
+  }
+
+  test("CSV and ORC roundtrip through the same table contract") {
+    val g = Format.combine(spark, formattedDir).limit(50)
+    val base = s"$root/formats"
+    g.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    g.write.mode("overwrite").orc(s"$base/orc")
+    val csvBack = spark.read.option("header", "true")
+      .schema(g.schema).csv(s"$base/csv")
+    val orcBack = spark.read.orc(s"$base/orc")
+    assert(csvBack.count() == 50 && orcBack.count() == 50)
+    assert(orcBack.schema == g.schema)
+    // values survive the ORC roundtrip exactly
+    val want = g.orderBy("symbol", "date").collect().toSeq
+    assert(orcBack.orderBy("symbol", "date").collect().toSeq == want)
+  }
+
   test("partition refresh: only touched partitions rewritten") {
     val path = s"$root/serving/by_symbol"
     val g = Format.combine(spark, formattedDir)
