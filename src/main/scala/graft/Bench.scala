@@ -34,12 +34,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    // short summary on its OWN line first (always parseable even if a log
-    // tail-capture truncates the longer line), then the per-query detail
-    // under a DISTINCT metric name so exactly one line carries
-    // "metric":"total" (a grep+json.loads consumer must never see two)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute loadavg at end of run: a value far above the allotted CPUs
+    // means the numbers are steal-contaminated and should not be compared
+    // round-over-round
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // per-query detail first, short summary LAST: the driver tail-captures
+    // the END of stdout, so the short line must be the final one to survive
+    // truncation. Exactly one line carries "metric":"total" (a
+    // grep+json.loads consumer must never see two).
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavg}""")
     spark.stop()
   }
 }

@@ -22,36 +22,51 @@ import graft.functions.TextFunctions
 object Sketches {
 
   class HeavyHittersAgg(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Seq[(String, Long)]] {
+    import scala.collection.mutable
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
     /** Classic MG step: increment if tracked; insert if room; otherwise
-      * decrement every counter (dropping zeros). */
-    override def reduce(b: Map[String, Long], term: String): Map[String, Long] =
-      if (b.contains(term)) b.updated(term, b(term) + 1L)
-      else if (b.size < k) b.updated(term, 1L)
-      else b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
-
-    /** Mergeable-summaries merge: pointwise sum, then if over k entries
-      * subtract the (k+1)-th largest count from all and drop non-positives
-      * (error bounds add, guarantee preserved). */
-    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-      val summed = y.foldLeft(x) { case (acc, (t, c)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      * decrement every counter in place (dropping zeros). The buffer is a
+      * mutable map precisely so the decrement path is O(k) arithmetic with
+      * zero allocation — an immutable buffer rebuilds the whole k-entry map
+      * per untracked term, which made the sketch slower than its exact twin. */
+    override def reduce(b: mutable.HashMap[String, Long], term: String): mutable.HashMap[String, Long] = {
+      b.get(term) match {
+        case Some(c)            => b.update(term, c + 1L)
+        case None if b.size < k => b.update(term, 1L)
+        case None =>
+          b.mapValuesInPlace((_, c) => c - 1L)
+          b.filterInPlace((_, c) => c > 0L)
       }
-      if (summed.size <= k) summed
-      else {
-        val kth = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        summed.collect { case (t, c) if c - kth > 0 => t -> (c - kth) }
-      }
+      b
     }
 
-    override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+    /** Mergeable-summaries merge: pointwise sum into the left buffer, then
+      * if over k entries subtract the (k+1)-th largest count from all and
+      * drop non-positives (error bounds add, guarantee preserved). Sizes are
+      * ≤ 2k here, so the selection sort cost is trivial. */
+    override def merge(x: mutable.HashMap[String, Long], y: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      y.foreach { case (t, c) => x.update(t, x.getOrElse(t, 0L) + c) }
+      if (x.size > k) {
+        val arr = x.values.toArray
+        java.util.Arrays.sort(arr)
+        val kth = arr(arr.length - 1 - k) // (k+1)-th largest
+        x.mapValuesInPlace((_, c) => c - kth)
+        x.filterInPlace((_, c) => c > 0L)
+      }
+      x
+    }
+
+    override def finish(b: scala.collection.mutable.HashMap[String, Long]): Seq[(String, Long)] =
       b.toSeq.sortBy { case (t, c) => (-c, t) }
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    /** Kryo buffer: ObjectHashAggregate keeps the map as a live JVM object
+      * per group and only serializes at partial-output boundaries, so the
+      * hot path never touches the encoder. */
+    override def bufferEncoder: Encoder[scala.collection.mutable.HashMap[String, Long]] =
+      Encoders.kryo[scala.collection.mutable.HashMap[String, Long]]
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
   }

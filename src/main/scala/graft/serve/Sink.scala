@@ -23,13 +23,46 @@ object Sink {
     * rows with the same key; everything else is retained. File-format MERGE
     * (read → anti-join → union → overwrite); on a Delta/Iceberg table this
     * is a single MERGE INTO. Re-running with the same updates is a no-op
-    * (idempotent, like the ES deterministic-id bulk upsert). */
+    * (idempotent, like the ES deterministic-id bulk upsert).
+    *
+    * CONCURRENCY CONTRACT: single writer per table path. The swap sequence
+    * is crash-safe for one writer but has no cross-process transaction —
+    * two interleaved upserts could each read the pre-merge table (losing
+    * the other's rows) or delete the other's __old backup mid-swap. A
+    * best-effort mutex (atomic create of a `__lock` marker, the HDFS
+    * idiom for create-if-absent) turns the silent hazard into a loud
+    * failure; locks older than [[LockStaleMs]] are presumed crashed and
+    * broken. Multi-writer semantics is exactly what a transactional table
+    * format (Delta/Iceberg optimistic commit) adds over raw parquet. */
+  private val LockStaleMs: Long = 60L * 60 * 1000
   def upsertByKey(spark: SparkSession, updates: DataFrame, path: String,
       keys: Seq[String], versionCol: Option[String] = None): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val lock = new org.apache.hadoop.fs.Path(path + "__lock")
+    def tryLock(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryLock()) {
+      // lock held: break it only if its mtime says the holder is long dead
+      val stale = try {
+        fs.getFileStatus(lock).getModificationTime < System.currentTimeMillis() - LockStaleMs
+      } catch { case _: java.io.FileNotFoundException => true } // released just now
+      if (stale) fs.delete(lock, false)
+      if (!tryLock())
+        throw new java.io.IOException(
+          s"upsertByKey: $lock held by a concurrent writer (single-writer contract)")
+    }
+    try upsertByKeyLocked(spark, updates, path, keys, versionCol, fs, p, old)
+    finally fs.delete(lock, false)
+  }
+
+  private def upsertByKeyLocked(spark: SparkSession, updates: DataFrame,
+      path: String, keys: Seq[String], versionCol: Option[String],
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
     def mustRename(from: org.apache.hadoop.fs.Path,
         to: org.apache.hadoop.fs.Path): Unit =
       // Hadoop rename reports most failures (and rename-INTO-existing-dir
