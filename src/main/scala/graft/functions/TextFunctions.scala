@@ -11,16 +11,27 @@ import graft.Tables
   */
 object TextFunctions {
 
+  /** Whitespace spelled as an explicit character class — the SAME pattern
+    * text compiles identically in Java regex (Spark) and RE2 (DuckDB
+    * oracles). Bare `\s` is a dialect trap: Java's includes vertical tab
+    * \x0B, RE2's does not, so a document containing a VT would tokenize
+    * differently on the two sides of the hash-compare gate (the PhoneRe
+    * hazard, applied to every shared tokenizer). Oracle SQL strings inline
+    * the same class; RepoHygieneSpec rejects any bare `\s` creeping back
+    * into registered oracle SQL. */
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+  val Ws = s"[$WsChars]"
+
   /** Single-space-normalized, lowercased text — the canonical form every
     * dedup/fingerprint operator keys on. */
   def normText(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    lower(trim(regexp_replace(c, Ws + "+", " ")))
 
-  /** Whitespace token count: non-empty pieces of a \s+ split. (Counting
-    * non-empty pieces, rather than trim-then-split, is robust to leading
-    * tabs/newlines — Spark's `trim` strips only spaces.) */
+  /** Whitespace token count: non-empty pieces of a whitespace split.
+    * (Counting non-empty pieces, rather than trim-then-split, is robust to
+    * leading tabs/newlines — Spark's `trim` strips only spaces.) */
   def tokenCount(c: Column): Column =
-    size(filter(split(c, "\\s+"), t => length(t) > 0))
+    size(filter(split(c, Ws + "+"), t => length(t) > 0))
 
   /** Token array (lowercased, whitespace-split). */
   def tokens(c: Column): Column =
@@ -50,7 +61,7 @@ object TextFunctions {
     // perform bit-identical IEEE arithmetic before the final round
     val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")) / nullif(len, lit(0.0))
     val digitRatio = length(regexp_replace(t, "[^0-9]", "")) / nullif(len, lit(0.0))
-    val avgTokLen = length(regexp_replace(t, "\\s+", "")) / nullif(nTok, lit(0.0))
+    val avgTokLen = length(regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]+", "")) / nullif(nTok, lit(0.0))
     df
       .withColumn("n_chars_m", length(t))
       .withColumn("n_tokens", tokenCount(t))
@@ -76,11 +87,11 @@ object TextFunctions {
     """WITH base AS (
       |  SELECT doc_id,
       |    LENGTH(text) AS n_chars_m,
-      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
       |         x -> x <> '')) AS INT) AS n_tokens,
       |    LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
       |    LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-      |    LENGTH(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+      |    LENGTH(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nonspace
       |  FROM documents)
       |SELECT doc_id, n_chars_m, n_tokens,
       |  ROUND(n_alpha / NULLIF(CAST(n_chars_m AS DOUBLE), 0.0), 6) AS alpha_ratio,
@@ -175,7 +186,7 @@ object TextFunctions {
       s"WHEN score_$l = $bestExpr AND $bestExpr > 0.0 THEN '$l'").mkString("\n    ")
     s"""WITH toked AS (
        |  SELECT doc_id, lang,
-       |    list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), ' '),
        |                x -> x <> '') AS toks
        |  FROM documents),
        |scored AS (
@@ -205,7 +216,7 @@ object TextFunctions {
     * digit runs, and single non-space punctuation each become one
     * pre-token. Counts approximate LLM token budgets far better than
     * whitespace words (punctuation and numbers tokenize separately). */
-  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpeIshPattern), lit(0))
 
@@ -219,9 +230,9 @@ object TextFunctions {
 
   val bpeCountQuerySql: String =
     """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INT)
       |    AS n_bpe_tokens,
-      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT)
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS INT)
       |    AS n_ws_tokens
       |FROM documents""".stripMargin
 
@@ -304,7 +315,7 @@ object TextFunctions {
     val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH toked AS (
        |  SELECT doc_id,
-       |    list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), ' '),
        |                x -> x <> '') AS toks
        |  FROM documents),
        |dl AS (SELECT doc_id, len(toks) AS dl FROM toked),
@@ -408,7 +419,7 @@ object TextFunctions {
   val repetitionQuerySql: String =
     """WITH base AS (
       |  SELECT doc_id,
-      |    list_filter(str_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
       |                x -> x <> '') AS toks,
       |    list_filter(str_split(text, chr(10)), x -> x <> '') AS lines
       |  FROM documents),
@@ -439,7 +450,7 @@ object TextFunctions {
     * Per-doc kernel → Scala UDF (never in a relational hot path). */
   def winnow(text: String, k: Int = 8, w: Int = 12): Array[Long] = {
     if (text == null) return Array.empty
-    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val s = text.toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
     if (s.length < k) return if (s.isEmpty) Array.empty else Array(s.hashCode.toLong)
     val B = 1000000007L
     val n = s.length - k + 1
@@ -493,7 +504,7 @@ object TextFunctions {
   val tokenStatsQuerySql: String =
     """SELECT lang,
       |  COUNT(*) AS n_docs,
-      |  ROUND(AVG(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |  ROUND(AVG(CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
       |        x -> x <> '')) AS DOUBLE)), 6) AS avg_tokens,
       |  ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)), 6) AS avg_chars,
       |  MIN(n_chars) AS min_chars,

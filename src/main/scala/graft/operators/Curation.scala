@@ -266,7 +266,7 @@ object Curation {
     """WITH terms AS (
       |  SELECT doc_id, lang,
       |         UNNEST(list_filter(regexp_split_to_array(
-      |           LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |           LOWER(TRIM(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
       |           x -> x <> '')) AS term
       |  FROM documents),
       |tf AS (SELECT lang, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),

@@ -31,7 +31,7 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
   val exactSql: String =
-    """SELECT md5(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5,
+    """SELECT md5(LOWER(TRIM(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS text_md5,
       |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents
       |GROUP BY 1""".stripMargin
@@ -393,7 +393,7 @@ object Dedup {
   val ngramJaccardPairsSql: String =
     """WITH toked AS (
       |  SELECT doc_id,
-      |    list_filter(str_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
       |                x -> x <> '') AS toks
       |  FROM documents),
       |sh AS (

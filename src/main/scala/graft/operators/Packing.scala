@@ -46,7 +46,7 @@ object Packing {
   def packContiguousSql(budget: Int = DefaultBudget): String =
     s"""WITH toked AS (
        |  SELECT doc_id, lang,
-       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)
        |      AS n_tokens
        |  FROM documents),
        |cum AS (

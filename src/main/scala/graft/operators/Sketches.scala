@@ -125,7 +125,7 @@ object Sketches {
   def heavyTermsExactSql(k: Int = 30): String =
     s"""WITH terms AS (
        |  SELECT lang,
-       |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), ' '),
        |           x -> x <> '')) AS term
        |  FROM documents),
        |tot AS (SELECT lang, COUNT(*) AS n_terms FROM terms GROUP BY 1),
