@@ -115,6 +115,16 @@ object SparkEntry {
     ("q_modality_agreement", graft.operators.Curation.modalityAgreement _, None),
     ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
     ("q_split_summary", graft.operators.Curation.splitSummary _, None),
+    // statistical-invariant twins: the approx/hash-dependent operators
+    // rephrased as the bound their guarantee promises → hash-oracle-checkable
+    ("q_split_bounds", graft.operators.Invariants.splitBounds _,
+      Some(graft.operators.Invariants.splitBoundsSql)),
+    ("q_cardinality_bounds", graft.operators.Invariants.cardinalityBounds _,
+      Some(graft.operators.Invariants.cardinalityBoundsSql)),
+    ("q_percentile_bounds", graft.operators.Invariants.percentileBounds _,
+      Some(graft.operators.Invariants.percentileBoundsSql)),
+    ("q_ivf_train_monotone", graft.operators.Invariants.ivfTrainMonotone _,
+      Some(graft.operators.Invariants.ivfTrainMonotoneSql())),
     ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42), None),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,

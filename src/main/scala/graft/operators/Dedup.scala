@@ -229,6 +229,38 @@ object Dedup {
       .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"), col("jaccard"))
   }
 
+  /** Materialize the corpus' LSH index as a parquet table (band, sig,
+    * doc_id) partitioned by band — the STORED form of the index that
+    * `minhashNearDupsIncremental` simulates in-memory. At 100 TB this table
+    * is ~NumBands rows per document (tiny next to the corpus), is appended
+    * per ingest, and partition-prunes on band at probe time. */
+  def writeLshIndex(spark: SparkSession, dir: String, path: String,
+      docFilter: Column = lit(true)): Unit =
+    bandSignatureRows(
+      Tables.spread(spark, Tables.documents(spark, dir)).filter(docFilter),
+      "doc_id", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band").parquet(path)
+
+  /** The stored-index form of incremental dedup: band the NEW batch
+    * row-locally, bucket-join into the PERSISTED index (no index-side
+    * signature recompute — the operator's whole point), then exact-verify
+    * the colliding pairs by re-reading only those docs' text from the
+    * corpus. Output matches `minhashNearDupsIncremental` exactly when the
+    * stored index covers the same split (row-local signatures ≡ batch
+    * signatures, so the candidate sets are identical). */
+  def nearDupsFromStoredIndex(spark: SparkSession, dir: String,
+      indexPath: String, newDocs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val cands = dedupProbe(newDocs, spark.read.parquet(indexPath))
+      .select(col("index_id").as("doc_a"), col("new_id").as("doc_b"))
+      .distinct()
+    exactJaccardFromShingles(docShingles(spark, dir).cache(), cands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"),
+        col("jaccard"))
+  }
+
   /** Per-doc dedup summary — total-coverage view (one row per doc even when
     * it has no near-dup), so downstream keep/drop decisions are a single
     * anti-join. */

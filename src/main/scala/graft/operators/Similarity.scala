@@ -231,7 +231,18 @@ object Similarity {
     *
     * Output: one row per iteration (0 = seed assignment) with the SSE and
     * the number of vectors that changed cell. */
-  def ivfTrain(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  private val trainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  /** Memoized per (session, dir, iters): training runs once per session and
+    * its 4-row stats table is shared by q_ivf_train and the monotonicity
+    * invariant (same materialized-artifact contract as
+    * `Curation.dupClusters`). */
+  def ivfTrain(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    trainMemo.computeIfAbsent((spark, dir, iters),
+      { case (s, d, it) => ivfTrainImpl(s, d, it).cache() })
+
+  private def ivfTrainImpl(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir).select(col("vec_id"), col("emb"))
       .localCheckpoint(true)
@@ -273,15 +284,30 @@ object Similarity {
       .select(col("iter"), round(col("sse"), 4).as("sse"), col("n_moved"))
   }
 
-  /** IVF search: route each query to its nearest centroid, exact top-k only
-    * within that cell (nprobe=1). */
+  /** IVF search: route each query to its `nprobe` nearest centroids, exact
+    * top-k only within those cells. nprobe is the standard IVF recall knob
+    * (FAISS `nprobe`): a true neighbor living just across a Voronoi border
+    * is invisible at nprobe=1 but found once its cell is probed; cost grows
+    * linearly in probed cells, still ≪ the full corpus. Each corpus vector
+    * lives in exactly one cell, so probing p distinct cells can never
+    * duplicate a (query, doc) pair — no dedup step needed. */
   def ivfTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5): DataFrame = {
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val assign = ivfAssign(spark, dir)
     val c = corpus(spark, dir)
       .join(assign.select(col("vec_id"), col("assigned_label").as("cell")), "vec_id")
+    // rank ALL cells per query on the same (rounded cosine, label) order the
+    // assignment uses — crk=1 is by construction the query's own cell
+    val cents = centroids(spark, dir)
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("cos_c").desc, col("c_label").asc)
     val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell").as("q_cell"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(cosine_sim(col("q_emb"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_label").as("q_cell"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     c.join(broadcast(q), col("cell") === col("q_cell"))
@@ -323,19 +349,28 @@ object Similarity {
     s"""WITH $ivfSqlCtes
        |SELECT vec_id, label, assigned_label, cos_to_centroid FROM assign""".stripMargin
 
-  /** DuckDB oracle for [[ivfTopK]] (defaults nQueries=20, k=5): same
-    * assignment, then exact re-rank within the query's cell only. */
-  def ivfTopKSql(nQueries: Int = 20, k: Int = 5): String =
+  /** DuckDB oracle for [[ivfTopK]] (defaults nQueries=20, k=5, nprobe=2):
+    * same assignment; each query's cells ranked by the same (rounded
+    * cosine, label) order, rank ≤ nprobe probed, exact re-rank within. */
+  def ivfTopKSql(nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): String =
     s"""WITH $ivfSqlCtes,
        |cc AS (
        |  SELECT c.vec_id, c.emb, a.assigned_label AS cell
        |  FROM c JOIN assign a USING (vec_id)),
-       |q AS (SELECT vec_id AS q_id, emb AS q_emb, cell AS q_cell
-       |      FROM cc WHERE vec_id < $nQueries),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb
+       |      FROM c WHERE vec_id < $nQueries),
+       |qcells AS (
+       |  SELECT q_id, q_emb, c_label AS q_cell FROM (
+       |    SELECT q.q_id, q.q_emb, cvec.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ROUND(${cosSqlExpr("q.q_emb", "cvec.centroid")}, 6) DESC NULLS LAST,
+       |                 cvec.c_label ASC) AS crk
+       |    FROM q CROSS JOIN cvec)
+       |  WHERE crk <= $nprobe),
        |scored AS (
-       |  SELECT q.q_id, cc.vec_id,
-       |    ROUND(${cosSqlExpr("cc.emb", "q.q_emb")}, 6) AS cosine
-       |  FROM cc JOIN q ON cc.cell = q.q_cell AND cc.vec_id <> q.q_id)
+       |  SELECT qc.q_id, cc.vec_id,
+       |    ROUND(${cosSqlExpr("cc.emb", "qc.q_emb")}, 6) AS cosine
+       |  FROM cc JOIN qcells qc ON cc.cell = qc.q_cell AND cc.vec_id <> qc.q_id)
        |SELECT q_id, rank, vec_id, cosine FROM (
        |  SELECT q_id, vec_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id

@@ -112,6 +112,25 @@ class DedupSpec extends AnyFunSuite {
     verified.foreach(p => assert(got.contains(p), s"pair $p not probed"))
   }
 
+  test("stored LSH index: probe of a new batch matches the in-memory incremental path") {
+    // write the index table for the even half (what the lake would hold) ...
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    Dedup.writeLshIndex(spark, sf, s"$dir/index", col("doc_id") % 2 === 0)
+    // ... then probe the odd half as a fresh batch: signatures for the batch
+    // are row-local, the index side comes ONLY from the stored parquet
+    val newBatch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val stored = Dedup.nearDupsFromStoredIndex(spark, sf, s"$dir/index", newBatch)
+      .collect().map(r => (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val inMem = Dedup.minhashNearDupsIncremental(spark, sf)
+      .collect().map(r => (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(stored.nonEmpty, "stored-index probe found nothing")
+    assert(stored == inMem,
+      s"stored-index path diverged: only-stored=${stored -- inMem}, only-mem=${inMem -- stored}")
+  }
+
   test("shingles of short docs fall back to whole text") {
     import spark.implicits._
     val df = Seq((1L, "one two")).toDF("doc_id", "text")
@@ -161,6 +180,23 @@ class SimilaritySpec extends AnyFunSuite {
       val c = r.getAs[Double]("cos_to_centroid")
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
+  }
+
+  test("ivf nprobe: recall vs brute force non-decreasing in probed cells") {
+    val truth = Similarity.bruteForceTopK(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    def recall(np: Int): Double = {
+      val got = Similarity.ivfTopK(spark, sf, nQueries = 10, k = 5, nprobe = np)
+        .collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty[Long]) & t).size }.sum
+        .toDouble / truth.map(_._2.size).sum
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1 - 1e-9, s"recall regressed with more probes: $r1 -> $r2")
+    assert(r2 > 0.0, "nprobe=2 found nothing")
   }
 
   test("ivf train: Lloyd SSE is non-increasing across iterations") {
