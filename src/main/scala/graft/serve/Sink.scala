@@ -83,19 +83,7 @@ object Sink {
       case _: org.apache.spark.sql.AnalysisException => false
       case _: java.io.FileNotFoundException => false
     }
-    // collapse duplicate keys WITHIN the batch first — deterministic-id
-    // upsert semantics (the ES sink's `{symbol}_{date}` ids collapse
-    // same-key docs to one, `to_elasticsearch.py:78`). With a versionCol the
-    // LATEST row wins (ES last-write-wins); without one the survivor is
-    // arbitrary — only acceptable when same-key rows are identical.
-    val deduped = versionCol match {
-      case Some(v) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(v).desc)
-        updates.withColumn("__v_rn", row_number().over(w))
-          .filter(col("__v_rn") === 1).drop("__v_rn")
-      case None => updates.dropDuplicates(keys)
-    }
+    val deduped = collapseByKey(updates, keys, versionCol)
     val merged = if (exists) {
       val current = spark.read.parquet(path)
       current.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -118,6 +106,22 @@ object Sink {
     if (fs.exists(p)) mustRename(p, old)
     mustRename(staging, p)
     fs.delete(old, true)
+  }
+
+  /** Collapse duplicate keys WITHIN a batch — deterministic-id upsert
+    * semantics (the ES sink's `{symbol}_{date}` ids collapse same-key docs
+    * to one, `to_elasticsearch.py:78`). With a versionCol the LATEST row
+    * wins (ES last-write-wins); without one the survivor is arbitrary —
+    * only acceptable when same-key rows are identical. Shared by the raw
+    * parquet upsert and the TxTable MERGE. */
+  def collapseByKey(updates: DataFrame, keys: Seq[String],
+      versionCol: Option[String]): DataFrame = versionCol match {
+    case Some(v) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(v).desc)
+      updates.withColumn("__v_rn", row_number().over(w))
+        .filter(col("__v_rn") === 1).drop("__v_rn")
+    case None => updates.dropDuplicates(keys)
   }
 
   /** NaN/Infinity → null scrub for JSON-bound frames

@@ -72,6 +72,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(after.filter(col("news_count") === 999L).count() == 1)
   }
 
+  test("TxTable MERGE: insert, update, idempotent rerun, time travel") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_enriched"
+    val base = Seq(("a", 1L, 10.0), ("b", 1L, 20.0), ("c", 1L, 30.0))
+      .toDF("doc_id", "ver", "price")
+    val v0 = TxTable.merge(spark, base, path, Seq("doc_id"), Some("ver"))
+    assert(v0 == 0L && TxTable.read(spark, path).count() == 3)
+    // update one key + insert one key in a single MERGE
+    val upd = Seq(("b", 2L, 21.0), ("d", 1L, 40.0)).toDF("doc_id", "ver", "price")
+    val v1 = TxTable.merge(spark, upd, path, Seq("doc_id"), Some("ver"))
+    val now = TxTable.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(v1 == 1L && now == Map("a" -> 10.0, "b" -> 21.0, "c" -> 30.0, "d" -> 40.0))
+    // idempotent rerun: same MERGE again → new version, identical rows
+    val v2 = TxTable.merge(spark, upd, path, Seq("doc_id"), Some("ver"))
+    val rerun = TxTable.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(v2 == 2L && rerun == now)
+    // time travel: v0 still shows the pre-merge snapshot
+    val old = TxTable.read(spark, path, Some(0L)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(old == Map("a" -> 10.0, "b" -> 20.0, "c" -> 30.0))
+    assert(TxTable.history(spark, path).map(_._1) == Seq(2L, 1L, 0L))
+  }
+
+  test("TxTable commit races: version collision detected, merge retried on the new snapshot") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_race"
+    TxTable.merge(spark, Seq(("a", 10.0)).toDF("doc_id", "price"), path, Seq("doc_id"))
+    // simulate a concurrent writer stealing version 1: copy v0's manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(path, "_txlog")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(log, "00000000.txt"), fs,
+      new org.apache.hadoop.fs.Path(log, "00000001.txt"), false,
+      spark.sparkContext.hadoopConfiguration)
+    // our merge must lose the v1 race, re-read, and commit as v2 with BOTH rows
+    val v = TxTable.merge(spark, Seq(("b", 20.0)).toDF("doc_id", "price"),
+      path, Seq("doc_id"))
+    assert(v == 2L)
+    assert(TxTable.read(spark, path).collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
+  test("TxTable vacuum: unreferenced data files reclaimed, retained versions intact") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_vacuum"
+    (1 to 4).foreach { i =>
+      TxTable.merge(spark, Seq(("k", i.toLong, i * 1.0)).toDF("doc_id", "ver", "price"),
+        path, Seq("doc_id"), Some("ver"))
+    }
+    TxTable.vacuum(spark, path, keepVersions = 2)
+    // latest and latest-1 still read; older manifests gone
+    assert(TxTable.read(spark, path).collect().head.getDouble(2) == 4.0)
+    assert(TxTable.read(spark, path, Some(2L)).collect().head.getDouble(2) == 3.0)
+    intercept[java.io.FileNotFoundException] {
+      TxTable.read(spark, path, Some(0L))
+    }
+    // every surviving data file is referenced by a retained manifest
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val kept = fs.listStatus(new org.apache.hadoop.fs.Path(path, "data"))
+      .map(_.getPath.getName).toSet
+    val referenced = TxTable.history(spark, path).map(_._1)
+      .flatMap(v => TxTable.read(spark, path, Some(v)).inputFiles.toSeq)
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    assert(kept == referenced, s"orphans survived vacuum: ${kept -- referenced}")
+  }
+
   test("upsert crash recovery: a table stranded at __old is restored, not destroyed") {
     val path = s"$root/serving/crash_recover"
     val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
