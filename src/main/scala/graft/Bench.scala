@@ -45,7 +45,8 @@ object Bench {
     // means the numbers are steal-contaminated and should not be compared
     // round-over-round
     val loadavg =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     // per-query detail first, short summary LAST: the driver tail-captures
     // the END of stdout, so the short line must be the final one to survive

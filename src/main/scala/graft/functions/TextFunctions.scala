@@ -61,7 +61,7 @@ object TextFunctions {
     // perform bit-identical IEEE arithmetic before the final round
     val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")) / nullif(len, lit(0.0))
     val digitRatio = length(regexp_replace(t, "[^0-9]", "")) / nullif(len, lit(0.0))
-    val avgTokLen = length(regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]+", "")) / nullif(nTok, lit(0.0))
+    val avgTokLen = length(regexp_replace(t, Ws + "+", "")) / nullif(nTok, lit(0.0))
     df
       .withColumn("n_chars_m", length(t))
       .withColumn("n_tokens", tokenCount(t))
@@ -216,7 +216,7 @@ object TextFunctions {
     * digit runs, and single non-space punctuation each become one
     * pre-token. Counts approximate LLM token budgets far better than
     * whitespace words (punctuation and numbers tokenize separately). */
-  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+  val BpeIshPattern = s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$WsChars]"
 
   def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpeIshPattern), lit(0))
 
@@ -450,7 +450,7 @@ object TextFunctions {
     * Per-doc kernel → Scala UDF (never in a relational hot path). */
   def winnow(text: String, k: Int = 8, w: Int = 12): Array[Long] = {
     if (text == null) return Array.empty
-    val s = text.toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+    val s = text.toLowerCase.replaceAll(Ws + "+", " ").trim
     if (s.length < k) return if (s.isEmpty) Array.empty else Array(s.hashCode.toLong)
     val B = 1000000007L
     val n = s.length - k + 1

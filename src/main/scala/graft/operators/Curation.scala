@@ -113,20 +113,19 @@ object Curation {
     * checkpoint blocks, bounded by session lifetime like the dedup caches)
     * is the in-session form of that contract, letting q_dedup_clusters,
     * curate and any other consumer share one computation. */
-  private val clustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val clustersMemo = new SessionMemo[String, DataFrame]
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersMemo.computeIfAbsent((spark, dir), { case (s, d) =>
-      val pairs = Dedup.minhashNearDups(s, d).select("doc_a", "doc_b")
+    clustersMemo.getOrElseUpdate(spark, dir) {
+      val pairs = Dedup.minhashNearDups(spark, dir).select("doc_a", "doc_b")
       val comp = connectedComponents(pairs)
-      Tables.documents(s, d).select("doc_id")
+      Tables.documents(spark, dir).select("doc_id")
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("cluster_id"))
         .withColumn("keep", col("doc_id") === col("cluster_id"))
         .cache()
-    })
+    }
 
   /** The end-to-end curation decision: dedup keep-list ∧ quality gate ∧
     * length gate, with a drop reason (first failing rule wins). The final

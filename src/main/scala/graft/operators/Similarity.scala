@@ -231,16 +231,16 @@ object Similarity {
     *
     * Output: one row per iteration (0 = seed assignment) with the SSE and
     * the number of vectors that changed cell. */
-  private val trainMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  private val trainMemo = new SessionMemo[(String, Int), DataFrame]
 
   /** Memoized per (session, dir, iters): training runs once per session and
     * its 4-row stats table is shared by q_ivf_train and the monotonicity
     * invariant (same materialized-artifact contract as
     * `Curation.dupClusters`). */
   def ivfTrain(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
-    trainMemo.computeIfAbsent((spark, dir, iters),
-      { case (s, d, it) => ivfTrainImpl(s, d, it).cache() })
+    trainMemo.getOrElseUpdate(spark, (dir, iters)) {
+      ivfTrainImpl(spark, dir, iters).cache()
+    }
 
   private def ivfTrainImpl(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     import spark.implicits._

@@ -46,11 +46,27 @@ object Sink {
       try { fs.create(lock, false).close(); true }
       catch { case _: java.io.IOException => false }
     if (!tryLock()) {
-      // lock held: break it only if its mtime says the holder is long dead
-      val stale = try {
-        fs.getFileStatus(lock).getModificationTime < System.currentTimeMillis() - LockStaleMs
-      } catch { case _: java.io.FileNotFoundException => true } // released just now
-      if (stale) fs.delete(lock, false)
+      // lock held: break it only if its mtime says the holder is long dead.
+      // The break RENAMES the stale marker aside (unique name) rather than
+      // deleting it: rename succeeds for exactly one breaker, so two
+      // concurrent breakers cannot both clear the way — the loser falls
+      // through to tryLock against the winner's fresh lock and fails loud.
+      // The re-stat immediately before the rename narrows the residual
+      // TOCTOU (a fresh lock appearing mid-break) to microseconds; for a
+      // true multi-writer contract use TxTable, whose commit point needs no
+      // advisory lock at all.
+      val staleAt = try {
+        val m = fs.getFileStatus(lock).getModificationTime
+        if (m < System.currentTimeMillis() - LockStaleMs) Some(m) else None
+      } catch { case _: java.io.FileNotFoundException => None } // released just now
+      staleAt.foreach { observed =>
+        val aside = new org.apache.hadoop.fs.Path(
+          path + s"__lock_stale_${java.util.UUID.randomUUID().toString.take(8)}")
+        val unchanged = try {
+          fs.getFileStatus(lock).getModificationTime == observed
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (unchanged && fs.rename(lock, aside)) fs.delete(aside, false)
+      }
       if (!tryLock())
         throw new java.io.IOException(
           s"upsertByKey: $lock held by a concurrent writer (single-writer contract)")

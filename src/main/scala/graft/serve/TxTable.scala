@@ -104,12 +104,34 @@ object TxTable {
     val out = fs.create(tmp, false)
     try out.write((op +: files).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val dest = commitFile(path, v)
-    if (fs.exists(dest)) { fs.delete(tmp, false); false }
-    else {
-      val ok = fs.rename(tmp, dest) // atomic; refuses existing destination
-      if (!ok) fs.delete(tmp, false)
-      ok
+    val won = publish(fs, tmp, commitFile(path, v))
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** The fail-if-exists atomic publish, per filesystem. On HDFS, `rename`
+    * is atomic AND refuses an existing destination — exactly the primitive
+    * needed. On a LOCAL filesystem Hadoop's rename bottoms out in POSIX
+    * rename(2), which silently REPLACES an existing destination — an
+    * exists()+rename pair would let two racing writers both "win" a
+    * version and lose one commit; `link(2)` (hard link) fails with EEXIST
+    * atomically, so local publishes link-then-unlink instead. Object
+    * stores need put-if-absent (the documented Delta-on-S3 caveat). */
+  private def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      if (fs.exists(dest)) false
+      else fs.rename(tmp, dest)
     }
   }
 
@@ -173,23 +195,30 @@ object TxTable {
       }
   }
 
-  /** Drop manifests older than the last `keepVersions` and delete data
-    * files no retained manifest references (losers' orphans included).
-    * Time travel reaches only retained versions afterwards. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Unit = {
+  /** Drop all but the newest `keepVersions` manifests PRESENT (the log need
+    * not be contiguous — earlier vacuums prune it), then delete data files
+    * that no retained manifest references AND that are older than
+    * `retentionMs`. The age threshold is what makes vacuum safe against a
+    * CONCURRENT writer: stageData moves files into data/ before its commit
+    * publishes, so a freshly-staged-but-uncommitted file is unreferenced —
+    * deleting it would corrupt the commit about to win. Files younger than
+    * the retention window are left alone (Delta's retention-threshold
+    * rule); pass 0 only when no writer can be in flight. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
+      retentionMs: Long = 60L * 60 * 1000): Unit = {
     val fs = hfs(spark, path)
-    latestVersion(spark, path).foreach { latest =>
-      val keepFrom = math.max(0L, latest - (keepVersions - 1).toLong)
-      (0L until keepFrom).foreach { v =>
-        fs.delete(commitFile(path, v), false)
-      }
-      val referenced = (keepFrom to latest)
-        .flatMap(v => readManifest(fs, path, v)._2).map(new Path(path, _).getName).toSet
-      val dataDir = new Path(path, "data")
-      if (fs.exists(dataDir))
-        fs.listStatus(dataDir).toSeq.map(_.getPath)
-          .filterNot(p => referenced.contains(p.getName))
-          .foreach(p => fs.delete(p, false))
-    }
+    val versions = history(spark, path).map(_._1) // newest first, present only
+    if (versions.isEmpty) return
+    val keep = versions.take(keepVersions)
+    versions.drop(keepVersions).foreach(v => fs.delete(commitFile(path, v), false))
+    val referenced = keep
+      .flatMap(v => readManifest(fs, path, v)._2).map(new Path(path, _).getName).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val dataDir = new Path(path, "data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).toSeq
+        .filter(st => !referenced.contains(st.getPath.getName)
+          && st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
   }
 }

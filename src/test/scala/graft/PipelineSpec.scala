@@ -127,13 +127,18 @@ class PipelineSpec extends AnyFunSuite {
       TxTable.merge(spark, Seq(("k", i.toLong, i * 1.0)).toDF("doc_id", "ver", "price"),
         path, Seq("doc_id"), Some("ver"))
     }
-    TxTable.vacuum(spark, path, keepVersions = 2)
+    // retention 0: test-only — no concurrent writer can be staging here
+    TxTable.vacuum(spark, path, keepVersions = 2, retentionMs = 0L)
     // latest and latest-1 still read; older manifests gone
     assert(TxTable.read(spark, path).collect().head.getDouble(2) == 4.0)
     assert(TxTable.read(spark, path, Some(2L)).collect().head.getDouble(2) == 3.0)
     intercept[java.io.FileNotFoundException] {
       TxTable.read(spark, path, Some(0L))
     }
+    // vacuum again with a WIDER window than what survives: must not crash on
+    // the non-contiguous log and must keep the present versions readable
+    TxTable.vacuum(spark, path, keepVersions = 5, retentionMs = 0L)
+    assert(TxTable.history(spark, path).map(_._1) == Seq(3L, 2L))
     // every surviving data file is referenced by a retained manifest
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
