@@ -74,6 +74,29 @@ object StreamFormat {
     q.awaitTermination()
   }
 
+  /** [[upsertStream]] with a TRANSACTIONAL serving table: each micro-batch
+    * is one atomic TxTable MERGE commit, so a reader never observes a
+    * half-applied batch, every batch is a time-travelable version, and a
+    * replay from a fresh checkpoint converges to the same table state
+    * (MERGE is idempotent per key). This is the streaming form of the
+    * Delta `foreachBatch` + `MERGE INTO` recipe, on the native TxTable. */
+  def upsertStreamTx(spark: SparkSession, rawDir: String,
+      companyDf: org.apache.spark.sql.DataFrame,
+      tablePath: String, checkpoint: String): Unit = {
+    val q = enrichedStream(spark, rawDir, companyDf).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keyed = graft.serve.Sink.withDocId(batch, "symbol", "date")
+        graft.serve.TxTable.merge(batch.sparkSession, keyed, tablePath,
+          Seq("doc_id"), versionCol = Some("fetched_at_utc"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Windowed streaming aggregation with watermark — the Lens
     * date-histogram (W1) as a live query: per-symbol daily OHLC-style
     * rollup over the stream. Memory-sink runner for tests. */

@@ -262,6 +262,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).columns.contains("sector"))
   }
 
+  test("streaming TxTable merge: per-batch commits, replay converges, history kept") {
+    import graft.serve.TxTable
+    val table = s"$root/stream_tx"
+    val company = spark.read.parquet(s"$formattedDir/company_info")
+    StreamFormat.upsertStreamTx(spark, rawDir, company, table, s"$root/ckpt_tx")
+    val v1 = TxTable.latestVersion(spark, table).get
+    val snap1 = TxTable.read(spark, table)
+    val n1 = snap1.count()
+    assert(n1 == snap1.select("doc_id").distinct().count(), "doc_id unique after merge")
+    assert(snap1.columns.contains("sector"))
+    // replay from a FRESH checkpoint: new versions committed, same final state
+    StreamFormat.upsertStreamTx(spark, rawDir, company, table, s"$root/ckpt_tx2")
+    val v2 = TxTable.latestVersion(spark, table).get
+    assert(v2 > v1, "replay must commit new versions, not rewrite old ones")
+    assert(TxTable.read(spark, table).count() == n1, "replay must converge")
+    // the pre-replay snapshot is still reachable (time travel)
+    assert(TxTable.read(spark, table, Some(v1)).count() == n1)
+  }
+
   test("streaming daily rollup with watermark") {
     val q = StreamFormat.dailyRollupToMemory(spark, rawDir, "rollup_test")
     q.processAllAvailable()
