@@ -71,6 +71,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), s"plan:\n$plan")
   }
 
+  test("cardinality-bounds split: sketch branch keeps ObjectHashAggregate, no SortAggregate") {
+    // pins the r3 two-scan split: countDistinct's Expand path must not drag
+    // the imperative HLL into a SortAggregate (the 7s-vs-2s regression)
+    val plan = physicalPlan(operators.Invariants.cardinalityBounds(spark, sf))
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_hll_distinct"),
+      s"hll branch must stay object-hash with map-side partials:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"SortAggregate crept back in:\n$plan")
+  }
+
+  test("ivf nprobe plan: centroid ranking and cell probe are both broadcast-side") {
+    val plan = physicalPlan(operators.Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3, nprobe = 2))
+    // stage 1: queries × centroids is a broadcast nested-loop cross (tiny
+    // build side); stage 2: the corpus joins the broadcast probe list — the
+    // corpus itself must never shuffle for the probe
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"centroid ranking must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"cell probe must broadcast the query list:\n$plan")
+  }
+
   test("bm25 search prunes the postings stream before any shuffle") {
     val qe = functions.TextFunctions.textSearchScored(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
