@@ -151,30 +151,70 @@ object TxTable {
 
   /** MERGE INTO by key: rows of `updates` replace same-key rows, everything
     * else is retained — `Sink.upsertByKey` semantics as a table-format
-    * commit. The read-merge-stage phase runs OUTSIDE the commit point; on a
-    * version conflict the merge is recomputed against the new snapshot
-    * (optimistic concurrency — no lock, no lost update, unlike the raw
-    * parquet sink's best-effort marker). With a versionCol the latest
-    * same-key row wins; re-running the same merge is idempotent (new
-    * version, identical rows). */
+    * commit. FILE-PRUNED, the property that makes MERGE affordable at
+    * 100 TB: a broadcast semi-join of the update keys against the base
+    * snapshot (tagged with `input_file_name`) finds the data files that
+    * contain a matched key; only THOSE files are rewritten (non-matching
+    * rows preserved, updates unioned in) — every untouched file is carried
+    * into the new manifest verbatim, so merge cost scales with the touched
+    * fraction, not the table (Delta's matched-file rewrite, minus
+    * stats-based pruning). The read-merge-stage phase runs OUTSIDE the
+    * commit point; on a version conflict the merge is recomputed against
+    * the new snapshot (optimistic concurrency — no lock, no lost update).
+    * With a versionCol the latest same-key row wins; re-running the same
+    * merge is idempotent (new version, identical rows). */
   def merge(spark: SparkSession, updates: DataFrame, path: String,
       keys: Seq[String], versionCol: Option[String] = None): Long = {
     val fs = hfs(spark, path)
     val deduped = Sink.collapseByKey(updates, keys, versionCol)
+    val updKeys = deduped.select(keys.map(col): _*).distinct()
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path)
       val v = base.map(_ + 1).getOrElse(0L)
-      val merged = base match {
+      val (carried, rewritten) = base match {
         case Some(bv) =>
-          read(spark, path, Some(bv))
-            .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            .unionByName(deduped)
-        case None => deduped
+          val baseFiles = readManifest(fs, path, bv)._2
+          val abs = baseFiles.map(f => s"$path/$f")
+          // which files hold a matched key? one scan, keys broadcast
+          val touchedNames = spark.read.parquet(abs: _*)
+            .withColumn("__file", input_file_name())
+            .join(broadcast(updKeys), keys, "left_semi")
+            .select("__file").distinct().collect()
+            .map(r => new Path(r.getString(0)).getName).toSet
+          val (touched, untouched) =
+            baseFiles.partition(f => touchedNames.contains(new Path(f).getName))
+          val rewrite =
+            if (touched.isEmpty) deduped
+            else spark.read.parquet(touched.map(f => s"$path/$f"): _*)
+              .join(updKeys, keys, "left_anti")
+              .unionByName(deduped)
+          (untouched, rewrite)
+        case None => (Seq.empty[String], deduped)
       }
-      val files = stageData(spark, merged, path)
+      val files = carried ++ stageData(spark, rewritten, path)
       if (tryCommit(fs, path, v, "merge", files)) return v
       // lost the race: orphaned staged files are left for vacuum; recompute
+      attempt += 1
+    }
+    throw new java.io.IOException(s"TxTable: lost $MaxCommitRetries version races at $path")
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the CURRENT snapshot into
+    * `numFiles` files as a new version with identical content. File-pruned
+    * merges append a few files per commit; periodic compaction folds the
+    * accumulated small files together (vacuum then reclaims the old ones
+    * once they age out of retention). Runs through the same optimistic
+    * commit loop as any writer. */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long = {
+    val fs = hfs(spark, path)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = latestVersion(spark, path).getOrElse(
+        throw new java.io.FileNotFoundException(s"TxTable at $path has no commits"))
+      val files = stageData(spark,
+        read(spark, path, Some(base)).repartition(numFiles), path)
+      if (tryCommit(fs, path, base + 1, "compact", files)) return base + 1
       attempt += 1
     }
     throw new java.io.IOException(s"TxTable: lost $MaxCommitRetries version races at $path")

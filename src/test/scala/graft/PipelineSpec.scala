@@ -98,6 +98,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(TxTable.history(spark, path).map(_._1) == Seq(2L, 1L, 0L))
   }
 
+  test("TxTable file-pruned merge: untouched data files carried into the new manifest") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_prune"
+    val base = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0))
+      .toDF("doc_id", "price").repartition(2, col("doc_id"))
+    TxTable.write(spark, base, path)
+    val filesV0 = TxTable.read(spark, path, Some(0L)).inputFiles.toSet
+    assert(filesV0.size == 2, s"base snapshot should span 2 files: $filesV0")
+    TxTable.merge(spark, Seq(("a", 99.0)).toDF("doc_id", "price"), path, Seq("doc_id"))
+    val filesV1 = TxTable.read(spark, path).inputFiles.toSet
+    // the file without key 'a' must be SHARED between versions (not rewritten)
+    assert((filesV0 intersect filesV1).nonEmpty,
+      s"no file carried across the merge: v0=$filesV0 v1=$filesV1")
+    assert(filesV1 != filesV0, "the touched file must have been replaced")
+    val now = TxTable.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(now == Map("a" -> 99.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0))
+    // compaction: same content folded into one file, as a new version
+    val vC = TxTable.compact(spark, path, numFiles = 1)
+    assert(TxTable.read(spark, path).inputFiles.length == 1)
+    assert(TxTable.read(spark, path).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap == now)
+    assert(TxTable.history(spark, path).head == ((vC, "compact", 1)))
+  }
+
   test("TxTable commit races: version collision detected, merge retried on the new snapshot") {
     import graft.serve.TxTable
     import spark.implicits._
