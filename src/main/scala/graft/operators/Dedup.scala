@@ -387,16 +387,23 @@ object Dedup {
     val commonCnt = withDf.filter(col("df") > dfCap)
       .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val sa = rare.select(col("doc_id").as("da"), col("sh").as("sha"))
-    val sb = rare.select(col("doc_id").as("db"), col("sh").as("shb"))
     // SOUND upper-bound prune before the expensive full-set verify:
     // n_inter ≤ r_ab (shared rare shingles, counted here for free) +
     // min(common_a, common_b); jaccard is increasing in n_inter, so pairs
     // whose bound misses the threshold (minus a 1e-6 rounding slack) cannot
     // appear in the output — at sf0.1 this cuts ~1.1M candidates to the
-    // few hundred genuine near-dup pairs before the verify join
-    val rInter = sa.join(sb, col("sha") === col("shb") && col("da") < col("db"))
-      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+    // few hundred genuine near-dup pairs before the verify join.
+    // Candidate pairs come from grouping the capped index by shingle and
+    // expanding the ≤ dfCap-doc posting list in-group (nested HOFs): the
+    // same pair multiset as the rare⋈rare equi-self-join, but 2 exchanges
+    // (group-by-shingle, group-by-pair) instead of 3 (two join shuffles of
+    // the index + the pair group-by). Group size is bounded by dfCap, so
+    // the in-group d(d-1)/2 expansion can never skew a task.
+    val rInter = rare.groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("r_ab"))
     val cands = rInter
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
