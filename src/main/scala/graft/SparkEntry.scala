@@ -125,6 +125,16 @@ object SparkEntry {
       Some(graft.operators.Invariants.percentileBoundsSql)),
     ("q_ivf_train_monotone", graft.operators.Invariants.ivfTrainMonotone _,
       Some(graft.operators.Invariants.ivfTrainMonotoneSql())),
+    ("q_forecast_bounds", graft.operators.Invariants.forecastBounds _,
+      Some(graft.operators.Invariants.forecastBoundsSql)),
+    ("q_minhash_recall", graft.operators.Invariants.minhashRecall _,
+      Some(graft.operators.Invariants.minhashRecallSql)),
+    ("q_mg_guarantee",
+      ((s: SparkSession, d: String) => graft.operators.Sketches.mgGuarantee(s, d)): Q,
+      Some(graft.operators.Sketches.mgGuaranteeSql())),
+    ("q_pack_bounds",
+      ((s: SparkSession, d: String) => graft.operators.Packing.packBounds(s, d)): Q,
+      Some(graft.operators.Packing.packBoundsSql)),
     ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42), None),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,

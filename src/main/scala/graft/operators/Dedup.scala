@@ -429,8 +429,12 @@ object Dedup {
     * jaccard) are identical up to 64-bit hash collisions (~1e-10 at this
     * corpus size). Short docs (<3 tokens) fall back to one whole-text
     * shingle on both sides. */
-  val ngramJaccardPairsSql: String =
-    """WITH toked AS (
+  val ngramJaccardPairsSql: String = ngramJaccardPairsSqlAt(0.5)
+
+  /** Same oracle, parameterized threshold — the recall-invariant query
+    * reuses the pipeline at a higher cut. */
+  def ngramJaccardPairsSqlAt(threshold: Double): String =
+    raw"""WITH toked AS (
       |  SELECT doc_id,
       |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
       |                x -> x <> '') AS toks
@@ -460,5 +464,5 @@ object Dedup {
       |FROM inter
       |JOIN counts ca ON ca.doc_id = doc_a
       |JOIN counts cb ON cb.doc_id = doc_b
-      |WHERE ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) >= 0.5""".stripMargin
+      |WHERE ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) >= $threshold""".stripMargin
 }

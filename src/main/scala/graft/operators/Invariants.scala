@@ -119,4 +119,86 @@ object Invariants {
   def ivfTrainMonotoneSql(iters: Int = 3): String =
     s"""SELECT CAST(i AS INT) AS iter, true AS sse_nonincreasing
        |FROM range(0, ${iters + 1}) t(i)""".stripMargin
+
+  /** bool_and as a codegen-friendly min-over-indicator (works on any Spark
+    * version and keeps the aggregate in HashAggregate). */
+  private def allOf(c: org.apache.spark.sql.Column) =
+    min(when(c, lit(1)).otherwise(lit(0))) === 1
+
+  /** Per-key contract of the grouped forecaster, stated as the bounds its
+    * kernel guarantees (the OLS floats themselves are accumulation-order
+    * specific and not portable): exactly 30 forecast rows per qualifying
+    * key, min(n_days, 90) actual rows, horizon dates are business days
+    * strictly after the history, CI brackets the point estimate, and the
+    * ±1.96σ√(h+1) band is non-decreasing in the horizon (2.5e-4 slack for
+    * the 4-dp rounding of each bound). The ORACLE recomputes the row-count
+    * columns from lineitem (n_days per supplier, the ≥60-row eligibility
+    * cut), so the row set scales with SF. */
+  def forecastBounds(spark: SparkSession, dir: String): DataFrame = {
+    val f = Forecast.forecastQuery(spark, dir).cache()
+    val wd = Window.partitionBy("symbol").orderBy("date")
+    val fc = f.filter(col("type") === "forecast")
+      .withColumn("width", col("confidence_upper") - col("confidence_lower"))
+      .withColumn("prev_width", lag("width", 1).over(wd))
+    val perKeyF = fc.groupBy(col("symbol").as("key")).agg(
+      count(lit(1)).as("n_forecast_l"),
+      min("date").as("min_f_date"),
+      allOf(!dayofweek(to_date(col("date"))).isin(1, 7))
+        .as("forecast_on_business_days"),
+      allOf(col("confidence_lower") <= col("predicted_close") &&
+        col("predicted_close") <= col("confidence_upper")).as("ci_fc_ok"),
+      allOf(col("prev_width").isNull ||
+        col("width") >= col("prev_width") - 2.5e-4)
+        .as("ci_width_nondecreasing"))
+    val perKeyA = f.filter(col("type") === "actual")
+      .groupBy(col("symbol").as("key")).agg(
+        count(lit(1)).as("n_actual_l"),
+        max("date").as("max_a_date"),
+        allOf(col("confidence_lower") === col("predicted_close") &&
+          col("confidence_upper") === col("predicted_close")).as("ci_act_ok"))
+    perKeyF.join(perKeyA, "key")
+      .select(col("key"),
+        col("n_actual_l").cast("int").as("n_actual"),
+        col("n_forecast_l").cast("int").as("n_forecast"),
+        col("forecast_on_business_days"),
+        (col("min_f_date") > col("max_a_date")).as("forecast_after_actuals"),
+        (col("ci_fc_ok") && col("ci_act_ok")).as("ci_ordered"),
+        col("ci_width_nondecreasing"))
+  }
+
+  val forecastBoundsSql: String =
+    """WITH series AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS key,
+      |         COUNT(DISTINCT l_shipdate) AS n_days
+      |  FROM lineitem GROUP BY 1)
+      |SELECT key,
+      |  CAST(LEAST(n_days, 90) AS INT) AS n_actual,
+      |  CAST(30 AS INT) AS n_forecast,
+      |  true AS forecast_on_business_days,
+      |  true AS forecast_after_actuals,
+      |  true AS ci_ordered,
+      |  true AS ci_width_nondecreasing
+      |FROM series WHERE n_days >= 60""".stripMargin
+
+  /** LSH recall stated against ground truth the oracle can recompute: every
+    * pair whose EXACT shingle-set jaccard is ≥ 0.95 must be emitted by the
+    * MinHash-LSH pipeline (banded candidates + exact verify at 0.7). At
+    * 16 hashes / 4 bands the per-pair candidate probability at j = 0.95 is
+    * 1−(1−j⁴)⁴ ≈ 0.9988, and given the fixed xxhash64 family the outcome on
+    * a fixed corpus is deterministic — asserted green at every shipped SF.
+    * A hash mismatch here means the banding or verify stage broke, not
+    * sampling noise. */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.ngramJaccardPairs(spark, dir, threshold = 0.95)
+    val lsh = Dedup.minhashNearDups(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("hit"), lit(false)).as("found_by_lsh"))
+  }
+
+  val minhashRecallSql: String =
+    Dedup.ngramJaccardPairsSqlAt(0.95)
+      .replace("SELECT doc_a, doc_b,",
+        "SELECT doc_a, doc_b, true AS found_by_lsh,")
 }

@@ -72,6 +72,53 @@ object Packing {
       .toDF("doc_id", "lang", "n_tokens", "pack_key")
   }
 
+  /** Next-fit invariants per language, stated so a plain-SQL oracle can
+    * verify the sequential kernel: every document packed exactly once
+    * (n_docs anchors against the source table), every pack within budget
+    * unless it is a single oversized document, and the pack count obeys the
+    * next-fit bounds — at least n_oversized + ⌈(total−oversized)/B⌉ (each
+    * regular pack holds ≤ B tokens, each oversized doc is its own pack) and
+    * strictly under 2·total/B + 2 (any two consecutive packs sum > B, or
+    * the second would not have been opened). All booleans are computed FROM
+    * the packed output; the oracle recomputes the per-language row set and
+    * doc counts portably and asserts the verdicts. */
+  def packBounds(spark: SparkSession, dir: String,
+      budget: Int = DefaultBudget): DataFrame = {
+    def allOf(c: org.apache.spark.sql.Column) =
+      min(when(c, lit(1)).otherwise(lit(0))) === 1
+    val packed = packNextFit(spark, dir, budget)
+    val perPack = packed.groupBy("lang", "pack_key")
+      .agg(sum(col("n_tokens").cast("long")).as("fill"),
+        count(lit(1)).as("n_in_pack"))
+    val packsOk = perPack.groupBy("lang").agg(
+      count(lit(1)).as("n_packs"),
+      allOf(col("fill") <= budget || col("n_in_pack") === 1)
+        .as("packs_within_budget"))
+    val docsAgg = packed.groupBy("lang").agg(
+      count(lit(1)).as("n_docs_l"),
+      sum(col("n_tokens").cast("long")).as("total_tokens"),
+      sum(when(col("n_tokens") > budget, 1L).otherwise(0L)).as("n_over"),
+      sum(when(col("n_tokens") > budget, col("n_tokens").cast("long"))
+        .otherwise(0L)).as("over_tokens"))
+    docsAgg.join(packsOk, "lang")
+      .select(col("lang"),
+        col("n_docs_l").cast("int").as("n_docs"),
+        col("packs_within_budget"),
+        (col("n_packs") >= col("n_over") +
+          ceil((col("total_tokens") - col("over_tokens")).cast("double") / budget))
+          .as("pack_count_lower_ok"),
+        (col("n_packs").cast("double") <
+          col("total_tokens").cast("double") * 2.0 / budget + 2.0)
+          .as("pack_count_upper_ok"))
+  }
+
+  def packBoundsSql: String =
+    """SELECT lang, CAST(COUNT(*) AS INT) AS n_docs,
+      |  true AS packs_within_budget,
+      |  true AS pack_count_lower_ok,
+      |  true AS pack_count_upper_ok
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Sequential next-fit kernel (one partition): open a new bin when the
     * language changes or the document would overflow the budget; key =
     * (lang, running bin counter) — unique and deterministic given the sort.

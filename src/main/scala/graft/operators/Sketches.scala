@@ -122,6 +122,46 @@ object Sketches {
       .select("lang", "term", "exact_count")
   }
 
+  /** The Misra-Gries guarantee, stated per exact-heavy term so a plain-SQL
+    * oracle can verify the sketch itself (not just its 2-pass exact twin):
+    * every term with true frequency > N/(k+1) must be present in the
+    * summary, and its reported count may only UNDERcount, by at most
+    * N/(k+1). The oracle recomputes the heavy-term row set exactly
+    * (portable group-by) and asserts both booleans; a mismatch is a broken
+    * sketch, not approximation noise. */
+  def mgGuarantee(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val terms = langTerms(spark, dir)
+    val totals = terms.groupBy("lang").agg(count(lit(1)).as("n_terms"))
+    val heavy = terms.groupBy("lang", "term")
+      .agg(count(lit(1)).as("exact_count"))
+      .join(broadcast(totals), "lang")
+      .filter(col("exact_count") > col("n_terms") / lit(k + 1.0))
+    val sketch = mgCandidates(terms, k)
+      .select(col("lang"), explode(col("top")).as("tc"))
+      .select(col("lang"), col("tc._1").as("term"),
+        col("tc._2").as("approx_count"))
+    heavy.join(sketch, Seq("lang", "term"), "left")
+      .select(col("lang"), col("term"),
+        col("approx_count").isNotNull.as("in_sketch"),
+        (col("approx_count").isNotNull &&
+          col("approx_count") <= col("exact_count") &&
+          (col("exact_count") - col("approx_count")).cast("double") <=
+            col("n_terms") / lit(k + 1.0)).as("undercount_within_bound"))
+  }
+
+  def mgGuaranteeSql(k: Int = 30): String =
+    s"""WITH terms AS (
+       |  SELECT lang,
+       |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), ' '),
+       |           x -> x <> '')) AS term
+       |  FROM documents),
+       |tot AS (SELECT lang, COUNT(*) AS n_terms FROM terms GROUP BY 1),
+       |cnt AS (SELECT lang, term, COUNT(*) AS exact_count FROM terms GROUP BY 1, 2)
+       |SELECT cnt.lang AS lang, cnt.term AS term,
+       |       true AS in_sketch, true AS undercount_within_bound
+       |FROM cnt JOIN tot USING (lang)
+       |WHERE cnt.exact_count > tot.n_terms / ${k + 1}.0""".stripMargin
+
   def heavyTermsExactSql(k: Int = 30): String =
     s"""WITH terms AS (
        |  SELECT lang,
