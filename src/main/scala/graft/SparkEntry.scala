@@ -135,6 +135,17 @@ object SparkEntry {
     ("q_pack_bounds",
       ((s: SparkSession, d: String) => graft.operators.Packing.packBounds(s, d)): Q,
       Some(graft.operators.Packing.packBoundsSql)),
+    // exact-allocation stratified sampling: full-strength count oracle
+    ("q_stratified_sample",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.stratifiedSummary(s, d)): Q,
+      Some(graft.operators.Sampling.stratifiedSummarySql())),
+    // codegen'd Morton key, recomputed bit-by-bit by the oracle
+    ("q_zorder_values", graft.operators.Layout.zorderValues _,
+      Some(graft.operators.Layout.zorderValuesSql)),
+    // bloom-prefiltered semi join — output is the exact semi join
+    ("q_bloom_semi_join",
+      ((s: SparkSession, d: String) => graft.operators.Pruning.bloomSemiJoin(s, d)): Q,
+      Some(graft.operators.Pruning.bloomSemiJoinSql())),
     ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42), None),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Stratified sampling with EXACT per-stratum allocation — the curation
+  * step that draws a fixed-rate sample per language (or domain) for
+  * eval sets, quality audits, and mixture rebalancing.
+  *
+  * `DataFrame.sampleBy` is Bernoulli: each row flips a coin, so the
+  * per-stratum count is binomial-noisy and non-reproducible across
+  * partitionings. This operator instead ranks each stratum by a
+  * deterministic per-row hash (xxhash64(doc_id, seed) — a fixed random
+  * permutation of the stratum) and keeps exactly ⌈frac·n_s⌉ rows, so
+  *  - the sample is reproducible under repartitioning/retries (rank ties
+  *    broken by doc_id → total order), and
+  *  - downstream token-budget math can rely on exact counts.
+  *
+  * Scale shape: one hash shuffle on the stratum key; the rank is a window
+  * over each stratum. At 100 TB a mega-stratum would bottleneck its single
+  * window partition — the documented fix is the two-phase form (sample a
+  * hash THRESHOLD from the per-stratum count, filter rows below it — no
+  * global sort), which trades exactness for O(1) per-row work; the exact
+  * form here is the contract both must satisfy on bounded strata.
+  */
+object Sampling {
+
+  /** The sampled rows (deterministic; membership is hash-defined and
+    * engine-specific, so this is gate-checked via [[stratifiedSummary]]). */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      frac: Double = 0.1, seed: Int = 42): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("lang")
+      .orderBy(xxhash64(col("doc_id"), lit(seed)), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .join(broadcast(counts), "lang")
+      .filter(col("rk") <= ceil(col("n_docs") * frac))
+      .select("doc_id", "lang")
+  }
+
+  /** Per-stratum summary with the EXACT allocation the operator promises:
+    * n_sampled = ⌈frac·n_docs⌉ precisely — a full-strength oracle (the
+    * counts are portable arithmetic), not a statistical bound. */
+  def stratifiedSummary(spark: SparkSession, dir: String,
+      frac: Double = 0.1, seed: Int = 42): DataFrame = {
+    val sampled = stratifiedSample(spark, dir, frac, seed)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    Tables.documents(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
+  def stratifiedSummarySql(frac: Double = 0.1): String =
+    s"""SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(CEIL(COUNT(*) * $frac) AS BIGINT) AS n_sampled
+       |FROM documents GROUP BY lang""".stripMargin
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.BitExpressions.interleave_bits
+import graft.operators.{Layout, Pruning, Sampling}
+
+class LayoutSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("interleave_bits matches a reference bit loop (eval + codegen paths)") {
+    def ref(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 32)
+        z |= (((x.toLong >> i) & 1L) << (2 * i)) | (((y.toLong >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (3, 5), (65535, 1), (123456, 654321),
+      (Int.MaxValue, 0), (0, Int.MaxValue))
+    val df = cases.toDF("x", "y")
+    // codegen path (projection over a DataFrame)
+    val got = df.select(col("x"), col("y"), interleave_bits(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) => assert(got((x, y)) === ref(x, y), s"($x,$y)") }
+    // z is monotone per dimension when the other is fixed (the property
+    // range pruning relies on)
+    assert(ref(5, 9) < ref(6, 9) && ref(5, 9) < ref(5, 10))
+  }
+
+  test("z-ordered layout prunes box queries better than single-column sort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val base = Tables.lineitem(spark, sf).select(
+      pmod(col("l_partkey"), lit(65536)).cast("int").as("pb"),
+      pmod(col("l_suppkey"), lit(65536)).cast("int").as("sb"))
+    val n = 8
+    Layout.zorderedWrite(base, "pb", "sb", n, s"$dir/zorder")
+    base.repartitionByRange(n, col("pb")).sortWithinPartitions("pb")
+      .write.mode("overwrite").parquet(s"$dir/bypb")
+    // per-FILE min/max from the data itself (what parquet footer stats hold)
+    def fileRanges(path: String) =
+      spark.read.parquet(path).groupBy(input_file_name())
+        .agg(min("pb").as("pbLo"), max("pb").as("pbHi"),
+          min("sb").as("sbLo"), max("sb").as("sbHi"))
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val zr = fileRanges(s"$dir/zorder")
+    val pr = fileRanges(s"$dir/bypb")
+    // box selective on sb (the low quarter of its range): sb clustering
+    // only exists in the z layout, so it must skip files the pb-sorted
+    // layout cannot
+    val (mn, mx) = base.agg(min("sb"), max("sb")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).head
+    val (sbLo, sbHi) = (mn, mn + (mx - mn) / 4)
+    def overlapping(rs: Array[(Int, Int, Int, Int)]) =
+      rs.count { case (_, _, lo, hi) => hi >= sbLo && lo <= sbHi }
+    assert(overlapping(zr) < overlapping(pr),
+      s"z-order should prune sb-boxes: z=${overlapping(zr)}/${zr.length} " +
+        s"vs pb-sort=${overlapping(pr)}/${pr.length}")
+  }
+
+  test("stratified sample: exact per-stratum allocation, reproducible") {
+    val s1 = Sampling.stratifiedSample(spark, sf)
+    val expected = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.1).toLong).toMap
+    val got = s1.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // same membership under a different physical partitioning
+    val s2 = Sampling.stratifiedSample(spark, sf)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = s2.repartition(7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
+  test("bloom semi join output equals the plain semi join") {
+    val viaBloom = Pruning.bloomSemiJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hot = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)
+      .select("o_orderkey")
+    val plain = Tables.lineitem(spark, sf)
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBloom === plain && viaBloom.nonEmpty)
+  }
+}
