@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, HllAggregate, InterleaveBits, SquaredDistance}
+
+/** Session-extensions entry point: a cluster admin sets
+  * `spark.sql.extensions=graft.GraftExtensions` (or a notebook builder
+  * calls `.withExtensions(new GraftExtensions)`) and every session gets
+  * graft's native expressions as first-class SQL functions — no per-session
+  * `register(spark)` call, catalogs and views included. This is the
+  * standard deployment path for third-party Catalyst extensions; the
+  * per-session `GraftBridge.registerFunction` helpers remain for ad-hoc
+  * use on sessions built without the config.
+  *
+  * Injected: `cosine_sim(a, b)`, `squared_dist(a, b)` (codegen'd vector
+  * kernels), `interleave_bits(x, y)` (Morton key), `hll_distinct(x[, p])`
+  * (mergeable HLL aggregate).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSimilarity]),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("squared_dist"),
+      info("squared_dist", classOf[SquaredDistance]),
+      (exprs: Seq[Expression]) => SquaredDistance(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("interleave_bits"),
+      info("interleave_bits", classOf[InterleaveBits]),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("hll_distinct"),
+      info("hll_distinct", HllAggregate.getClass),
+      HllAggregate.sqlBuilder))
+  }
+}

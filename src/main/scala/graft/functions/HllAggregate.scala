@@ -104,18 +104,24 @@ object HllAggregate {
     * FROM t GROUP BY ...")` (optionally `hll_distinct(x, p)` with an
     * integer-literal precision) resolves to the same native aggregate.
     * Idempotent (createOrReplace). */
+  /** SQL builder — shared by session-local [[register]] and the
+    * [[graft.GraftExtensions]] injection path. */
+  private[graft] val sqlBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(child) => HyperLogLog(child).toAggregateExpression()
+    case Seq(child, p) =>
+      val prec = p match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"hll_distinct: precision must be an integer literal, got $other")
+      }
+      HyperLogLog(child, prec).toAggregateExpression()
+    case exprs => throw new IllegalArgumentException(
+      s"hll_distinct expects 1 or 2 arguments, got ${exprs.length}")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftBridge.registerFunction(spark, "hll_distinct", {
-      case Seq(child) => HyperLogLog(child).toAggregateExpression()
-      case Seq(child, p) =>
-        val prec = p match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-              org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"hll_distinct: precision must be an integer literal, got $other")
-        }
-        HyperLogLog(child, prec).toAggregateExpression()
-      case exprs => throw new IllegalArgumentException(
-        s"hll_distinct expects 1 or 2 arguments, got ${exprs.length}")
-    })
+    GraftBridge.registerFunction(spark, "hll_distinct", sqlBuilder)
 }

@@ -11,6 +11,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the cluster-wide deployment path for graft's SQL functions — a
+      // static conf, so it must be present when the context starts
+      // (ExtensionsSpec asserts the injected functions resolve)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
