@@ -418,9 +418,14 @@ object Dedup {
         / (col("n_a") + col("n_b") - col("ub_i")).cast("double")
         >= threshold - 1e-6)
       .select("doc_a", "doc_b")
+    // cache the verified pairs (few hundred rows): the recall-invariant
+    // query re-reads this exact plan, and CacheManager keys by analyzed
+    // plan, so one materialization serves both (same policy as
+    // minhashNearDups' pipeline caches — session-bounded)
     exactJaccardFromShingles(sh, cands)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .cache()
   }
 
   /** DuckDB oracle for [[ngramJaccardPairs]] (defaults: n=3, dfCap=20,

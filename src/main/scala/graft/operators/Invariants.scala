@@ -189,7 +189,11 @@ object Invariants {
     * A hash mismatch here means the banding or verify stage broke, not
     * sampling noise. */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Dedup.ngramJaccardPairs(spark, dir, threshold = 0.95)
+    // ≥0.95 pairs are exactly the default-threshold (0.5) output filtered —
+    // the jaccard reported there is exact over full shingle sets, so the
+    // filter is semantics-preserving and reuses the session-cached 0.5-run
+    // (signatures, df index, candidates) instead of rebuilding the pipeline
+    val exact = Dedup.ngramJaccardPairs(spark, dir).filter(col("jaccard") >= 0.95)
     val lsh = Dedup.minhashNearDups(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
     exact.join(lsh, Seq("doc_a", "doc_b"), "left")
