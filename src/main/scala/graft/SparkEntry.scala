@@ -129,6 +129,8 @@ object SparkEntry {
       Some(graft.operators.Invariants.forecastBoundsSql)),
     ("q_minhash_recall", graft.operators.Invariants.minhashRecall _,
       Some(graft.operators.Invariants.minhashRecallSql)),
+    ("q_cluster_invariants", graft.operators.Invariants.clusterInvariants _,
+      Some(graft.operators.Invariants.clusterInvariantsSql)),
     ("q_mg_guarantee",
       ((s: SparkSession, d: String) => graft.operators.Sketches.mgGuarantee(s, d)): Q,
       Some(graft.operators.Sketches.mgGuaranteeSql())),

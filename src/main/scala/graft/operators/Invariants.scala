@@ -205,4 +205,46 @@ object Invariants {
     Dedup.ngramJaccardPairsSqlAt(0.95)
       .replace("SELECT doc_a, doc_b,",
         "SELECT doc_a, doc_b, true AS found_by_lsh,")
+
+  /** Connected-components contract per document (the labels themselves
+    * depend on the LSH pair set, which is hash-defined — but the STRUCTURE
+    * is checkable): both ends of every near-dup pair share a cluster, the
+    * cluster id is the minimum member id (the min-label fixpoint), a
+    * document with no partners is its own singleton cluster, and the keep
+    * flag marks exactly the cluster representative. One row per document,
+    * so the oracle's row set is the documents table itself. */
+  def clusterInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Curation.dupClusters(spark, dir)
+    val pairs = Dedup.minhashNearDups(spark, dir).select("doc_a", "doc_b")
+    val ca = clusters.select(col("doc_id").as("doc_a"), col("cluster_id").as("cl_a"))
+    val cb = clusters.select(col("doc_id").as("doc_b"), col("cluster_id").as("cl_b"))
+    // docs touched by any pair whose two ends landed in different clusters
+    val disagree = pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("cl_a") =!= col("cl_b"))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("bad_pair", lit(true))
+    val mins = clusters.groupBy("cluster_id").agg(min("doc_id").as("min_doc"))
+    val partnered = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("has_partner", lit(true))
+    clusters
+      .join(mins, "cluster_id")
+      .join(disagree, Seq("doc_id"), "left")
+      .join(partnered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("bad_pair").isNull.as("partners_share_cluster"),
+        (col("cluster_id") === col("min_doc")).as("cluster_id_is_min"),
+        (coalesce(col("has_partner"), lit(false)) ||
+          col("cluster_id") === col("doc_id")).as("isolated_self_rooted"),
+        (col("keep") === (col("doc_id") === col("cluster_id")))
+          .as("keep_is_representative"))
+  }
+
+  val clusterInvariantsSql: String =
+    """SELECT doc_id,
+      |  true AS partners_share_cluster,
+      |  true AS cluster_id_is_min,
+      |  true AS isolated_self_rooted,
+      |  true AS keep_is_representative
+      |FROM documents""".stripMargin
 }

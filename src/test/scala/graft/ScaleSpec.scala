@@ -106,6 +106,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"plan:\n$plan")
   }
 
+  test("zorder values: single codegen stage, no exchange, no lambda") {
+    // the Morton key is pure expression work — it must stay inside one
+    // WholeStageCodegen span over the scan
+    val plan = physicalPlan(operators.Layout.zorderValues(spark, sf))
+    assert(!plan.contains("Exchange"), s"zorder projection must not shuffle:\n$plan")
+    // "*(n)" is the WholeStageCodegen span marker in executedPlan.toString
+    assert(plan.contains("*(1)"), s"projection fell out of codegen:\n$plan")
+    assert(plan.contains("interleave_bits"), s"native expression missing:\n$plan")
+  }
+
+  test("bloom semi join: bloom prefilter sits below the join") {
+    // the UDF probe must run in the scan stage (before any exchange), so
+    // pruned rows never reach the shuffle — the operator's entire point
+    val qe = operators.Pruning.bloomSemiJoin(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"exact verify join must remain:\n$plan")
+    // the probe must reach the SCAN's DataFilters (runs during the parquet
+    // read, before the join and any exchange) — the operator's entire point
+    val scan = qe.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("UDF("), s"bloom probe not in the scan's DataFilters:\n$scan")
+  }
+
+  test("stratified sample: one shuffle (the per-stratum window)") {
+    val plan = physicalPlan(operators.Sampling.stratifiedSample(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges >= 1 && plan.contains("Window"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global sort crept into the per-stratum rank:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket_db LOCATION '$dir'")
