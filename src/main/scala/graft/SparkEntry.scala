@@ -131,6 +131,8 @@ object SparkEntry {
       Some(graft.operators.Invariants.minhashRecallSql)),
     ("q_cluster_invariants", graft.operators.Invariants.clusterInvariants _,
       Some(graft.operators.Invariants.clusterInvariantsSql)),
+    ("q_curate_invariants", graft.operators.Invariants.curateInvariants _,
+      Some(graft.operators.Invariants.curateInvariantsSql)),
     ("q_mg_guarantee",
       ((s: SparkSession, d: String) => graft.operators.Sketches.mgGuarantee(s, d)): Q,
       Some(graft.operators.Sketches.mgGuaranteeSql())),

@@ -247,4 +247,31 @@ object Invariants {
       |  true AS isolated_self_rooted,
       |  true AS keep_is_representative
       |FROM documents""".stripMargin
+
+  /** Curation-decision contract per document: n_tokens and quality_score
+    * are recomputed by the oracle (portable arithmetic — the same formulas
+    * q_quality_metrics verifies), and the drop reason must be the first
+    * failing gate given the INDEPENDENTLY-joined dedup representative flag
+    * — so a drift between the curate composition and its inputs (memoized
+    * cluster table, quality scan) breaks the gate even though the
+    * representative flag itself is hash-defined. */
+  def curateInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val c = Curation.curate(spark, dir)
+    val rep = Curation.dupClusters(spark, dir)
+      .select(col("doc_id"), col("keep").as("rep_keep"))
+    c.join(rep, "doc_id")
+      .withColumn("expected_reason",
+        when(!col("rep_keep"), "near_duplicate")
+          .when(col("n_tokens") < 10, "too_short")
+          .when(col("quality_score") < 0.3, "low_quality")
+          .otherwise(lit(null)))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        (col("drop_reason") <=> col("expected_reason")).as("reason_consistent"),
+        (col("keep") === col("drop_reason").isNull).as("keep_matches_reason"))
+  }
+
+  val curateInvariantsSql: String =
+    s"""SELECT doc_id, n_tokens, quality_score,
+       |  true AS reason_consistent, true AS keep_matches_reason
+       |FROM (${graft.functions.TextFunctions.qualityQuerySql}) q""".stripMargin
 }
