@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Morton/Z-order bit interleaving as a native codegen'd expression.
   *
@@ -22,10 +22,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * would interleave two's-complement high bits and break monotonicity).
   */
 case class InterleaveBits(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "interleave_bits"
+  // declared input types matter doubly now that the SQL surface exposes
+  // this: without them a BIGINT argument passes analysis and the codegen
+  // silently truncates to 32 bits (while the interpreted path would throw
+  // ClassCastException). Implicit casts widen narrow ints; a BIGINT is an
+  // analysis error, never a silent wrap.
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType)
 
   private def spread(v0: Long): Long = {
     var v = v0 & 0xFFFFFFFFL

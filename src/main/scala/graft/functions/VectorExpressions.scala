@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns, with whole-stage codegen.
@@ -21,10 +21,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * (shorter length used defensively).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // declared input types: the SQL surface would otherwise accept int
+  // arrays and reinterpret their slots via getDouble (garbage results);
+  // with these, analysis casts array<int> up or rejects outright
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -75,9 +80,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * Lloyd k-means assignment step, where it runs corpus × centroids times per
   * iteration. Null-intolerant; shorter length used defensively. */
 case class SquaredDistance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def prettyName: String = "squared_dist"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -437,8 +437,10 @@ object Dedup {
   val ngramJaccardPairsSql: String = ngramJaccardPairsSqlAt(0.5)
 
   /** Same oracle, parameterized threshold — the recall-invariant query
-    * reuses the pipeline at a higher cut. */
-  def ngramJaccardPairsSqlAt(threshold: Double): String =
+    * reuses the pipeline at a higher cut. `extraCols` is spliced into the
+    * final projection (structured extension point: string-replacing the
+    * SELECT from outside would silently no-op if this text ever drifted). */
+  def ngramJaccardPairsSqlAt(threshold: Double, extraCols: String = ""): String =
     raw"""WITH toked AS (
       |  SELECT doc_id,
       |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
@@ -464,7 +466,7 @@ object Dedup {
       |  JOIN sh sa ON sa.doc_id = c.doc_a
       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
       |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
+      |SELECT doc_a, doc_b,$extraCols
       |  ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
       |FROM inter
       |JOIN counts ca ON ca.doc_id = doc_a

@@ -121,8 +121,9 @@ object Invariants {
        |FROM range(0, ${iters + 1}) t(i)""".stripMargin
 
   /** bool_and as a codegen-friendly min-over-indicator (works on any Spark
-    * version and keeps the aggregate in HashAggregate). */
-  private def allOf(c: org.apache.spark.sql.Column) =
+    * version and keeps the aggregate in HashAggregate). Shared by every
+    * invariant-style aggregate in this package. */
+  private[operators] def allOf(c: org.apache.spark.sql.Column) =
     min(when(c, lit(1)).otherwise(lit(0))) === 1
 
   /** Per-key contract of the grouped forecaster, stated as the bounds its
@@ -181,19 +182,20 @@ object Invariants {
       |FROM series WHERE n_days >= 60""".stripMargin
 
   /** LSH recall stated against ground truth the oracle can recompute: every
-    * pair whose EXACT shingle-set jaccard is ≥ 0.95 must be emitted by the
+    * pair whose EXACT shingle-set jaccard is ≥ 0.98 must be emitted by the
     * MinHash-LSH pipeline (banded candidates + exact verify at 0.7). At
-    * 16 hashes / 4 bands the per-pair candidate probability at j = 0.95 is
-    * 1−(1−j⁴)⁴ ≈ 0.9988, and given the fixed xxhash64 family the outcome on
-    * a fixed corpus is deterministic — asserted green at every shipped SF.
-    * A hash mismatch here means the banding or verify stage broke, not
+    * 16 hashes / 4 bands the per-pair miss probability at j = 0.98 is
+    * (1−j⁴)⁴ ≈ 3.6e-5 (at 0.95 it would be 1.2e-3 — enough to flake on a
+    * regenerated corpus), and given the fixed xxhash64 family the outcome
+    * on a fixed corpus is deterministic — asserted green at every shipped
+    * SF. A hash mismatch here means the banding or verify stage broke, not
     * sampling noise. */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    // ≥0.95 pairs are exactly the default-threshold (0.5) output filtered —
+    // ≥0.98 pairs are exactly the default-threshold (0.5) output filtered —
     // the jaccard reported there is exact over full shingle sets, so the
     // filter is semantics-preserving and reuses the session-cached 0.5-run
     // (signatures, df index, candidates) instead of rebuilding the pipeline
-    val exact = Dedup.ngramJaccardPairs(spark, dir).filter(col("jaccard") >= 0.95)
+    val exact = Dedup.ngramJaccardPairs(spark, dir).filter(col("jaccard") >= 0.98)
     val lsh = Dedup.minhashNearDups(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
     exact.join(lsh, Seq("doc_a", "doc_b"), "left")
@@ -202,9 +204,7 @@ object Invariants {
   }
 
   val minhashRecallSql: String =
-    Dedup.ngramJaccardPairsSqlAt(0.95)
-      .replace("SELECT doc_a, doc_b,",
-        "SELECT doc_a, doc_b, true AS found_by_lsh,")
+    Dedup.ngramJaccardPairsSqlAt(0.98, extraCols = " true AS found_by_lsh,")
 
   /** Connected-components contract per document (the labels themselves
     * depend on the LSH pair set, which is hash-defined — but the STRUCTURE

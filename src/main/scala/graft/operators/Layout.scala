@@ -55,6 +55,12 @@ object Layout {
     val nb = 1 << bits
     val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).first()
+    // empty input / all-null clustering column: there is nothing to
+    // cluster — write as-is instead of dying on a null min/max
+    if (r.anyNull) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def bucket(c: String, lo: Double, hi: Double) =
       least(width_bucket(col(c).cast("double"), lit(lo), lit(hi + 1.0), lit(nb)) - 1,
         lit(nb - 1)).cast("int")

@@ -84,8 +84,7 @@ object Packing {
     * doc counts portably and asserts the verdicts. */
   def packBounds(spark: SparkSession, dir: String,
       budget: Int = DefaultBudget): DataFrame = {
-    def allOf(c: org.apache.spark.sql.Column) =
-      min(when(c, lit(1)).otherwise(lit(0))) === 1
+    import Invariants.allOf
     val packed = packNextFit(spark, dir, budget)
     val perPack = packed.groupBy("lang", "pack_key")
       .agg(sum(col("n_tokens").cast("long")).as("fill"),

@@ -31,9 +31,12 @@ object Pruning {
     * exact verify), aggregated per order. */
   def bloomSemiJoin(spark: SparkSession, dir: String,
       minTotal: Double = 150000.0, fpp: Double = 0.01): DataFrame = {
+    // cached: the key set feeds three consumers (sizing count, bloom
+    // aggregation, semi-join build) — without it orders is scanned thrice
     val hot = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > minTotal)
       .select("o_orderkey")
+      .cache()
     // O(1) driver scalar to size the filter — at scale this comes from
     // table statistics; an overestimate only widens the bitset
     val nKeys = math.max(hot.count(), 1L)

@@ -32,11 +32,13 @@ object Sampling {
   def stratifiedSample(spark: SparkSession, dir: String,
       frac: Double = 0.1, seed: Int = 42): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("lang")
       .orderBy(xxhash64(col("doc_id"), lit(seed)), col("doc_id"))
+    // the per-stratum count rides the SAME exchange the rank needs (an
+    // unordered window over the stratum) — one scan, one shuffle, no
+    // side aggregation + join
     docs.withColumn("rk", row_number().over(w))
-      .join(broadcast(counts), "lang")
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("lang")))
       .filter(col("rk") <= ceil(col("n_docs") * frac))
       .select("doc_id", "lang")
   }
@@ -56,8 +58,12 @@ object Sampling {
   }
 
   def stratifiedSummarySql(frac: Double = 0.1): String =
+    // CAST the fraction to DOUBLE: a bare decimal literal types as DECIMAL
+    // in DuckDB, whose exact ceil could disagree with Spark's IEEE-double
+    // product on a boundary-crossing count — both sides must compute in
+    // the same number system
     s"""SELECT lang,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(CEIL(COUNT(*) * $frac) AS BIGINT) AS n_sampled
+       |  CAST(CEIL(COUNT(*) * CAST($frac AS DOUBLE)) AS BIGINT) AS n_sampled
        |FROM documents GROUP BY lang""".stripMargin
 }

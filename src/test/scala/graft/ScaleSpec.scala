@@ -128,10 +128,11 @@ class ScaleSpec extends AnyFunSuite {
     assert(scan.contains("UDF("), s"bloom probe not in the scan's DataFilters:\n$scan")
   }
 
-  test("stratified sample: one shuffle (the per-stratum window)") {
+  test("stratified sample: exactly one shuffle (rank + count share the stratum exchange)") {
     val plan = physicalPlan(operators.Sampling.stratifiedSample(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges >= 1 && plan.contains("Window"), s"plan:\n$plan")
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("Window"), s"plan:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),
       s"global sort crept into the per-stratum rank:\n$plan")
   }
