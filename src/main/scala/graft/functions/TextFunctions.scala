@@ -398,22 +398,34 @@ object TextFunctions {
     * corpus pipelines use to drop boilerplate/templated text. All column
     * expressions, no shuffle. */
   def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = ngrams(toks, 2)
-    val lines = filter(split(col("text"), "\n"), l => length(l) > 0)
     // spread: the bigram lambda is per-row heavy and this query has no
-    // shuffle of its own to widen the single-row-group scan
+    // shuffle of its own to widen the single-row-group scan. The arrays are
+    // staged through their own projections: lambda-bearing expressions are
+    // excluded from whole-stage codegen AND from subexpression elimination,
+    // so inlining `bigrams` into its five consumers re-tokenizes every row
+    // five times; a multiply-referenced non-cheap alias survives
+    // CollapseProject and is computed once (same rule Dedup.bandSignatureRows
+    // relies on).
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(bigrams).as("n_bigrams"),
-        size(array_distinct(bigrams)).as("n_distinct_bigrams"),
+        tokens(col("text")).as("toks"),
+        filter(split(col("text"), "\n"), l => length(l) > 0).as("lines"))
+      .select(col("doc_id"), col("toks"), col("lines"),
+        ngrams(col("toks"), 2).as("bigrams"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("bigrams")).as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).as("n_distinct_bigrams"),
+        size(col("lines")).as("n_lines"),
+        (size(col("lines")) - size(array_distinct(col("lines"))))
+          .as("n_dup_lines"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("n_distinct_bigrams"),
         round(coalesce(
-          (size(bigrams) - size(array_distinct(bigrams))).cast("double")
-            / nullif(size(bigrams).cast("double"), lit(0.0)), lit(0.0)), 6)
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+            / nullif(col("n_bigrams").cast("double"), lit(0.0)), lit(0.0)), 6)
           .as("dup_bigram_frac"),
-        size(lines).as("n_lines"),
-        (size(lines) - size(array_distinct(lines))).as("n_dup_lines"))
+        col("n_lines"), col("n_dup_lines"))
   }
 
   val repetitionQuerySql: String =

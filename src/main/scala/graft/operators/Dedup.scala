@@ -168,9 +168,16 @@ object Dedup {
     val cands = minhashCandidates(sigs).cache()
     val est = estimateJaccard(sigs, cands)
     val exact = exactJaccardFromShingles(sh, cands)
+    // cache the verified pair set too (few hundred rows): it feeds six
+    // consumers (the two dedup queries, clustering, curation, split
+    // contamination, the recall and cluster invariants), each of which
+    // would otherwise redo the est+verify joins — the in-session analogue
+    // of the stored near-dup pair table an ingest pipeline keeps at scale
+    // (same policy as ngramJaccardPairs' cached output below)
     est.join(exact, Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= 0.7)
       .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .cache()
   }
 
   /** Row-local MinHash band signatures — NO shuffle: each min-hash slot is
