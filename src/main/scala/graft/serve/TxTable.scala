@@ -1,8 +1,11 @@
 package graft.serve
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** A minimal transactional table format on plain parquet — the contract a
   * Delta/Iceberg table provides for the serving layer (the reference names
@@ -54,30 +57,73 @@ object TxTable {
     }
   }
 
-  private def readManifest(fs: FileSystem, path: String, v: Long): (String, Seq[String]) = {
+  /** One manifest line: a table-relative file name, optionally with
+    * per-file stats (see [[TxStats]]). Manifest lines are
+    * `rel<TAB>statsJson`; stats-less lines (pre-stats manifests) stay
+    * readable — their files are simply never pruned. */
+  case class ManifestEntry(rel: String, stats: Option[TxStats.FileStats]) {
+    def line: String = stats match {
+      case Some(s) => rel + "\t" + TxStats.toJson(s)
+      case None => rel
+    }
+  }
+
+  private object ManifestEntry {
+    def parse(line: String): ManifestEntry = line.indexOf('\t') match {
+      case -1 => ManifestEntry(line, None)
+      case i => ManifestEntry(line.substring(0, i),
+        TxStats.fromJson(line.substring(i + 1)))
+    }
+  }
+
+  private def readManifest(fs: FileSystem, path: String, v: Long): (String, Seq[ManifestEntry]) = {
     val in = fs.open(commitFile(path, v))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    (lines.head, lines.tail)
+    (lines.head, lines.tail.map(ManifestEntry.parse))
   }
 
-  /** Snapshot read at the latest (default) or an explicit version —
-    * time travel is just "resolve an older manifest". */
-  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+  /** The snapshot's manifest entries (files + stats) — the metadata surface
+    * tests and planners consult without reading any data. */
+  def manifest(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[ManifestEntry] = {
     val v = version.orElse(latestVersion(spark, path)).getOrElse(
       throw new java.io.FileNotFoundException(s"TxTable at $path has no commits"))
     val fs = hfs(spark, path)
     if (!fs.exists(commitFile(path, v)))
       throw new java.io.FileNotFoundException(s"TxTable $path has no version $v")
-    val (_, files) = readManifest(fs, path, v)
-    if (files.isEmpty) spark.read.parquet(path + "/data") // never: guard only
-    else spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    readManifest(fs, path, v)._2
   }
 
-  /** Stage `df` as immutable files under data/ and return their
-    * table-relative names (no commit yet). */
-  private def stageData(spark: SparkSession, df: DataFrame, path: String): Seq[String] = {
+  /** The stats-aware file index over a snapshot — also the hook tests use
+    * to assert pruning decisions directly. */
+  def fileIndex(spark: SparkSession, path: String,
+      version: Option[Long] = None): StatsFileIndex =
+    new StatsFileIndex(spark, path,
+      manifest(spark, path, version).map(e => (e.rel, e.stats)))
+
+  /** Snapshot read at the latest (default) or an explicit version — time
+    * travel is just "resolve an older manifest". The scan goes through
+    * [[StatsFileIndex]], so any filter Catalyst pushes down prunes whole
+    * files from the manifest stats before parquet footers are touched. */
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val entries = manifest(spark, path, version)
+    if (entries.isEmpty)
+      return spark.read.parquet(path + "/data") // never: guard only
+    val index = new StatsFileIndex(spark, path, entries.map(e => (e.rel, e.stats)))
+    // schema from one footer (files of a snapshot share it by construction)
+    val dataSchema = spark.read.parquet(s"$path/${entries.head.rel}").schema
+    GraftBridge.relationToDataFrame(spark, HadoopFsRelation(
+      index, StructType(Nil), dataSchema, None, new ParquetFileFormat,
+      Map.empty[String, String])(spark))
+  }
+
+  /** Stage `df` as immutable files under data/ and return their manifest
+    * entries, stats included (no commit yet). Stats cost one column-pruned
+    * scan of the just-written files — data still in the page cache; a
+    * cluster committer would fold this into the write itself. */
+  private def stageData(spark: SparkSession, df: DataFrame, path: String): Seq[ManifestEntry] = {
     val fs = hfs(spark, path)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(path, s"_staging_$uuid")
@@ -92,17 +138,27 @@ object TxTable {
       rel
     }
     fs.delete(staging, true)
-    named
+    val collected =
+      if (named.isEmpty) Map.empty[String, TxStats.FileStats]
+      else TxStats.collect(spark, named.map(r => s"$path/$r"))
+    named.map { rel =>
+      val name = new Path(rel).getName
+      val st = collected.get(name).map { s =>
+        val status = fs.getFileStatus(new Path(path, rel))
+        s.copy(bytes = status.getLen, mtime = status.getModificationTime)
+      }
+      ManifestEntry(rel, st)
+    }
   }
 
   /** Atomically publish `files` as version `v`. False ⇒ someone else won
     * the version race (caller must re-read and retry). */
   private def tryCommit(fs: FileSystem, path: String, v: Long, op: String,
-      files: Seq[String]): Boolean = {
+      files: Seq[ManifestEntry]): Boolean = {
     fs.mkdirs(logDir(path))
     val tmp = new Path(logDir(path), s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
-    try out.write((op +: files).mkString("\n").getBytes("UTF-8"))
+    try out.write((op +: files.map(_.line)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val won = publish(fs, tmp, commitFile(path, v))
     if (!won) fs.delete(tmp, false)
@@ -168,6 +224,13 @@ object TxTable {
     val fs = hfs(spark, path)
     val deduped = Sink.collapseByKey(updates, keys, versionCol)
     val updKeys = deduped.select(keys.map(col): _*).distinct()
+    // bounds of the update batch's first key, for the stats pre-filter
+    // below (one tiny agg; multi-key merges still prune soundly on the
+    // leading key alone)
+    val keyBoundsRow = updKeys.agg(
+      min(col(keys.head)).as("lo"), max(col(keys.head)).as("hi")).first()
+    val (updLo, updHi) =
+      (TxStats.toComparable(keyBoundsRow.get(0)), TxStats.toComparable(keyBoundsRow.get(1)))
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path)
@@ -175,22 +238,34 @@ object TxTable {
       val (carried, rewritten) = base match {
         case Some(bv) =>
           val baseFiles = readManifest(fs, path, bv)._2
-          val abs = baseFiles.map(f => s"$path/$f")
-          // which files hold a matched key? one scan, keys broadcast
-          val touchedNames = spark.read.parquet(abs: _*)
-            .withColumn("__file", input_file_name())
-            .join(broadcast(updKeys), keys, "left_semi")
-            .select("__file").distinct().collect()
-            .map(r => new Path(r.getString(0)).getName).toSet
-          val (touched, untouched) =
-            baseFiles.partition(f => touchedNames.contains(new Path(f).getName))
+          // stats pre-filter: a file whose key range cannot intersect the
+          // update batch cannot hold a matched key — skip it in the scan
+          // AND carry it verbatim. At 100 TB this is what bounds merge cost
+          // by the touched region, not the table: the matched-file scan
+          // reads only range-overlapping candidates.
+          val (candidates, skipped) = baseFiles.partition { e =>
+            e.stats.flatMap(_.cols.get(keys.head)) match {
+              case Some(cs) => TxStats.rangesOverlap(cs, updLo, updHi)
+              case None => true // no stats: must scan
+            }
+          }
+          // which candidate files hold a matched key? one scan, keys broadcast
+          val touchedNames =
+            if (candidates.isEmpty) Set.empty[String]
+            else spark.read.parquet(candidates.map(e => s"$path/${e.rel}"): _*)
+              .withColumn("__file", input_file_name())
+              .join(broadcast(updKeys), keys, "left_semi")
+              .select("__file").distinct().collect()
+              .map(r => new Path(r.getString(0)).getName).toSet
+          val (touched, untouchedCand) = candidates.partition(
+            e => touchedNames.contains(new Path(e.rel).getName))
           val rewrite =
             if (touched.isEmpty) deduped
-            else spark.read.parquet(touched.map(f => s"$path/$f"): _*)
+            else spark.read.parquet(touched.map(e => s"$path/${e.rel}"): _*)
               .join(updKeys, keys, "left_anti")
               .unionByName(deduped)
-          (untouched, rewrite)
-        case None => (Seq.empty[String], deduped)
+          (skipped ++ untouchedCand, rewrite)
+        case None => (Seq.empty[ManifestEntry], deduped)
       }
       val files = carried ++ stageData(spark, rewritten, path)
       if (tryCommit(fs, path, v, "merge", files)) return v
@@ -252,7 +327,8 @@ object TxTable {
     val keep = versions.take(keepVersions)
     versions.drop(keepVersions).foreach(v => fs.delete(commitFile(path, v), false))
     val referenced = keep
-      .flatMap(v => readManifest(fs, path, v)._2).map(new Path(path, _).getName).toSet
+      .flatMap(v => readManifest(fs, path, v)._2)
+      .map(e => new Path(path, e.rel).getName).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val dataDir = new Path(path, "data")
     if (fs.exists(dataDir))

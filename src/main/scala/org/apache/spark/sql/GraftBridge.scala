@@ -17,4 +17,11 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** DataFrame over a hand-built BaseRelation (e.g. a HadoopFsRelation with
+    * a custom FileIndex). `baseRelationToDataFrame` lives on the classic
+    * session only in Spark 4. */
+  def relationToDataFrame(spark: SparkSession,
+      rel: sources.BaseRelation): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
 }

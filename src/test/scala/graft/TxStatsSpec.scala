@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, IsNotNull, IsNull, Literal}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.{TxStats, TxTable}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** TxTable manifest statistics and data skipping: per-file (lo, hi, nulls)
+  * recorded at commit time, consulted by the snapshot reader's FileIndex so
+  * pushed-down filters prune whole files, and by MERGE to bound its
+  * matched-file scan. */
+class TxStatsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft_txstats_$tag").toString + "/t"
+
+  /** 10k rows range-partitioned into 4 files with disjoint id ranges. */
+  private def writeRangeTable(path: String): Unit = {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("txt", concat(lit("doc-"), format_string("%05d", col("id"))))
+      .withColumn("price", col("id") * 0.5)
+      .withColumn("maybe",
+        when(col("id") < 2500, lit(null).cast("double")).otherwise(col("price")))
+      .repartitionByRange(4, col("id"))
+    TxTable.write(spark, df, path)
+  }
+
+  private def resolvedAttr(path: String, name: String) =
+    TxTable.read(spark, path).queryExecution.analyzed.output
+      .find(_.name == name).get
+
+  private def surviving(path: String, f: Expression): Int =
+    TxTable.fileIndex(spark, path).survivingFiles(Seq(f)).size
+
+  test("commit records per-file stats with disjoint, ordered ranges") {
+    val path = freshDir("stats"); writeRangeTable(path)
+    val entries = TxTable.manifest(spark, path)
+    assert(entries.size == 4)
+    assert(entries.forall(_.stats.isDefined))
+    val idStats = entries.map(_.stats.get.cols("id"))
+    assert(idStats.forall(s => s.lo.isDefined && s.hi.isDefined))
+    val ranges = idStats
+      .map(s => (s.lo.get.asInstanceOf[BigDecimal], s.hi.get.asInstanceOf[BigDecimal]))
+      .sortBy(_._1)
+    assert(ranges.head._1 == BigDecimal(0) && ranges.last._2 == BigDecimal(9999))
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
+    // file sizes and row counts recorded (FileStatus without fs calls)
+    assert(entries.forall(e => e.stats.get.bytes > 0 && e.stats.get.rows > 0))
+    assert(entries.map(_.stats.get.rows).sum == 10000L)
+  }
+
+  test("point filter prunes to one file, transparently through the scan") {
+    val path = freshDir("skip"); writeRangeTable(path)
+    val id = resolvedAttr(path, "id")
+    assert(surviving(path, EqualTo(id, Literal(7777L))) == 1)
+    assert(surviving(path, EqualTo(id, Literal(-5L))) == 0)
+
+    // end-to-end: the physical scan's numFiles metric shows the pruning
+    val q = TxTable.read(spark, path).filter(col("id") === 7777L)
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(7777L))
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.metrics("numFiles").value == 1,
+      s"expected 1 file read, got ${scan.metrics("numFiles").value}")
+  }
+
+  test("string and range filters prune; unprunable filters read everything") {
+    val path = freshDir("str"); writeRangeTable(path)
+    val txt = resolvedAttr(path, "txt")
+    val id = resolvedAttr(path, "id")
+    // txt sorts with id (zero-padded), so a point lookup hits one file
+    assert(surviving(path, EqualTo(txt, Literal.create("doc-00003"))) == 1)
+    // range filter: id >= 9000 lives in the last file only
+    val ge = org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+      id, Literal(9000L))
+    assert(surviving(path, ge) == 1)
+    // a filter on an un-collected shape keeps all files (conservative)
+    val udfFilter = GraftBridge.expression(abs(col("id")) === 3L)
+    assert(surviving(path, udfFilter) == 4)
+    // rows still correct under pruning
+    assert(TxTable.read(spark, path).filter(col("id") >= 9000L).count() == 1000L)
+  }
+
+  test("null-count stats drive IS NULL / IS NOT NULL pruning") {
+    val path = freshDir("nulls"); writeRangeTable(path)
+    val maybe = resolvedAttr(path, "maybe")
+    // nulls exist exactly where id < 2500; range boundaries are sampled, so
+    // derive expectations from the (independently verified) id stats
+    val idRanges = TxTable.manifest(spark, path).map(_.stats.get.cols("id"))
+      .map(s => (s.lo.get.asInstanceOf[BigDecimal], s.hi.get.asInstanceOf[BigDecimal]))
+    val filesWithNulls = idRanges.count(_._1 < 2500)
+    val filesAllNull = idRanges.count(_._2 < 2500)
+    assert(filesWithNulls >= 1 && filesAllNull >= 1) // construction sanity
+    assert(surviving(path, IsNull(maybe)) == filesWithNulls)
+    // an all-null file is pruned by IsNotNull…
+    assert(surviving(path, IsNotNull(maybe)) == 4 - filesAllNull)
+    // …and equality can never match it either
+    assert(surviving(path, EqualTo(maybe, Literal(100.0))) <= 4 - filesAllNull)
+    assert(TxTable.read(spark, path).filter(col("maybe").isNull).count() == 2500L)
+  }
+
+  test("stats-less manifests (pre-stats format) read fine, never prune") {
+    val path = freshDir("compat"); writeRangeTable(path)
+    // simulate an old manifest: strip the stats column off every line
+    val mf = Paths.get(path, "_txlog", "00000000.txt")
+    val stripped = Files.readAllLines(mf).asScala.map(_.split('\t')(0)).asJava
+    Files.write(mf, stripped)
+    val id = resolvedAttr(path, "id")
+    assert(surviving(path, EqualTo(id, Literal(7777L))) == 4) // no pruning
+    assert(TxTable.read(spark, path).filter(col("id") === 7777L).count() == 1L)
+    assert(TxTable.read(spark, path).count() == 10000L)
+  }
+
+  test("merge consults key bounds: disjoint updates keep carried files, result exact") {
+    val path = freshDir("merge"); writeRangeTable(path)
+    val before = TxTable.manifest(spark, path).map(_.rel).toSet
+    // updates confined to the top range file
+    val upd = spark.range(9000, 9100).toDF("id")
+      .withColumn("txt", lit("updated"))
+      .withColumn("price", lit(-1.0))
+      .withColumn("maybe", lit(0.0))
+    TxTable.merge(spark, upd, path, Seq("id"))
+    val after = TxTable.manifest(spark, path).map(_.rel).toSet
+    // exactly the 3 untouched range files carried over
+    assert((before & after).size == 3)
+    val t = TxTable.read(spark, path)
+    assert(t.count() == 10000L)
+    assert(t.filter(col("price") === -1.0).count() == 100L)
+    assert(t.filter(col("id") === 500L && col("txt") =!= "updated").count() == 1L)
+    // carried files kept their stats → pruning still works post-merge
+    val id = resolvedAttr(path, "id")
+    assert(surviving(path, EqualTo(id, Literal(100L))) == 1)
+  }
+
+  test("rangesOverlap is conservative at the edges") {
+    import TxStats.{rangesOverlap, ColStats}
+    val cs = ColStats(Some(BigDecimal(10)), Some(BigDecimal(20)), 0L)
+    def b(i: Int) = Some(BigDecimal(i): Any)
+    assert(rangesOverlap(cs, b(20), b(30))) // touch at hi
+    assert(rangesOverlap(cs, b(0), b(10))) // touch at lo
+    assert(!rangesOverlap(cs, b(21), b(30)))
+    assert(!rangesOverlap(cs, b(0), b(9)))
+    assert(rangesOverlap(cs, None, None)) // unknown query bounds: must scan
+    // all-null key column can never hold a matched key
+    assert(!rangesOverlap(ColStats(None, None, 5L), b(0), b(100)))
+  }
+}
