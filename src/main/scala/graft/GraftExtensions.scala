@@ -16,7 +16,9 @@ import graft.functions.{CosineSimilarity, HllAggregate, InterleaveBits, SquaredD
   *
   * Injected: `cosine_sim(a, b)`, `squared_dist(a, b)` (codegen'd vector
   * kernels), `interleave_bits(x, y)` (Morton key), `hll_distinct(x[, p])`
-  * (mergeable HLL aggregate).
+  * (mergeable HLL aggregate); plus the [[graft.plans.BinnedRangeJoinRule]]
+  * optimizer rule, which rewrites pure interval-containment joins (no
+  * equi-key ⇒ Spark would nested-loop) into binned equi-joins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -36,5 +38,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hll_distinct"),
       info("hll_distinct", HllAggregate.getClass),
       HllAggregate.sqlBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }

@@ -84,6 +84,10 @@ object SparkEntry {
     ("q_pivot_daily", MoreQueries.pivotDaily _, Some(MoreQueries.pivotDailySql)),
     ("q_range_join", graft.operators.RangeJoin.eventsInSessions _,
       Some(graft.operators.RangeJoin.eventsInSessionsSql)),
+    // same operator written DECLARATIVELY — the BinnedRangeJoinRule
+    // optimizer rule turns the would-be nested-loop into a binned hash join
+    ("q_range_join_auto", graft.operators.RangeJoin.eventsInDayWindows _,
+      Some(graft.operators.RangeJoin.eventsInDayWindowsSql)),
     ("q_bpe_token_count", TextFunctions.bpeCountQuery _, Some(TextFunctions.bpeCountQuerySql)),
     // custom whole-operator semantics: as-of join + sessionization
     ("q_asof_join", AsOfJoin.asofQuery _, Some(AsOfJoin.asofQuerySql)),

@@ -51,6 +51,36 @@ object RangeJoin {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
   }
 
+  /** The DECLARATIVE form of the same operator: the user writes the plain
+    * inequality join (`ts >= lo AND ts < hi`, no equi-key — Spark would
+    * plan a BroadcastNestedLoopJoin) and
+    * [[graft.plans.BinnedRangeJoinRule]] rewrites it to the binned
+    * equi-join automatically. Events counted into overlapping 48-hour
+    * windows sliding daily — each event lands in ~2 windows, so the result
+    * also exercises the one-to-many fan-out. */
+  def eventsInDayWindows(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.BinnedRangeJoinRule.install(spark)
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"), col("value"))
+    val win = spark.range(0, 30).select(
+      col("id").cast("int").as("window_id"),
+      expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP'2024-01-01 00:00:00')").as("lo"),
+      expr("timestampadd(DAY, CAST(id AS INT) + 2, TIMESTAMP'2024-01-01 00:00:00')").as("hi"))
+    ev.join(win, ev("ts") >= win("lo") && ev("ts") < win("hi"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+  }
+
+  val eventsInDayWindowsSql: String =
+    """WITH win AS (
+      |  SELECT CAST(d AS INT) AS window_id,
+      |         TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(d AS INT)) AS lo,
+      |         TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(d AS INT) + 2) AS hi
+      |  FROM (SELECT UNNEST(generate_series(0, 29)) AS d))
+      |SELECT w.window_id AS window_id, COUNT(*) AS n_events,
+      |       ROUND(AVG(e.value), 6) AS avg_value
+      |FROM events e JOIN win w ON e.ts >= w.lo AND e.ts < w.hi
+      |GROUP BY 1""".stripMargin
+
   /** Oracle: DuckDB native inequality join over the same session
     * definition. Events sit exactly inside their own session bounds, so
     * every event matches ≥ 1 session (its own). Second-truncation of

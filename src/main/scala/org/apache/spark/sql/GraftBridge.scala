@@ -24,4 +24,11 @@ object GraftBridge {
   def relationToDataFrame(spark: SparkSession,
       rel: sources.BaseRelation): DataFrame =
     spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
+
+  /** DataFrame over a hand-built LogicalPlan (e.g. graft's custom
+    * AsOfJoinPlan node, planned by an injected strategy).
+    * `Dataset.ofRows` is `private[sql]` in Spark 4. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
