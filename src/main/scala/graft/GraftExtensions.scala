@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hll_distinct", HllAggregate.getClass),
       HllAggregate.sqlBuilder))
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

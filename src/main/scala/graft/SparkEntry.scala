@@ -91,6 +91,9 @@ object SparkEntry {
     ("q_bpe_token_count", TextFunctions.bpeCountQuery _, Some(TextFunctions.bpeCountQuerySql)),
     // custom whole-operator semantics: as-of join + sessionization
     ("q_asof_join", AsOfJoin.asofQuery _, Some(AsOfJoin.asofQuerySql)),
+    // identical semantics through the custom physical operator
+    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec) — same ASOF oracle
+    ("q_asof_native", AsOfJoin.asofQueryNative _, Some(AsOfJoin.asofQuerySql)),
     ("q_sessionize", Sessionize.sessions _, Some(Sessionize.sessionsSql)),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),

@@ -71,20 +71,39 @@ object AsOfJoin {
     * (key=o_custkey, t=o_orderdate), state = orders-joined-lineitem ship
     * events; payload = shipped quantity. Oracle = DuckDB's native ASOF JOIN. */
   def asofQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (probes, states) = probesAndStates(spark, dir)
+    backward(probes, states, "o_custkey", "o_orderdate", Seq("ship_qty"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("asof_ship_qty"))
+  }
+
+  /** Same query through the custom physical operator
+    * ([[graft.plans.AsOfJoinNative]]: LogicalPlan + Strategy + SparkPlan) —
+    * registered against the IDENTICAL DuckDB ASOF oracle, so the native
+    * exec is hash-verified end to end. */
+  def asofQueryNative(spark: SparkSession, dir: String): DataFrame = {
+    val (probes, states) = probesAndStates(spark, dir)
+    graft.plans.AsOfJoinNative
+      .backward(probes, states, "o_custkey", "o_orderdate", Seq("ship_qty"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("asof_ship_qty"))
+  }
+
+  /** probes = orders (key=o_custkey, t=o_orderdate); states = one row per
+    * (custkey, shipdate): max quantity that day — makes the as-of target
+    * unique so the oracle is deterministic. */
+  def probesAndStates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val probes = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val states = Tables.orders(spark, dir).alias("o2")
       .join(Tables.lineitem(spark, dir),
         col("o2.o_orderkey") === col("l_orderkey"))
-      // one state row per (custkey, shipdate): max quantity that day —
-      // makes the as-of target unique so the oracle is deterministic
       .groupBy(col("o2.o_custkey").as("o_custkey"), col("l_shipdate"))
       .agg(max("l_quantity").as("ship_qty"))
       .select(col("o_custkey"), col("l_shipdate").as("o_orderdate"), col("ship_qty"))
-    backward(probes, states, "o_custkey", "o_orderdate", Seq("ship_qty"))
-      .select(col("o_orderkey"), col("o_custkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-        col("asof_ship_qty"))
+    (probes, states)
   }
 
   val asofQuerySql: String =
