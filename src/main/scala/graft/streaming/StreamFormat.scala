@@ -114,6 +114,32 @@ object StreamFormat {
       .queryName(queryName)
       .start()
 
+  /** Watermarked STREAM-STREAM interval join — the live form of the batch
+    * range/as-of family: each trade joined to the same symbol's quotes in
+    * the 10 minutes up to the trade. Both sides carry watermarks and the
+    * join condition bounds each side's event time by the other's, so Spark
+    * can expire buffered state: a quote older than (other side's watermark
+    * − 10 min) can never match a future trade and is dropped. Without the
+    * two-sided time bound the state store grows without limit — THE
+    * correctness-at-scale rule for stream-stream joins. Inner join: a
+    * trade emits once a matching quote arrives (left-outer would emit
+    * null-padded rows only after the watermark closes the window).
+    *
+    * @param trades columns (t_symbol, t_ts, ...)
+    * @param quotes columns (q_symbol, q_ts, ...) */
+  def tradeQuoteJoinToMemory(spark: SparkSession, trades: org.apache.spark.sql.DataFrame,
+      quotes: org.apache.spark.sql.DataFrame, queryName: String): StreamingQuery =
+    trades.withWatermark("t_ts", "30 minutes")
+      .join(quotes.withWatermark("q_ts", "30 minutes"),
+        expr("""t_symbol = q_symbol
+               |AND q_ts >= t_ts - INTERVAL 10 MINUTES
+               |AND q_ts <= t_ts""".stripMargin))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
   /** Watermarked distinct-cardinality rollup using graft's own mergeable
     * HLL sketch (`HyperLogLog` TypedImperativeAggregate): the 4 KB register
     * buffer IS the streaming state per (window, group) — constant in key

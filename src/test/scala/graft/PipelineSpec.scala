@@ -316,6 +316,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.columns.contains("day_high"))
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ss_join").toString
+    val trades = Seq(
+      ("AAPL", "2024-01-01 10:00:00", 190.0),
+      ("AAPL", "2024-01-01 10:20:00", 191.0),
+      ("MSFT", "2024-01-01 10:05:00", 370.0))
+      .toDF("t_symbol", "t_ts_s", "px")
+      .select($"t_symbol", $"t_ts_s".cast("timestamp").as("t_ts"), $"px")
+    val quotes = Seq(
+      ("AAPL", "2024-01-01 09:55:00", 189.9), // within 10 min of trade 1
+      ("AAPL", "2024-01-01 10:00:00", 190.1), // same-instant tie: visible
+      ("AAPL", "2024-01-01 10:05:00", 190.2), // matches NO trade (10:20 is >10min later)
+      ("MSFT", "2024-01-01 10:04:00", 369.8), // within window of MSFT trade
+      ("AAPL", "2024-01-01 10:19:00", 190.9)) // within 10 min of trade 2
+      .toDF("q_symbol", "q_ts_s", "bid")
+      .select($"q_symbol", $"q_ts_s".cast("timestamp").as("q_ts"), $"bid")
+    trades.write.mode("overwrite").parquet(s"$dir/t")
+    quotes.write.mode("overwrite").parquet(s"$dir/q")
+    val tIn = spark.readStream.schema("t_symbol STRING, t_ts TIMESTAMP, px DOUBLE")
+      .parquet(s"$dir/t")
+    val qIn = spark.readStream.schema("q_symbol STRING, q_ts TIMESTAMP, bid DOUBLE")
+      .parquet(s"$dir/q")
+    val q = StreamFormat.tradeQuoteJoinToMemory(spark, tIn, qIn, "ss_join_test")
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq("t_symbol", "t_ts", "px", "q_ts", "bid").map(col)
+    val got = spark.sql("select * from ss_join_test").select(cols: _*)
+      .collect().map(_.toString).sorted
+    val want = trades.join(quotes, expr(
+        "t_symbol = q_symbol AND q_ts >= t_ts - INTERVAL 10 MINUTES AND q_ts <= t_ts"))
+      .select(cols: _*).collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(want),
+      s"stream ≠ batch:\n${got.mkString("\n")}\nvs\n${want.mkString("\n")}")
+    // the 10:05 AAPL quote must not leak into any trade's window
+    assert(!got.exists(_.contains("190.2")))
+  }
+
   test("streaming HLL distinct rollup matches exact counts on a small stream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("hll_stream").toString
