@@ -94,6 +94,8 @@ object SparkEntry {
     // identical semantics through the custom physical operator
     // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec) — same ASOF oracle
     ("q_asof_native", AsOfJoin.asofQueryNative _, Some(AsOfJoin.asofQuerySql)),
+    // forward direction — DuckDB ASOF on negated time is the oracle
+    ("q_asof_forward", AsOfJoin.asofQueryForward _, Some(AsOfJoin.asofQueryForwardSql)),
     ("q_sessionize", Sessionize.sessions _, Some(Sessionize.sessionsSql)),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),

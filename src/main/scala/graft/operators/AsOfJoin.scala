@@ -91,6 +91,34 @@ object AsOfJoin {
         col("asof_ship_qty"))
   }
 
+  /** Forward direction through the native exec: each order joined to the
+    * customer's NEXT ship event (earliest state ≥ the order date). DuckDB
+    * has no forward ASOF, but forward ≡ backward on negated time — the
+    * oracle runs ASOF on `-epoch(t)`. */
+  def asofQueryForward(spark: SparkSession, dir: String): DataFrame = {
+    val (probes, states) = probesAndStates(spark, dir)
+    graft.plans.AsOfJoinNative
+      .forward(probes, states, "o_custkey", "o_orderdate", Seq("ship_qty"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("asof_ship_qty").as("next_ship_qty"))
+  }
+
+  val asofQueryForwardSql: String =
+    """WITH states AS (
+      |  SELECT o2.o_custkey AS s_custkey,
+      |         -epoch(CAST(l.l_shipdate AS TIMESTAMP)) AS s_nt,
+      |         MAX(l.l_quantity) AS ship_qty
+      |  FROM orders o2 JOIN lineitem l ON o2.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT p.o_orderkey AS o_orderkey, p.o_custkey AS o_custkey,
+      |       strftime(p.o_orderdate, '%Y-%m-%d') AS order_date,
+      |       s.ship_qty AS next_ship_qty
+      |FROM (SELECT *, -epoch(CAST(o_orderdate AS TIMESTAMP)) AS p_nt
+      |      FROM orders) p
+      |ASOF LEFT JOIN states s
+      |  ON p.o_custkey = s.s_custkey AND p.p_nt >= s.s_nt""".stripMargin
+
   /** probes = orders (key=o_custkey, t=o_orderdate); states = one row per
     * (custkey, shipdate): max quantity that day — makes the as-of target
     * unique so the oracle is deterministic. */

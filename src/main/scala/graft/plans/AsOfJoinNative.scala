@@ -42,7 +42,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
@@ -62,8 +63,8 @@ case class AsOfJoinPlan(
   * `GraftExtensions` (cluster conf) or [[AsOfJoinNative.install]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsOfJoinExec(lk, rk, lt, rt, payload, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, payload, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -72,7 +73,12 @@ case class AsOfJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     payload: Seq[Attribute],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  // forward = earliest state with time ≥ probe time: the identical merge
+  // sweep run in reverse time order (key order stays ascending)
+  private def timeDir: SortDirection = if (forward) Descending else Ascending
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
@@ -84,14 +90,14 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, timeDir)))
 
   // probe rows stream through unchanged → left's partitioning and ordering
   // survive (a downstream op keyed the same way plans no new exchange)
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val keyType = leftKey.dataType
@@ -106,6 +112,15 @@ case class AsOfJoinExec(
         else if (a == null) -1
         else if (b == null) 1
         else ord.compare(a, b)
+      // time comparison in SWEEP order: backward sweeps time ascending
+      // (nulls first), forward descending (nulls last — Descending's
+      // default null ordering, matching requiredChildOrdering)
+      def tcmp(a: Any, b: Any): Int =
+        if (!forward) cmp(a, b, timeOrd)
+        else if (a == null && b == null) 0
+        else if (a == null) 1
+        else if (b == null) -1
+        else -timeOrd.compare(a, b)
 
       val lKeyTime = UnsafeProjection.create(Seq[Expression](leftKey, leftTime), left.output)
       // state rows projected to (key, time, payload...) once; candidates
@@ -129,7 +144,7 @@ case class AsOfJoinExec(
         val lkt = lKeyTime(lRow)
         val lk = lkt.get(0, keyType)
         val lt = lkt.get(1, timeType)
-        // consume state while (key, time) ≤ (lk, lt) lexicographically
+        // consume state while (key, time) ≤ (lk, lt) in sweep order
         var go = rHead != null
         while (go) {
           val rk = rHead.get(0, keyType)
@@ -137,7 +152,7 @@ case class AsOfJoinExec(
           if (kc < 0) advance()
           else if (kc == 0) {
             val rt = rHead.get(1, timeType)
-            if (cmp(rt, lt, timeOrd) <= 0) {
+            if (tcmp(rt, lt) <= 0) {
               if (rk != null && rt != null) lastMatch = rHead.copy()
               advance()
             } else go = false
@@ -170,7 +185,18 @@ object AsOfJoinNative {
     * Requires key and time dataTypes to match across sides; left and right
     * must not share attribute ids (alias a self-joined side first). */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, payloadCols: Seq[String]): DataFrame = {
+      timeCol: String, payloadCols: Seq[String]): DataFrame =
+    join(left, right, keyCol, timeCol, payloadCols, forward = false)
+
+  /** Forward as-of: each left row gets the EARLIEST right row with equal
+    * key and right.time ≥ left.time (the "next quote after the trade"
+    * direction DuckDB expresses as ASOF on negated time). */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String]): DataFrame =
+    join(left, right, keyCol, timeCol, payloadCols, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String], forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -182,7 +208,8 @@ object AsOfJoinNative {
     val (lt, rt) = (attr(lPlan, timeCol), attr(rPlan, timeCol))
     require(lk.dataType == rk.dataType, s"key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lt.dataType == rt.dataType, s"time types differ: ${lt.dataType} vs ${rt.dataType}")
-    val node = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, payloadCols.map(attr(rPlan, _)))
+    val node = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
+      payloadCols.map(attr(rPlan, _)), forward)
     GraftBridge.ofRows(spark, node)
       .toDF(left.columns ++ payloadCols.map("asof_" + _): _*)
   }

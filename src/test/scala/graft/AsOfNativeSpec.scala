@@ -76,6 +76,30 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(viaExec.sameElements(viaWindow))
   }
 
+  test("forward direction: earliest state ≥ probe time, ties visible") {
+    val got = AsOfJoinNative.forward(probes, states, "k", "t", Seq("v"))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      1L -> Some(2.0),  // same-date state is the earliest ≥, later 3.0 loses
+      2L -> Some(1.0),  // exact tie at 2024-01-01
+      3L -> None,       // key 20's only state is BEFORE the probe
+      4L -> None,
+      5L -> None))
+  }
+
+  test("forward ≡ backward on negated time (the oracle identity)") {
+    import org.apache.spark.sql.functions.expr
+    def neg(df: DataFrame) = df.withColumn("nt",
+      expr("-unix_timestamp(CAST(t AS TIMESTAMP))"))
+    val fwd = AsOfJoinNative.forward(probes, states, "k", "t", Seq("v"))
+      .select($"id", $"asof_v").collect().map(_.toString).sorted
+    val bwdNeg = AsOfJoinNative.backward(neg(probes), neg(states), "k", "nt", Seq("v"))
+      .select($"id", $"asof_v").collect().map(_.toString).sorted
+    assert(fwd.sameElements(bwdNeg))
+  }
+
   test("multi-column payload rides as a unit") {
     val st2 = states.withColumn("src", concat(lit("s"), $"v".cast("int")))
     val got = AsOfJoinNative.backward(probes, st2, "k", "t", Seq("v", "src"))
