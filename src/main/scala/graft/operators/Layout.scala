@@ -51,16 +51,23 @@ object Layout {
     * bounds come from one O(1) min/max scalar aggregate — the same
     * statistics a catalog would hold at 100 TB. */
   def zorderedWrite(df: DataFrame, xCol: String, yCol: String,
-      numFiles: Int, path: String, bits: Int = 8): Unit = {
+      numFiles: Int, path: String, bits: Int = 8): Unit =
+    zorderCluster(df, xCol, yCol, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The clustering transform alone: `df` redistributed into `numFiles`
+    * contiguous z-ranges (range-partitioned + sorted on the Morton key,
+    * key dropped). Returns `df` unchanged when empty/all-null clustering
+    * columns leave nothing to cluster. Also the OPTIMIZE ZORDER path for
+    * `serve/TxTable.compact`. */
+  def zorderCluster(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 8): DataFrame = {
     val nb = 1 << bits
     val r = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).first()
     // empty input / all-null clustering column: there is nothing to
-    // cluster — write as-is instead of dying on a null min/max
-    if (r.anyNull) {
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
+    // cluster — pass through instead of dying on a null min/max
+    if (r.anyNull) return df
     def bucket(c: String, lo: Double, hi: Double) =
       least(width_bucket(col(c).cast("double"), lit(lo), lit(hi + 1.0), lit(nb)) - 1,
         lit(nb - 1)).cast("int")
@@ -70,6 +77,5 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 }

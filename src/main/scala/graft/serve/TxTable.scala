@@ -280,15 +280,28 @@ object TxTable {
     * merges append a few files per commit; periodic compaction folds the
     * accumulated small files together (vacuum then reclaims the old ones
     * once they age out of retention). Runs through the same optimistic
-    * commit loop as any writer. */
-  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long = {
+    * commit loop as any writer.
+    *
+    * `zorderBy = Some((x, y))` is OPTIMIZE ZORDER: the snapshot is
+    * redistributed into contiguous Morton-key ranges before the rewrite,
+    * so each new file covers a tight (lo, hi) box on BOTH columns — the
+    * manifest stats recorded at commit then let [[StatsFileIndex]] prune
+    * point/range filters on either column to a few files, where the
+    * merge-accumulated layout satisfied almost none. */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1,
+      zorderBy: Option[(String, String)] = None): Long = {
     val fs = hfs(spark, path)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path).getOrElse(
         throw new java.io.FileNotFoundException(s"TxTable at $path has no commits"))
-      val files = stageData(spark,
-        read(spark, path, Some(base)).repartition(numFiles), path)
+      val snapshot = read(spark, path, Some(base))
+      val arranged = zorderBy match {
+        case Some((x, y)) =>
+          graft.operators.Layout.zorderCluster(snapshot, x, y, numFiles)
+        case None => snapshot.repartition(numFiles)
+      }
+      val files = stageData(spark, arranged, path)
       if (tryCommit(fs, path, base + 1, "compact", files)) return base + 1
       attempt += 1
     }

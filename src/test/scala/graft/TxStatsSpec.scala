@@ -144,6 +144,33 @@ class TxStatsSpec extends AnyFunSuite {
     assert(surviving(path, EqualTo(id, Literal(100L))) == 1)
   }
 
+  test("OPTIMIZE ZORDER: compaction re-clusters so filters on both columns prune") {
+    val path = freshDir("zorder")
+    // a 64×64 (x, y) grid written hash-partitioned: every one of the 8
+    // files spans the FULL range of both columns, so stats prune nothing
+    val base = spark.range(4096).toDF("id")
+      .withColumn("x", (col("id") % 64).cast("double"))
+      .withColumn("y", ((col("id") / lit(64)) % 64).cast("double"))
+    TxTable.write(spark, base.repartition(8), path)
+    val before = surviving(path, EqualTo(resolvedAttr(path, "x"), Literal(3.0)))
+    assert(before == 8, s"expected the scattered layout to prune nothing, got $before")
+
+    val v = TxTable.compact(spark, path, numFiles = 16, zorderBy = Some(("x", "y")))
+    assert(TxTable.history(spark, path).head._1 == v)
+    assert(TxTable.history(spark, path).head._2 == "compact")
+    // contiguous z-ranges ⇒ each file is a tight box on BOTH columns:
+    // an (x, y) point now touches a corner of the grid, not every file
+    val (xA, yA) = (resolvedAttr(path, "x"), resolvedAttr(path, "y"))
+    val both = TxTable.fileIndex(spark, path)
+      .survivingFiles(Seq(EqualTo(xA, Literal(3.0)), EqualTo(yA, Literal(3.0)))).size
+    assert(both <= 2, s"z-ordered point lookup should touch ≤2 files, got $both")
+    assert(surviving(path, EqualTo(xA, Literal(3.0))) <= 8 / 2,
+      "single-column filter should prune at least half the z-ordered files")
+    // the rewrite changed layout only — content identical
+    val got = TxTable.read(spark, path).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 4096L))
+  }
+
   test("rangesOverlap is conservative at the edges") {
     import TxStats.{rangesOverlap, ColStats}
     val cs = ColStats(Some(BigDecimal(10)), Some(BigDecimal(20)), 0L)
