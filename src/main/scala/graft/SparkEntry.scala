@@ -182,6 +182,10 @@ object SparkEntry {
     ("q_dedup_ngram_jaccard",
       ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q,
       Some(Dedup.ngramJaccardPairsSql)),
+    // exact duplicated-span detection (substring-level dedup primitive)
+    ("q_dedup_spans",
+      ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,
+      Some(Dedup.duplicateSpansSql)),
     // similarity search
     ("q_ann_bruteforce",
       ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)): Q,

@@ -479,4 +479,89 @@ object Dedup {
       |JOIN counts ca ON ca.doc_id = doc_a
       |JOIN counts cb ON cb.doc_id = doc_b
       |WHERE ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) >= $threshold""".stripMargin
+
+  // ------------------------------------------------ exact duplicated spans
+  /** Cross-document EXACT duplicated-span detection — the substring-dedup
+    * primitive (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": near-dup docs share long verbatim runs that survive
+    * doc-level dedup). Jaccard says "these docs overlap"; this says "THIS
+    * run of tokens is shared, starting at a_start in A and b_start in B" —
+    * the actionable unit for span-level scrubbing. Fully relational:
+    *
+    *   1. per doc, an md5 anchor over the k tokens at every position
+    *      (md5, not xxhash64, so the oracle recomputes identical anchors);
+    *   2. anchors shared by >dfCap docs dropped (boilerplate/skew guard —
+    *      the inverted index's idiom; the join fan-out is bounded by
+    *      dfCap² per anchor);
+    *   3. anchors equi-joined across docs (doc_a < doc_b) → match points
+    *      (pa, pb);
+    *   4. points on one DIAGONAL (pa − pb) with consecutive pa chain into
+    *      runs (pa − row_number is constant within a run — the classic
+    *      gaps-and-islands grouping);
+    *   5. a run of m consecutive anchors ⇒ a shared span of k+m−1 tokens.
+    *
+    * Spans can split where the df-cap drops a mid-span anchor —
+    * conservative (reported spans are always real; one long span may
+    * surface as two). One shuffle per stage, all keyed on anchor or
+    * (doc_a, doc_b, diag) — no all-pairs comparison anywhere. */
+  def duplicateSpans(spark: SparkSession, dir: String, k: Int = 8,
+      minTokens: Int = 12, dfCap: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    val gramArr = when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>")) // shorter than k ⇒ no k-spans
+    val grams = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "gram")))
+    val freq = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df").between(2, dfCap))
+    val rare = grams.join(freq, "gram")
+    val pts = rare.alias("x").join(rare.alias("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    pts.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("run0", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "run0")
+      .agg(min("pa").cast("long").as("a_start"),
+        min("pb").cast("long").as("b_start"),
+        (count(lit(1)) + lit(k - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+  }
+
+  /** DuckDB oracle for [[duplicateSpans]] — the same anchor/diagonal/run
+    * construction over the same md5 k-gram anchors (defaults k=8,
+    * minTokens=12, dfCap=20). */
+  val duplicateSpansSql: String =
+    raw"""WITH toked AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gram
+      |  FROM toked, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+      |  WHERE len(toks) >= 8),
+      |dfreq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1),
+      |rare AS (SELECT g.* FROM grams g JOIN dfreq USING (gram)
+      |         WHERE df BETWEEN 2 AND 20),
+      |pts AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+      |  FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+      |runs AS (
+      |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+      |         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+      |                                 ORDER BY pa) AS run0
+      |  FROM pts)
+      |SELECT doc_a, doc_b,
+      |       CAST(MIN(pa) AS BIGINT) AS a_start,
+      |       CAST(MIN(pb) AS BIGINT) AS b_start,
+      |       CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      |FROM runs GROUP BY doc_a, doc_b, diag, run0
+      |HAVING COUNT(*) + 7 >= 12""".stripMargin
 }

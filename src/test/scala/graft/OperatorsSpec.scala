@@ -137,6 +137,32 @@ class DedupSpec extends AnyFunSuite {
     val sh = df.select(explode(Dedup.shingleArr(col("text"), 3)).as("s")).collect()
     assert(sh.map(_.getString(0)).toSeq == Seq("one two"))
   }
+
+  test("duplicate spans: a planted 20-token run is found at its exact offsets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dup_spans").toString
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val shared = toks("a", 30).slice(5, 25) // a5..a24 — 20 tokens
+    Seq(
+      (1L, toks("a", 30).mkString(" ")),
+      (2L, (toks("x", 10) ++ shared ++ toks("y", 10)).mkString(" ")),
+      (3L, toks("z", 40).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.duplicateSpans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one span: doc1[5..24] == doc2[10..29]; nothing else reaches 12 tokens
+    assert(got.toSeq == Seq((1L, 2L, 5L, 10L, 20L)), s"got ${got.toSeq}")
+  }
+
+  test("duplicate spans on the corpus: real near-dups surface, invariants hold") {
+    val rows = Dedup.duplicateSpans(spark, sf).collect()
+    assert(rows.nonEmpty, "expected the seeded near-dup docs to share spans")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("span_tokens") >= 12L)
+      assert(r.getAs[Long]("a_start") >= 0L && r.getAs[Long]("b_start") >= 0L)
+    }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
