@@ -186,6 +186,10 @@ object SparkEntry {
     ("q_dedup_spans",
       ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,
       Some(Dedup.duplicateSpansSql)),
+    // spans applied: larger-id doc loses the shared range (md5-closed oracle)
+    ("q_dedup_scrub",
+      ((s: SparkSession, d: String) => Dedup.scrubSpans(s, d)): Q,
+      Some(Dedup.scrubSpansSql)),
     // similarity search
     ("q_ann_bruteforce",
       ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)): Q,

@@ -564,4 +564,79 @@ object Dedup {
       |       CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
       |FROM runs GROUP BY doc_a, doc_b, diag, run0
       |HAVING COUNT(*) + 7 >= 12""".stripMargin
+
+  /** Span-level SCRUB: apply [[duplicateSpans]] to the corpus — the doc
+    * with the larger id in each pair has the shared token range removed
+    * (the smaller id keeps its copy, matching the min-winner policy of the
+    * doc-level dedups). Emits one row per document with before/after token
+    * counts and the md5 of the scrubbed text (the redact_pii md5-closed
+    * oracle pattern — hash compare without shipping rebuilt documents).
+    * Overlapping ranges (a doc sharing spans with several earlier docs)
+    * compose correctly: a position is dropped if ANY range covers it. */
+  def scrubSpans(spark: SparkSession, dir: String, k: Int = 8,
+      minTokens: Int = 12, dfCap: Int = 20): DataFrame = {
+    val ranges = duplicateSpans(spark, dir, k, minTokens, dfCap)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(collect_list(struct(col("b_start").as("s"),
+        col("span_tokens").as("n"))).as("rs"))
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    docs.join(ranges, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("rs").isNull, col("toks")).otherwise(
+          filter(col("toks"), (t, i) =>
+            !exists(col("rs"), r => i >= r("s") && i < r("s") + r("n")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+  }
+
+  /** DuckDB oracle for [[scrubSpans]]: the duplicateSpans construction,
+    * ranges re-applied with the same indexed-lambda position filter. */
+  val scrubSpansSql: String =
+    raw"""WITH toked AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gram
+      |  FROM toked, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+      |  WHERE len(toks) >= 8),
+      |dfreq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1),
+      |rare AS (SELECT g.* FROM grams g JOIN dfreq USING (gram)
+      |         WHERE df BETWEEN 2 AND 20),
+      |pts AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+      |  FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+      |runs AS (
+      |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+      |         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+      |                                 ORDER BY pa) AS run0
+      |  FROM pts),
+      |spans AS (
+      |  SELECT doc_b, CAST(MIN(pb) AS BIGINT) AS b_start,
+      |         CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      |  FROM runs GROUP BY doc_a, doc_b, diag, run0
+      |  HAVING COUNT(*) + 7 >= 12),
+      |ranges AS (
+      |  SELECT doc_b AS doc_id,
+      |         list(struct_pack(s := b_start, n := span_tokens)) AS rs
+      |  FROM spans GROUP BY 1),
+      |scrubbed AS (
+      |  SELECT t.doc_id, t.toks,
+      |         CASE WHEN r.rs IS NULL THEN t.toks
+      |              ELSE list_filter(t.toks, (x, i) ->
+      |                     len(list_filter(r.rs, rr ->
+      |                       i - 1 >= rr.s AND i - 1 < rr.s + rr.n)) = 0)
+      |         END AS kept
+      |  FROM toked t LEFT JOIN ranges r USING (doc_id))
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+      |       CAST(len(kept) AS BIGINT) AS n_after,
+      |       -- a fully-scrubbed doc keeps []: DuckDB array_to_string([])
+      |       -- is NULL where Spark concat_ws gives '' — coalesce to match
+      |       md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
+      |FROM scrubbed""".stripMargin
 }

@@ -154,6 +154,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 5L, 10L, 20L)), s"got ${got.toSeq}")
   }
 
+  test("span scrub removes exactly the planted range from the larger-id doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scrub_spans").toString
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val shared = toks("a", 30).slice(5, 25)
+    Seq(
+      (1L, toks("a", 30).mkString(" ")),
+      (2L, (toks("x", 10) ++ shared ++ toks("y", 10)).mkString(" ")),
+      (3L, toks("z", 40).mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.scrubSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 30 && got(1L)._2 == 30, "kept doc must be untouched")
+    assert(got(3L)._1 == 40 && got(3L)._2 == 40)
+    assert(got(2L) == ((40L, 20L,
+      // doc 2 keeps its unique prefix+suffix, shared middle removed
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((toks("x", 10) ++ toks("y", 10)).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+  }
+
   test("duplicate spans on the corpus: real near-dups surface, invariants hold") {
     val rows = Dedup.duplicateSpans(spark, sf).collect()
     assert(rows.nonEmpty, "expected the seeded near-dup docs to share spans")
