@@ -116,6 +116,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("interleave_bits"), s"native expression missing:\n$plan")
   }
 
+  test("duplicate spans: anchor equi-join physics, no all-pairs comparison") {
+    // the span detector must never degenerate into a cartesian/nested-loop
+    // scan of document pairs — its scale story is the anchor hash join
+    val plan = physicalPlan(operators.Dedup.duplicateSpans(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span detection fell back to all-pairs:\n$plan")
+    assert(plan.contains("hashpartitioning(gram") || plan.contains("[gram"),
+      s"expected the anchor equi-join in:\n$plan")
+  }
+
   test("bloom semi join: bloom prefilter sits below the join") {
     // the UDF probe must run in the scan stage (before any exchange), so
     // pruned rows never reach the shuffle — the operator's entire point
