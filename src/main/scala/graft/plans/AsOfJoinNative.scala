@@ -159,7 +159,11 @@ case class AsOfJoinExec(
           } else go = false
           if (rHead == null) go = false
         }
-        val matched = lastMatch != null && lk != null &&
+        // lt != null: NULL probe times never match. Backward order puts
+        // null times first so no state is consumed for them, but forward
+        // order (nulls last) consumes same-key state before a null-time
+        // probe — without this guard it would take the earliest payload.
+        val matched = lastMatch != null && lk != null && lt != null &&
           cmp(lastMatch.get(0, keyType), lk, keyOrd) == 0
         outProj(joined(lRow, if (matched) pView(lastMatch) else nullPayload))
       }
@@ -208,6 +212,9 @@ object AsOfJoinNative {
     val (lt, rt) = (attr(lPlan, timeCol), attr(rPlan, timeCol))
     require(lk.dataType == rk.dataType, s"key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lt.dataType == rt.dataType, s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "left and right share attribute ids (self-join?) — alias one side " +
+        "(df.select(df.columns.map(c => col(c).as(c)): _*)) before joining")
     val node = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
       payloadCols.map(attr(rPlan, _)), forward)
     GraftBridge.ofRows(spark, node)

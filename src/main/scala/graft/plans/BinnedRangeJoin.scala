@@ -128,9 +128,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         .map { case (_, hi, _, _) => (p, lo, hi, side) }
     }.headOption
     pair.map { case (point, lo, hi, pointOnLeft) =>
-      val w =
-        try conf.getConfString(BinSizeConf, "3600").toDouble
-        catch { case _: NumberFormatException => 3600.0 }
+      val w = {
+        val parsed =
+          try conf.getConfString(BinSizeConf, "3600").toDouble
+          catch { case _: NumberFormatException => 3600.0 }
+        // w <= 0 would divide-by-zero into NULL bins (silently dropping
+        // every row in non-ANSI mode) or hand Sequence a descending range
+        if (parsed.isNaN || parsed <= 0) 3600.0 else parsed
+      }
       val (pointPlan, rangePlan) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
       val binP = Alias(bin(point, w), "__graft_bin_p")()

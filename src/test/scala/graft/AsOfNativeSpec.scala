@@ -89,6 +89,29 @@ class AsOfNativeSpec extends AnyFunSuite {
       5L -> None))
   }
 
+  test("forward direction: NULL probe time never matches") {
+    // forward order sorts null times LAST within a key, so the sweep
+    // consumes (and remembers) every same-key state before reaching the
+    // null-time probe — the lt != null guard must still reject the match
+    val nullProbe = Seq(
+      (1L, Option(10L), Option("2024-01-01")),
+      (2L, Option(10L), None: Option[String]))
+      .toDF("id", "k", "d_s").select($"id", $"k", $"d_s".cast("date").as("t"))
+    val got = AsOfJoinNative.forward(nullProbe, states, "k", "t", Seq("v"))
+      .select($"id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> None))
+  }
+
+  test("self-join without aliasing fails fast with a clear message") {
+    val df = states
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.backward(df, df, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("share attribute ids"))
+  }
+
   test("forward ≡ backward on negated time (the oracle identity)") {
     import org.apache.spark.sql.functions.expr
     def neg(df: DataFrame) = df.withColumn("nt",

@@ -106,6 +106,23 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("binSize <= 0 / NaN falls back to the default instead of NULL bins") {
+    def withBin[T](v: String)(body: => T): T = {
+      spark.conf.set(BinnedRangeJoinRule.BinSizeConf, v)
+      try body finally spark.conf.unset(BinnedRangeJoinRule.BinSizeConf)
+    }
+    val want = withRule(on = false)(rows(q()))
+    for (bad <- Seq("0", "-5", "NaN")) {
+      val got = withRule(on = true)(withBin(bad) {
+        val d = q()
+        assert(!plan(d).contains("BroadcastNestedLoopJoin"),
+          s"binSize=$bad disabled the rewrite instead of falling back")
+        rows(d)
+      })
+      assert(got == want, s"binSize=$bad changed results")
+    }
+  }
+
   test("registered query q_range_join_auto matches its oracle shape on sf0.001") {
     val df = operators.RangeJoin.eventsInDayWindows(spark, sf)
     assert(!plan(df).contains("BroadcastNestedLoopJoin"))
