@@ -105,8 +105,10 @@ object SparkEntry {
       Some(graft.operators.Curation.mixtureWeightsSql)),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
     ("q_lang_id", TextFunctions.langIdQuery _, Some(TextFunctions.langIdQuerySql)),
-    ("q_fingerprint", TextFunctions.fingerprintQuery _, None),
-    ("q_winnow_fingerprint", TextFunctions.winnowQuery _, None),
+    ("q_fingerprint", TextFunctions.fingerprintQuery _,
+      Some(TextFunctions.fingerprintQuerySql)),
+    ("q_winnow_fingerprint", TextFunctions.winnowQuery _,
+      Some(TextFunctions.winnowQuerySql)),
     // sentiment (UD1/UD2)
     ("q_sentiment", Sentiment.sentimentQuery _, Some(Sentiment.sentimentQuerySql)),
     ("q_sentiment_distribution", Sentiment.sentimentDistributionQuery _,
@@ -138,6 +140,8 @@ object SparkEntry {
       Some(graft.operators.Invariants.forecastBoundsSql)),
     ("q_minhash_recall", graft.operators.Invariants.minhashRecall _,
       Some(graft.operators.Invariants.minhashRecallSql)),
+    ("q_minhash_precision", graft.operators.Invariants.minhashPrecision _,
+      Some(graft.operators.Invariants.minhashPrecisionSql)),
     ("q_cluster_invariants", graft.operators.Invariants.clusterInvariants _,
       Some(graft.operators.Invariants.clusterInvariantsSql)),
     ("q_curate_invariants", graft.operators.Invariants.curateInvariants _,
@@ -210,12 +214,14 @@ object SparkEntry {
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)
     ("q_format_combine", Format.fixturePipelineQuery _, None),
     // multimodal plumbing
-    ("q_media_features", Multimodal.featuresQuery _, None),
+    ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",
-      ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)): Q, None),
-    ("q_media_summary", Multimodal.mediaSummary _, None),
+      ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)): Q,
+      Some(Multimodal.frameSampleSql)),
+    ("q_media_summary", Multimodal.mediaSummary _, Some(Multimodal.mediaSummarySql)),
     ("q_media_resize",
-      ((s: SparkSession, d: String) => Multimodal.resize(s, d)): Q, None),
+      ((s: SparkSession, d: String) => Multimodal.resize(s, d)): Q,
+      Some(Multimodal.resizeSql)),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -27,6 +27,11 @@ object TextFunctions {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, Ws + "+", " ")))
 
+  /** Driver-side twin of [[normText]] for per-row kernels (winnowing, the
+    * portable polynomial fingerprint). */
+  def normString(t: String): String =
+    t.toLowerCase.replaceAll(Ws + "+", " ").trim
+
   /** Whitespace token count: non-empty pieces of a whitespace split.
     * (Counting non-empty pieces, rather than trim-then-split, is robust to
     * leading tabs/newlines — Spark's `trim` strips only spaces.) */
@@ -202,13 +207,48 @@ object TextFunctions {
   // ------------------------------------------------------------ fingerprint
   /** 64-bit document fingerprint: xxhash64 over the normalized text — the
     * exact-dup key that survives whitespace/case jitter. Codegen'd built-in
-    * hash, no UDF. */
+    * hash, no UDF. The SCALE-path fingerprint. */
   def fingerprint(c: Column): Column = xxhash64(normText(c))
 
+  /** Polynomial 64-bit hash (base 1e9+7, natural Long wraparound) over a
+    * string — the engine-portable fingerprint: the same fold is expressible
+    * in DuckDB HUGEINT mod-2^64 arithmetic, so unlike xxhash64 it can be
+    * hash-oracled. Shares the winnowing scheme's hash family. */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1000000007L + s.charAt(i); i += 1 }
+    h
+  }
+
+  private lazy val polyFpUdf = udf((t: String) =>
+    if (t == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(polyHash(normString(t))))
+
+  /** Registered fingerprint query: md5 of the raw text plus the portable
+    * polynomial fingerprint of the NORMALIZED text — both recomputable by
+    * the DuckDB oracle, giving the fingerprint family a full hash gate
+    * (the xxhash64 [[fingerprint]] column stays API-only; its collision
+    * behavior is cross-checked in TextSpec against md5 groups). */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+      .select(col("doc_id"), polyFpUdf(col("text")).as("poly_fp"),
         md5(col("text")).as("md5_hex"))
+
+  val fingerprintQuerySql: String =
+    raw"""WITH norm AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS poly_fp,
+      |  md5(text) AS md5_hex
+      |FROM (SELECT doc_id, text,
+      |  list_reduce(list_prepend(0::HUGEINT,
+      |      list_transform(split(s, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      |    (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM norm)""".stripMargin
 
   // ------------------------------------------------------------ BPE-ish
   /** BPE-ish pre-tokenization (the GPT-2-style split simplified to its
@@ -462,7 +502,7 @@ object TextFunctions {
     * Per-doc kernel → Scala UDF (never in a relational hot path). */
   def winnow(text: String, k: Int = 8, w: Int = 12): Array[Long] = {
     if (text == null) return Array.empty
-    val s = text.toLowerCase.replaceAll(Ws + "+", " ").trim
+    val s = normString(text)
     if (s.length < k) return if (s.isEmpty) Array.empty else Array(s.hashCode.toLong)
     val B = 1000000007L
     val n = s.length - k + 1
@@ -495,12 +535,55 @@ object TextFunctions {
 
   def winnowUdf(k: Int = 8, w: Int = 12) = udf((t: String) => winnow(t, k, w))
 
-  /** Per-doc winnowing fingerprint summary. */
+  /** Per-doc winnowing fingerprint summary. The fingerprint list is
+    * signed, order-preserving, and fully deterministic, so it is summarized
+    * as md5 of its comma-joined decimal rendering — which the DuckDB oracle
+    * reproduces by re-running the whole winnowing algorithm in SQL (k-gram
+    * polynomial hashes, rightmost-min sliding windows, consecutive-pick
+    * dedup). */
   def winnowQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
       .withColumn("fps", winnowUdf()(col("text")))
       .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
-        hash(col("fps")).as("fp_set_hash"))
+        md5(concat_ws(",", transform(col("fps"), x => x.cast("string"))))
+          .as("fp_sig"))
+
+  /** Full SQL re-implementation of [[winnow]] (k=8, w=12) for the oracle:
+    * per-position k-gram hashes via the same mod-2^64 polynomial fold,
+    * window minima via a frame aggregate keyed on (signed hash, rightmost
+    * position) packed into one HUGEINT, consecutive-pick dedup via lag.
+    * Valid while every normalized doc has ≥ k chars (min observed: 44;
+    * shorter docs would take the Scala kernel's hashCode fallback). */
+  val winnowQuerySql: String =
+    raw"""WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS s
+      |  FROM documents),
+      |pos AS (SELECT doc_id, s, unnest(range(1, length(s) - 8 + 2)) AS p FROM norm),
+      |gh AS (SELECT doc_id, p,
+      |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h,
+      |    ((hu + 9223372036854775808::HUGEINT) % 18446744073709551616::HUGEINT)
+      |      * 4294967296::HUGEINT + (4294967296::HUGEINT - p) AS mk
+      |  FROM (SELECT doc_id, p,
+      |    list_reduce(list_prepend(0::HUGEINT,
+      |        list_transform(split(substr(s, p, 8), ''), c -> CAST(unicode(c) AS HUGEINT))),
+      |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT) AS hu
+      |    FROM pos)),
+      |ng AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+      |wins AS (SELECT doc_id, p AS start,
+      |    arg_min(h, mk) OVER fr AS mh,
+      |    arg_min(p, mk) OVER fr AS pick
+      |  FROM gh WINDOW fr AS (
+      |    PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING)),
+      |kept AS (SELECT w.doc_id, start, mh, pick,
+      |    lag(pick) OVER (PARTITION BY w.doc_id ORDER BY start) AS prev
+      |  FROM wins w JOIN ng USING (doc_id) WHERE start <= greatest(1, n - 11)),
+      |fps AS (SELECT doc_id, list(mh ORDER BY start) AS l
+      |  FROM kept WHERE prev IS NULL OR pick != prev GROUP BY doc_id)
+      |SELECT doc_id, CAST(len(l) AS INT) AS n_fingerprints,
+      |  md5(array_to_string(l, ',')) AS fp_sig
+      |FROM fps""".stripMargin
 
   // ------------------------------------------------------------ token stats
   def tokenStatsQuery(spark: SparkSession, dir: String): DataFrame =

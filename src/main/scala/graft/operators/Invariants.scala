@@ -206,6 +206,35 @@ object Invariants {
   val minhashRecallSql: String =
     Dedup.ngramJaccardPairsSqlAt(0.98, extraCols = " true AS found_by_lsh,")
 
+  /** Precision-direction twin of [[minhashRecall]]: every pair the
+    * MinHash-LSH pipeline emits must appear in the exact n-gram-Jaccard
+    * ≥ 0.7 truth set (whose own DuckDB oracle independently verifies its
+    * completeness), with an IDENTICAL exact-jaccard value — both pipelines
+    * verify candidates through the same shingle sets, so a mismatch means
+    * the LSH verify stage drifted. Emitted as counts the oracle states as
+    * zero; `coalesce` keeps the contract meaningful on an empty pair set. */
+  def minhashPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val lsh = Dedup.minhashNearDups(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("lsh_jaccard"))
+    val truth = Dedup.ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("truth_jaccard"))
+    lsh.join(truth, Seq("doc_a", "doc_b"), "left")
+      .agg(
+        coalesce(sum(when(col("truth_jaccard").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_outside_truth"),
+        coalesce(sum(when(col("truth_jaccard").isNotNull &&
+          col("lsh_jaccard") =!= col("truth_jaccard"), 1L).otherwise(0L)), lit(0L))
+          .as("n_jaccard_mismatch"),
+        (coalesce(min(when(col("doc_a") < col("doc_b"), 1L).otherwise(0L)), lit(1L))
+          === 1L).as("pairs_ordered"))
+  }
+
+  val minhashPrecisionSql: String =
+    """SELECT CAST(0 AS BIGINT) AS n_outside_truth,
+      |  CAST(0 AS BIGINT) AS n_jaccard_mismatch,
+      |  true AS pairs_ordered""".stripMargin
+
   /** Connected-components contract per document (the labels themselves
     * depend on the LSH pair set, which is hash-defined — but the STRUCTURE
     * is checkable): both ends of every near-dup pair share a cluster, the

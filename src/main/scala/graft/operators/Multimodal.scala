@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -30,16 +30,34 @@ object Multimodal {
 
   /** Deterministic media table derived from `documents`: payload = UTF-8
     * bytes of the text (standing in for encoded image/audio bytes), kind
-    * cycled by id, metadata derived from the payload hash. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    * cycled by id, metadata derived from the payload hash. The hash is
+    * md5-based (not xxhash64) so the DuckDB oracle can recompute the
+    * metadata byte-for-byte — conv(hex, 16, 10) of the first 15 md5 nibbles
+    * is < 2^60 and fits a long on both engines. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    def md5Long(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("payload"),
-        (pmod(xxhash64(col("text")), lit(1024)) + 64).cast("int").as("width"),
-        (pmod(xxhash64(col("text"), lit(1)), lit(768)) + 64).cast("int").as("height"))
+        (pmod(md5Long(col("text")), lit(1024)) + 64).cast("int").as("width"),
+        (pmod(md5Long(concat(col("text"), lit("h"))), lit(768)) + 64).cast("int").as("height"))
+  }
+
+  /** Shared oracle prelude: the DuckDB mirror of [[mediaTable]] (the corpus
+    * is pure printable ASCII at every shipped SF, so char code points ARE
+    * the UTF-8 payload bytes — asserted by MultimodalSpec). */
+  private val mediaSqlCte: String =
+    """media AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    text,
+      |    CAST((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1024) + 64 AS INT) AS width,
+      |    CAST((CAST(('0x' || substr(md5(text || 'h'), 1, 15)) AS BIGINT) % 768) + 64 AS INT) AS height
+      |  FROM documents)""".stripMargin
 
   // ----------------------------------------------------------- decode stub
   /** STUB: a real implementation would decode the payload with an image or
@@ -96,19 +114,73 @@ object Multimodal {
       .toDF()
   }
 
-  private def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+  // HALF_UP like Spark's round(), so the DuckDB oracle's round(x, 6) agrees
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Registry-facing projection of [[extractFeatures]]: the raw
-    * `feature_vec` array is summarized as `hash(feature_vec)` + its size
-    * (the driver's rows-compare cannot sort an array column — same pattern
-    * as `TextFunctions.winnowQuery`). The full vectors stay available via
-    * the [[extractFeatures]] API. */
-  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
+  /** Registry-facing projection of [[extractFeatures]]: the `feature_vec`
+    * floats are mapped back to the exact byte-histogram BUCKET COUNTS they
+    * encode (vec_k = count_k / n_bytes as float; count_k < 2^23, so
+    * rint(vec_k·n_bytes) recovers the integer exactly) — integers the
+    * DuckDB oracle recomputes from the text's code points, where a float
+    * column could never hash-compare across engines. */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = (0 until 8).map(k =>
+      round(element_at(col("feature_vec"), k + 1).cast("double") * col("n_bytes"))
+        .cast("long").as(s"b$k"))
     extractFeatures(spark, dir)
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("mean_byte"),
-        col("byte_entropy"), col("checksum"),
-        hash(col("feature_vec")).as("feature_fp"),
-        size(col("feature_vec")).as("n_features"))
+      .select(Seq(col("media_id"), col("kind"), col("n_bytes"), col("mean_byte"),
+        col("byte_entropy"), col("checksum")) ++ buckets: _*)
+  }
+
+  /** Per-doc byte pipeline shared by the features and summary oracles: code
+    * points (= payload bytes), FNV-1a 64 fold in HUGEINT mod-2^64 arithmetic
+    * (the XOR touches only the low byte, so it splits off exactly), mean,
+    * and an entropy fold accumulated in ascending byte order — the same
+    * order as the Scala histogram loop, so the float sums agree bit-for-bit
+    * before the 6-dp round. */
+  private val featuresSqlCte: String =
+    s"""$mediaSqlCte,
+      |bytes AS (
+      |  SELECT media_id, kind,
+      |    list_transform(split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS bs,
+      |    length(text) AS n
+      |  FROM media),
+      |fnv AS (
+      |  SELECT media_id,
+      |    list_reduce(list_prepend(1469598103934665603::HUGEINT, bs),
+      |      (acc, x) -> ((acc - (acc % 256)
+      |                    + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+      |                   * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS c
+      |  FROM bytes),
+      |freq AS (
+      |  SELECT media_id, b, count(*) AS cnt
+      |  FROM (SELECT media_id, unnest(bs) AS b FROM bytes) GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT media_id,
+      |    round(-list_reduce(list_prepend(0.0,
+      |      list((cnt / total) * ln(cnt / total) / ln(2) ORDER BY b)),
+      |      (a, x) -> a + x), 6) AS byte_entropy,
+      |    round(sum(cnt * b)::DOUBLE / total, 6) AS mean_byte,
+      |    ${(0 until 8).map(k =>
+             s"CAST(coalesce(sum(CASE WHEN b >= ${k * 32} AND b < ${(k + 1) * 32} " +
+               s"THEN cnt END), 0) AS BIGINT) AS b$k").mkString(",\n      |    ")}
+      |  FROM freq
+      |  JOIN (SELECT media_id, sum(cnt)::DOUBLE AS total FROM freq GROUP BY 1)
+      |    USING (media_id)
+      |  GROUP BY media_id, total),
+      |features AS (
+      |  SELECT b.media_id, b.kind, CAST(b.n AS INT) AS n_bytes,
+      |    e.mean_byte, e.byte_entropy,
+      |    CAST(CASE WHEN f.c >= 9223372036854775808::HUGEINT
+      |         THEN f.c - 18446744073709551616::HUGEINT ELSE f.c END AS BIGINT) AS checksum,
+      |    e.b0, e.b1, e.b2, e.b3, e.b4, e.b5, e.b6, e.b7
+      |  FROM bytes b JOIN fnv f USING (media_id) JOIN ent e USING (media_id))""".stripMargin
+
+  val featuresQuerySql: String =
+    s"""WITH $featuresSqlCte
+      |SELECT * FROM features""".stripMargin
 
   /** Frame sampling: slice the payload into fixed-size "frames" (video
     * decode analogue), explode to one row per sampled frame, fingerprint
@@ -130,9 +202,21 @@ object Multimodal {
       }
       .toDF("media_id", "frame_idx", "frame_bytes", "frame")
     frames
-      .withColumn("frame_fp", xxhash64(col("frame")))
+      .withColumn("frame_fp", md5(col("frame")))
       .drop("frame")
   }
+
+  /** Oracle for [[frameSample]] at the registered defaults (frame 256 B,
+    * stride 2 ⇒ starts every 512 B): each frame is a substring of the
+    * ASCII payload, so its md5 is recomputable directly. */
+  val frameSampleSql: String =
+    s"""WITH $mediaSqlCte
+      |SELECT media_id,
+      |  CAST(s / 512 AS INT) AS frame_idx,
+      |  CAST(least(256, length(text) - s) AS INT) AS frame_bytes,
+      |  md5(substr(text, CAST(s + 1 AS INT), 256)) AS frame_fp
+      |FROM (SELECT media_id, text, unnest(range(0, length(text), 512)) AS s
+      |      FROM media WHERE kind = 'video')""".stripMargin
 
   /** Resize, stubbed at the codec layer: a real implementation decodes,
     * rescales pixels, re-encodes. The deterministic fake keeps every
@@ -160,8 +244,21 @@ object Multimodal {
       }
       .toDF()
       .select(col("media_id"), col("kind"), length(col("payload")).as("n_bytes"),
-        col("width"), col("height"), xxhash64(col("payload")).as("payload_fp"))
+        col("width"), col("height"), md5(col("payload")).as("payload_fp"))
   }
+
+  /** Oracle for [[resize]] at stride 4: the downsampled payload is every
+    * 4th byte — rebuilt as a string from the ASCII text, fingerprinted with
+    * the same md5. Metadata mirrors the integer division. */
+  val resizeSql: String =
+    s"""WITH $mediaSqlCte
+      |SELECT media_id, kind,
+      |  CAST((length(text) + 3) // 4 AS INT) AS n_bytes,
+      |  CAST(greatest(1, width // 4) AS INT) AS width,
+      |  CAST(greatest(1, height // 4) AS INT) AS height,
+      |  md5(array_to_string(
+        list_transform(range(1, length(text) + 1, 4), i -> text[i]), '')) AS payload_fp
+      |FROM media""".stripMargin
 
   /** Metadata/feature summary per kind — the query a curation pipeline runs
     * to monitor a multimodal corpus. */
@@ -174,4 +271,14 @@ object Multimodal {
         round(avg("mean_byte"), 6).as("avg_mean_byte"),
         round(avg("byte_entropy"), 6).as("avg_entropy"),
         countDistinct(col("checksum")).as("distinct_payloads"))
+
+  val mediaSummarySql: String =
+    s"""WITH $featuresSqlCte
+      |SELECT kind,
+      |  count(*) AS n_media,
+      |  round(avg(n_bytes), 6) AS avg_bytes,
+      |  round(avg(mean_byte), 6) AS avg_mean_byte,
+      |  round(avg(byte_entropy), 6) AS avg_entropy,
+      |  count(DISTINCT checksum) AS distinct_payloads
+      |FROM features GROUP BY kind""".stripMargin
 }

@@ -523,6 +523,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(winnow("ab").length == 1)
   }
 
+  test("oracle precondition: corpus is pure printable ASCII (code points = payload bytes)") {
+    // every media/fingerprint oracle recomputes byte statistics from DuckDB
+    // code points — valid only while the text bytes ARE the char codes
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(col("text").rlike("[^\\x20-\\x7e]")).count()
+    assert(nonAscii == 0, "non-ASCII text would break the byte-level oracles")
+    // and the normalized form never drops below the winnow k-gram width
+    val minNorm = Tables.documents(spark, sf)
+      .select(min(length(graft.functions.TextFunctions.normText(col("text")))))
+      .head().getInt(0)
+    assert(minNorm >= 8, s"doc shorter than winnow k=8 would take the hashCode fallback: $minNorm")
+  }
+
+  test("decodeStub checksum is FNV-1a 64 and bucket counts are recoverable from the vec") {
+    // pins the exact arithmetic the DuckDB oracle mirrors
+    val payload = "hello".getBytes("UTF-8")
+    val (mean, _, checksum, vec) = Multimodal.decodeStub(payload)
+    assert(checksum == 25347132070217633L) // independently computed FNV-1a 64
+    assert(math.abs(mean - payload.map(_ & 0xff).sum.toDouble / 5) < 1e-12)
+    val counts = vec.map(v => math.rint(v.toDouble * 5).toLong)
+    assert(counts.sum == 5 && counts(3) == 5) // 'e','h','l','o' all in [96,128)
+  }
+
   test("frame sampling covers video payloads with indexed frames") {
     val fr = Multimodal.frameSample(spark, sf).collect()
     assert(fr.nonEmpty)
