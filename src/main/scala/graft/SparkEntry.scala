@@ -207,7 +207,8 @@ object SparkEntry {
     ("q_ivf_assign", Similarity.ivfAssign _, Some(Similarity.ivfAssignSql)),
     ("q_ivf_train",
       ((s: SparkSession, d: String) => Similarity.ivfTrain(s, d)): Q, None),
-    ("q_embed_neardup", Similarity.embeddingNearDupSummary _,
+    ("q_embed_neardup",
+      ((s: SparkSession, d: String) => Similarity.embeddingNearDupSummary(s, d)): Q,
       Some(Similarity.embeddingNearDupSummarySql)),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),

@@ -134,11 +134,23 @@ object Forecast {
     Array.tabulate(p)(i => a(i)(p))
   }
 
+  private val forecastMemo = new SessionMemo[String, DataFrame]
+
   /** Build per-supplier daily price series from lineitem (the testdata
     * analogue of per-symbol close prices) and forecast each group.
     * `groupByKey` shuffles once on the series key; group functions run
-    * data-parallel across executors. */
-  def forecastQuery(spark: SparkSession, dir: String): DataFrame = {
+    * data-parallel across executors.
+    *
+    * Memoized per (session, dir): the OLS kernel's output feeds both
+    * q_forecast and the q_forecast_bounds contract twin — without the memo
+    * the bounds query re-runs the whole grouped fit (same
+    * materialized-artifact policy as `Similarity.ivfTrain`). */
+  def forecastQuery(spark: SparkSession, dir: String): DataFrame =
+    forecastMemo.getOrElseUpdate(spark, dir) {
+      forecastQueryImpl(spark, dir).cache()
+    }
+
+  private def forecastQueryImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val series = graft.Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"))

@@ -136,7 +136,7 @@ object Invariants {
     * columns from lineitem (n_days per supplier, the ≥60-row eligibility
     * cut), so the row set scales with SF. */
   def forecastBounds(spark: SparkSession, dir: String): DataFrame = {
-    val f = Forecast.forecastQuery(spark, dir).cache()
+    val f = Forecast.forecastQuery(spark, dir) // memo-cached at source
     val wd = Window.partitionBy("symbol").orderBy("date")
     val fc = f.filter(col("type") === "forecast")
       .withColumn("width", col("confidence_upper") - col("confidence_lower"))

@@ -382,27 +382,42 @@ object Similarity {
   /** Embedding-cosine near-dup summary: exact top-1 neighbor per vector,
     * with an is_near_dup flag at cosine ≥ 0.9. One row per vector.
     *
-    * Kernel shape: the normalized corpus is broadcast once and each
-    * partition scans it with primitive-array loops (`mapPartitions` — the
-    * deliberate last-resort escape hatch: an N×N cosine sweep through
-    * interpreted `zip_with` lambdas is ~50× slower than this fused JVM
-    * loop). This is the broadcast-nested-loop-join-with-fused-top-1 a BLAS
-    * kernel would run per partition. At 100 TB the corpus no longer fits a
-    * broadcast — that regime is served by `lshTopK`/`ivfTopK`. */
-  def embeddingNearDupSummary(spark: SparkSession, dir: String): DataFrame = {
+    * Shape: a GEMM-style SQUARE-BLOCK self-join — the corpus is hashed into
+    * `nBlocks` row-blocks (one array-of-vectors row per block), the B×B
+    * block grid is formed with a shuffle-replicated cartesian (hinted: the
+    * broadcast variant would rebuild the old driver wall), and each grid
+    * cell runs the fused primitive-array top-1 kernel over its
+    * (N/B × N/B) tile; per-tile partial winners are reduced to the global
+    * argmax with one keyed max(struct(cos, -id)) aggregation. Exactness is
+    * preserved (every pair appears in exactly one tile; the unrounded
+    * cosine drives both the tile argmax and the reduce), so the full N×N
+    * DuckDB oracle still applies.
+    *
+    * At 100 TB nothing collects to the driver and no executor ever holds
+    * more than two blocks: pick nBlocks ≈ √(replication budget) so a block
+    * (N/B vectors × dim doubles) fits comfortably in a task — the shuffle
+    * volume is 2·B·N·dim doubles, the unavoidable replication cost of an
+    * EXACT all-pairs sweep. The sub-quadratic regime is served by
+    * `lshTopK`/`ivfTopK`. */
+  def embeddingNearDupSummary(spark: SparkSession, dir: String,
+      nBlocks: Int = 8): DataFrame = {
     import spark.implicits._
-    val c = corpus(spark, dir)
+    val blocked = corpus(spark, dir)
       .select(col("vec_id"), col("emb"), col("nrm"))
-      .as[(Long, Array[Double], Double)]
-    val all = spark.sparkContext.broadcast(c.collect().sortBy(_._1))
-    c.mapPartitions { it =>
-      val corpusArr = all.value
-      it.map { case (id, emb, nrm) =>
+      .withColumn("block", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+      .groupBy("block")
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm"))).as("vs"))
+      .select("vs")
+    val grid = blocked.toDF("lvs")
+      .crossJoin(blocked.toDF("rvs").hint("shuffle_replicate_nl"))
+      .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
+    grid.flatMap { case (lvs, rvs) =>
+      lvs.iterator.flatMap { case (id, emb, nrm) =>
         var bestId = -1L
         var bestCos = -2.0
         var i = 0
-        while (i < corpusArr.length) {
-          val (rid, remb, rnrm) = corpusArr(i)
+        while (i < rvs.length) {
+          val (rid, remb, rnrm) = rvs(i)
           if (rid != id) {
             var d = 0.0
             var j = 0
@@ -414,10 +429,16 @@ object Similarity {
           }
           i += 1
         }
-        val rounded = math.rint(bestCos * 1e6) / 1e6
-        (id, bestId, rounded, rounded >= 0.9)
+        if (bestId == -1L) Iterator.empty
+        else Iterator.single((id, bestCos, bestId))
       }
-    }.toDF("vec_id", "nearest_id", "cosine", "is_near_dup")
+    }.toDF("vec_id", "cos", "nearest")
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("nearest")).as("neg_id"))).as("top"))
+      .select(col("vec_id"),
+        (-col("top.neg_id")).cast("long").as("nearest_id"),
+        round(col("top.cos"), 6).as("cosine"),
+        (round(col("top.cos"), 6) >= 0.9).as("is_near_dup"))
   }
 
   /** DuckDB oracle for [[embeddingNearDupSummary]]: exact top-1 per vector

@@ -262,6 +262,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(s.length == Tables.embeddings(spark, sf).count())
     s.foreach(r => assert(r.getAs[Long]("nearest_id") != r.getAs[Long]("vec_id")))
   }
+
+  test("embedding near-dup: block count does not change the exact result") {
+    val a = Similarity.embeddingNearDupSummary(spark, sf, nBlocks = 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.embeddingNearDupSummary(spark, sf, nBlocks = 8)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("embedding near-dup plan: shuffle-replicated block grid, no driver-side corpus") {
+    // the de-weaked scale shape: the B×B tile grid must come from a
+    // CartesianProduct over SHUFFLED block rows — a BroadcastNestedLoopJoin
+    // would mean the whole corpus is materialized on the driver again
+    val p = Similarity.embeddingNearDupSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("CartesianProduct"), s"block grid missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus broadcast reintroduced the driver wall:\n$p")
+  }
 }
 
 class TextSpec extends AnyFunSuite {
