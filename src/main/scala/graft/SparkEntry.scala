@@ -214,6 +214,10 @@ object SparkEntry {
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)
     ("q_format_combine", Format.fixturePipelineQuery _, None),
+    // the WHOLE reference DAG (ingest→format→combine→predict→index) run by
+    // graft.etl.Pipeline, summarized from its serving tables
+    ("q_pipeline_serving", graft.etl.Pipeline.servingSummaryQuery _,
+      Some(graft.etl.Pipeline.servingSummarySql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

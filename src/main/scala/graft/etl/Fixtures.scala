@@ -119,4 +119,20 @@ object Fixtures {
     writeJsonArray(Paths.get(root, "raw", "finnhub", "news", p2, "news.json"), newsRows)
     s"$root/raw"
   }
+
+  /** Idempotent, content-versioned raw layer at `root`: regenerating after
+    * a generator change invalidates the cached copy (a stale /tmp layer
+    * from an earlier build would otherwise silently feed consumers).
+    * Returns the raw dir. */
+  def ensureRawLayer(root: String): String = {
+    val marker = Paths.get(root, "raw", "_DONE")
+    val stale = !Files.exists(marker) ||
+      new String(Files.readAllBytes(marker)) != contentVersion
+    if (stale) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/raw"))
+      writeRawLayer(root)
+      Files.write(marker, contentVersion.getBytes(StandardCharsets.UTF_8))
+    }
+    s"$root/raw"
+  }
 }

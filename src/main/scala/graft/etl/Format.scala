@@ -123,20 +123,7 @@ object Format {
     * parameter is unused (the raw layer is the fixture set); registered so
     * the driver's gate exercises the JSON-source path end-to-end. */
   def fixturePipelineQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = "/tmp/graft_fixtures"
-    // content-versioned marker: regenerating fixtures after a generator
-    // change must invalidate the cached copy, or a stale /tmp layer from an
-    // earlier build would silently feed this query
-    val marker = java.nio.file.Paths.get(root, "raw", "_DONE")
-    val version = Fixtures.contentVersion
-    val stale = !java.nio.file.Files.exists(marker) ||
-      new String(java.nio.file.Files.readAllBytes(marker)) != version
-    if (stale) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/raw"))
-      Fixtures.writeRawLayer(root)
-      java.nio.file.Files.write(marker, version.getBytes("UTF-8"))
-    }
-    val rawDir = s"$root/raw"
+    val rawDir = Fixtures.ensureRawLayer("/tmp/graft_fixtures")
     combineFrames(formatStocks(spark, rawDir), formatCompany(spark, rawDir),
       formatNews(spark, rawDir))
       .withColumn("latest_news_date",

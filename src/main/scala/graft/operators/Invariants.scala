@@ -123,7 +123,7 @@ object Invariants {
   /** bool_and as a codegen-friendly min-over-indicator (works on any Spark
     * version and keeps the aggregate in HashAggregate). Shared by every
     * invariant-style aggregate in this package. */
-  private[operators] def allOf(c: org.apache.spark.sql.Column) =
+  private[graft] def allOf(c: org.apache.spark.sql.Column) =
     min(when(c, lit(1)).otherwise(lit(0))) === 1
 
   /** Per-key contract of the grouped forecaster, stated as the bounds its

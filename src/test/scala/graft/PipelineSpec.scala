@@ -55,6 +55,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(g.filter(col("open") === 0.0 && col("daily_change_pct").isNotNull).count() == 0)
   }
 
+  test("full DAG runner: ingest→format→combine→predict→index, idempotent re-run") {
+    val dagRoot = Files.createTempDirectory("graft_dag").toString
+    val first = graft.etl.Pipeline.run(spark, dagRoot)
+    val counts = first.map(c => c.table -> c.rows).toMap
+    assert(counts("stocks") == 5 * 70 + 70)     // dup partition survives to formatted
+    assert(counts("combined") == 5 * 70 + 70)
+    assert(counts("predictions") == 5 * (70 + 30)) // every symbol ≥60 rows
+    assert(counts("serving_combined") == 5 * 70)   // doc_id upsert collapses the dup
+    assert(counts("serving_predictions") == 5 * 100)
+    // the index stage is a keyed upsert: re-running the DAG must converge
+    val second = graft.etl.Pipeline.run(spark, dagRoot)
+    assert(second.map(c => c.table -> c.rows).toMap == counts)
+    // serving docs carry the ES shapes: deterministic doc_id, ISO timestamps
+    val serving = spark.read.parquet(s"$dagRoot/serving/combined")
+    assert(serving.filter(col("doc_id") =!=
+      concat_ws("_", col("symbol"), col("date"))).count() == 0)
+    val iso = serving.filter(col("latest_news_date").isNotNull)
+      .select("latest_news_date").head().getString(0)
+    assert(iso.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""))
+  }
+
   test("keyed upsert: idempotent, updates replace, others retained") {
     val path = s"$root/serving/enriched"
     val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
