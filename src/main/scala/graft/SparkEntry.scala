@@ -123,6 +123,12 @@ object SparkEntry {
     ("q_text_search_scored",
       ((s: SparkSession, d: String) => TextFunctions.textSearchScored(s, d)): Q,
       Some(TextFunctions.textSearchScoredSql())),
+    // ES text-mapping analyzer chain: stop words + Porter stemming
+    ("q_search_analyzed",
+      ((s: SparkSession, d: String) => graft.functions.Analyzer.searchAnalyzed(s, d)): Q,
+      Some(graft.functions.Analyzer.searchAnalyzedSql())),
+    ("q_porter_stems", graft.functions.Analyzer.porterExamplesQuery _,
+      Some(graft.functions.Analyzer.porterExamplesSql)),
     ("q_modality_agreement", graft.operators.Curation.modalityAgreement _, None),
     ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
     ("q_split_summary", graft.operators.Curation.splitSummary _, None),
