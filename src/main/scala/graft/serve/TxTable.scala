@@ -16,10 +16,23 @@ import org.apache.spark.sql.types.StructType
   * Layout:
   * {{{
   *   table/
-  *     _txlog/00000000.txt   // commit v0: line 1 = op, rest = data files
-  *     _txlog/00000001.txt   // commit v1 ...
+  *     _txlog/00000000.txt          // commit v0: line 1 = op, rest = delta
+  *     _txlog/00000001.txt          //   lines (+add / -remove of data files)
+  *     _txlog/00000010.checkpoint   // full manifest at v10 (one per
+  *                                  //   CheckpointInterval commits)
   *     data/<uuid>-part-*.parquet   // immutable, never rewritten
   * }}}
+  *
+  * COMMITS ARE DELTAS, Delta-log-style: a merge records only the files it
+  * removed (`-rel`) and added (`+rel<TAB>stats`), so commit cost is
+  * O(touched files) — a full-manifest-per-commit log would write O(table
+  * files) metadata on EVERY daily merge of a million-file table. Full
+  * rewrites (write/compact) are reset commits (adds only). Every
+  * [[CheckpointInterval]] commits the winner also writes a `.checkpoint`
+  * with the complete manifest, so snapshot resolution reads ONE checkpoint
+  * plus at most CheckpointInterval−1 delta commits — O(1) in table
+  * history, never a replay from v0. Pre-delta logs (unprefixed lines) are
+  * still readable as full-snapshot commits.
   *
   * The COMMIT POINT is the atomic rename of a staged manifest to
   * `_txlog/<version>.txt`. Hadoop `rename` refuses an existing destination,
@@ -27,8 +40,10 @@ import org.apache.spark.sql.types.StructType
   * the loser re-reads the new snapshot and retries its merge on top
   * (optimistic concurrency, the Delta protocol's conflict rule). Readers
   * resolve a snapshot by manifest, so they never observe a half-written
-  * table and can time-travel to any retained version. Data files are
-  * immutable; losers' orphans are reclaimed by [[vacuum]].
+  * table and can time-travel to any retained version. Checkpoints are
+  * written AFTER the commit wins, outside the race (idempotent, and purely
+  * an optimization: a missing checkpoint only means a longer replay). Data
+  * files are immutable; losers' orphans are reclaimed by [[vacuum]].
   *
   * On a rename-less object store (S3) the commit rename needs a
   * put-if-absent or a coordination service — same caveat as Delta's
@@ -76,12 +91,91 @@ object TxTable {
     }
   }
 
-  private def readManifest(fs: FileSystem, path: String, v: Long): (String, Seq[ManifestEntry]) = {
-    val in = fs.open(commitFile(path, v))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    (lines.head, lines.tail.map(ManifestEntry.parse))
+  /** Checkpoint every this-many commits. Small here so tests exercise the
+    * machinery; a production table would use Delta's default (10). */
+  val CheckpointInterval = 10
+
+  private def checkpointFile(path: String, v: Long) =
+    new Path(logDir(path), f"$v%08d.checkpoint")
+
+  /** A parsed commit: op + delta actions. `reset` commits (write/compact,
+    * and every pre-delta full manifest) replace the whole state with their
+    * adds; others remove then add. */
+  private case class Commit(op: String, reset: Boolean,
+      removes: Seq[String], adds: Seq[ManifestEntry])
+
+  private def readLines(fs: FileSystem, p: Path): List[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def readCommit(fs: FileSystem, path: String, v: Long): Commit = {
+    val lines = readLines(fs, commitFile(path, v))
+    val (op, body) = (lines.head, lines.tail)
+    val legacyFull = body.exists(l => !l.startsWith("+") && !l.startsWith("-"))
+    if (legacyFull)
+      Commit(op, reset = true, Nil, body.map(ManifestEntry.parse))
+    else
+      Commit(op, reset = op == "write" || op == "compact",
+        body.filter(_.startsWith("-")).map(_.substring(1)),
+        body.filter(_.startsWith("+")).map(l => ManifestEntry.parse(l.substring(1))))
+  }
+
+  private def listLog(fs: FileSystem, path: String, suffix: String): Seq[Long] =
+    if (!fs.exists(logDir(path))) Seq.empty
+    else fs.listStatus(logDir(path)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(suffix))
+      .map(_.stripSuffix(suffix).toLong)
+
+  private def writeCheckpoint(fs: FileSystem, path: String, v: Long,
+      entries: Seq[ManifestEntry]): Unit = {
+    val tmp = new Path(logDir(path), s"_cptmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(entries.map(_.line).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!publish(fs, tmp, checkpointFile(path, v))) fs.delete(tmp, false)
+  }
+
+  /** Post-commit checkpoint hook — fired by every writer after it wins a
+    * version on the interval boundary. Failure-safe: the checkpoint is
+    * derivable from the log, so best-effort is enough. */
+  private def maybeCheckpoint(fs: FileSystem, path: String, v: Long,
+      entries: Seq[ManifestEntry]): Unit =
+    if (v > 0 && v % CheckpointInterval == 0)
+      try writeCheckpoint(fs, path, v, entries)
+      catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Resolve the full file list at version `v`: nearest checkpoint ≤ v,
+    * then the (≤ CheckpointInterval−1, bounded further by any reset commit)
+    * delta tail — never a replay of the whole history. */
+  private def resolveEntries(fs: FileSystem, path: String, v: Long): Seq[ManifestEntry] = {
+    val cp = listLog(fs, path, ".checkpoint").filter(_ <= v) match {
+      case vs if vs.isEmpty => None
+      case vs => Some(vs.max)
+    }
+    val commits = listLog(fs, path, ".txt")
+      .filter(cv => cv > cp.getOrElse(-1L) && cv <= v).sorted
+      .map(cv => cv -> readCommit(fs, path, cv))
+    // a reset commit supersedes everything before it — start there instead
+    val lastReset = commits.lastIndexWhere(_._2.reset)
+    val (start, tail) =
+      if (lastReset >= 0) (Seq.empty[ManifestEntry], commits.drop(lastReset))
+      else (cp.map(c => readLines(fs, checkpointFile(path, c)).filter(_.nonEmpty)
+        .map(ManifestEntry.parse)).getOrElse {
+          if (commits.isEmpty || commits.head._1 != listLog(fs, path, ".txt").min)
+            throw new java.io.FileNotFoundException(
+              s"TxTable $path: version $v is not resolvable (no checkpoint and no reset in range)")
+          Seq.empty
+        }, commits)
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
+    start.foreach(e => state(e.rel) = e)
+    tail.foreach { case (_, c) =>
+      if (c.reset) state.clear()
+      c.removes.foreach(state.remove)
+      c.adds.foreach(e => state(e.rel) = e)
+    }
+    state.values.toSeq
   }
 
   /** The snapshot's manifest entries (files + stats) — the metadata surface
@@ -93,7 +187,7 @@ object TxTable {
     val fs = hfs(spark, path)
     if (!fs.exists(commitFile(path, v)))
       throw new java.io.FileNotFoundException(s"TxTable $path has no version $v")
-    readManifest(fs, path, v)._2
+    resolveEntries(fs, path, v)
   }
 
   /** The stats-aware file index over a snapshot — also the hook tests use
@@ -151,14 +245,16 @@ object TxTable {
     }
   }
 
-  /** Atomically publish `files` as version `v`. False ⇒ someone else won
-    * the version race (caller must re-read and retry). */
+  /** Atomically publish a DELTA commit as version `v`: `removes` as `-rel`
+    * lines, `adds` as `+entry` lines — O(touched), not O(table). False ⇒
+    * someone else won the version race (caller must re-read and retry). */
   private def tryCommit(fs: FileSystem, path: String, v: Long, op: String,
-      files: Seq[ManifestEntry]): Boolean = {
+      removes: Seq[String], adds: Seq[ManifestEntry]): Boolean = {
     fs.mkdirs(logDir(path))
     val tmp = new Path(logDir(path), s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
-    try out.write((op +: files.map(_.line)).mkString("\n").getBytes("UTF-8"))
+    val body = removes.map("-" + _) ++ adds.map("+" + _.line)
+    try out.write((op +: body).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val won = publish(fs, tmp, commitFile(path, v))
     if (!won) fs.delete(tmp, false)
@@ -199,7 +295,10 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val v = latestVersion(spark, path).map(_ + 1).getOrElse(0L)
-      if (tryCommit(fs, path, v, "write", files)) return v
+      if (tryCommit(fs, path, v, "write", Nil, files)) {
+        maybeCheckpoint(fs, path, v, files)
+        return v
+      }
       attempt += 1
     }
     throw new java.io.IOException(s"TxTable: lost $MaxCommitRetries version races at $path")
@@ -235,9 +334,9 @@ object TxTable {
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path)
       val v = base.map(_ + 1).getOrElse(0L)
-      val (carried, rewritten) = base match {
+      val (carried, touchedRels, rewritten) = base match {
         case Some(bv) =>
-          val baseFiles = readManifest(fs, path, bv)._2
+          val baseFiles = resolveEntries(fs, path, bv)
           // stats pre-filter: a file whose key range cannot intersect the
           // update batch cannot hold a matched key — skip it in the scan
           // AND carry it verbatim. At 100 TB this is what bounds merge cost
@@ -264,11 +363,16 @@ object TxTable {
             else spark.read.parquet(touched.map(e => s"$path/${e.rel}"): _*)
               .join(updKeys, keys, "left_anti")
               .unionByName(deduped)
-          (skipped ++ untouchedCand, rewrite)
-        case None => (Seq.empty[ManifestEntry], deduped)
+          (skipped ++ untouchedCand, touched.map(_.rel), rewrite)
+        case None => (Seq.empty[ManifestEntry], Seq.empty[String], deduped)
       }
-      val files = carried ++ stageData(spark, rewritten, path)
-      if (tryCommit(fs, path, v, "merge", files)) return v
+      val staged = stageData(spark, rewritten, path)
+      // the commit is the DELTA (removed touched files, added staged ones);
+      // carried files are implicit — O(touched) metadata per merge
+      if (tryCommit(fs, path, v, "merge", touchedRels, staged)) {
+        maybeCheckpoint(fs, path, v, carried ++ staged)
+        return v
+      }
       // lost the race: orphaned staged files are left for vacuum; recompute
       attempt += 1
     }
@@ -302,7 +406,10 @@ object TxTable {
         case None => snapshot.repartition(numFiles)
       }
       val files = stageData(spark, arranged, path)
-      if (tryCommit(fs, path, base + 1, "compact", files)) return base + 1
+      if (tryCommit(fs, path, base + 1, "compact", Nil, files)) {
+        maybeCheckpoint(fs, path, base + 1, files)
+        return base + 1
+      }
       attempt += 1
     }
     throw new java.io.IOException(s"TxTable: lost $MaxCommitRetries version races at $path")
@@ -313,14 +420,10 @@ object TxTable {
     * not be contiguous from 0). */
   def history(spark: SparkSession, path: String): Seq[(Long, String, Int)] = {
     val fs = hfs(spark, path)
-    if (!fs.exists(logDir(path))) Seq.empty
-    else fs.listStatus(logDir(path)).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".txt"))
-      .map(_.stripSuffix(".txt").toLong).sorted.reverse
-      .map { v =>
-        val (op, files) = readManifest(fs, path, v)
-        (v, op, files.size)
-      }
+    listLog(fs, path, ".txt").sorted.reverse.map { v =>
+      val op = readCommit(fs, path, v).op
+      (v, op, resolveEntries(fs, path, v).size)
+    }
   }
 
   /** Drop all but the newest `keepVersions` manifests PRESENT (the log need
@@ -335,12 +438,19 @@ object TxTable {
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
       retentionMs: Long = 60L * 60 * 1000): Unit = {
     val fs = hfs(spark, path)
-    val versions = history(spark, path).map(_._1) // newest first, present only
+    val versions = listLog(fs, path, ".txt").sorted.reverse // newest first
     if (versions.isEmpty) return
     val keep = versions.take(keepVersions)
+    // kept versions must stay resolvable after their delta ancestry is
+    // dropped: materialize a checkpoint for each BEFORE deleting anything
+    val resolved = keep.map(v => v -> resolveEntries(fs, path, v))
+    resolved.foreach { case (v, entries) =>
+      if (!fs.exists(checkpointFile(path, v))) writeCheckpoint(fs, path, v, entries)
+    }
     versions.drop(keepVersions).foreach(v => fs.delete(commitFile(path, v), false))
-    val referenced = keep
-      .flatMap(v => readManifest(fs, path, v)._2)
+    listLog(fs, path, ".checkpoint").filter(_ < keep.min)
+      .foreach(v => fs.delete(checkpointFile(path, v), false))
+    val referenced = resolved.flatMap(_._2)
       .map(e => new Path(path, e.rel).getName).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val dataDir = new Path(path, "data")

@@ -171,6 +171,48 @@ class TxStatsSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until 4096L))
   }
 
+  test("50 merge commits: delta log + checkpoints keep resolution O(1) in history") {
+    val path = freshDir("cp")
+    val dir = new java.io.File(path).getParentFile
+    TxTable.write(spark, Seq((0L, "seed")).toDF("k", "v"), path)
+    (1 to 50).foreach { i =>
+      TxTable.merge(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), path, Seq("k"))
+    }
+    val log = new java.io.File(s"$path/_txlog")
+    // checkpoints materialized every CheckpointInterval commits
+    val cps = log.listFiles().map(_.getName).filter(_.endsWith(".checkpoint")).sorted
+    assert(cps.nonEmpty, "no checkpoint written in 50 commits")
+    assert(cps.contains(f"${50L}%08d.checkpoint"))
+    // commit files stay O(touched): a 1-row merge writes a constant-size
+    // delta, NOT the accumulated table manifest
+    val sizes = (1 to 50).map(v => new java.io.File(s"$path/_txlog/${f"$v%08d"}.txt").length())
+    assert(sizes.max < 4 * sizes.min,
+      s"commit size grew with table history: ${sizes.min}..${sizes.max}")
+    // snapshot resolution uses ONE checkpoint + the delta tail: deleting
+    // every commit at or before the last checkpoint must not affect reads
+    val full = TxTable.read(spark, path).orderBy("k").collect().map(_.toString)
+    (0 until 50).foreach { v =>
+      new java.io.File(s"$path/_txlog/${f"$v%08d"}.txt").delete()
+    }
+    val viaCheckpoint = TxTable.read(spark, path).orderBy("k").collect().map(_.toString)
+    assert(viaCheckpoint.sameElements(full), "checkpoint resolution diverged")
+    assert(TxTable.manifest(spark, path).nonEmpty)
+  }
+
+  test("vacuum keeps old versions resolvable by materializing their checkpoints") {
+    val path = freshDir("cpvac")
+    TxTable.write(spark, Seq((0L, "seed")).toDF("k", "v"), path)
+    (1 to 7).foreach { i =>
+      TxTable.merge(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), path, Seq("k"))
+    }
+    val before = TxTable.read(spark, path, Some(6L)).count()
+    TxTable.vacuum(spark, path, keepVersions = 2, retentionMs = 0L)
+    // v6 and v7 kept; their ancestry (v0..v5 deltas) is gone, yet both
+    // resolve from the checkpoints vacuum wrote
+    assert(TxTable.read(spark, path, Some(6L)).count() == before)
+    assert(TxTable.read(spark, path, Some(7L)).count() == before + 1)
+  }
+
   test("rangesOverlap is conservative at the edges") {
     import TxStats.{rangesOverlap, ColStats}
     val cs = ColStats(Some(BigDecimal(10)), Some(BigDecimal(20)), 0L)
