@@ -196,6 +196,11 @@ object SparkEntry {
     ("q_dedup_spans",
       ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,
       Some(Dedup.duplicateSpansSql)),
+    // same spans through the salted anchor join (skew fallback) — the
+    // IDENTICAL oracle proves salting is semantics-preserving
+    ("q_dedup_spans_salted",
+      ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d, saltFactor = 4)): Q,
+      Some(Dedup.duplicateSpansSql)),
     // spans applied: larger-id doc loses the shared range (md5-closed oracle)
     ("q_dedup_scrub",
       ((s: SparkSession, d: String) => Dedup.scrubSpans(s, d)): Q,

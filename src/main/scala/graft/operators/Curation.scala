@@ -245,7 +245,10 @@ object Curation {
     * → DuckDB oracle. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count() // tiny action on metadata; acceptable driver-side
+    // N derived IN-PLAN (1-row agg broadcast-cross-joined, the
+    // mixtureWeights pattern) — a driver-side count() here would be an
+    // extra job per invocation
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs
       .select(col("doc_id"), col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
     val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
@@ -254,8 +257,9 @@ object Curation {
     val w = Window.partitionBy("lang")
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") * log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))), 6))
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + lit(1.0))), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("lang", "rk", "term", "tf", "df", "tfidf")

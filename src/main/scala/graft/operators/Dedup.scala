@@ -503,9 +503,17 @@ object Dedup {
     * Spans can split where the df-cap drops a mid-span anchor —
     * conservative (reported spans are always real; one long span may
     * surface as two). One shuffle per stage, all keyed on anchor or
-    * (doc_a, doc_b, diag) — no all-pairs comparison anywhere. */
+    * (doc_a, doc_b, diag) — no all-pairs comparison anywhere.
+    *
+    * `saltFactor > 1` switches the anchor self-join to the salted form
+    * (the `operators.Skew` fallback): per-anchor fan-out is bounded by
+    * dfCap² rows, but an ADVERSARIAL corpus can park thousands of distinct
+    * boilerplate anchors at exactly the cap AND those anchors can hash
+    * into the same shuffle partition — salting by (doc, pos) spreads each
+    * anchor's posting list over `saltFactor` tasks while producing the
+    * IDENTICAL point set (equivalence pinned in ScaleSpec). */
   def duplicateSpans(spark: SparkSession, dir: String, k: Int = 8,
-      minTokens: Int = 12, dfCap: Int = 20): DataFrame = {
+      minTokens: Int = 12, dfCap: Int = 20, saltFactor: Int = 1): DataFrame = {
     val toks = tokens(col("text"))
     val gramArr = when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
@@ -517,10 +525,23 @@ object Dedup {
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df").between(2, dfCap))
     val rare = grams.join(freq, "gram")
-    val pts = rare.alias("x").join(rare.alias("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.pos").as("pa"), col("y.pos").as("pb"))
+    val xa = rare.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+    val yb = rare.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val pts =
+      if (saltFactor <= 1)
+        xa.join(yb, Seq("gram")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "pa", "pb")
+      else {
+        // probe side salted by content (deterministic), build side exploded
+        // saltFactor× — Skew.saltedJoin's shape with the pair predicate kept
+        val salted = xa.withColumn("__salt",
+          pmod(xxhash64(col("doc_a"), col("pa")), lit(saltFactor.toLong)))
+        val exploded = yb.withColumn("__salt",
+          explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+        salted.join(exploded, Seq("gram", "__salt"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "pa", "pb")
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     pts.withColumn("diag", col("pa") - col("pb"))

@@ -126,6 +126,17 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the anchor equi-join in:\n$plan")
   }
 
+  test("duplicate spans: salted anchor join is result-identical and salt-keyed") {
+    val plain = operators.Dedup.duplicateSpans(spark, sf)
+      .collect().map(_.toString).sorted
+    val salted = operators.Dedup.duplicateSpans(spark, sf, saltFactor = 4)
+    val got = salted.collect().map(_.toString).sorted
+    assert(got.sameElements(plain), "salting changed the span set")
+    val plan = physicalPlan(salted)
+    assert(plan.contains("__salt"), s"salted path not taken:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bloom semi join: bloom prefilter sits below the join") {
     // the UDF probe must run in the scan stage (before any exchange), so
     // pruned rows never reach the shuffle — the operator's entire point
