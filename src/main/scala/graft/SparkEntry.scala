@@ -174,7 +174,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,
       Some(graft.operators.Packing.packContiguousSql())),
     ("q_pack_nextfit",
-      ((s: SparkSession, d: String) => graft.operators.Packing.packNextFit(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Packing.packNextFit(s, d)): Q,
+      Some(graft.operators.Packing.packNextFitSql())),
     ("q_heavy_hitters",
       ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsPerLang(s, d)): Q, None),
     ("q_heavy_hitters_exact",

@@ -120,20 +120,26 @@ object Packing {
 
   /** Sequential next-fit kernel (one partition): open a new bin when the
     * language changes or the document would overflow the budget; key =
-    * (lang, running bin counter) — unique and deterministic given the sort.
-    * A document larger than the budget gets a bin of its own. */
+    * (lang, PER-LANG bin counter starting at 0) — unique, deterministic
+    * given the sort, and independent of how languages co-reside in shuffle
+    * partitions (a cross-lang running counter would make pack keys a
+    * function of `spark.sql.shuffle.partitions`). A document larger than
+    * the budget gets a bin of its own. */
   def nextFitAssign(it: Iterator[DocTok],
       budget: Int): Iterator[(Long, String, Int, String)] = {
     // `!started` (not a null sentinel) opens the first bin even when the
     // first document's lang is itself null
     var started = false
     var curLang: String = null
-    var packSeq = -1L
+    var packSeq = 0L
     var fill = 0L
     it.map { d =>
-      if (!started || d.lang != curLang || fill + d.n_tokens > budget) {
+      if (!started || d.lang != curLang) {
         started = true
         curLang = d.lang
+        packSeq = 0L
+        fill = 0L
+      } else if (fill + d.n_tokens > budget) {
         packSeq += 1
         fill = 0L
       }
@@ -141,4 +147,34 @@ object Packing {
       (d.doc_id, d.lang, d.n_tokens, s"${d.lang}_$packSeq")
     }
   }
+
+  /** Full oracle for [[packNextFit]]: the sequential fold re-run as a
+    * DuckDB RECURSIVE CTE — one state row per (lang, position), each step
+    * advancing every language's chain by one document. Exact because the
+    * kernel's order (lang, doc_id) and its open-new-bin rule are both
+    * replicated; recursion depth = max docs per language. */
+  def packNextFitSql(budget: Int = DefaultBudget): String =
+    s"""WITH RECURSIVE toked AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS INT)
+       |      AS n_tokens
+       |  FROM documents),
+       |ord AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM toked),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens, rn,
+       |         CAST(0 AS BIGINT) AS seq, CAST(n_tokens AS BIGINT) AS fill
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.doc_id, o.lang, o.n_tokens, o.rn,
+       |         CASE WHEN p.fill + o.n_tokens > $budget THEN p.seq + 1 ELSE p.seq END,
+       |         CASE WHEN p.fill + o.n_tokens > $budget
+       |              THEN CAST(o.n_tokens AS BIGINT) ELSE p.fill + o.n_tokens END
+       |  FROM packed p JOIN ord o
+       |    ON o.lang IS NOT DISTINCT FROM p.lang AND o.rn = p.rn + 1)
+       |SELECT doc_id, lang, n_tokens,
+       |       COALESCE(lang, 'null') || '_' || seq AS pack_key
+       |FROM packed""".stripMargin
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   * session, so weak keys don't work either).
   */
 private[graft] final class SessionMemo[K, V] {
+  SessionMemo.register(this)
   private val map = new ConcurrentHashMap[(SparkSession, K), V]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
@@ -21,10 +22,24 @@ private[graft] final class SessionMemo[K, V] {
     if (hooked.add(spark))
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          map.keySet.removeIf(_._1 eq spark)
+          drop(spark)
           hooked.remove(spark)
         }
       })
     map.computeIfAbsent((spark, key), _ => build)
   }
+
+  /** Forget this session's entries (the artifacts become unreferenced; the
+    * ContextCleaner reclaims their checkpoint/cache blocks on GC). */
+  private[graft] def drop(spark: SparkSession): Unit =
+    map.keySet.removeIf(_._1 eq spark)
+}
+
+private[graft] object SessionMemo {
+  private val all = new java.util.concurrent.ConcurrentLinkedQueue[SessionMemo[_, _]]()
+  private def register(m: SessionMemo[_, _]): Unit = all.add(m)
+
+  /** Drop one session's entries from EVERY memo in the process. */
+  private[graft] def dropSession(spark: SparkSession): Unit =
+    all.forEach(_.drop(spark))
 }

@@ -283,6 +283,24 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class CachesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("Caches.clear releases cached plans and memoized artifacts; queries rebuild") {
+    // populate: a cached pipeline + a memoized checkpoint-rooted artifact
+    val before = Dedup.minhashNearDups(spark, sf).count()
+    val train = Similarity.ivfTrain(spark, sf).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    Caches.clear(spark)
+    assert(spark.sharedState.cacheManager.isEmpty, "cached plans survived clear")
+    // memo dropped: a fresh call rebuilds (new DataFrame identity) and the
+    // results are unchanged — clear is a release hook, not a semantic event
+    val train2 = Similarity.ivfTrain(spark, sf).collect()
+    assert(train2.map(_.toString).sorted.sameElements(train.map(_.toString).sorted))
+    assert(Dedup.minhashNearDups(spark, sf).count() == before)
+  }
+}
+
 class TextSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._

@@ -40,11 +40,11 @@ class PackingSpec extends AnyFunSuite {
     p.foreach(r => assert(again(r.getAs[Long]("doc_id")) == r.getAs[String]("pack_key")))
   }
 
-  test("next-fit kernel: null-lang first doc still opens bin 0") {
+  test("next-fit kernel: null-lang first doc still opens bin 0; counter resets per lang") {
     import graft.operators.Packing.DocTok
     val out = Packing.nextFitAssign(Iterator(
       DocTok(1L, null, 10), DocTok(2L, null, 10), DocTok(3L, "en", 10)), 16).toList
-    assert(out.map(_._4) == List("null_0", "null_1", "en_2"))
+    assert(out.map(_._4) == List("null_0", "null_1", "en_0"))
   }
 
   test("next-fit wastes less budget than pathological and beats doc-per-pack") {
