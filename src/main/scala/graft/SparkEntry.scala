@@ -222,6 +222,10 @@ object SparkEntry {
     ("q_embed_neardup",
       ((s: SparkSession, d: String) => Similarity.embeddingNearDupSummary(s, d)): Q,
       Some(Similarity.embeddingNearDupSummarySql)),
+    // SemDeDup: exact pair graph → connected components → representative
+    ("q_semantic_dedup",
+      ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)): Q,
+      Some(Similarity.semanticDedupSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

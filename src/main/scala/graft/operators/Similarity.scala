@@ -399,8 +399,11 @@ object Similarity {
     * volume is 2·B·N·dim doubles, the unavoidable replication cost of an
     * EXACT all-pairs sweep. The sub-quadratic regime is served by
     * `lshTopK`/`ivfTopK`. */
-  def embeddingNearDupSummary(spark: SparkSession, dir: String,
-      nBlocks: Int = 8): DataFrame = {
+  /** The B×B tile grid over the blocked corpus — the shared fabric of the
+    * exact all-pairs kernels ([[embeddingNearDupSummary]],
+    * [[embeddingPairs]]). Shuffle-replicated cartesian, never a broadcast
+    * (which would materialize the corpus on the driver). */
+  private def blockGrid(spark: SparkSession, dir: String, nBlocks: Int) = {
     import spark.implicits._
     val blocked = corpus(spark, dir)
       .select(col("vec_id"), col("emb"), col("nrm"))
@@ -408,9 +411,15 @@ object Similarity {
       .groupBy("block")
       .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm"))).as("vs"))
       .select("vs")
-    val grid = blocked.toDF("lvs")
+    blocked.toDF("lvs")
       .crossJoin(blocked.toDF("rvs").hint("shuffle_replicate_nl"))
       .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
+  }
+
+  def embeddingNearDupSummary(spark: SparkSession, dir: String,
+      nBlocks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val grid = blockGrid(spark, dir, nBlocks)
     grid.flatMap { case (lvs, rvs) =>
       lvs.iterator.flatMap { case (id, emb, nrm) =>
         var bestId = -1L
@@ -440,6 +449,82 @@ object Similarity {
         round(col("top.cos"), 6).as("cosine"),
         (round(col("top.cos"), 6) >= 0.9).as("is_near_dup"))
   }
+
+  /** ALL embedding pairs with rounded cosine ≥ `threshold` (doc_a < doc_b,
+    * each unordered pair exactly once) — the edge list semantic dedup
+    * clusters on. Same tile grid as the top-1 kernel; the fused loop
+    * prefilters on raw cosine with a 1e-6 guard band and the PLAN applies
+    * the exact `round(_, 6) >= threshold` cut, so the emitted set is
+    * grid-stable and engine-portable. Output is sparse (near-dup pairs),
+    * so the quadratic sweep's result shuffles cheaply. */
+  def embeddingPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nBlocks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val grid = blockGrid(spark, dir, nBlocks)
+    grid.flatMap { case (lvs, rvs) =>
+      lvs.iterator.flatMap { case (id, emb, nrm) =>
+        rvs.iterator.flatMap { case (rid, remb, rnrm) =>
+          if (id < rid) {
+            var d = 0.0
+            var j = 0
+            while (j < emb.length) { d += emb(j) * remb(j); j += 1 }
+            val cos = d / (nrm * rnrm)
+            if (cos >= threshold - 1e-6) Iterator.single((id, rid, cos))
+            else Iterator.empty
+          } else Iterator.empty
+        }
+      }
+    }.toDF("doc_a", "doc_b", "raw")
+      .filter(round(col("raw"), 6) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw"), 6).as("cosine"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: embedding
+    * near-dup groups keep one representative): threshold the exact pair
+    * graph, connected components over it (the shared min-label machinery),
+    * keep = the minimum vec_id of each component; untouched vectors are
+    * their own singleton clusters. The synthetic corpus' embeddings are
+    * near-orthogonal, so the registered threshold sits at the tail of its
+    * cosine distribution (0.4); a real corpus would run 0.9+. Fully
+    * hash-oracled: the oracle recomputes the pair graph N×N and resolves
+    * components as min-reachable-id via a recursive transitive closure. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nBlocks: Int = 8): DataFrame = {
+    val pairs = embeddingPairs(spark, dir, threshold, nBlocks)
+      .select("doc_a", "doc_b")
+    val labels = Curation.connectedComponents(pairs)
+    corpus(spark, dir).select(col("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+  }
+
+  /** DuckDB oracle for [[semanticDedup]] (threshold 0.4): the same pair
+    * graph from the N×N sweep, components via recursive closure
+    * (min reachable id over the undirected edges), singletons self-rooted. */
+  def semanticDedupSql(threshold: Double = 0.4): String =
+    s"""WITH RECURSIVE c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+       |      i -> emb[i] * emb[i]))) AS nrm
+       |  FROM c),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= $threshold),
+       |edges AS (
+       |  SELECT va AS s, vb AS d FROM pairs
+       |  UNION SELECT vb AS s, va AS d FROM pairs),
+       |reach AS (
+       |  SELECT vec_id, vec_id AS r FROM c
+       |  UNION
+       |  SELECT e.s AS vec_id, reach.r FROM edges e JOIN reach ON reach.vec_id = e.d)
+       |SELECT vec_id, MIN(r) AS cluster_id, vec_id = MIN(r) AS keep
+       |FROM reach GROUP BY vec_id""".stripMargin
 
   /** DuckDB oracle for [[embeddingNearDupSummary]]: exact top-1 per vector
     * over the full N×N sweep, argmax on the UNROUNDED cosine with the same

@@ -263,6 +263,26 @@ class SimilaritySpec extends AnyFunSuite {
     s.foreach(r => assert(r.getAs[Long]("nearest_id") != r.getAs[Long]("vec_id")))
   }
 
+  test("semantic dedup: pair-connected vectors share a cluster, keep marks the min") {
+    val pairs = Similarity.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty, "threshold should yield edges on this corpus")
+    assert(pairs.forall { case (a, b) => a < b })
+    val labels = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(labels.size == Tables.embeddings(spark, sf).count())
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 == labels(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (id, (cl, keep)) =>
+      assert(cl <= id, "cluster id must be the component minimum")
+      assert(keep == (cl == id))
+    }
+    // every cluster's representative is a member that keeps itself
+    labels.values.map(_._1).toSet.foreach { cl: Long => assert(labels(cl)._1 == cl) }
+  }
+
   test("embedding near-dup: block count does not change the exact result") {
     val a = Similarity.embeddingNearDupSummary(spark, sf, nBlocks = 3)
       .collect().map(_.toString).sorted
