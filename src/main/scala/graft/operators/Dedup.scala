@@ -524,7 +524,11 @@ object Dedup {
     val freq = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df").between(2, dfCap))
-    val rare = grams.join(freq, "gram")
+    // the capped anchor index feeds BOTH sides of the self-join and is
+    // rebuilt identically by the plain/salted/scrub consumers — cache it so
+    // one session materializes the gram pipeline once (same session-bounded
+    // policy as the minhash pipeline caches)
+    val rare = grams.join(freq, "gram").cache()
     val xa = rare.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pa"))
     val yb = rare.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pb"))
     val pts =
