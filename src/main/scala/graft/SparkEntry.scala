@@ -148,6 +148,8 @@ object SparkEntry {
       Some(graft.operators.Invariants.minhashRecallSql)),
     ("q_minhash_precision", graft.operators.Invariants.minhashPrecision _,
       Some(graft.operators.Invariants.minhashPrecisionSql)),
+    ("q_incremental_consistency", graft.operators.Invariants.incrementalConsistency _,
+      Some(graft.operators.Invariants.incrementalConsistencySql)),
     ("q_cluster_invariants", graft.operators.Invariants.clusterInvariants _,
       Some(graft.operators.Invariants.clusterInvariantsSql)),
     ("q_curate_invariants", graft.operators.Invariants.curateInvariants _,

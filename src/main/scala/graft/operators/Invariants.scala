@@ -235,6 +235,38 @@ object Invariants {
       |  CAST(0 AS BIGINT) AS n_jaccard_mismatch,
       |  true AS pairs_ordered""".stripMargin
 
+  /** Incremental-ingest contract: probing the odd-id batch against the
+    * even-id index must find EXACTLY the full self-join's cross-parity
+    * pairs with identical jaccard — band collision and verify threshold
+    * are the same predicate on both paths, so any asymmetry is a broken
+    * index probe. Emitted as difference counts the oracle states as zero
+    * (driver-gating what was previously only a ScalaTest assertion). */
+  def incrementalConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val evenA = pmod(col("doc_a"), lit(2)) === 0
+    val full = Dedup.minhashNearDups(spark, dir)
+      .filter(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
+      .select(
+        when(evenA, col("doc_a")).otherwise(col("doc_b")).as("index_id"),
+        when(evenA, col("doc_b")).otherwise(col("doc_a")).as("new_id"),
+        col("jaccard").as("full_j"))
+    val inc = Dedup.minhashNearDupsIncremental(spark, dir)
+      .withColumnRenamed("jaccard", "inc_j")
+    full.join(inc, Seq("index_id", "new_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("inc_j").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_missing_from_incremental"),
+        coalesce(sum(when(col("full_j").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_extra_in_incremental"),
+        coalesce(sum(when(col("full_j").isNotNull && col("inc_j").isNotNull &&
+          col("full_j") =!= col("inc_j"), 1L).otherwise(0L)), lit(0L))
+          .as("n_jaccard_mismatch"))
+  }
+
+  val incrementalConsistencySql: String =
+    """SELECT CAST(0 AS BIGINT) AS n_missing_from_incremental,
+      |  CAST(0 AS BIGINT) AS n_extra_in_incremental,
+      |  CAST(0 AS BIGINT) AS n_jaccard_mismatch""".stripMargin
+
   /** Connected-components contract per document (the labels themselves
     * depend on the LSH pair set, which is hash-defined — but the STRUCTURE
     * is checkable): both ends of every near-dup pair share a cluster, the
