@@ -105,6 +105,9 @@ object SparkEntry {
       Some(graft.operators.Curation.mixtureWeightsSql)),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
     ("q_lang_id", TextFunctions.langIdQuery _, Some(TextFunctions.langIdQuerySql)),
+    // perplexity-proxy LM filter (char-bigram model, decimal-exact sums)
+    ("q_lm_score", graft.operators.LmScore.bigramScores _,
+      Some(graft.operators.LmScore.bigramScoresSql)),
     ("q_fingerprint", TextFunctions.fingerprintQuery _,
       Some(TextFunctions.fingerprintQuerySql)),
     ("q_winnow_fingerprint", TextFunctions.winnowQuery _,
@@ -232,6 +235,8 @@ object SparkEntry {
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)
     ("q_format_combine", Format.fixturePipelineQuery _, None),
+    ("q_format_combine_summary", Format.fixtureSummaryQuery _,
+      Some(Format.fixtureSummarySql)),
     // the WHOLE reference DAG (ingest→format→combine→predict→index) run by
     // graft.etl.Pipeline, summarized from its serving tables
     ("q_pipeline_serving", graft.etl.Pipeline.servingSummaryQuery _,

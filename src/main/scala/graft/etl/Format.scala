@@ -131,4 +131,38 @@ object Format {
       .withColumn("fetched_at_utc",
         date_format(col("fetched_at_utc"), "yyyy-MM-dd HH:mm:ss"))
   }
+
+  /** Exact-valued summary of [[fixturePipelineQuery]] with a literal oracle
+    * (the fixtures are content-versioned and deterministic): per symbol,
+    * row/day counts — AAPL carries the duplicated raw partition — news
+    * counts, the orphan company join, market caps (MSFT's is the zero edge
+    * row), date span, and the guarded-division nulls from open==0. A drift
+    * in the multiLine scan, the casts, the dedup, or the combine joins
+    * lands here. */
+  def fixtureSummaryQuery(spark: SparkSession, dir: String): DataFrame =
+    fixturePipelineQuery(spark, dir)
+      .groupBy("symbol").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("date")).as("n_days"),
+        max("news_count").as("news_count"),
+        max(col("name").isNotNull).as("has_company_info"),
+        max("market_cap").as("market_cap"),
+        min("date").as("min_date"),
+        max("date").as("max_date"),
+        sum(when(col("daily_change_pct").isNull, 1L).otherwise(0L)).as("n_null_change"))
+
+  val fixtureSummarySql: String =
+    """SELECT * FROM (VALUES
+      |  ('AAPL', CAST(140 AS BIGINT), CAST(70 AS BIGINT), CAST(2 AS BIGINT), true,
+      |   CAST(1000000000000 AS BIGINT), '2024-01-01', '2024-04-05', CAST(2 AS BIGINT)),
+      |  ('AMZN', CAST(70 AS BIGINT), CAST(70 AS BIGINT), CAST(NULL AS BIGINT), true,
+      |   CAST(1300000000000 AS BIGINT), '2024-01-01', '2024-04-05', CAST(0 AS BIGINT)),
+      |  ('GOOG', CAST(70 AS BIGINT), CAST(70 AS BIGINT), CAST(2 AS BIGINT), true,
+      |   CAST(1200000000000 AS BIGINT), '2024-01-01', '2024-04-05', CAST(0 AS BIGINT)),
+      |  ('MSFT', CAST(70 AS BIGINT), CAST(70 AS BIGINT), CAST(2 AS BIGINT), true,
+      |   CAST(0 AS BIGINT), '2024-01-01', '2024-04-05', CAST(0 AS BIGINT)),
+      |  ('TSLA', CAST(70 AS BIGINT), CAST(70 AS BIGINT), CAST(NULL AS BIGINT), false,
+      |   CAST(NULL AS BIGINT), '2024-01-01', '2024-04-05', CAST(0 AS BIGINT)))
+      |AS t(symbol, n_rows, n_days, news_count, has_company_info, market_cap,
+      |     min_date, max_date, n_null_change)""".stripMargin
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Perplexity-proxy quality scoring — the CCNet/Gopher-style LM filter for
+  * pretraining data, at the scale-friendly end of the family: a per-language
+  * CHARACTER-BIGRAM model trained on the corpus itself (add-one smoothing),
+  * each document scored by its mean log2 P(c_i | c_{i-1}). Low scores flag
+  * gibberish / wrong-language / boilerplate text exactly the way a real
+  * KenLM filter does, with only relational machinery: one explode for
+  * bigrams, three tiny per-language aggregates (bigram counts, context
+  * counts, vocabulary size — all broadcastable), one keyed re-join, one
+  * per-doc aggregate.
+  *
+  * Cross-engine determinism: each bigram's log term is rounded to 9 dp and
+  * cast to DECIMAL before summing — decimal addition is EXACT and
+  * order-free, so the per-doc sum is identical regardless of partitioning
+  * or engine (a double sum would be accumulation-order-specific and could
+  * never hash-oracle). The 6-dp rounded mean then matches DuckDB's
+  * recomputation bit-for-bit.
+  *
+  * At 100 TB: the model tables are O(langs × vocab²) rows — KBs — and
+  * broadcast; scoring is a map-side join + one shuffle keyed by doc_id.
+  * Training is self-supervised on the scored corpus (the CCNet shape uses
+  * a held-out reference corpus; swap the `bi` source to change that). */
+object LmScore {
+
+  def bigramScores(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), TextFunctions.normText(col("text")).as("s"))
+    val bi = norm.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), length(col("s")) - 1),
+        i => col("s").substr(i, lit(2)))).as("bg"))
+    val cab = bi.groupBy("lang", "bg").agg(count(lit(1)).cast("double").as("c_ab"))
+    val ca = bi.groupBy(col("lang"), substring(col("bg"), 1, 1).as("a"))
+      .agg(count(lit(1)).cast("double").as("c_a"))
+    val vocab = norm
+      .select(col("lang"), explode(split(col("s"), "")).as("c"))
+      .groupBy("lang").agg(countDistinct("c").cast("double").as("v"))
+    val caR = ca.select(col("lang").as("lang_a"), col("a"), col("c_a"))
+    bi
+      .join(broadcast(cab), Seq("lang", "bg"))
+      .join(broadcast(caR),
+        col("lang") === col("lang_a") && substring(col("bg"), 1, 1) === col("a"))
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("t",
+        round(log2((col("c_ab") + 1.0) / (col("c_a") + col("v"))), 9)
+          .cast("decimal(20,9)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(sum(col("t")).cast("double") / count(lit(1)), 6).as("avg_log2p"))
+  }
+
+  /** DuckDB mirror: identical counts, identical smoothed terms, identical
+    * decimal-exact summation. */
+  val bigramScoresSql: String =
+    raw"""WITH norm AS (
+      |  SELECT doc_id, lang,
+      |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS s
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, length(s)), i -> substr(s, i, 2))) AS bg
+      |  FROM norm),
+      |cab AS (SELECT lang, bg, count(*)::DOUBLE AS c_ab FROM bi GROUP BY 1, 2),
+      |ca AS (SELECT lang, substr(bg, 1, 1) AS a, count(*)::DOUBLE AS c_a
+      |       FROM bi GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT lang, CAST(count(DISTINCT ch) AS DOUBLE) AS v
+      |  FROM (SELECT lang, unnest(split(s, '')) AS ch FROM norm) GROUP BY 1),
+      |terms AS (
+      |  SELECT b.doc_id, b.lang,
+      |    CAST(round(log2((cab.c_ab + 1.0) / (ca.c_a + vocab.v)), 9)
+      |         AS DECIMAL(20,9)) AS t
+      |  FROM bi b
+      |  JOIN cab ON cab.lang = b.lang AND cab.bg = b.bg
+      |  JOIN ca ON ca.lang = b.lang AND ca.a = substr(b.bg, 1, 1)
+      |  JOIN vocab ON vocab.lang = b.lang)
+      |SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
+      |  round(CAST(sum(t) AS DOUBLE) / count(*), 6) AS avg_log2p
+      |FROM terms GROUP BY doc_id, lang""".stripMargin
+}

@@ -303,6 +303,25 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class LmScoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bigram LM scores: one row per doc, scores negative, in-distribution beats gibberish") {
+    val s = graft.operators.LmScore.bigramScores(spark, sf).collect()
+    assert(s.length == Tables.documents(spark, sf).count())
+    s.foreach { r =>
+      assert(r.getAs[Double]("avg_log2p") < 0.0, "log-probs must be negative")
+      assert(r.getAs[Int]("n_bigrams") > 0)
+    }
+    // the filter's purpose: corpus-typical text scores higher than text the
+    // model has barely seen. The corpus is word-soup over a 31-token
+    // vocabulary, so its own docs must sit far above the uniform floor
+    // log2(1/(c_a + V)) that unseen bigrams score
+    val mean = s.map(_.getAs[Double]("avg_log2p")).sum / s.length
+    assert(mean > -10.0, s"in-distribution text scored near the unseen floor: $mean")
+  }
+}
+
 class CachesSpec extends AnyFunSuite {
   import SparkTestSession._
 
