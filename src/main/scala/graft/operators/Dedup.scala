@@ -480,6 +480,27 @@ object Dedup {
       |JOIN counts cb ON cb.doc_id = doc_b
       |WHERE ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) >= $threshold""".stripMargin
 
+  /** Distinct doc pairs sharing at least one RARE (2 ≤ df ≤ dfCap) shingle
+    * — exactly the candidate universe [[ngramJaccardPairs]] can enumerate.
+    * Shares the cached shingle/df plans with the main pipeline, so it
+    * costs one extra in-group pair expansion, not a corpus re-scan. Used
+    * by the precision invariant to scope its subset claim to pairs the
+    * df-capped truth pipeline is structurally able to witness. */
+  private[operators] def rareSharingPairs(spark: SparkSession, dir: String,
+      n: Int = 3, dfCap: Int = 20): DataFrame = {
+    val sh = docShingles(spark, dir, n).cache()
+    val withDf = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2),
+      "sh").cache()
+    withDf.filter(col("df") <= dfCap)
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(flatten(transform(col("ds"), a =>
+        transform(filter(col("ds"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
   // ------------------------------------------------ exact duplicated spans
   /** Cross-document EXACT duplicated-span detection — the substring-dedup
     * primitive (Lee et al., "Deduplicating Training Data Makes Language

@@ -31,23 +31,37 @@ object LmScore {
   def bigramScores(spark: SparkSession, dir: String): DataFrame = {
     val norm = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), TextFunctions.normText(col("text")).as("s"))
+    // sub-2-char docs have no bigrams: sequence(1, len-1) would DESCEND and
+    // fabricate rows the oracle's range() never produces (same guard as
+    // Dedup.duplicateSpans' gram array)
     val bi = norm.select(col("doc_id"), col("lang"),
-      explode(transform(sequence(lit(1), length(col("s")) - 1),
-        i => col("s").substr(i, lit(2)))).as("bg"))
+      explode(when(length(col("s")) >= 2,
+        transform(sequence(lit(1), length(col("s")) - 1),
+          i => col("s").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      // bi feeds the count aggregate AND the scoring join — cache it so the
+      // corpus is normalized+exploded once per session (at real scale the
+      // model tables are persisted instead; session-bounded policy as with
+      // the dedup pipeline caches)
+      .cache()
     val cab = bi.groupBy("lang", "bg").agg(count(lit(1)).cast("double").as("c_ab"))
-    val ca = bi.groupBy(col("lang"), substring(col("bg"), 1, 1).as("a"))
-      .agg(count(lit(1)).cast("double").as("c_a"))
+    // context counts derive from the tiny bigram aggregate — no extra
+    // corpus pass: c(a·) = Σ_b c(ab)
+    val ca = cab.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
+      .agg(sum("c_ab").as("c_a"))
     val vocab = norm
       .select(col("lang"), explode(split(col("s"), "")).as("c"))
       .groupBy("lang").agg(countDistinct("c").cast("double").as("v"))
-    val caR = ca.select(col("lang").as("lang_a"), col("a"), col("c_a"))
     bi
       .join(broadcast(cab), Seq("lang", "bg"))
-      .join(broadcast(caR),
+      .join(broadcast(ca),
         col("lang") === col("lang_a") && substring(col("bg"), 1, 1) === col("a"))
       .join(broadcast(vocab), Seq("lang"))
+      // log(x)/log(2) SPELLED OUT on both sides (not each engine's log2):
+      // only libm's ln ulp variance remains, the same accepted exposure as
+      // the Multimodal entropy oracle
       .withColumn("t",
-        round(log2((col("c_ab") + 1.0) / (col("c_a") + col("v"))), 9)
+        round(log((col("c_ab") + 1.0) / (col("c_a") + col("v"))) / log(lit(2.0)), 9)
           .cast("decimal(20,9)"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
@@ -73,7 +87,7 @@ object LmScore {
       |  FROM (SELECT lang, unnest(split(s, '')) AS ch FROM norm) GROUP BY 1),
       |terms AS (
       |  SELECT b.doc_id, b.lang,
-      |    CAST(round(log2((cab.c_ab + 1.0) / (ca.c_a + vocab.v)), 9)
+      |    CAST(round(ln((cab.c_ab + 1.0) / (ca.c_a + vocab.v)) / ln(2.0), 9)
       |         AS DECIMAL(20,9)) AS t
       |  FROM bi b
       |  JOIN cab ON cab.lang = b.lang AND cab.bg = b.bg

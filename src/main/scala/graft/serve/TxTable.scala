@@ -420,10 +420,29 @@ object TxTable {
     * not be contiguous from 0). */
   def history(spark: SparkSession, path: String): Seq[(Long, String, Int)] = {
     val fs = hfs(spark, path)
-    listLog(fs, path, ".txt").sorted.reverse.map { v =>
-      val op = readCommit(fs, path, v).op
-      (v, op, resolveEntries(fs, path, v).size)
+    // ONE log listing + one read per commit, resolving incrementally —
+    // per-version resolveEntries would re-list and re-read O(interval)
+    // commits for every row (O(V·interval) I/O on an object store). Only
+    // the first present version (whose delta ancestry may be vacuumed)
+    // goes through checkpoint-based resolution.
+    val versions = listLog(fs, path, ".txt").sorted
+    var state: Option[scala.collection.mutable.LinkedHashMap[String, ManifestEntry]] = None
+    val rows = versions.map { v =>
+      val c = readCommit(fs, path, v)
+      state match {
+        case Some(m) =>
+          if (c.reset) m.clear()
+          c.removes.foreach(m.remove)
+          c.adds.foreach(e => m(e.rel) = e)
+        case None =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
+          if (c.reset) c.adds.foreach(e => m(e.rel) = e)
+          else resolveEntries(fs, path, v).foreach(e => m(e.rel) = e)
+          state = Some(m)
+      }
+      (v, c.op, state.get.size)
     }
+    rows.reverse
   }
 
   /** Drop all but the newest `keepVersions` manifests PRESENT (the log need
