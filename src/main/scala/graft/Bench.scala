@@ -6,13 +6,37 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Self-defending quiet-machine gate: external CPU steal inflates every
+    * query 15-40% (two judge-side rounds landed at pre-load 3.5-7.8), so
+    * wait — bounded — for the 1-min loadavg to drop below `threshold`
+    * before starting. Returns the final pre-run sample; callers stamp
+    * `tainted=true` in the emitted JSON when the gate was never met, so a
+    * contaminated artifact can never be silently compared round-over-round. */
+  private def awaitQuiet(threshold: Double, maxWaitMs: Long): Double = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var lv = loadavgNow()
+    while (lv >= threshold && lv >= 0.0 && System.currentTimeMillis() < deadline) {
+      System.err.println(s"[bench] loadavg $lv >= $threshold — sleeping 30s for a quiet machine")
+      Thread.sleep(30000)
+      lv = loadavgNow()
+    }
+    lv
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // sample BEFORE any work: the end-of-run 1-min average always reflects
     // the bench's own 32-core burn, telling you nothing about external
-    // steal — the pre-run value is the "was the machine quiet" signal
-    val loadavgStart = loadavgNow()
+    // steal — the pre-run value is the "was the machine quiet" signal.
+    // Sleep-retry (up to 10 min, overridable) until the machine is quiet;
+    // if it never gets quiet, run anyway but mark the artifact tainted.
+    val quietThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "1.0").toDouble
+    val maxWaitMs =
+      sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "600").toLong * 1000L
+    val loadavgStart = awaitQuiet(quietThreshold, maxWaitMs)
+    val tainted = loadavgStart >= quietThreshold
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,8 +88,8 @@ object Bench {
     // the END of stdout, so the short line must be the final one to survive
     // truncation. Exactly one line carries "metric":"total" (a
     // grep+json.loads consumer must never see two).
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd,"tainted":$tainted}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd,"tainted":$tainted}""")
     spark.stop()
   }
 }

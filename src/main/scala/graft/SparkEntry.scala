@@ -227,10 +227,19 @@ object SparkEntry {
     ("q_embed_neardup",
       ((s: SparkSession, d: String) => Similarity.embeddingNearDupSummary(s, d)): Q,
       Some(Similarity.embeddingNearDupSummarySql)),
-    // SemDeDup: exact pair graph → connected components → representative
+    // SemDeDup: cell-scoped pair graph (candidates within probed IVF cells,
+    // the Abbas et al. within-cluster construction) → CC → representative
     ("q_semantic_dedup",
       ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)): Q,
       Some(Similarity.semanticDedupSql())),
+    // truth twin over the full N×N tile-grid pair graph
+    ("q_semantic_dedup_exact",
+      ((s: SparkSession, d: String) => Similarity.semanticDedupExact(s, d)): Q,
+      Some(Similarity.semanticDedupExactSql())),
+    // recall contract of the cell scoping vs the exact pair graph
+    ("q_semantic_recall",
+      ((s: SparkSession, d: String) => Similarity.semanticCellRecall(s, d)): Q,
+      Some(Similarity.semanticCellRecallSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

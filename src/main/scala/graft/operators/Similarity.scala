@@ -479,20 +479,100 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), round(col("raw"), 6).as("cosine"))
   }
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: embedding
-    * near-dup groups keep one representative): threshold the exact pair
-    * graph, connected components over it (the shared min-label machinery),
-    * keep = the minimum vec_id of each component; untouched vectors are
-    * their own singleton clusters. The synthetic corpus' embeddings are
+  // ---------------------------------------------------- cell-scoped SemDeDup
+  /** Each vector replicated into its `nprobe` nearest cells — the same
+    * (rounded cosine, label) centroid ranking `ivfTopK`'s query routing
+    * uses, applied to the whole corpus. This is the SemDeDup candidate
+    * universe: pairs are only ever formed between vectors sharing a probed
+    * cell, so the pair sweep is Σ_cells |cell|² instead of N². Centroids are
+    * k×dim (tiny at any scale) → broadcast; the replication factor is the
+    * fixed `nprobe`. */
+  private def probedCells(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = centroids(spark, dir)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("c_label").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nprobe)
+      .select(col("c_label").as("cell"), col("vec_id"), col("emb"), col("nrm"))
+  }
+
+  /** Cell-scoped embedding pairs — the actual SemDeDup construction (Abbas
+    * et al. 2023 §2: pairwise similarity WITHIN k-means clusters, never
+    * across the full corpus): all pairs sharing ≥1 probed cell with rounded
+    * cosine ≥ `threshold`, each unordered pair once.
+    *
+    * Shape: ONE shuffle keyed by cell, then the fused primitive-array
+    * pairwise loop inside each cell (the same j-ascending dot accumulation
+    * as the exact tile kernel, so a pair seen from two shared cells yields
+    * bitwise-identical raw cosine and the max-dedup is exact). No
+    * CartesianProduct anywhere — the grid's 2·B·N·dim replication is
+    * replaced by nprobe·N·dim, and compute drops from N²·dim to
+    * Σ_cells |cell|²·dim. At 100 TB you size k (the centroid count) so a
+    * cell fits a task — the standard SemDeDup deployment — and train
+    * centroids with [[ivfTrain]]; here they are the label-seeded means so
+    * the DuckDB oracle can recompute the assignment exactly. */
+  def cellPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cells = probedCells(spark, dir, nprobe)
+      .groupBy("cell")
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm"))).as("vs"))
+      .select("vs")
+      .as[Array[(Long, Array[Double], Double)]]
+    cells.flatMap { vs =>
+      val s = vs.sortBy(_._1)
+      s.indices.iterator.flatMap { i =>
+        val (ida, emba, nrma) = s(i)
+        (i + 1 until s.length).iterator.flatMap { k =>
+          val (idb, embb, nrmb) = s(k)
+          var d = 0.0
+          var j = 0
+          while (j < emba.length) { d += emba(j) * embb(j); j += 1 }
+          val cos = d / (nrma * nrmb)
+          if (cos >= threshold - 1e-6) Iterator.single((ida, idb, cos))
+          else Iterator.empty
+        }
+      }
+    }.toDF("doc_a", "doc_b", "raw")
+      // a pair sharing two probed cells is emitted twice with identical
+      // bits — max() is an exact dedup, not an approximation
+      .groupBy("doc_a", "doc_b").agg(max("raw").as("raw"))
+      .filter(round(col("raw"), 6) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("raw"), 6).as("cosine"))
+  }
+
+  /** SemDeDup semantic deduplication (Abbas et al. 2023: embedding near-dup
+    * groups keep one representative): CELL-SCOPED pair graph (candidates
+    * only within probed cells — the paper's within-cluster construction),
+    * connected components over it (the shared min-label machinery), keep =
+    * the minimum vec_id of each component; untouched vectors are their own
+    * singleton clusters. The synthetic corpus' embeddings are
     * near-orthogonal, so the registered threshold sits at the tail of its
     * cosine distribution (0.4); a real corpus would run 0.9+. Fully
-    * hash-oracled: the oracle recomputes the pair graph N×N and resolves
-    * components as min-reachable-id via a recursive transitive closure. */
+    * hash-oracled: the oracle recomputes the probed-cell assignment, the
+    * within-cell pair graph, and resolves components as min-reachable-id
+    * via a recursive transitive closure. The exact-graph twin
+    * [[semanticDedupExact]] plus the [[semanticCellRecall]] invariant pin
+    * the approximation contract. */
   def semanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, nBlocks: Int = 8): DataFrame = {
-    val pairs = embeddingPairs(spark, dir, threshold, nBlocks)
-      .select("doc_a", "doc_b")
-    val labels = Curation.connectedComponents(pairs)
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame =
+    dedupFromPairs(spark, dir, cellPairs(spark, dir, threshold, nprobe))
+
+  /** Exact-graph truth twin (the old primary): same cluster/keep shape over
+    * the full N×N tile-grid pair graph. Quadratic by definition — it exists
+    * to bracket [[semanticDedup]], whose sub-quadratic cell scoping is the
+    * 100 TB path. */
+  def semanticDedupExact(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nBlocks: Int = 8): DataFrame =
+    dedupFromPairs(spark, dir,
+      embeddingPairs(spark, dir, threshold, nBlocks))
+
+  private def dedupFromPairs(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = Curation.connectedComponents(pairs.select("doc_a", "doc_b"))
     corpus(spark, dir).select(col("vec_id"))
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -500,10 +580,88 @@ object Similarity {
       .withColumn("keep", col("vec_id") === col("cluster_id"))
   }
 
-  /** DuckDB oracle for [[semanticDedup]] (threshold 0.4): the same pair
-    * graph from the N×N sweep, components via recursive closure
-    * (min reachable id over the undirected edges), singletons self-rooted. */
-  def semanticDedupSql(threshold: Double = 0.4): String =
+  /** Recall contract of the cell scoping, stated as data (the
+    * `minhashRecall` pattern): every EXACT pair (rounded cosine ≥
+    * threshold, from the tile-grid truth sweep) whose endpoints share a
+    * probed cell MUST be emitted by [[cellPairs]] with an identical
+    * cosine. The oracle recomputes the exact pairs + cell assignment in
+    * SQL and states `found_by_cells = true` — a Spark-side miss or cosine
+    * drift hash-mismatches. Pairs NOT sharing a cell are reported too
+    * (found=false expected), so the query also measures what the
+    * approximation trades away. */
+  def semanticCellRecall(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
+    val exact = embeddingPairs(spark, dir, threshold)
+    val shared = probedCells(spark, dir, nprobe).select("cell", "vec_id")
+    val sa = shared.select(col("cell"), col("vec_id").as("doc_a"))
+    val sb = shared.select(col("cell").as("cell_b"), col("vec_id").as("doc_b"))
+    val sharesCell = sa.join(sb, col("cell") === col("cell_b"))
+      .select("doc_a", "doc_b").distinct()
+      .withColumn("shares_cell", lit(true))
+    val cells = cellPairs(spark, dir, threshold, nprobe)
+      .select(col("doc_a"), col("doc_b"), col("cosine").as("cell_cosine"))
+    exact.join(sharesCell, Seq("doc_a", "doc_b"), "left")
+      .join(cells, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("cosine"),
+        coalesce(col("shares_cell"), lit(false)).as("shares_cell"),
+        (coalesce(col("shares_cell"), lit(false)) &&
+          col("cell_cosine") === col("cosine")).as("found_by_cells"))
+  }
+
+  /** Shared SQL CTE chain for the cell-scoped queries: centroids (the
+    * [[ivfSqlCtes]] construction), each vector's nprobe nearest cells by
+    * the same (rounded cosine, label) ranking, norms, and the within-cell
+    * candidate pair set. */
+  private def cellSqlCtes(nprobe: Int): String =
+    s"""c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pv AS (
+       |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c),
+       |cvec AS (
+       |  SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, AVG(v) AS m FROM pv GROUP BY 1, 2)
+       |  GROUP BY label),
+       |probe AS (
+       |  SELECT vec_id, c_label AS cell FROM (
+       |    SELECT c.vec_id, cvec.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ROUND(${cosSqlExpr("c.emb", "cvec.centroid")}, 6) DESC NULLS LAST,
+       |                 cvec.c_label ASC) AS crk
+       |    FROM c CROSS JOIN cvec)
+       |  WHERE crk <= $nprobe),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+       |      i -> emb[i] * emb[i]))) AS nrm
+       |  FROM c),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM probe a JOIN probe b ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** DuckDB oracle for [[semanticDedup]] (cell-scoped, threshold 0.4,
+    * nprobe 2): probed-cell assignment → within-cell pair graph →
+    * components via recursive closure (min reachable id over the
+    * undirected edges), singletons self-rooted. */
+  def semanticDedupSql(threshold: Double = 0.4, nprobe: Int = 2): String =
+    s"""WITH RECURSIVE ${cellSqlCtes(nprobe)},
+       |pairs AS (
+       |  SELECT va, vb FROM cand
+       |  JOIN n a ON a.vec_id = va JOIN n b ON b.vec_id = vb
+       |  WHERE ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= $threshold),
+       |edges AS (
+       |  SELECT va AS s, vb AS d FROM pairs
+       |  UNION SELECT vb AS s, va AS d FROM pairs),
+       |reach AS (
+       |  SELECT vec_id, vec_id AS r FROM c
+       |  UNION
+       |  SELECT e.s AS vec_id, reach.r FROM edges e JOIN reach ON reach.vec_id = e.d)
+       |SELECT vec_id, MIN(r) AS cluster_id, vec_id = MIN(r) AS keep
+       |FROM reach GROUP BY vec_id""".stripMargin
+
+  /** DuckDB oracle for [[semanticDedupExact]] (threshold 0.4): the pair
+    * graph from the full N×N sweep, same recursive-closure components. */
+  def semanticDedupExactSql(threshold: Double = 0.4): String =
     s"""WITH RECURSIVE c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |n AS (
@@ -525,6 +683,25 @@ object Similarity {
        |  SELECT e.s AS vec_id, reach.r FROM edges e JOIN reach ON reach.vec_id = e.d)
        |SELECT vec_id, MIN(r) AS cluster_id, vec_id = MIN(r) AS keep
        |FROM reach GROUP BY vec_id""".stripMargin
+
+  /** DuckDB oracle for [[semanticCellRecall]]: exact pairs from the N×N
+    * sweep, cell-sharing from the probed assignment; a shared-cell exact
+    * pair is by construction in the cell pair set with the same rounded
+    * cosine, so `found_by_cells = shares_cell`. */
+  def semanticCellRecallSql(threshold: Double = 0.4, nprobe: Int = 2): String =
+    s"""WITH ${cellSqlCtes(nprobe)},
+       |exact AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |    ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= $threshold)
+       |SELECT e.doc_a, e.doc_b, e.cosine,
+       |  (cand.va IS NOT NULL) AS shares_cell,
+       |  (cand.va IS NOT NULL) AS found_by_cells
+       |FROM exact e
+       |LEFT JOIN cand ON cand.va = e.doc_a AND cand.vb = e.doc_b""".stripMargin
 
   /** DuckDB oracle for [[embeddingNearDupSummary]]: exact top-1 per vector
     * over the full N×N sweep, argmax on the UNROUNDED cosine with the same

