@@ -132,7 +132,9 @@ object SparkEntry {
       Some(graft.functions.Analyzer.searchAnalyzedSql())),
     ("q_porter_stems", graft.functions.Analyzer.porterExamplesQuery _,
       Some(graft.functions.Analyzer.porterExamplesSql)),
-    ("q_modality_agreement", graft.operators.Curation.modalityAgreement _, None),
+    ("q_modality_agreement", graft.operators.Curation.modalityAgreement _,
+      Some(graft.operators.Curation.modalityAgreementSql)),
+    ("q_modality_agreement_lsh", graft.operators.Curation.modalityAgreementLsh _, None),
     ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
     ("q_split_summary", graft.operators.Curation.splitSummary _, None),
     // statistical-invariant twins: the approx/hash-dependent operators
@@ -193,7 +195,10 @@ object SparkEntry {
     ("q_dedup_exact", Dedup.exact _, Some(Dedup.exactSql)),
     ("q_dedup_minhash", Dedup.minhashSummary _, None),
     ("q_dedup_minhash_pairs", Dedup.minhashNearDups _, None),
-    ("q_dedup_simhash", Dedup.simhashSummary _, None),
+    ("q_dedup_simhash", Dedup.simhashSummary _, Some(Dedup.simhashSummarySql)),
+    ("q_simhash_pairs",
+      ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)): Q,
+      Some(Dedup.simhashNearDupsSql)),
     ("q_dedup_incremental", Dedup.minhashNearDupsIncremental _, None),
     ("q_dedup_ngram_jaccard",
       ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q,

@@ -151,7 +151,61 @@ object Curation {
     * annotated with the embedding cosine of the same ids — the report a
     * curation run uses to decide whether text dups are also semantic dups
     * (left join: ids without embeddings keep null cosine). */
+  /** Cross-modality duplicate agreement: the EXACT text near-dup pair set
+    * (n-gram Jaccard ≥ 0.5 — its own oracle proves completeness over
+    * rare-shingle-witnessed candidates) full-outer-joined with the EXACT
+    * embedding near-dup pair set (cosine ≥ 0.4 from the tile sweep). One
+    * row per pair flagged by at least one modality, with both scores and
+    * per-modality flags — the agreement matrix a curation run reads to
+    * decide whether text-level and embedding-level dedup see the same
+    * duplicates. Both inputs are deterministic ⇒ full hash oracle. (The
+    * LSH-based variant lives on as [[modalityAgreementLsh]] — the 100 TB
+    * candidate path, bracketed by the minhash recall/precision oracles.) */
   def modalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val text = Dedup.ngramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val emb = Similarity.embeddingPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("cosine").as("embedding_cosine"))
+    text.join(emb, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("embedding_cosine"),
+        col("jaccard").isNotNull.as("text_dup"),
+        col("embedding_cosine").isNotNull.as("emb_dup"))
+  }
+
+  /** DuckDB oracle for [[modalityAgreement]]: the ngram-Jaccard pair query
+    * and the exact embedding pair sweep as nested-WITH CTEs, full-outer
+    * joined on the pair key. */
+  val modalityAgreementSql: String =
+    s"""WITH tpairs AS (
+       |${Dedup.ngramJaccardPairsSqlAt(0.5)}
+       |),
+       |epairs AS (
+       |  WITH c AS (
+       |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |  n AS (
+       |    SELECT vec_id, emb,
+       |      sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+       |        i -> emb[i] * emb[i]))) AS nrm
+       |    FROM c)
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |    ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |      i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) AS embedding_cosine
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= 0.4)
+       |SELECT COALESCE(t.doc_a, e.doc_a) AS doc_a,
+       |  COALESCE(t.doc_b, e.doc_b) AS doc_b,
+       |  t.jaccard, e.embedding_cosine,
+       |  t.jaccard IS NOT NULL AS text_dup,
+       |  e.embedding_cosine IS NOT NULL AS emb_dup
+       |FROM tpairs t FULL OUTER JOIN epairs e
+       |  ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b""".stripMargin
+
+  /** LSH-candidate variant of the agreement (the sub-quadratic path at
+    * corpus scale): MinHash near-dup pairs annotated with their embedding
+    * cosine. Hash-dependent candidates ⇒ rows-only at the driver; its
+    * correctness is carried by the minhash recall/precision oracles. */
+  def modalityAgreementLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExpressions.cosine_sim
     val pairs = Dedup.minhashNearDups(spark, dir)
     val emb = Tables.embeddings(spark, dir)

@@ -312,16 +312,69 @@ object Dedup {
     override def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Portable 64-bit token hash for the SimHash bit-vote: TextFunctions'
+    * polynomial fold (base 1e9+7) finished with one odd-constant multiply
+    * (the xorshift* mixer 0x2545F4914F6CDD1D — chosen < 2^62 so the DuckDB
+    * mirror's HUGEINT product of a mod-2^64 value stays inside INT128)
+    * that spreads short-token entropy into the high bits (the bare fold
+    * leaves sub-4-char tokens with biased top bits). Both steps are exact
+    * HUGEINT mod-2^64 arithmetic in DuckDB — unlike xxhash64 — which is
+    * what lets the whole SimHash family hash-oracle. Wraparound multiply
+    * must live in Scala (ANSI mode throws on Long overflow in SQL
+    * expressions). */
+  private[graft] def portableTokenHash(s: String): Long =
+    graft.functions.TextFunctions.polyHash(s) * 0x2545F4914F6CDD1DL
+
+  private val portableTokenHashUdf = udf(portableTokenHash _)
+
   /** Per-doc 64-bit SimHash over token hashes (frequency-weighted via token
-    * multiplicity). */
+    * multiplicity). Keys on [[portableTokenHash]] so signatures — and every
+    * pair/summary derived from them — are recomputable by the DuckDB
+    * oracle; swap in xxhash64 for a marginally faster but unverifiable
+    * variant (the bit-vote only needs a deterministic, well-spread hash). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val simhash = udaf(SimHashAgg)
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .select(col("doc_id"), portableTokenHashUdf(col("tok")).as("th"))
       .groupBy("doc_id")
       .agg(simhash(col("th")).as("simhash"))
   }
+
+  /** Shared DuckDB CTE chain: tokens → portable token hash (polynomial
+    * fold × golden-ratio finisher, HUGEINT mod 2^64) → per-(doc, bit)
+    * votes → signature assembly (bit j set iff vote strictly positive —
+    * the SimHashAgg.finish rule), wrapped to signed BIGINT. */
+  private val simhashSqlCtes: String =
+    raw"""toked AS (
+      |  SELECT doc_id,
+      |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    (list_reduce(list_prepend(0::HUGEINT,
+      |        list_transform(split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT)
+      |      * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT AS h
+      |  FROM toked),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN ((h >> j) & 1::HUGEINT) = 1::HUGEINT THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT UNNEST(range(0, 64)) AS j) js
+      |  GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+      |         THEN su - 18446744073709551616::HUGEINT ELSE su END AS BIGINT) AS simhash
+      |  FROM (SELECT doc_id,
+      |          SUM(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS su
+      |        FROM votes GROUP BY doc_id)),
+      |spairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
 
   /** SimHash near-dups: band the 64-bit signature into 4×16-bit chunks (a
     * pair within hamming distance ≤ 3 must agree on ≥ 1 chunk — pigeonhole),
@@ -363,6 +416,29 @@ object Dedup {
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
         col("min_hamming"))
   }
+
+  /** DuckDB oracle for [[simhashNearDups]] (maxHamming 3): the banded
+    * candidate search + hamming verify collapses to the direct pair sweep —
+    * 4×16-bit chunk banding is COMPLETE for hamming ≤ 3 by pigeonhole, so
+    * the two constructions emit identical pair sets. */
+  val simhashNearDupsSql: String =
+    s"""WITH $simhashSqlCtes
+       |SELECT doc_a, doc_b, hamming FROM spairs""".stripMargin
+
+  /** DuckDB oracle for [[simhashSummary]]: signatures + per-doc partner
+    * counts/min-hamming over the same pair set. */
+  val simhashSummarySql: String =
+    s"""WITH $simhashSqlCtes,
+       |partners AS (
+       |  SELECT doc_a AS doc_id, hamming FROM spairs
+       |  UNION ALL SELECT doc_b AS doc_id, hamming FROM spairs),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_near_dups, MIN(hamming) AS min_hamming
+       |  FROM partners GROUP BY 1)
+       |SELECT s.doc_id, s.simhash,
+       |  CAST(COALESCE(a.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  a.min_hamming
+       |FROM sigs s LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // ------------------------------------------------------------ n-gram Jaccard
   /** Exact n-gram Jaccard via inverted-index self-join: pairs are generated

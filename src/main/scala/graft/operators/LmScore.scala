@@ -39,19 +39,22 @@ object LmScore {
         transform(sequence(lit(1), length(col("s")) - 1),
           i => col("s").substr(i, lit(2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
-      // bi feeds the count aggregate AND the scoring join — cache it so the
-      // corpus is normalized+exploded once per session (at real scale the
-      // model tables are persisted instead; session-bounded policy as with
-      // the dedup pipeline caches)
-      .cache()
-    val cab = bi.groupBy("lang", "bg").agg(count(lit(1)).cast("double").as("c_ab"))
-    // context counts derive from the tiny bigram aggregate — no extra
-    // corpus pass: c(a·) = Σ_b c(ab)
+    // the session-lifetime cache holds the MODEL, not the corpus: cab and
+    // vocab are O(langs × vocab²) rows — KBs at any corpus size — where
+    // the exploded bigram stream they are trained from is O(total
+    // characters) and was the engine's largest cache. The scoring join
+    // re-reads `bi` from source anyway, so caching the aggregates costs
+    // one extra corpus pass (vocab) and shrinks the cached footprint by
+    // orders of magnitude; at real scale the model tables are persisted.
+    val cab = bi.groupBy("lang", "bg")
+      .agg(count(lit(1)).cast("double").as("c_ab")).cache()
+    // context counts derive from the tiny CACHED bigram aggregate — no
+    // extra corpus pass: c(a·) = Σ_b c(ab)
     val ca = cab.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
       .agg(sum("c_ab").as("c_a"))
     val vocab = norm
       .select(col("lang"), explode(split(col("s"), "")).as("c"))
-      .groupBy("lang").agg(countDistinct("c").cast("double").as("v"))
+      .groupBy("lang").agg(countDistinct("c").cast("double").as("v")).cache()
     bi
       .join(broadcast(cab), Seq("lang", "bg"))
       .join(broadcast(ca),

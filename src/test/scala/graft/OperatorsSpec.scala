@@ -357,6 +357,26 @@ class LmScoreSpec extends AnyFunSuite {
     val mean = s.map(_.getAs[Double]("avg_log2p")).sum / s.length
     assert(mean > -10.0, s"in-distribution text scored near the unseen floor: $mean")
   }
+
+  test("lm score caches the model aggregates, not the exploded bigram corpus") {
+    // the cached footprint must be the KB-scale model (cab / vocab), never
+    // the O(total characters) exploded bigram stream (the old shape — it
+    // was the engine's largest cache); the probe side re-reads the corpus
+    val df = graft.operators.LmScore.bigramScores(spark, sf)
+    df.queryExecution.toRdd.count() // materialize the model caches
+    val rels = graft.operators.LmScore.bigramScores(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+    assert(rels.nonEmpty, "model tables should be cached")
+    rels.foreach { r =>
+      val cols = r.output.map(_.name).toSet
+      assert(!cols.contains("doc_id"),
+        s"cached relation carries the exploded corpus (cols=$cols)")
+    }
+    val bytes = rels.map(_.computeStats().sizeInBytes.toLong).sum
+    assert(bytes < (1L << 20), s"model cache unexpectedly large: $bytes bytes")
+  }
 }
 
 class CachesSpec extends AnyFunSuite {
