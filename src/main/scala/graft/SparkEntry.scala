@@ -245,6 +245,12 @@ object SparkEntry {
     ("q_semantic_recall",
       ((s: SparkSession, d: String) => Similarity.semanticCellRecall(s, d)): Q,
       Some(Similarity.semanticCellRecallSql())),
+    // text-native feature-hash embeddings + composed text→embed→near-dup
+    ("q_embed_text", graft.operators.TextEmbed.embedQuery _,
+      Some(graft.operators.TextEmbed.embedQuerySql)),
+    ("q_embed_text_topk",
+      ((s: SparkSession, d: String) => graft.operators.TextEmbed.textNearDupTopK(s, d)): Q,
+      Some(graft.operators.TextEmbed.textNearDupTopKSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

@@ -325,7 +325,7 @@ object Dedup {
   private[graft] def portableTokenHash(s: String): Long =
     graft.functions.TextFunctions.polyHash(s) * 0x2545F4914F6CDD1DL
 
-  private val portableTokenHashUdf = udf(portableTokenHash _)
+  private[operators] val portableTokenHashUdf = udf(portableTokenHash _)
 
   /** Per-doc 64-bit SimHash over token hashes (frequency-weighted via token
     * multiplicity). Keys on [[portableTokenHash]] so signatures — and every

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorExpressions.cosine_sim
+
+/** Text-native embeddings via feature hashing (the "hashing trick",
+  * Weinberger et al. 2009): token → portable 64-bit hash → signed unit
+  * vote into `h mod dim` → per-bucket sums → L2-normalize. Deterministic,
+  * vocabulary-free, and engine-portable — the projection is pure counting
+  * over [[Dedup.portableTokenHash]], so the DuckDB oracle recomputes every
+  * coordinate bit-for-bit (bucket sums are small integers, their squares
+  * sum exactly in doubles, and the one division is IEEE-deterministic).
+  *
+  * This closes the loop between the text tier and the similarity tier:
+  * the ANN/SemDeDup machinery no longer depends on fixture vectors — any
+  * `documents`-shaped corpus can be embedded and near-dup-searched
+  * end-to-end, the way a real curation pipeline runs. The sign bit (bit
+  * 32) is disjoint from the bucket bits (0..5), the standard decorrelation
+  * in signed feature hashing.
+  *
+  * Scale shape: one scan + token explode, one (doc, bucket) partial-agg
+  * shuffle, one doc-keyed assembly — all linear; dim is a constant. */
+object TextEmbed {
+
+  val Dim = 64
+
+  /** Dense (doc_id, emb[dim], nrm) feature-hash embeddings; docs with no
+    * tokens drop out (nothing to embed), zero vectors pass through
+    * unnormalized (the cosine kernel's zero-denominator guard covers
+    * them). */
+  def embeddings(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
+    val hashed = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Dedup.portableTokenHashUdf(col("tok")).as("h"))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(dim.toLong)).cast("int").as("bucket"),
+        when(shiftrightunsigned(col("h"), 32).bitwiseAND(lit(1L)) === 1L, 1.0)
+          .otherwise(-1.0).as("sgn"))
+    val sums = hashed.groupBy("doc_id", "bucket").agg(sum("sgn").as("v"))
+    sums.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("doc_id"),
+        when(col("nrm") === 0.0, col("raw"))
+          .otherwise(transform(col("raw"), v => v / col("nrm"))).as("emb"),
+        col("nrm"))
+  }
+
+  /** Registered projection query: the embedding exploded to (doc_id, pos,
+    * v) scalar rows — rounded coordinates hash-oracle cleanly where array
+    * columns would not. */
+  def embedQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("doc_id"), posexplode(col("emb")).as(Seq("pos", "val")))
+      .select(col("doc_id"), col("pos"), round(col("val"), 6).as("v"))
+
+  /** Shared DuckDB CTE chain: tokens → portable token hash (the SimHash
+    * fold: polynomial base 1e9+7 × xorshift* finisher, HUGEINT mod 2^64)
+    * → signed bucket votes → dense coordinates → L2 norm. `h % 64` on the
+    * unsigned HUGEINT equals Spark's `pmod` on the signed long because 64
+    * divides 2^64; bit 32 is sign-representation-invariant. */
+  private val embedSqlCtes: String =
+    raw"""toked AS (
+      |  SELECT doc_id,
+      |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    (list_reduce(list_prepend(0::HUGEINT,
+      |        list_transform(split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT)
+      |      * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT AS h
+      |  FROM toked),
+      |bs AS (
+      |  SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+      |    SUM(CASE WHEN ((h >> 32) & 1::HUGEINT) = 1::HUGEINT
+      |        THEN 1.0 ELSE -1.0 END) AS v
+      |  FROM th GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT d.doc_id, p.pos, COALESCE(bs.v, 0.0) AS raw
+      |  FROM (SELECT DISTINCT doc_id FROM toked) d
+      |  CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS INT) AS pos) p
+      |  LEFT JOIN bs ON bs.doc_id = d.doc_id AND bs.bucket = p.pos),
+      |nrms AS (
+      |  SELECT doc_id, sqrt(SUM(raw * raw)) AS nrm FROM dense GROUP BY 1),
+      |coords AS (
+      |  SELECT d.doc_id, d.pos,
+      |    CASE WHEN n.nrm = 0.0 THEN d.raw ELSE d.raw / n.nrm END AS val
+      |  FROM dense d JOIN nrms n USING (doc_id))""".stripMargin
+
+  /** DuckDB oracle for [[embedQuery]]. */
+  val embedQuerySql: String =
+    s"""WITH $embedSqlCtes
+       |SELECT doc_id, pos, ROUND(val, 6) AS v FROM coords""".stripMargin
+
+  /** The composed text→embed→near-dup query: exact cosine top-k of the
+    * first `nQueries` docs' hashed-text embeddings against the whole
+    * embedded corpus — [[Similarity.bruteForceTopK]]'s shape fed by
+    * [[embeddings]] instead of the fixture vectors. Broadcast queries ×
+    * one linear corpus scan; the sub-linear regime composes the same way
+    * through the LSH/IVF tiers (any (id, emb) frame). */
+  def textNearDupTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val c = embeddings(spark, dir)
+    val q = c.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("emb").as("q_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "doc_id", "cosine")
+  }
+
+  /** DuckDB oracle for [[textNearDupTopK]]: assemble full-precision
+    * embedding lists from the coordinate CTEs, then the proven
+    * rounded-cosine ranking with the doc_id tiebreak. */
+  def textNearDupTopKSql(nQueries: Int = 20, k: Int = 5): String = {
+    def cosExpr(a: String, b: String): String = {
+      val dot = s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+      val den =
+        s"""(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
+           |         * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))""".stripMargin
+      s"""(CASE WHEN $den = 0.0 THEN 0.0 ELSE $dot
+         |      / $den END)""".stripMargin
+    }
+    s"""WITH $embedSqlCtes,
+       |vecs AS (
+       |  SELECT doc_id, list(val ORDER BY pos) AS emb FROM coords GROUP BY doc_id),
+       |q AS (SELECT doc_id AS q_id, emb AS q_emb FROM vecs WHERE doc_id < $nQueries),
+       |scored AS (
+       |  SELECT q.q_id, v.doc_id,
+       |    ROUND(${cosExpr("v.emb", "q.q_emb")}, 6) AS cosine
+       |  FROM vecs v CROSS JOIN q WHERE v.doc_id <> q.q_id)
+       |SELECT q_id, rank, doc_id, cosine FROM (
+       |  SELECT q_id, doc_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, doc_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+}

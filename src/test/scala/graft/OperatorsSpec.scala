@@ -379,6 +379,47 @@ class LmScoreSpec extends AnyFunSuite {
   }
 }
 
+class TextEmbedSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("feature-hash embeddings: one unit vector per token-bearing doc") {
+    val rows = graft.operators.TextEmbed.embeddings(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      val emb = r.getAs[scala.collection.Seq[Double]]("emb")
+      assert(emb.length == graft.operators.TextEmbed.Dim)
+      val n2 = emb.map(x => x * x).sum
+      assert(r.getAs[Double]("nrm") == 0.0 || math.abs(n2 - 1.0) < 1e-9,
+        s"embedding not unit-norm: $n2")
+    }
+  }
+
+  test("identical texts embed identically; near-dup search is self-consistent") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val embs = graft.operators.TextEmbed.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Double]]("emb").toVector).toMap
+    // exact-dup texts (same normalized token stream) must collide exactly
+    val byText = docs.groupBy { case (_, t) =>
+      graft.functions.TextFunctions.normString(t)
+    }.values.filter(_.size > 1)
+    byText.foreach { grp =>
+      val vecs = grp.keys.flatMap(embs.get).toSeq
+      assert(vecs.distinct.size <= 1, "identical texts embedded differently")
+    }
+    // top-1 of each query in the composed search scores >= its rank-5
+    val tk = graft.operators.TextEmbed.textNearDupTopK(spark, sf).collect()
+    tk.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
+
 class CachesSpec extends AnyFunSuite {
   import SparkTestSession._
 
