@@ -163,7 +163,12 @@ object TxTable {
       if (lastReset >= 0) (Seq.empty[ManifestEntry], commits.drop(lastReset))
       else (cp.map(c => readLines(fs, checkpointFile(path, c)).filter(_.nonEmpty)
         .map(ManifestEntry.parse)).getOrElse {
-          if (commits.isEmpty || commits.head._1 != listLog(fs, path, ".txt").min)
+          // with no checkpoint and no reset in range, the delta chain is
+          // only sound if it is rooted at the TABLE's first commit (v0) —
+          // merely starting at the oldest SURVIVING commit is not enough:
+          // out-of-band pruning (or a lost checkpoint) would silently
+          // rebuild state over an empty base and report wrong manifests
+          if (commits.isEmpty || commits.head._1 != 0L)
             throw new java.io.FileNotFoundException(
               s"TxTable $path: version $v is not resolvable (no checkpoint and no reset in range)")
           Seq.empty
@@ -318,6 +323,16 @@ object TxTable {
     * the new snapshot (optimistic concurrency — no lock, no lost update).
     * With a versionCol the latest same-key row wins; re-running the same
     * merge is idempotent (new version, identical rows). */
+  /** Test seam: invoked once after a merge stages its rewrite, before its
+    * first commit attempt — lets specs interleave a racing writer at the
+    * exact window optimistic concurrency must survive. No-op in production. */
+  private[graft] var onMergeStaged: () => Unit = () => ()
+
+  /** Test telemetry: how many times merge() has recomputed its
+    * read-merge-stage phase (a lost race that fails logical conflict
+    * detection). */
+  private[graft] val mergeRecomputes = new java.util.concurrent.atomic.AtomicLong
+
   def merge(spark: SparkSession, updates: DataFrame, path: String,
       keys: Seq[String], versionCol: Option[String] = None): Long = {
     val fs = hfs(spark, path)
@@ -331,49 +346,84 @@ object TxTable {
     val (updLo, updHi) =
       (TxStats.toComparable(keyBoundsRow.get(0)), TxStats.toComparable(keyBoundsRow.get(1)))
     var attempt = 0
+    var firstStage = true
+    // the staged rewrite (and what it depends on) survives across LOGICALLY
+    // DISJOINT races — Delta's conflict rule: losing the version race only
+    // forces a recompute when a racing commit actually invalidated what we
+    // read or could contain one of our keys
+    var staged: Seq[ManifestEntry] = Seq.empty
+    var touchedRels: Seq[String] = Seq.empty
+    var readRels: Set[String] = Set.empty
+    var stagedValid = false
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path)
       val v = base.map(_ + 1).getOrElse(0L)
-      val (carried, touchedRels, rewritten) = base match {
-        case Some(bv) =>
-          val baseFiles = resolveEntries(fs, path, bv)
-          // stats pre-filter: a file whose key range cannot intersect the
-          // update batch cannot hold a matched key — skip it in the scan
-          // AND carry it verbatim. At 100 TB this is what bounds merge cost
-          // by the touched region, not the table: the matched-file scan
-          // reads only range-overlapping candidates.
-          val (candidates, skipped) = baseFiles.partition { e =>
-            e.stats.flatMap(_.cols.get(keys.head)) match {
-              case Some(cs) => TxStats.rangesOverlap(cs, updLo, updHi)
-              case None => true // no stats: must scan
+      if (!stagedValid) {
+        if (attempt > 0) mergeRecomputes.incrementAndGet()
+        val (tr, rr, rewritten) = base match {
+          case Some(bv) =>
+            val baseFiles = resolveEntries(fs, path, bv)
+            // stats pre-filter: a file whose key range cannot intersect the
+            // update batch cannot hold a matched key — skip it in the scan
+            // AND carry it verbatim. At 100 TB this is what bounds merge cost
+            // by the touched region, not the table: the matched-file scan
+            // reads only range-overlapping candidates.
+            val (candidates, _) = baseFiles.partition { e =>
+              e.stats.flatMap(_.cols.get(keys.head)) match {
+                case Some(cs) => TxStats.rangesOverlap(cs, updLo, updHi)
+                case None => true // no stats: must scan
+              }
             }
-          }
-          // which candidate files hold a matched key? one scan, keys broadcast
-          val touchedNames =
-            if (candidates.isEmpty) Set.empty[String]
-            else spark.read.parquet(candidates.map(e => s"$path/${e.rel}"): _*)
-              .withColumn("__file", input_file_name())
-              .join(broadcast(updKeys), keys, "left_semi")
-              .select("__file").distinct().collect()
-              .map(r => new Path(r.getString(0)).getName).toSet
-          val (touched, untouchedCand) = candidates.partition(
-            e => touchedNames.contains(new Path(e.rel).getName))
-          val rewrite =
-            if (touched.isEmpty) deduped
-            else spark.read.parquet(touched.map(e => s"$path/${e.rel}"): _*)
-              .join(updKeys, keys, "left_anti")
-              .unionByName(deduped)
-          (skipped ++ untouchedCand, touched.map(_.rel), rewrite)
-        case None => (Seq.empty[ManifestEntry], Seq.empty[String], deduped)
+            // which candidate files hold a matched key? one scan, keys broadcast
+            val touchedNames =
+              if (candidates.isEmpty) Set.empty[String]
+              else spark.read.parquet(candidates.map(e => s"$path/${e.rel}"): _*)
+                .withColumn("__file", input_file_name())
+                .join(broadcast(updKeys), keys, "left_semi")
+                .select("__file").distinct().collect()
+                .map(r => new Path(r.getString(0)).getName).toSet
+            val (touched, _) = candidates.partition(
+              e => touchedNames.contains(new Path(e.rel).getName))
+            val rewrite =
+              if (touched.isEmpty) deduped
+              else spark.read.parquet(touched.map(e => s"$path/${e.rel}"): _*)
+                .join(updKeys, keys, "left_anti")
+                .unionByName(deduped)
+            (touched.map(_.rel), candidates.map(_.rel).toSet, rewrite)
+          case None => (Seq.empty[String], Set.empty[String], deduped)
+        }
+        touchedRels = tr
+        readRels = rr
+        staged = stageData(spark, rewritten, path)
+        stagedValid = true
+        if (firstStage) { firstStage = false; onMergeStaged() }
       }
-      val staged = stageData(spark, rewritten, path)
       // the commit is the DELTA (removed touched files, added staged ones);
       // carried files are implicit — O(touched) metadata per merge
       if (tryCommit(fs, path, v, "merge", touchedRels, staged)) {
-        maybeCheckpoint(fs, path, v, carried ++ staged)
+        // checkpoint needs the FULL manifest — resolve it from the log we
+        // just extended (disjoint racers may have changed carried files)
+        if (v > 0 && v % CheckpointInterval == 0)
+          maybeCheckpoint(fs, path, v, resolveEntries(fs, path, v))
         return v
       }
-      // lost the race: orphaned staged files are left for vacuum; recompute
+      // lost the race. Logical conflict detection (Delta's rule): the
+      // staged rewrite stays valid iff every racing commit (a) is not a
+      // reset, (b) removed none of the files we read, and (c) added no
+      // file whose leading-key range can contain one of our update keys
+      // (stats-less adds are conservatively conflicting). Disjoint-key
+      // writers therefore re-commit the SAME staged files at the next
+      // version — no re-scan, no re-stage; orphans only on true conflicts.
+      val newLatest = latestVersion(spark, path).getOrElse(v)
+      stagedValid = base.isDefined && (v to newLatest).forall { rv =>
+        val c = readCommit(fs, path, rv)
+        !c.reset &&
+          !c.removes.exists(readRels.contains) &&
+          !c.adds.exists(e => e.stats.flatMap(_.cols.get(keys.head)) match {
+            case Some(cs) => TxStats.rangesOverlap(cs, updLo, updHi)
+            case None => true
+          })
+      }
       attempt += 1
     }
     throw new java.io.IOException(s"TxTable: lost $MaxCommitRetries version races at $path")
@@ -427,19 +477,25 @@ object TxTable {
     // goes through checkpoint-based resolution.
     val versions = listLog(fs, path, ".txt").sorted
     var state: Option[scala.collection.mutable.LinkedHashMap[String, ManifestEntry]] = None
+    var prev = -1L
     val rows = versions.map { v =>
       val c = readCommit(fs, path, v)
       state match {
-        case Some(m) =>
+        // incremental folding is only sound across CONTIGUOUS versions —
+        // a mid-log gap (external deletion; vacuum prunes only a prefix)
+        // means unseen deltas, so re-resolve from a checkpoint/reset root
+        // exactly as for the first version
+        case Some(m) if v == prev + 1 =>
           if (c.reset) m.clear()
           c.removes.foreach(m.remove)
           c.adds.foreach(e => m(e.rel) = e)
-        case None =>
+        case _ =>
           val m = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
           if (c.reset) c.adds.foreach(e => m(e.rel) = e)
           else resolveEntries(fs, path, v).foreach(e => m(e.rel) = e)
           state = Some(m)
       }
+      prev = v
       (v, c.op, state.get.size)
     }
     rows.reverse

@@ -213,6 +213,62 @@ class TxStatsSpec extends AnyFunSuite {
     assert(TxTable.read(spark, path, Some(7L)).count() == before + 1)
   }
 
+  private def upd(lo: Long, hi: Long, tag: String, p: Double) =
+    spark.range(lo, hi).toDF("id")
+      .withColumn("txt", lit(tag)).withColumn("price", lit(p))
+      .withColumn("maybe", lit(p))
+
+  test("disjoint racing merges: loser revalidates and re-commits without recompute") {
+    val path = freshDir("race"); writeRangeTable(path)
+    TxTable.mergeRecomputes.set(0)
+    // merge A updates ids 0..9 (first file); while A is staged but not yet
+    // committed, merge B (ids 9000..9009 — last file, disjoint keys AND
+    // disjoint touched files) wins the version race
+    var bVersion = -1L
+    TxTable.onMergeStaged = () => {
+      TxTable.onMergeStaged = () => () // only the outer merge interleaves
+      bVersion = TxTable.merge(spark, upd(9000, 9010, "B", 2.0), path, Seq("id"))
+    }
+    try {
+      val aVersion = TxTable.merge(spark, upd(0, 10, "A", 1.0), path, Seq("id"))
+      // A lost exactly one race to B, then re-committed its ORIGINAL
+      // staged files — logical conflict detection, no re-scan/re-stage
+      assert(bVersion == 1L && aVersion == 2L)
+      assert(TxTable.mergeRecomputes.get == 0L,
+        "disjoint race must revalidate, not recompute")
+    } finally TxTable.onMergeStaged = () => ()
+    val out = TxTable.read(spark, path).cache()
+    try {
+      assert(out.count() == 10000)
+      assert(out.filter(col("txt") === "A").count() == 10)
+      assert(out.filter(col("txt") === "B").count() == 10)
+    } finally out.unpersist()
+  }
+
+  test("overlapping racing merges: loser recomputes on top of the winner") {
+    val path = freshDir("race2"); writeRangeTable(path)
+    TxTable.mergeRecomputes.set(0)
+    // B updates ids 0..9 while A (ids 5..14) is staged: A's update keys
+    // can live in B's added file, so A must recompute against v1
+    TxTable.onMergeStaged = () => {
+      TxTable.onMergeStaged = () => ()
+      TxTable.merge(spark, upd(0, 10, "B", 2.0), path, Seq("id"))
+    }
+    try {
+      val aVersion = TxTable.merge(spark, upd(5, 15, "A", 1.0), path, Seq("id"))
+      assert(aVersion == 2L)
+      assert(TxTable.mergeRecomputes.get == 1L,
+        "conflicting race must recompute the merge")
+    } finally TxTable.onMergeStaged = () => ()
+    val out = TxTable.read(spark, path).cache()
+    try {
+      assert(out.count() == 10000)
+      // last writer per key wins: A recomputed on top of B's commit
+      assert(out.filter(col("txt") === "A").count() == 10)
+      assert(out.filter(col("txt") === "B").count() == 5)
+    } finally out.unpersist()
+  }
+
   test("rangesOverlap is conservative at the edges") {
     import TxStats.{rangesOverlap, ColStats}
     val cs = ColStats(Some(BigDecimal(10)), Some(BigDecimal(20)), 0L)
