@@ -135,8 +135,10 @@ object SparkEntry {
     ("q_modality_agreement", graft.operators.Curation.modalityAgreement _,
       Some(graft.operators.Curation.modalityAgreementSql)),
     ("q_modality_agreement_lsh", graft.operators.Curation.modalityAgreementLsh _, None),
-    ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42), None),
-    ("q_split_summary", graft.operators.Curation.splitSummary _, None),
+    ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42),
+      Some(graft.operators.Curation.splitAssignSql())),
+    ("q_split_summary", graft.operators.Curation.splitSummary _,
+      Some(graft.operators.Curation.splitSummarySql())),
     // statistical-invariant twins: the approx/hash-dependent operators
     // rephrased as the bound their guarantee promises → hash-oracle-checkable
     ("q_split_bounds", graft.operators.Invariants.splitBounds _,

@@ -218,7 +218,17 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- splits
-  /** Deterministic train/val/test assignment: bucket = xxhash64(doc_id,
+  /** Portable split hash: the polynomial fold of `"docId:seed"` × the
+    * xorshift* finisher (the [[Dedup.portableTokenHash]] family) —
+    * deterministic, content-independent of row order/partitioning, AND
+    * exactly recomputable in DuckDB HUGEINT arithmetic, which is what
+    * upgrades the split family from rows-only to fully hash-oracled
+    * (xxhash64, the previous key, has no SQL mirror). Measured balance at
+    * both SFs: every split within 1σ of its target fraction. */
+  private val splitHashUdf = udf((id: Long, seed: Int) =>
+    TextFunctions.polyHash(s"$id:$seed") * 0x2545F4914F6CDD1DL)
+
+  /** Deterministic train/val/test assignment: bucket = portableHash(doc_id,
     * seed) mod 100 → [0,80) train / [80,90) val / [90,100) test. Content-
     * independent of row order and partitioning, reproducible across runs
     * and engines (no RNG state) — the property a corpus split MUST have so
@@ -227,13 +237,60 @@ object Curation {
     * seed) for training export. */
   def splitAssign(spark: SparkSession, dir: String, seed: Int = 42): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", pmod(xxhash64(col("doc_id"), lit(seed)), lit(100L)).cast("int"))
+      .withColumn("bucket",
+        pmod(splitHashUdf(col("doc_id"), lit(seed)), lit(100L)).cast("int"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
-      .withColumn("shuffle_key", xxhash64(col("doc_id"), lit(seed + 1)))
+      .withColumn("shuffle_key", splitHashUdf(col("doc_id"), lit(seed + 1)))
       .select("doc_id", "split", "bucket", "shuffle_key")
+
+  /** The portable hash as SQL: poly fold (base 1e9+7) of `expr`'s
+    * characters × the xorshift* finisher, mod 2^64, kept unsigned. */
+  private def polyMixSql(expr: String): String =
+    s"""(list_reduce(list_prepend(0::HUGEINT,
+       |        list_transform(split($expr, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT)
+       |      * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT""".stripMargin
+
+  private def wrapSignedSql(expr: String): String =
+    s"""CAST(CASE WHEN $expr >= 9223372036854775808::HUGEINT
+       |     THEN $expr - 18446744073709551616::HUGEINT ELSE $expr END AS BIGINT)""".stripMargin
+
+  /** Shared CTE for the split oracles: both seeds' hashes, the pmod-100
+    * bucket (DuckDB's % is C-style signed remainder, so pmod is spelled
+    * `((b % 100) + 100) % 100`), and the split label. */
+  private def splitSqlCte(seed: Int): String =
+    s"""a AS (
+       |  SELECT doc_id,
+       |    CAST(((hb % 100) + 100) % 100 AS INT) AS bucket,
+       |    hb2 AS shuffle_key
+       |  FROM (SELECT doc_id,
+       |      ${wrapSignedSql("hu")} AS hb,
+       |      ${wrapSignedSql("hu2")} AS hb2
+       |    FROM (SELECT doc_id,
+       |        ${polyMixSql(s"doc_id::VARCHAR || ':$seed'")} AS hu,
+       |        ${polyMixSql(s"doc_id::VARCHAR || ':${seed + 1}'")} AS hu2
+       |      FROM documents))),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |    bucket, shuffle_key
+       |  FROM a)""".stripMargin
+
+  /** DuckDB oracle for [[splitAssign]] (seed 42). */
+  def splitAssignSql(seed: Int = 42): String =
+    s"""WITH ${splitSqlCte(seed)}
+       |SELECT doc_id, split, bucket, shuffle_key FROM s""".stripMargin
+
+  /** DuckDB oracle for [[splitSummary]] (seed 42). */
+  def splitSummarySql(seed: Int = 42): String =
+    s"""WITH ${splitSqlCte(seed)}
+       |SELECT split, COUNT(*) AS n_docs,
+       |  MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket
+       |FROM s GROUP BY split""".stripMargin
 
   /** Train/eval decontamination audit: near-dup pairs that straddle a split
     * boundary — the leakage a curation run must catch BEFORE training (an
