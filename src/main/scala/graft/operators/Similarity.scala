@@ -457,8 +457,20 @@ object Similarity {
     * the exact `round(_, 6) >= threshold` cut, so the emitted set is
     * grid-stable and engine-portable. Output is sparse (near-dup pairs),
     * so the quadratic sweep's result shuffles cheaply. */
+  private val exactPairsMemo = new SessionMemo[(String, Double, Int), DataFrame]
+
+  /** Memoized per (session, dir, threshold, nBlocks): the N² sweep runs
+    * once per session and its SMALL pair list is shared by every consumer
+    * (exact dedup twin, the recall invariant, modality agreement) — the
+    * same materialized-artifact contract as the span anchor index. */
   def embeddingPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, nBlocks: Int = 8): DataFrame = {
+      threshold: Double = 0.4, nBlocks: Int = 8): DataFrame =
+    exactPairsMemo.getOrElseUpdate(spark, (dir, threshold, nBlocks)) {
+      embeddingPairsImpl(spark, dir, threshold, nBlocks).cache()
+    }
+
+  private def embeddingPairsImpl(spark: SparkSession, dir: String,
+      threshold: Double, nBlocks: Int): DataFrame = {
     import spark.implicits._
     val grid = blockGrid(spark, dir, nBlocks)
     grid.flatMap { case (lvs, rvs) =>
@@ -514,7 +526,17 @@ object Similarity {
     * cell fits a task — the standard SemDeDup deployment — and train
     * centroids with [[ivfTrain]]; here they are the label-seeded means so
     * the DuckDB oracle can recompute the assignment exactly. */
+  private val cellPairsMemo = new SessionMemo[(String, Double, Int), DataFrame]
+
+  /** Memoized like [[embeddingPairs]]: the within-cell sweep is shared by
+    * the primary dedup and the recall invariant. */
   def cellPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame =
+    cellPairsMemo.getOrElseUpdate(spark, (dir, threshold, nprobe)) {
+      cellPairsImpl(spark, dir, threshold, nprobe).cache()
+    }
+
+  private[graft] def cellPairsImpl(spark: SparkSession, dir: String,
       threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
     import spark.implicits._
     val cells = probedCells(spark, dir, nprobe)

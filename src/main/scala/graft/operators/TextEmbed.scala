@@ -32,7 +32,17 @@ object TextEmbed {
     * tokens drop out (nothing to embed), zero vectors pass through
     * unnormalized (the cosine kernel's zero-denominator guard covers
     * them). */
-  def embeddings(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
+  private val embMemo = new SessionMemo[(String, Int), DataFrame]
+
+  /** Memoized per (session, dir, dim): the token explode + hash runs once
+    * and its (docs × dim) dense result is shared by the projection query
+    * and the composed near-dup search. */
+  def embeddings(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame =
+    embMemo.getOrElseUpdate(spark, (dir, dim)) {
+      embeddingsImpl(spark, dir, dim).cache()
+    }
+
+  private def embeddingsImpl(spark: SparkSession, dir: String, dim: Int): DataFrame = {
     val hashed = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Dedup.portableTokenHashUdf(col("tok")).as("h"))

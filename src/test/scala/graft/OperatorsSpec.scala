@@ -304,7 +304,9 @@ class SimilaritySpec extends AnyFunSuite {
     // centroid broadcast — which compiles to BroadcastNestedLoopJoin over
     // a tiny 5-row build side, so we pin the cartesian away and pin the
     // pair kernel's SortAggregate/ObjectHashAggregate cell grouping in)
-    val p = Similarity.cellPairs(spark, sf).queryExecution.executedPlan.toString
+    // pin the IMPL plan — the memoized wrapper may resolve to a cached
+    // scan, which would make the assertion vacuous
+    val p = Similarity.cellPairsImpl(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"cell-scoped pair generation regressed to the N² grid:\n$p")
   }
