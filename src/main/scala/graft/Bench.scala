@@ -12,7 +12,7 @@ object Bench {
     * before starting. Returns the final pre-run sample; callers stamp
     * `tainted=true` in the emitted JSON when the gate was never met, so a
     * contaminated artifact can never be silently compared round-over-round. */
-  private def awaitQuiet(threshold: Double, maxWaitMs: Long): Double = {
+  private[graft] def awaitQuiet(threshold: Double, maxWaitMs: Long): Double = {
     val deadline = System.currentTimeMillis() + maxWaitMs
     var lv = loadavgNow()
     while (lv >= threshold && lv >= 0.0 && System.currentTimeMillis() < deadline) {

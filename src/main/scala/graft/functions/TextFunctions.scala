@@ -204,6 +204,40 @@ object TextFunctions {
        |FROM scored""".stripMargin
   }
 
+  // ----------------------------------------------- shared oracle SQL parts
+  // DuckDB mirrors of the portable kernels, each generated in ONE place so
+  // the SQL cannot silently drift from the Scala it must stay
+  // bit-equivalent to (parity findings: four sites used to carry private
+  // copies of the fold / tokenizer).
+
+  /** The whitespace tokenizer as a `documents` CTE: one (doc_id, tok) row
+    * per non-empty token — mirrors [[tokens]]. */
+  val tokedCteSql: String =
+    raw"""toked AS (
+      |  SELECT doc_id,
+      |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents)""".stripMargin
+
+  /** The bare polynomial fold of `expr`'s characters (mirrors
+    * [[polyHash]]), unsigned HUGEINT mod 2^64. */
+  def polyFoldSql(expr: String): String =
+    s"""list_reduce(list_prepend(0::HUGEINT,
+       |        list_transform(split($expr, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Fold × xorshift* finisher (mirrors `Dedup.portableTokenHash` and the
+    * split hash — the constant is < 2^62 so the HUGEINT product of a
+    * mod-2^64 value stays inside INT128), unsigned HUGEINT mod 2^64. */
+  def polyMixSql(expr: String): String =
+    s"""(${polyFoldSql(expr)}
+       |      * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT""".stripMargin
+
+  /** Two's-complement wrap of an unsigned HUGEINT expression to BIGINT. */
+  def wrapSignedSql(expr: String): String =
+    s"""CAST(CASE WHEN $expr >= 9223372036854775808::HUGEINT
+       |     THEN $expr - 18446744073709551616::HUGEINT ELSE $expr END AS BIGINT)""".stripMargin
+
   // ------------------------------------------------------------ fingerprint
   /** 64-bit document fingerprint: xxhash64 over the normalized text — the
     * exact-dup key that survives whitespace/case jitter. Codegen'd built-in
@@ -241,13 +275,10 @@ object TextFunctions {
       |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS s
       |  FROM documents)
       |SELECT doc_id,
-      |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
-      |       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS poly_fp,
+      |  ${wrapSignedSql("hu")} AS poly_fp,
       |  md5(text) AS md5_hex
       |FROM (SELECT doc_id, text,
-      |  list_reduce(list_prepend(0::HUGEINT,
-      |      list_transform(split(s, ''), c -> CAST(unicode(c) AS HUGEINT))),
-      |    (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT) AS hu
+      |  ${polyFoldSql("s")} AS hu
       |  FROM norm)""".stripMargin
 
   // ------------------------------------------------------------ BPE-ish

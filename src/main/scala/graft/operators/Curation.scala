@@ -246,17 +246,10 @@ object Curation {
       .withColumn("shuffle_key", splitHashUdf(col("doc_id"), lit(seed + 1)))
       .select("doc_id", "split", "bucket", "shuffle_key")
 
-  /** The portable hash as SQL: poly fold (base 1e9+7) of `expr`'s
-    * characters × the xorshift* finisher, mod 2^64, kept unsigned. */
-  private def polyMixSql(expr: String): String =
-    s"""(list_reduce(list_prepend(0::HUGEINT,
-       |        list_transform(split($expr, ''), c -> CAST(unicode(c) AS HUGEINT))),
-       |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT)
-       |      * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT""".stripMargin
-
-  private def wrapSignedSql(expr: String): String =
-    s"""CAST(CASE WHEN $expr >= 9223372036854775808::HUGEINT
-       |     THEN $expr - 18446744073709551616::HUGEINT ELSE $expr END AS BIGINT)""".stripMargin
+  // the portable-hash SQL generators live in TextFunctions (one source of
+  // truth per kernel — parity must never depend on parallel copies)
+  private def polyMixSql(expr: String): String = TextFunctions.polyMixSql(expr)
+  private def wrapSignedSql(expr: String): String = TextFunctions.wrapSignedSql(expr)
 
   /** Shared CTE for the split oracles: both seeds' hashes, the pmod-100
     * bucket (DuckDB's % is C-style signed remainder, so pmod is spelled

@@ -346,17 +346,10 @@ object Dedup {
     * votes → signature assembly (bit j set iff vote strictly positive —
     * the SimHashAgg.finish rule), wrapped to signed BIGINT. */
   private val simhashSqlCtes: String =
-    raw"""toked AS (
-      |  SELECT doc_id,
-      |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text,
-      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS tok
-      |  FROM documents),
+    s"""${graft.functions.TextFunctions.tokedCteSql},
       |th AS (
       |  SELECT doc_id,
-      |    (list_reduce(list_prepend(0::HUGEINT,
-      |        list_transform(split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
-      |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT)
-      |      * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT AS h
+      |    ${graft.functions.TextFunctions.polyMixSql("tok")} AS h
       |  FROM toked),
       |votes AS (
       |  SELECT doc_id, j,

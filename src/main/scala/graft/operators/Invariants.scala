@@ -16,9 +16,12 @@ import graft.Tables
   */
 object Invariants {
 
-  /** xxhash64 split proportions: each split's count must sit within 5σ of
-    * its binomial expectation (p = 0.8/0.1/0.1 of N docs). The hash values
-    * are engine-specific; the uniformity claim is not. */
+  /** Split proportions: each split's count must sit within 5σ of its
+    * binomial expectation (p = 0.8/0.1/0.1 of N docs). Since r6 the split
+    * hash is the PORTABLE polynomial family and `q_split_assign` is fully
+    * hash-oracled — this invariant now guards the statistical claim the
+    * exact oracle cannot state (that the hash is actually uniform enough
+    * to split by), not engine portability. */
   def splitBounds(spark: SparkSession, dir: String): DataFrame = {
     val counts = Curation.splitAssign(spark, dir)
       .groupBy("split").agg(count(lit(1)).as("n"))

@@ -73,7 +73,7 @@ object Similarity {
     * `sqrt(nx*ny)` — and the same zero-denominator → 0.0 guard
     * `CosineSimilarity` implements (DuckDB x/0.0 yields NULL, which would
     * hash-diverge on a degenerate zero vector). */
-  private def cosSqlExpr(a: String, b: String): String = {
+  private[graft] def cosSqlExpr(a: String, b: String): String = {
     val dot = s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
     val den =
       s"""(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
@@ -499,7 +499,16 @@ object Similarity {
     * cell, so the pair sweep is Σ_cells |cell|² instead of N². Centroids are
     * k×dim (tiny at any scale) → broadcast; the replication factor is the
     * fixed `nprobe`. */
-  private def probedCells(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private val probedCellsMemo = new SessionMemo[(String, Int), DataFrame]
+
+  /** Memoized: the corpus × centroids ranking is shared by the cell-pair
+    * build and the recall invariant's share-cell join. */
+  private def probedCells(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    probedCellsMemo.getOrElseUpdate(spark, (dir, nprobe)) {
+      probedCellsImpl(spark, dir, nprobe).cache()
+    }
+
+  private def probedCellsImpl(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val c = corpus(spark, dir)
     val cents = centroids(spark, dir)
     val w = Window.partitionBy("vec_id")
@@ -626,8 +635,11 @@ object Similarity {
       .join(cells, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("cosine"),
         coalesce(col("shares_cell"), lit(false)).as("shares_cell"),
-        (coalesce(col("shares_cell"), lit(false)) &&
-          col("cell_cosine") === col("cosine")).as("found_by_cells"))
+        // outer coalesce: a shared-cell pair MISSING from cellPairs makes
+        // cell_cosine null and the && would yield NULL, not the false the
+        // invariant exists to report
+        coalesce(coalesce(col("shares_cell"), lit(false)) &&
+          col("cell_cosine") === col("cosine"), lit(false)).as("found_by_cells"))
   }
 
   /** Shared SQL CTE chain for the cell-scoped queries: centroids (the

@@ -78,17 +78,10 @@ object TextEmbed {
     * unsigned HUGEINT equals Spark's `pmod` on the signed long because 64
     * divides 2^64; bit 32 is sign-representation-invariant. */
   private val embedSqlCtes: String =
-    raw"""toked AS (
-      |  SELECT doc_id,
-      |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text,
-      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS tok
-      |  FROM documents),
+    s"""${graft.functions.TextFunctions.tokedCteSql},
       |th AS (
       |  SELECT doc_id,
-      |    (list_reduce(list_prepend(0::HUGEINT,
-      |        list_transform(split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
-      |      (acc, ch) -> (acc * 1000000007 + ch) % 18446744073709551616::HUGEINT)
-      |      * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT AS h
+      |    ${graft.functions.TextFunctions.polyMixSql("tok")} AS h
       |  FROM toked),
       |bs AS (
       |  SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
@@ -137,14 +130,8 @@ object TextEmbed {
     * embedding lists from the coordinate CTEs, then the proven
     * rounded-cosine ranking with the doc_id tiebreak. */
   def textNearDupTopKSql(nQueries: Int = 20, k: Int = 5): String = {
-    def cosExpr(a: String, b: String): String = {
-      val dot = s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
-      val den =
-        s"""(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
-           |         * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))""".stripMargin
-      s"""(CASE WHEN $den = 0.0 THEN 0.0 ELSE $dot
-         |      / $den END)""".stripMargin
-    }
+    // ONE cosine mirror for the whole engine — Similarity owns it
+    def cosExpr(a: String, b: String): String = Similarity.cosSqlExpr(a, b)
     s"""WITH $embedSqlCtes,
        |vecs AS (
        |  SELECT doc_id, list(val ORDER BY pos) AS emb FROM coords GROUP BY doc_id),

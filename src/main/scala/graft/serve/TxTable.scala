@@ -328,6 +328,11 @@ object TxTable {
     * exact window optimistic concurrency must survive. No-op in production. */
   private[graft] var onMergeStaged: () => Unit = () => ()
 
+  /** Test seam: invoked at the top of every RETRY iteration (after a lost
+    * race, before the snapshot re-read) — lets specs land a second racing
+    * commit in the window the revalidation watermark must cover. */
+  private[graft] var onMergeRetry: () => Unit = () => ()
+
   /** Test telemetry: how many times merge() has recomputed its
     * read-merge-stage phase (a lost race that fails logical conflict
     * detection). */
@@ -355,9 +360,37 @@ object TxTable {
     var touchedRels: Seq[String] = Seq.empty
     var readRels: Set[String] = Set.empty
     var stagedValid = false
+    // highest version the staged rewrite has been validated against — a
+    // commit attempt may only reuse staged files after EVERY commit above
+    // this watermark passed the disjointness check (checking only at
+    // lost-race time would miss a commit landing between that sample and
+    // the next tryCommit: classic lost update)
+    var validatedThrough = -1L
+    def disjointFrom(rv: Long): Boolean = {
+      val c = readCommit(fs, path, rv)
+      !c.reset &&
+        !c.removes.exists(readRels.contains) &&
+        !c.adds.exists(e => e.stats.flatMap(_.cols.get(keys.head)) match {
+          case Some(cs) => TxStats.rangesOverlap(cs, updLo, updHi)
+          case None => true
+        })
+    }
     while (attempt < MaxCommitRetries) {
+      if (attempt > 0) onMergeRetry()
       val base = latestVersion(spark, path)
       val v = base.map(_ + 1).getOrElse(0L)
+      // logical conflict detection (Delta's rule): before REUSING the
+      // staged rewrite, every commit that appeared since we last validated
+      // must be a non-reset that removed none of the files we read and
+      // added no file whose leading-key range can contain one of our
+      // update keys (stats-less adds are conservatively conflicting).
+      // Disjoint-key writers therefore re-commit the SAME staged files at
+      // the next version — no re-scan, no re-stage; orphans only on true
+      // conflicts.
+      if (stagedValid && base.exists(_ > validatedThrough)) {
+        stagedValid = (validatedThrough + 1 to base.get).forall(disjointFrom)
+        if (stagedValid) validatedThrough = base.get
+      }
       if (!stagedValid) {
         if (attempt > 0) mergeRecomputes.incrementAndGet()
         val (tr, rr, rewritten) = base match {
@@ -396,6 +429,7 @@ object TxTable {
         readRels = rr
         staged = stageData(spark, rewritten, path)
         stagedValid = true
+        validatedThrough = base.getOrElse(-1L) // staged against this snapshot
         if (firstStage) { firstStage = false; onMergeStaged() }
       }
       // the commit is the DELTA (removed touched files, added staged ones);
@@ -407,23 +441,9 @@ object TxTable {
           maybeCheckpoint(fs, path, v, resolveEntries(fs, path, v))
         return v
       }
-      // lost the race. Logical conflict detection (Delta's rule): the
-      // staged rewrite stays valid iff every racing commit (a) is not a
-      // reset, (b) removed none of the files we read, and (c) added no
-      // file whose leading-key range can contain one of our update keys
-      // (stats-less adds are conservatively conflicting). Disjoint-key
-      // writers therefore re-commit the SAME staged files at the next
-      // version — no re-scan, no re-stage; orphans only on true conflicts.
-      val newLatest = latestVersion(spark, path).getOrElse(v)
-      stagedValid = base.isDefined && (v to newLatest).forall { rv =>
-        val c = readCommit(fs, path, rv)
-        !c.reset &&
-          !c.removes.exists(readRels.contains) &&
-          !c.adds.exists(e => e.stats.flatMap(_.cols.get(keys.head)) match {
-            case Some(cs) => TxStats.rangesOverlap(cs, updLo, updHi)
-            case None => true
-          })
-      }
+      // lost the race: loop — the watermark check above revalidates every
+      // commit that landed since, INCLUDING ones racing in after the last
+      // check, before staged files are reused
       attempt += 1
     }
     throw new java.io.IOException(s"TxTable: lost $MaxCommitRetries version races at $path")

@@ -17,8 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every measurement. Fixed per-query overhead (~0.1-0.5 s of planning)
   * biases exponents DOWN at these SFs — the 1.5 gate is therefore
   * deliberately loose: it catches quadratic blow-ups, not 10% regressions
-  * (the bench owns those). Pre-run loadavg is recorded per probe; treat a
-  * report with loadavg ≳ 1 as tainted exactly like a bench artifact.
+  * (the bench owns those). The machine-quiet gate is the bench's: the
+  * probe sleep-retries for pre-run loadavg < 1 BEFORE any work, records
+  * that one sample, and stamps `tainted` in the summary when the gate was
+  * never met — per-probe samples would mostly measure the probe's own
+  * 32-core burn (the `loadavg_end` lesson).
   *
   * Usage: `sbt 'runMain graft.tools.ScaleProbe'` (env SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_SF_SMALL/_BIG override defaults). Emits one JSON line per
@@ -53,15 +56,16 @@ object ScaleProbe {
 
   val ExponentGate = 1.5
 
-  private def loadavgNow(): Double =
-    try new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
-    catch { case _: Throwable => -1.0 }
-
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
+    val quietThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "1.0").toDouble
+    val maxWaitMs =
+      sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "600").toLong * 1000L
+    val loadavgStart = graft.Bench.awaitQuiet(quietThreshold, maxWaitMs)
+    val tainted = loadavgStart >= quietThreshold
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,31 +85,29 @@ object ScaleProbe {
 
     def rowsOf(dir: String, table: String): Long =
       spark.read.parquet(s"$dir/$table.parquet").count()
-    def timeCold(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Double) = {
+    def timeCold(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       graft.Caches.clear(spark)
-      val lv = loadavgNow()
       val t0 = System.nanoTime()
       fn(spark, dir).queryExecution.toRdd.count()
-      ((System.nanoTime() - t0) / 1e9, lv)
+      (System.nanoTime() - t0) / 1e9
     }
     def r3(v: Double): Double = math.rint(v * 1e3) / 1e3
 
     var worst = 0.0
     val lines = probes.map { case (name, table, fn) =>
       val (rs, rb) = (rowsOf(sfSmall, table), rowsOf(sfBig, table))
-      val (ts, lvS) = timeCold(fn, sfSmall)
-      val (tb, lvB) = timeCold(fn, sfBig)
+      val ts = timeCold(fn, sfSmall)
+      val tb = timeCold(fn, sfBig)
       val exp = math.log(tb / ts) / math.log(rb.toDouble / rs)
       worst = math.max(worst, exp)
       val ok = exp < ExponentGate
       val line = s"""{"probe":"$name","table":"$table","rows_small":$rs,"rows_big":$rb,""" +
-        s""""t_small":${r3(ts)},"t_big":${r3(tb)},"exponent":${r3(exp)},""" +
-        s""""loadavg_small":$lvS,"loadavg_big":$lvB,"linear_ok":$ok}"""
+        s""""t_small":${r3(ts)},"t_big":${r3(tb)},"exponent":${r3(exp)},"linear_ok":$ok}"""
       println(line)
       (line, ok)
     }
     val allOk = lines.forall(_._2)
-    println(s"""{"metric":"scale_probe","gate":$ExponentGate,"worst_exponent":${r3(worst)},"all_linear":$allOk,"sf_small":"$sfSmall","sf_big":"$sfBig"}""")
+    println(s"""{"metric":"scale_probe","gate":$ExponentGate,"worst_exponent":${r3(worst)},"all_linear":$allOk,"loadavg":$loadavgStart,"tainted":$tainted,"sf_small":"$sfSmall","sf_big":"$sfBig"}""")
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -269,6 +269,36 @@ class TxStatsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("late racing commit after a survived race is still conflict-checked") {
+    // the lost-update scenario the revalidation watermark exists for:
+    // A survives a DISJOINT race with B, then a CONFLICTING commit C lands
+    // before A's next attempt — A must detect C and recompute, never
+    // re-commit its stale staged files over C's update
+    val path = freshDir("race3"); writeRangeTable(path)
+    TxTable.mergeRecomputes.set(0)
+    TxTable.onMergeStaged = () => {
+      TxTable.onMergeStaged = () => ()
+      TxTable.merge(spark, upd(9000, 9010, "B", 2.0), path, Seq("id")) // disjoint
+    }
+    TxTable.onMergeRetry = () => {
+      TxTable.onMergeRetry = () => ()
+      TxTable.merge(spark, upd(0, 10, "C", 3.0), path, Seq("id")) // conflicts with A
+    }
+    try {
+      val aVersion = TxTable.merge(spark, upd(5, 15, "A", 1.0), path, Seq("id"))
+      assert(aVersion == 3L) // lost v1 to B, lost v2 to C, recomputed, won v3
+      assert(TxTable.mergeRecomputes.get == 1L,
+        "the late conflicting commit must force exactly one recompute")
+    } finally { TxTable.onMergeStaged = () => (); TxTable.onMergeRetry = () => () }
+    val out = TxTable.read(spark, path).cache()
+    try {
+      assert(out.count() == 10000)
+      assert(out.filter(col("txt") === "A").count() == 10) // ids 5..14
+      assert(out.filter(col("txt") === "B").count() == 10) // ids 9000..9009
+      assert(out.filter(col("txt") === "C").count() == 5)  // ids 0..4 survive
+    } finally out.unpersist()
+  }
+
   test("rangesOverlap is conservative at the edges") {
     import TxStats.{rangesOverlap, ColStats}
     val cs = ColStats(Some(BigDecimal(10)), Some(BigDecimal(20)), 0L)
