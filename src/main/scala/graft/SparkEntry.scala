@@ -253,6 +253,10 @@ object SparkEntry {
     ("q_embed_text_topk",
       ((s: SparkSession, d: String) => graft.operators.TextEmbed.textNearDupTopK(s, d)): Q,
       Some(graft.operators.TextEmbed.textNearDupTopKSql())),
+    // the same embeddings through the GENERALIZED LSH tier (sub-linear path)
+    ("q_embed_text_lsh",
+      ((s: SparkSession, d: String) => graft.operators.TextEmbed.textLshTopK(s, d)): Q,
+      Some(graft.operators.TextEmbed.textLshTopKSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

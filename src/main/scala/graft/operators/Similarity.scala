@@ -132,8 +132,16 @@ object Similarity {
     * its own bucket plus the 8 hamming-1 neighbors, exact cosine re-rank on
     * the candidates only. */
   def lshTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val c = corpus(spark, dir).withColumn("sig", signature(col("emb")))
+      nQueries: Int = 20, k: Int = 5): DataFrame =
+    lshTopKOf(corpus(spark, dir), nQueries, k)
+
+  /** The same search over ANY (vec_id, emb) frame — the similarity tier's
+    * composition surface: fixture vectors, feature-hashed text
+    * ([[TextEmbed.embeddings]]), or any future encoder output all search
+    * through one code path. Queries are the first `nQueries` ids. */
+  def lshTopKOf(vecs: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val c = vecs.select(col("vec_id"), col("emb"))
+      .withColumn("sig", signature(col("emb")))
     val probes = array((lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))): _*)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("sig").as("q_sig"))
@@ -156,7 +164,15 @@ object Similarity {
     * IEEE accumulation the Spark fold performs; signatures, the 1-bit
     * multiprobe (xor masks), bucket equi-join, and rounded-cosine re-rank
     * all mirror the Spark plan. */
-  def lshTopKSql(nQueries: Int = 20, k: Int = 5): String = {
+  def lshTopKSql(nQueries: Int = 20, k: Int = 5): String =
+    lshTopKSqlOver(
+      "c AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+      nQueries, k)
+
+  /** As [[lshTopKSql]] but over an arbitrary CTE chain whose LAST relation
+    * is named `c` with columns (vec_id, emb DOUBLE[]) — the oracle-side
+    * twin of [[lshTopKOf]]'s composition surface. */
+  def lshTopKSqlOver(sourceCtes: String, nQueries: Int = 20, k: Int = 5): String = {
     def dotChain(alias: String, p: Int): String =
       planes(p).zipWithIndex.map { case (c, d) =>
         val sign = if (c >= 0) "+" else "-"
@@ -166,8 +182,7 @@ object Similarity {
       s"(CASE WHEN (0.0 ${dotChain(alias, p)}) >= 0.0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
     val masks = (0 +: (0 until NumPlanes).map(1 << _)).mkString("[", ", ", "]")
-    s"""WITH c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH $sourceCtes,
        |s AS (SELECT vec_id, emb, ${sigExpr("c")} AS sig FROM c),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb, sig AS q_sig
        |      FROM s WHERE vec_id < $nQueries),

@@ -105,6 +105,32 @@ object TextEmbed {
     s"""WITH $embedSqlCtes
        |SELECT doc_id, pos, ROUND(val, 6) AS v FROM coords""".stripMargin
 
+  /** The embed chain extended to per-doc DOUBLE[] vectors as a relation
+    * named `c` — the [[Similarity.lshTopKSqlOver]] source contract. */
+  private val embedVecsCtes: String =
+    s"""$embedSqlCtes,
+       |c AS (
+       |  SELECT doc_id AS vec_id, list(val ORDER BY pos) AS emb
+       |  FROM coords GROUP BY doc_id)""".stripMargin
+
+  /** Text embeddings through the GENERALIZED LSH tier ([[Similarity
+    * .lshTopKOf]]): the sub-linear search path running on hashed-text
+    * vectors — fixture-free end-to-end (documents → embed → bucket →
+    * re-rank), exactly how a curation pipeline would near-dup-search a
+    * fresh corpus at scale. Signatures are sign-of-±1-dot over coordinates
+    * that are bitwise identical cross-engine (integer votes, one sqrt, one
+    * division), so the full chain hash-oracles. */
+  def textLshTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame =
+    Similarity.lshTopKOf(
+      embeddings(spark, dir).select(col("doc_id").as("vec_id"), col("emb")),
+      nQueries, k)
+
+  /** DuckDB oracle for [[textLshTopK]]: the embed CTEs feeding the shared
+    * LSH oracle generator — one plane/signature source for both engines. */
+  def textLshTopKSql(nQueries: Int = 20, k: Int = 5): String =
+    Similarity.lshTopKSqlOver(embedVecsCtes, nQueries, k)
+
   /** The composed text→embed→near-dup query: exact cosine top-k of the
     * first `nQueries` docs' hashed-text embeddings against the whole
     * embedded corpus — [[Similarity.bruteForceTopK]]'s shape fed by

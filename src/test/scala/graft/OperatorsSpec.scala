@@ -420,6 +420,23 @@ class TextEmbedSpec extends AnyFunSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("text LSH through the generalized tier: candidates bounded by the exact search") {
+    // the approximate path can only surface TRUE cosines from a candidate
+    // subset — every LSH hit must score <= the exact search's top-1 for
+    // that query, and its top hit should usually BE the exact top-1
+    val exactTop1 = graft.operators.TextEmbed.textNearDupTopK(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cosine")).toMap
+    val lsh = graft.operators.TextEmbed.textLshTopK(spark, sf).collect()
+    assert(lsh.nonEmpty, "LSH search found nothing on this corpus")
+    lsh.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= exactTop1(r.getAs[Long]("q_id")) + 1e-9)
+    }
+    val agree = lsh.filter(r => r.getAs[Int]("rank") == 1)
+      .count(r => r.getAs[Double]("cosine") == exactTop1(r.getAs[Long]("q_id")))
+    assert(agree > 0, "LSH top-1 never matched the exact top-1")
+  }
 }
 
 class CachesSpec extends AnyFunSuite {
