@@ -257,6 +257,10 @@ object SparkEntry {
     ("q_embed_text_lsh",
       ((s: SparkSession, d: String) => graft.operators.TextEmbed.textLshTopK(s, d)): Q,
       Some(graft.operators.TextEmbed.textLshTopKSql())),
+    // and through the GENERALIZED IVF tier (lang seeds the quantizer)
+    ("q_embed_text_ivf",
+      ((s: SparkSession, d: String) => graft.operators.TextEmbed.textIvfTopK(s, d)): Q,
+      Some(graft.operators.TextEmbed.textIvfTopKSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

@@ -307,13 +307,28 @@ object Similarity {
     * lives in exactly one cell, so probing p distinct cells can never
     * duplicate a (query, doc) pair — no dedup step needed. */
   def ivfTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfTopKOf(corpus(spark, dir), nQueries, k, nprobe)
+
+  /** The same IVF search over ANY (vec_id, label, emb) frame — like
+    * [[lshTopKOf]], the composition surface of the tier: the label column
+    * seeds the coarse quantizer's centroids (the fixture uses its `label`,
+    * hashed-text embeddings use `lang`). */
+  def ivfTopKOf(vecs: DataFrame,
       nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val assign = ivfAssign(spark, dir)
-    val c = corpus(spark, dir)
-      .join(assign.select(col("vec_id"), col("assigned_label").as("cell")), "vec_id")
+    val cents = meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
+      .withColumnRenamed("label", "c_label")
+    // nearest-centroid assignment — identical ranking to ivfAssign
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("c_label").asc)
+    val assign = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+    val c = vecs.select(col("vec_id"), col("emb")).join(assign, "vec_id")
     // rank ALL cells per query on the same (rounded cosine, label) order the
     // assignment uses — crk=1 is by construction the query's own cell
-    val cents = centroids(spark, dir)
     val wq = Window.partitionBy("q_id")
       .orderBy(col("cos_c").desc, col("c_label").asc)
     val q = c.filter(col("vec_id") < nQueries)
@@ -339,9 +354,14 @@ object Similarity {
     * zip gives (pos, v) pairs; `list(m ORDER BY pos)` re-assembles) →
     * nearest-centroid assignment on the ROUNDED cosine with the label
     * tiebreak — mirroring `ivfAssign`. */
-  private val ivfSqlCtes: String =
-    s"""c AS (
-       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  private val ivfSqlCtes: String = ivfSqlCtesOver(
+    "c AS (\n  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)")
+
+  /** As [[ivfSqlCtes]] over an arbitrary CTE chain whose LAST relation is
+    * named `c` with (vec_id, label, emb DOUBLE[]) — the oracle-side twin
+    * of [[ivfTopKOf]]. */
+  private def ivfSqlCtesOver(source: String): String =
+    s"""$source,
        |pv AS (
        |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c),
        |cvec AS (
@@ -368,7 +388,16 @@ object Similarity {
     * same assignment; each query's cells ranked by the same (rounded
     * cosine, label) order, rank ≤ nprobe probed, exact re-rank within. */
   def ivfTopKSql(nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): String =
-    s"""WITH $ivfSqlCtes,
+    ivfTopKSqlFrom(ivfSqlCtes, nQueries, k, nprobe)
+
+  /** As [[ivfTopKSql]] over an arbitrary source (see [[ivfSqlCtesOver]]). */
+  def ivfTopKSqlOver(source: String,
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): String =
+    ivfTopKSqlFrom(ivfSqlCtesOver(source), nQueries, k, nprobe)
+
+  private def ivfTopKSqlFrom(ctes: String,
+      nQueries: Int, k: Int, nprobe: Int): String =
+    s"""WITH $ctes,
        |cc AS (
        |  SELECT c.vec_id, c.emb, a.assigned_label AS cell
        |  FROM c JOIN assign a USING (vec_id)),

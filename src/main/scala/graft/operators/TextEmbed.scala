@@ -131,6 +131,35 @@ object TextEmbed {
   def textLshTopKSql(nQueries: Int = 20, k: Int = 5): String =
     Similarity.lshTopKSqlOver(embedVecsCtes, nQueries, k)
 
+  /** Text embeddings through the GENERALIZED IVF tier ([[Similarity
+    * .ivfTopKOf]]): `lang` seeds the coarse quantizer — the language a doc
+    * is written in is exactly the kind of cheap prior a curation pipeline
+    * quantizes on before exact re-rank. Fixture-free like the LSH path. */
+  def textIvfTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val vecs = embeddings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang").as("label")), "doc_id")
+      .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
+    Similarity.ivfTopKOf(vecs, nQueries, k, nprobe)
+  }
+
+  /** DuckDB oracle for [[textIvfTopK]]: the coordinate CTEs assembled to
+    * vectors, lang joined on as the seeding label, ending in the `c`
+    * relation the IVF generator expects (CTE names must be unique, so the
+    * chain is built from `coords` here rather than reusing
+    * [[embedVecsCtes]], whose final relation is already named `c`). */
+  def textIvfTopKSql(nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): String =
+    Similarity.ivfTopKSqlOver(
+      s"""$embedSqlCtes,
+         |v AS (
+         |  SELECT doc_id AS vec_id, list(val ORDER BY pos) AS emb
+         |  FROM coords GROUP BY doc_id),
+         |c AS (
+         |  SELECT v.vec_id, d.lang AS label, v.emb
+         |  FROM v JOIN documents d ON d.doc_id = v.vec_id)""".stripMargin,
+      nQueries, k, nprobe)
+
   /** The composed text→embed→near-dup query: exact cosine top-k of the
     * first `nQueries` docs' hashed-text embeddings against the whole
     * embedded corpus — [[Similarity.bruteForceTopK]]'s shape fed by
