@@ -179,6 +179,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Pruning.bloomSemiJoin(s, d)): Q,
       Some(graft.operators.Pruning.bloomSemiJoinSql())),
     ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42), None),
+    // GPT-3-style benchmark decontamination: word-13-gram overlap vs eval splits
+    ("q_decontaminate",
+      ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)): Q,
+      Some(graft.operators.Curation.decontaminateSql())),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,
       Some(graft.operators.Packing.packContiguousSql())),

@@ -219,6 +219,15 @@ object TextFunctions {
       |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS tok
       |  FROM documents)""".stripMargin
 
+  /** The whitespace tokenizer kept as a token LIST per document — the
+    * n-gram/window consumers' shape of [[tokedCteSql]], same normalization. */
+  val tokListCteSql: String =
+    raw"""toklist AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
   /** The bare polynomial fold of `expr`'s characters (mirrors
     * [[polyHash]]), unsigned HUGEINT mod 2^64. */
   def polyFoldSql(expr: String): String =

@@ -306,6 +306,63 @@ object Curation {
       .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
   }
 
+  // ------------------------------------------------- n-gram decontamination
+  /** Benchmark decontamination by long-n-gram overlap (the GPT-3 appendix-C
+    * / PaLM recipe, on word 13-grams): a train-split document is
+    * contaminated iff it shares at least one 13-token n-gram with any
+    * val/test document. Unlike [[splitContamination]] (near-dup pairs that
+    * straddle the boundary), this is the direct construction evaluation
+    * suites use: exact long-span overlap, no similarity threshold to tune.
+    *
+    * Shape at 100 TB: n-grams are keyed per (doc, gram) and de-duplicated
+    * map-side before the one gram-keyed shuffle; the eval side of the join
+    * is the benchmark suite — orders of magnitude smaller than train — so
+    * Spark's join planning (AQE) broadcasts it in the real deployment. Here
+    * the eval split is 20% of the corpus, which keeps the join an honest
+    * shuffle hash join at test scale. Output is one row per TRAIN doc
+    * (contaminated flag + distinct offending n-gram count), the shape a
+    * pipeline anti-joins against before tokenization. */
+  def decontaminate(spark: SparkSession, dir: String,
+      n: Int = 13, seed: Int = 42): DataFrame = {
+    val splits = splitAssign(spark, dir, seed).select("doc_id", "split")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.ngrams(TextFunctions.tokens(col("text")), n)).as("gram"))
+      .distinct()
+      .join(splits, "doc_id")
+    val evalGrams = grams.filter(col("split") =!= "train")
+      .select("gram").distinct()
+    val hits = grams.filter(col("split") === "train")
+      .join(evalGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
+    splits.filter(col("split") === "train")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated_ngrams"), lit(0L)).as("n_contaminated_ngrams"),
+        col("n_contaminated_ngrams").isNotNull.as("contaminated"))
+  }
+
+  /** DuckDB oracle for [[decontaminate]]: the split CTE + the shared token
+    * list, n-grams via 1-based inclusive list slices. */
+  def decontaminateSql(n: Int = 13, seed: Int = 42): String =
+    s"""WITH ${splitSqlCte(seed)},
+       |${TextFunctions.tokListCteSql},
+       |grams AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - $n + 2),
+       |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
+       |    FROM toklist WHERE len(toks) >= $n)),
+       |g AS (SELECT grams.doc_id, gram, split FROM grams JOIN s USING (doc_id)),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE split <> 'train'),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+       |  FROM g JOIN ev USING (gram) WHERE split = 'train' GROUP BY 1)
+       |SELECT s.doc_id,
+       |  CAST(COALESCE(h.n_contaminated_ngrams, 0) AS BIGINT) AS n_contaminated_ngrams,
+       |  h.doc_id IS NOT NULL AS contaminated
+       |FROM s LEFT JOIN hits h USING (doc_id)
+       |WHERE s.split = 'train'""".stripMargin
+
   def splitSummary(spark: SparkSession, dir: String): DataFrame =
     splitAssign(spark, dir)
       .groupBy("split")

@@ -55,6 +55,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length == expected)
   }
 
+  test("decontaminate: flags consistent, one row per train doc, 13-gram ⊆ 7-gram") {
+    val splits = Curation.splitAssign(spark, sf, 42).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val d13 = Curation.decontaminate(spark, sf).collect()
+    // exactly the train split, each exactly once
+    assert(d13.map(_.getAs[Long]("doc_id")).toSet
+      == splits.collect { case (id, "train") => id }.toSet)
+    assert(d13.length == splits.values.count(_ == "train"))
+    d13.foreach { r =>
+      assert(r.getAs[Boolean]("contaminated")
+        == (r.getAs[Long]("n_contaminated_ngrams") > 0))
+    }
+    // a shared 13-gram contains a shared 7-gram, so flags are monotone in n
+    val c13 = d13.filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assume(c13.nonEmpty) // fixture plants cross-split near-dups
+    val c7 = Curation.decontaminate(spark, sf, n = 7).collect()
+      .filter(_.getAs[Boolean]("contaminated")).map(_.getAs[Long]("doc_id")).toSet
+    assert(c13.subsetOf(c7), s"13-gram hits not within 7-gram hits: ${c13 -- c7}")
+  }
+
   test("dup clusters: every doc labeled, one keeper per cluster") {
     val c = Curation.dupClusters(spark, sf)
     assert(c.count() == Tables.documents(spark, sf).count())
