@@ -104,6 +104,10 @@ object SparkEntry {
     ("q_mixture_weights", graft.operators.Curation.mixtureWeights _,
       Some(graft.operators.Curation.mixtureWeightsSql)),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
+    // RefinedWeb-style source/domain gating: rank sources by quality − dup rate
+    ("q_source_reputation",
+      ((s: SparkSession, d: String) => graft.operators.Curation.sourceReputation(s, d)): Q,
+      Some(graft.operators.Curation.sourceReputationSql())),
     ("q_lang_id", TextFunctions.langIdQuery _, Some(TextFunctions.langIdQuerySql)),
     // perplexity-proxy LM filter (char-bigram model, decimal-exact sums)
     ("q_lm_score", graft.operators.LmScore.bigramScores _,

@@ -400,6 +400,68 @@ object Curation {
       |  ROUND(CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE), 6) AS weight
       |FROM per CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------------------ source reputation
+  /** Source-level gating (the RefinedWeb/CCNet "domain filtering" stage):
+    * aggregate per-source reputation — document count, exact-duplicate rate
+    * (share of docs whose md5 appears ≥2× corpus-wide), mean quality score,
+    * mean length — then keep the top sources by reputation (mean quality
+    * minus dup rate). Filtering whole sources BEFORE per-document work is
+    * how web-scale pipelines cheapen everything downstream: a dropped
+    * domain never reaches dedup or tokenization.
+    *
+    * Shape at 100 TB: per-doc quality is map-side; the md5 count and the
+    * per-source aggregate are each one hash shuffle. The ranking window
+    * runs over the SOURCE table (domains — metadata-scale, millions of
+    * rows at web scale, 20 here), the one place a single-partition sort is
+    * the right call. */
+  def sourceReputation(spark: SparkSession, dir: String,
+      keepTop: Int = 15): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = TextFunctions.qualityQuery(spark, dir)
+      .select("doc_id", "quality_score")
+    val hashes = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      md5(col("text")).as("h"))
+    val counts = hashes.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val per = hashes.join(counts, "h").join(quality, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(sum(when(col("cnt") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
+          .as("dup_rate"),
+        round(avg(col("quality_score")), 6).as("mean_quality"),
+        round(avg(col("n_chars").cast("double")), 6).as("mean_chars"))
+    val w = Window.orderBy(col("reputation").desc, col("source").asc)
+    per
+      .withColumn("reputation", round(col("mean_quality") - col("dup_rate"), 6))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("keep", col("rank") <= keepTop)
+      .select("source", "n_docs", "n_dup_docs", "dup_rate", "mean_quality",
+        "mean_chars", "reputation", "rank", "keep")
+  }
+
+  /** DuckDB oracle for [[sourceReputation]]: the quality query nested as a
+    * CTE, md5 dup counts, per-source rollup, rank on the rounded
+    * reputation with the source tiebreak. */
+  def sourceReputationSql(keepTop: Int = 15): String =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM (
+       |${TextFunctions.qualityQuerySql})),
+       |h AS (SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+       |hc AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY 1),
+       |per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |    ROUND(SUM(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+       |    ROUND(AVG(quality_score), 6) AS mean_quality,
+       |    ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
+       |  FROM h JOIN hc USING (h) JOIN q USING (doc_id)
+       |  GROUP BY source),
+       |r AS (SELECT *, ROUND(mean_quality - dup_rate, 6) AS reputation FROM per)
+       |SELECT source, n_docs, n_dup_docs, dup_rate, mean_quality, mean_chars,
+       |  reputation, CAST(rk AS INT) AS rank, rk <= $keepTop AS keep
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY reputation DESC, source ASC)
+       |        AS rk FROM r)""".stripMargin
+
   // ---------------------------------------------------------------- tf-idf
   /** Top-5 terms per language by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
     * the corpus-analysis query a curation run reports. Fully SQL-expressible

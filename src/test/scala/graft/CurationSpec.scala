@@ -122,6 +122,23 @@ class CurationSpec extends AnyFunSuite {
     assert(a.exists(r => c(r.getLong(0)) != r.getString(1)))
   }
 
+  test("source reputation: dense ranks, keep = top-k, totals cover the corpus") {
+    val r = Curation.sourceReputation(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum
+      == Tables.documents(spark, sf).count())
+    assert(r.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to r.length))
+    val byRank = r.sortBy(_.getAs[Int]("rank"))
+    val reps = byRank.map(_.getAs[Double]("reputation"))
+    assert(reps.zip(reps.tail).forall { case (a, b) => a >= b })
+    byRank.foreach { row =>
+      assert(row.getAs[Boolean]("keep") == (row.getAs[Int]("rank") <= 15))
+      val dr = row.getAs[Double]("dup_rate")
+      assert(dr >= 0.0 && dr <= 1.0)
+      assert(row.getAs[Long]("n_dup_docs") <= row.getAs[Long]("n_docs"))
+    }
+    assert(byRank.count(_.getAs[Boolean]("keep")) == math.min(15, r.length))
+  }
+
   test("tfidf: k per lang, rank ordered, df consistent") {
     val t = Curation.tfidfTopTerms(spark, sf).collect()
     val byLang = t.groupBy(_.getString(0))
