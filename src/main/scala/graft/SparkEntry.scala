@@ -183,6 +183,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Pruning.bloomSemiJoin(s, d)): Q,
       Some(graft.operators.Pruning.bloomSemiJoinSql())),
     ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42), None),
+    // the composed flagship: source gate → exact dedup → quality gate →
+    // decontamination, reported as a verified funnel
+    ("q_curation_pipeline",
+      ((s: SparkSession, d: String) => graft.operators.Curation.curationPipeline(s, d)): Q,
+      Some(graft.operators.Curation.curationPipelineSql())),
     // GPT-3-style benchmark decontamination: word-13-gram overlap vs eval splits
     ("q_decontaminate",
       ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)): Q,

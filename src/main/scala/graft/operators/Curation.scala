@@ -462,6 +462,104 @@ object Curation {
        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY reputation DESC, source ASC)
        |        AS rk FROM r)""".stripMargin
 
+  // ------------------------------------------------- the composed pipeline
+  /** The end-to-end curation pipeline as ONE declarative program — the
+    * flagship "switch your whole pipeline to this engine" query. Stages,
+    * each reusing the oracled fragment it is built from:
+    *
+    *   1 raw            → every document
+    *   2 source_gate    → [[sourceReputation]] top sources only
+    *   3 exact_dedup    → min-doc_id representative per md5 group
+    *   4 quality_gate   → quality ≥ 0.3 ∧ tokens ≥ 10 (the [[curate]] gates)
+    *   5 decontaminated → [[decontaminate]] 13-gram-contaminated TRAIN docs
+    *                      dropped (contamination judged against the eval
+    *                      docs that SURVIVE stage 4 — the pipeline order a
+    *                      real curation run uses)
+    *
+    * Output is the funnel report (stage, surviving docs, surviving tokens)
+    * a pipeline run publishes. Every stage is hash-partitioned work — the
+    * gates are map-side, dedup/grams are one keyed shuffle each, and the
+    * five funnel rows are 1-row aggregates unioned at the end. */
+  def curationPipeline(spark: SparkSession, dir: String,
+      keepTop: Int = 15, minQuality: Double = 0.3, minTokens: Int = 10,
+      n: Int = 13, seed: Int = 42): DataFrame = {
+    val quality = TextFunctions.qualityQuery(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").join(quality, "doc_id")
+    val keptSources = sourceReputation(spark, dir, keepTop)
+      .filter(col("keep")).select("source")
+    val s1 = docs.join(broadcast(keptSources), "source")
+    val canon = s1.withColumn("h", md5(col("text")))
+    val reps = canon.groupBy("h").agg(min("doc_id").as("rep"))
+    val s2 = canon.join(reps, "h").filter(col("doc_id") === col("rep"))
+    val s3 = s2.filter(col("quality_score") >= minQuality
+      && col("n_tokens") >= minTokens)
+    val sp = splitAssign(spark, dir, seed).select("doc_id", "split")
+    val s3s = s3.join(sp, "doc_id")
+    val grams = s3s.select(col("doc_id"), col("split"),
+        explode(TextFunctions.ngrams(TextFunctions.tokens(col("text")), n))
+          .as("gram"))
+      .distinct()
+    val evalGrams = grams.filter(col("split") =!= "train")
+      .select("gram").distinct()
+    val contaminated = grams.filter(col("split") === "train")
+      .join(evalGrams, "gram").select("doc_id").distinct()
+    val s4 = s3s.join(contaminated, Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("sum_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("sum_tokens"))
+    stage(docs, 1, "raw")
+      .unionByName(stage(s1, 2, "source_gate"))
+      .unionByName(stage(s2, 3, "exact_dedup"))
+      .unionByName(stage(s3, 4, "quality_gate"))
+      .unionByName(stage(s4, 5, "decontaminated"))
+  }
+
+  /** DuckDB oracle for [[curationPipeline]]: the same five stages as a
+    * WITH chain over the oracled fragments ([[sourceReputationSql]] and the
+    * split CTE nested verbatim), funnel rows unioned. */
+  def curationPipelineSql(keepTop: Int = 15, minQuality: Double = 0.3,
+      minTokens: Int = 10, n: Int = 13, seed: Int = 42): String =
+    s"""WITH ${splitSqlCte(seed)},
+       |q AS (SELECT doc_id, n_tokens, quality_score FROM (
+       |${TextFunctions.qualityQuerySql})),
+       |kept AS (SELECT source FROM (
+       |${sourceReputationSql(keepTop)}) WHERE keep),
+       |d0 AS (SELECT d.doc_id, d.source, d.text, q.n_tokens, q.quality_score
+       |       FROM documents d JOIN q USING (doc_id)),
+       |s1 AS (SELECT d0.* FROM d0 JOIN kept USING (source)),
+       |canon AS (SELECT *, md5(text) AS h FROM s1),
+       |reps AS (SELECT h, MIN(doc_id) AS rep FROM canon GROUP BY 1),
+       |s2 AS (SELECT c.* FROM canon c JOIN reps r ON c.h = r.h AND c.doc_id = r.rep),
+       |s3 AS (SELECT * FROM s2
+       |       WHERE quality_score >= $minQuality AND n_tokens >= $minTokens),
+       |${TextFunctions.tokListCteSql},
+       |grams AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - $n + 2),
+       |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
+       |    FROM toklist WHERE len(toks) >= $n)),
+       |g AS (SELECT grams.doc_id, gram, s.split
+       |      FROM grams JOIN s USING (doc_id) JOIN s3 USING (doc_id)),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE split <> 'train'),
+       |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+       |         WHERE g.split = 'train'),
+       |s4 AS (SELECT s3.* FROM s3
+       |       WHERE s3.doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT 1 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
+       |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS sum_tokens FROM d0
+       |UNION ALL SELECT 2, 'source_gate', COUNT(*),
+       |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+       |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT 4, 'quality_gate', COUNT(*),
+       |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+       |UNION ALL SELECT 5, 'decontaminated', COUNT(*),
+       |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4""".stripMargin
+
   // ---------------------------------------------------------------- tf-idf
   /** Top-5 terms per language by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
     * the corpus-analysis query a curation run reports. Fully SQL-expressible

@@ -139,6 +139,21 @@ class CurationSpec extends AnyFunSuite {
     assert(byRank.count(_.getAs[Boolean]("keep")) == math.min(15, r.length))
   }
 
+  test("curation pipeline: monotone funnel anchored at the corpus") {
+    val f = Curation.curationPipeline(spark, sf).collect()
+      .sortBy(_.getAs[Int]("stage_id"))
+    assert(f.map(_.getAs[Int]("stage_id")).toSeq == (1 to 5))
+    assert(f.head.getAs[Long]("n_docs") == Tables.documents(spark, sf).count())
+    val docsT = f.map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))
+    docsT.zip(docsT.tail).foreach { case ((d1, t1), (d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1, s"funnel not monotone: $docsT")
+    }
+    // every stage does something across the suite's fixtures: at minimum the
+    // source gate and the decontamination stage must actually drop here
+    assert(docsT(1)._1 < docsT(0)._1, "source gate dropped nothing")
+    assert(docsT(4)._1 < docsT(3)._1, "decontamination dropped nothing")
+  }
+
   test("tfidf: k per lang, rank ordered, df consistent") {
     val t = Curation.tfidfTopTerms(spark, sf).collect()
     val byLang = t.groupBy(_.getString(0))
