@@ -65,7 +65,13 @@ object Bench {
     try graft.etl.Pipeline.servingSummaryQuery(spark, sfDir)
       .queryExecution.toRdd.count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for targeted perf iteration —
+    // the driver never sets it, so the per-round artifact always covers the
+    // full registry
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections included);
       // Dataset.count() would let Catalyst prune all computed columns and

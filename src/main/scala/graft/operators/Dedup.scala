@@ -54,18 +54,28 @@ object Dedup {
     * skipping the concat_ws string build halved the dominant pipeline stage
     * (8.1 s → ~4 s at sf0.1, tools/ProfileDedup). `shingleArr` remains the
     * string-shingle API. */
-  def shingleHashArr(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
+  def shingleHashArr(c: Column, n: Int = 3): Column =
+    shingleHashArrOfToks(tokens(c), n)
+
+  /** The same windowed hash over an ALREADY-ALIASED token-array column.
+    * Interpreted lambdas get no subexpression elimination, so every
+    * `element_at(toks, …)` inside the window transform re-evaluates its
+    * argument subtree — passing `tokens(text)` inline re-tokenizes
+    * O(n·windows) times per row. Hot paths stage the tokenizer through its
+    * own aliased projection (the multiply-referenced-alias rule, cf.
+    * `bandSignatureRows`) and pass that column here; [[shingleHashArr]]
+    * remains the row-local convenience form. */
+  def shingleHashArrOfToks(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
-  }
 
   /** (doc_id, shingle_hash) — exploded, distinct per doc. */
   private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(shingleHashArr(col("text"), n)).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(shingleHashArrOfToks(col("__toks"), n)).as("sh"))
       .distinct()
 
   /** THE per-slot MinHash scheme — single definition so the batch
@@ -193,7 +203,8 @@ object Dedup {
     // row 16×; a multiply-referenced non-cheap alias survives
     // CollapseProject and is computed once
     val withArr = df.select(col(docIdCol).as("doc_id"),
-      shingleHashArr(col(textCol)).as("__sh_arr"))
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), shingleHashArrOfToks(col("__toks")).as("__sh_arr"))
     val slots = (0 until NumHashes).map(i =>
       array_min(transform(col("__sh_arr"), s => slotHash(s, i))).as(s"h$i"))
     bandedSignatures(withArr.select((col("doc_id") +: slots): _*))
@@ -604,12 +615,16 @@ object Dedup {
     * IDENTICAL point set (equivalence pinned in ScaleSpec). */
   def duplicateSpans(spark: SparkSession, dir: String, k: Int = 8,
       minTokens: Int = 12, dfCap: Int = 20, saltFactor: Int = 1): DataFrame = {
-    val toks = tokens(col("text"))
+    // stage the tokenizer through its own alias: the window transform's
+    // per-element slice(toks, …) would otherwise re-tokenize per window
+    // (interpreted lambdas get no subexpression elimination)
+    val toks = col("__toks")
     val gramArr = when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
       .otherwise(array().cast("array<string>")) // shorter than k ⇒ no k-spans
     val grams = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "gram")))
     val freq = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("df"))
