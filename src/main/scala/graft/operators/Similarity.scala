@@ -668,9 +668,13 @@ object Similarity {
       threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
     val exact = embeddingPairs(spark, dir, threshold)
     val shared = probedCells(spark, dir, nprobe).select("cell", "vec_id")
-    val sa = shared.select(col("cell"), col("vec_id").as("doc_a"))
-    val sb = shared.select(col("cell").as("cell_b"), col("vec_id").as("doc_b"))
-    val sharesCell = sa.join(sb, col("cell") === col("cell_b"))
+    // probe cell membership only for the (tiny) exact pair list — joining
+    // the per-vector cell sets onto the pairs is pairs·nprobe² rows, vs the
+    // Σ|cell|² universe a cell-keyed self-join would materialize first
+    val sharesCell = exact.select("doc_a", "doc_b")
+      .join(shared.select(col("cell"), col("vec_id").as("doc_a")), "doc_a")
+      .join(shared.select(col("cell").as("cell_b"), col("vec_id").as("doc_b")), "doc_b")
+      .filter(col("cell") === col("cell_b"))
       .select("doc_a", "doc_b").distinct()
       .withColumn("shares_cell", lit(true))
     val cells = cellPairs(spark, dir, threshold, nprobe)
