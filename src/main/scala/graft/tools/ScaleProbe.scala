@@ -49,6 +49,12 @@ object ScaleProbe {
       (s: SparkSession, d: String) => graft.operators.TextEmbed.textNearDupTopK(s, d)),
     ("q_heavy_hitters_exact", "documents",
       (s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsExact(s, d)),
+    ("q_decontaminate", "documents",
+      (s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)),
+    ("q_source_reputation", "documents",
+      (s: SparkSession, d: String) => graft.operators.Curation.sourceReputation(s, d)),
+    ("q_curation_pipeline", "documents",
+      (s: SparkSession, d: String) => graft.operators.Curation.curationPipeline(s, d)),
     ("q_semantic_dedup", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.semanticDedup(s, d)),
     ("q_ann_lsh", "embeddings",
