@@ -188,6 +188,10 @@ object SparkEntry {
     ("q_curation_pipeline",
       ((s: SparkSession, d: String) => graft.operators.Curation.curationPipeline(s, d)): Q,
       Some(graft.operators.Curation.curationPipelineSql())),
+    // token-budget epoch plan over the kept sources (sampling rates + epochs)
+    ("q_epoch_plan",
+      ((s: SparkSession, d: String) => graft.operators.Curation.epochPlan(s, d)): Q,
+      Some(graft.operators.Curation.epochPlanSql())),
     // GPT-3-style benchmark decontamination: word-13-gram overlap vs eval splits
     ("q_decontaminate",
       ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)): Q,

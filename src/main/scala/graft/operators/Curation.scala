@@ -576,6 +576,53 @@ object Curation {
        |UNION ALL SELECT 5, 'decontaminated', COUNT(*),
        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4""".stripMargin
 
+  // ------------------------------------------------------------ epoch plan
+  /** Token-budget epoch plan — the step that turns a curated corpus into a
+    * training recipe: over the sources [[sourceReputation]] keeps, split a
+    * token budget uniformly and derive each source's sampling rate
+    * (target / available tokens) and epoch count (ceil of the rate — a
+    * rate above 1 means the source is repeated, the standard treatment of
+    * small high-quality sources). Two metadata-scale aggregates on top of
+    * already-priced fragments; rates are computed from UNROUNDED doubles on
+    * both engines and rounded only for display. */
+  def epochPlan(spark: SparkSession, dir: String,
+      budgetTokens: Long = 20000L, keepTop: Int = 15): DataFrame = {
+    val kept = sourceReputation(spark, dir, keepTop)
+      .filter(col("keep")).select("source")
+    val toks = TextFunctions.qualityQuery(spark, dir)
+      .select("doc_id", "n_tokens")
+    val per = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(toks, "doc_id").join(broadcast(kept), "source")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("avail_tokens"))
+    val k = per.agg(count(lit(1)).as("n_sources"))
+    val target = lit(budgetTokens.toDouble) / col("n_sources")
+    val rate = target / col("avail_tokens")
+    per.crossJoin(broadcast(k))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        round(target, 6).as("target_tokens"),
+        round(rate, 6).as("sample_rate"),
+        ceil(rate).cast("int").as("epochs"))
+  }
+
+  /** DuckDB oracle for [[epochPlan]]. */
+  def epochPlanSql(budgetTokens: Long = 20000L, keepTop: Int = 15): String =
+    s"""WITH q AS (SELECT doc_id, n_tokens FROM (
+       |${TextFunctions.qualityQuerySql})),
+       |kept AS (SELECT source FROM (
+       |${sourceReputationSql(keepTop)}) WHERE keep),
+       |per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+       |  FROM documents JOIN q USING (doc_id) JOIN kept USING (source)
+       |  GROUP BY source),
+       |k AS (SELECT COUNT(*) AS n_sources FROM per)
+       |SELECT source, n_docs, avail_tokens,
+       |  ROUND($budgetTokens.0 / n_sources, 6) AS target_tokens,
+       |  ROUND(($budgetTokens.0 / n_sources) / avail_tokens, 6) AS sample_rate,
+       |  CAST(CEIL(($budgetTokens.0 / n_sources) / avail_tokens) AS INT) AS epochs
+       |FROM per CROSS JOIN k""".stripMargin
+
   // ---------------------------------------------------------------- tf-idf
   /** Top-5 terms per language by TF-IDF (smoothed idf = ln((N+1)/(df+1))):
     * the corpus-analysis query a curation run reports. Fully SQL-expressible

@@ -154,6 +154,25 @@ class CurationSpec extends AnyFunSuite {
     assert(docsT(4)._1 < docsT(3)._1, "decontamination dropped nothing")
   }
 
+  test("epoch plan: kept sources only, budget conserved, epochs = ceil(rate)") {
+    val kept = Curation.sourceReputation(spark, sf).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[String]("source")).toSet
+    val plan = Curation.epochPlan(spark, sf, budgetTokens = 20000L).collect()
+    assert(plan.map(_.getAs[String]("source")).toSet == kept)
+    val targetSum = plan.map(_.getAs[Double]("target_tokens")).sum
+    assert(math.abs(targetSum - 20000.0) < 1e-3)
+    plan.foreach { r =>
+      assert(r.getAs[Double]("sample_rate") > 0.0)
+      // recompute the UNROUNDED rate (epochs derives from it, not from the
+      // 6-dp display column)
+      val trueRate = (20000.0 / plan.length) / r.getAs[Long]("avail_tokens")
+      assert(r.getAs[Int]("epochs") == math.ceil(trueRate).toInt)
+    }
+    // the fixture budget is chosen to straddle 1.0 so both regimes appear
+    assert(plan.exists(_.getAs[Double]("sample_rate") > 1.0)
+      && plan.exists(_.getAs[Double]("sample_rate") < 1.0))
+  }
+
   test("tfidf: k per lang, rank ordered, df consistent") {
     val t = Curation.tfidfTopTerms(spark, sf).collect()
     val byLang = t.groupBy(_.getString(0))
