@@ -278,6 +278,11 @@ object SparkEntry {
     ("q_embed_text_ivf",
       ((s: SparkSession, d: String) => graft.operators.TextEmbed.textIvfTopK(s, d)): Q,
       Some(graft.operators.TextEmbed.textIvfTopKSql())),
+    // incremental semantic dedup: new odd-id batch probed against the
+    // stored even-id IVF layout — fully deterministic, hash-oracled
+    ("q_semantic_probe",
+      ((s: SparkSession, d: String) => graft.operators.Similarity.semanticProbe(s, d)): Q,
+      Some(graft.operators.Similarity.semanticProbeSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

@@ -785,6 +785,82 @@ object Similarity {
        |FROM exact e
        |LEFT JOIN cand ON cand.va = e.doc_a AND cand.vb = e.doc_b""".stripMargin
 
+  // ------------------------------------------------ incremental (ingest)
+  /** Incremental semantic dedup — the ingest form of [[semanticDedup]],
+    * completing the symmetry the text family has with
+    * `Dedup.minhashNearDupsIncremental`: a NEW batch of vectors (odd ids —
+    * the repo's incremental convention) is probed against the STORED
+    * corpus state (even ids): label-seeded centroids computed from the
+    * index half only, index vectors living in their single nearest cell
+    * (the stored IVF layout), each batch vector probing its `nprobe`
+    * nearest cells and exact-cosine-verified against ONLY those cells'
+    * index vectors. batch×cell work — never index×index, never batch×batch
+    * — which is what makes daily ingest O(batch · cell) at any corpus
+    * size. Deterministic end-to-end ⇒ full hash oracle (unlike the LSH
+    * incremental path, whose signatures are hash-dependent). */
+  def semanticProbe(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
+    val c = corpus(spark, dir)
+    val index = c.filter(col("vec_id") % 2 === 0)
+    val batch = c.filter(col("vec_id") % 2 === 1)
+    val cents = meanVectors(index.select(col("label"), col("emb")), "label", "emb")
+      .withColumnRenamed("label", "c_label")
+    def cellsOf(df: DataFrame, probes: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("c_label").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= probes)
+        .select(col("c_label").as("cell"), col("vec_id"), col("emb"))
+    }
+    val stored = cellsOf(index, 1)
+      .select(col("cell"), col("vec_id").as("index_id"), col("emb").as("i_emb"))
+    val probing = cellsOf(batch, nprobe)
+      .select(col("cell"), col("vec_id").as("new_id"), col("emb").as("b_emb"))
+    probing.join(stored, "cell")
+      .withColumn("cosine", round(cosine_sim(col("b_emb"), col("i_emb")), 6))
+      .filter(col("cosine") >= threshold)
+      // a pair reachable through two probed cells appears twice with
+      // identical bits — distinct is exact
+      .select("index_id", "new_id", "cosine").distinct()
+  }
+
+  /** DuckDB oracle for [[semanticProbe]]: index-half centroids, both
+    * assignments under the same (rounded cosine, label) ranking, exact
+    * verify within probed cells. */
+  def semanticProbeSql(threshold: Double = 0.4, nprobe: Int = 2): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |idx AS (SELECT * FROM c WHERE vec_id % 2 = 0),
+       |bat AS (SELECT * FROM c WHERE vec_id % 2 = 1),
+       |pv AS (
+       |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM idx),
+       |cvec AS (
+       |  SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, AVG(v) AS m FROM pv GROUP BY 1, 2)
+       |  GROUP BY label),
+       |stored AS (
+       |  SELECT vec_id AS index_id, emb AS i_emb, c_label AS cell FROM (
+       |    SELECT i.vec_id, i.emb, cvec.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ROUND(${cosSqlExpr("i.emb", "cvec.centroid")}, 6) DESC NULLS LAST,
+       |                 cvec.c_label ASC) AS crk
+       |    FROM idx i CROSS JOIN cvec)
+       |  WHERE crk = 1),
+       |probing AS (
+       |  SELECT vec_id AS new_id, emb AS b_emb, c_label AS cell FROM (
+       |    SELECT b.vec_id, b.emb, cvec.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ROUND(${cosSqlExpr("b.emb", "cvec.centroid")}, 6) DESC NULLS LAST,
+       |                 cvec.c_label ASC) AS crk
+       |    FROM bat b CROSS JOIN cvec)
+       |  WHERE crk <= $nprobe)
+       |SELECT DISTINCT index_id, new_id,
+       |  ROUND(${cosSqlExpr("b_emb", "i_emb")}, 6) AS cosine
+       |FROM probing JOIN stored USING (cell)
+       |WHERE ROUND(${cosSqlExpr("b_emb", "i_emb")}, 6) >= $threshold""".stripMargin
+
   /** DuckDB oracle for [[embeddingNearDupSummary]]: exact top-1 per vector
     * over the full N×N sweep, argmax on the UNROUNDED cosine with the same
     * vec_id tiebreak, rounded only for output — mirroring the kernel. */

@@ -297,6 +297,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic probe: cross-half pairs only, subset of the exact graph") {
+    val probe = Similarity.semanticProbe(spark, sf).collect()
+    assert(probe.nonEmpty, "fixture plants cross-half embedding near-dups")
+    val exact = Similarity.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        -> r.getAs[Double]("cosine")).toMap
+    probe.foreach { r =>
+      val (i, nw) = (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"))
+      assert(i % 2 == 0 && nw % 2 == 1, s"($i,$nw) not an index×batch pair")
+      val key = (math.min(i, nw), math.max(i, nw))
+      // every probe hit is a true exact pair with the identical cosine
+      assert(exact.get(key).contains(r.getAs[Double]("cosine")),
+        s"probe pair $key not in the exact graph with matching cosine")
+    }
+  }
+
   test("semantic dedup plan: cell-scoped, no cartesian tile grid anywhere") {
     // the 100× criterion: the primary operator's pair generation must be
     // the one cell-keyed shuffle, never the O(N²) CartesianProduct grid
