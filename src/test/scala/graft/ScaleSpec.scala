@@ -137,6 +137,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontamination: window n-grams + equi-joins, never all-pairs") {
+    // the gram build must be the per-doc sliding window (one Window over a
+    // doc-keyed exchange) and every join an equi-join — the array-lambda
+    // formulation this replaced re-tokenized O(tokens·n) per doc and a
+    // nested-loop fallback would compare documents pairwise
+    val plan = physicalPlan(operators.Curation.decontaminate(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination fell back to all-pairs:\n$plan")
+    assert(plan.contains("Window"), s"expected the sliding-window gram build:\n$plan")
+  }
+
+  test("curation pipeline: source gate broadcast, no all-pairs anywhere") {
+    val plan = physicalPlan(operators.Curation.curationPipeline(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pipeline plan degenerated:\n$plan")
+    // the kept-sources dimension is explicitly broadcast into the fact side
+    assert(plan.contains("BroadcastHashJoin"), s"source gate not broadcast:\n$plan")
+  }
+
   test("bloom semi join: bloom prefilter sits below the join") {
     // the UDF probe must run in the scan stage (before any exchange), so
     // pruned rows never reach the shuffle — the operator's entire point
