@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HllAggregate, InterleaveBits, SquaredDistance}
+import graft.functions.{CosineSimilarity, HllAggregate, InterleaveBits, PolyHash, SquaredDistance}
 
 /** Session-extensions entry point: a cluster admin sets
   * `spark.sql.extensions=graft.GraftExtensions` (or a notebook builder
@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("interleave_bits"),
       info("interleave_bits", classOf[InterleaveBits]),
       (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("poly_hash"),
+      info("poly_hash", classOf[PolyHash]),
+      (exprs: Seq[Expression]) => PolyHash(exprs(0), mixed = false)))
+    ext.injectFunction((FunctionIdentifier("poly_token_hash"),
+      info("poly_token_hash", classOf[PolyHash]),
+      (exprs: Seq[Expression]) => PolyHash(exprs(0), mixed = true)))
     ext.injectFunction((FunctionIdentifier("hll_distinct"),
       info("hll_distinct", HllAggregate.getClass),
       HllAggregate.sqlBuilder))

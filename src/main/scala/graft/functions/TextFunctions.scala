@@ -264,18 +264,19 @@ object TextFunctions {
     h
   }
 
-  private lazy val polyFpUdf = udf((t: String) =>
-    if (t == null) null.asInstanceOf[java.lang.Long]
-    else java.lang.Long.valueOf(polyHash(normString(t))))
-
   /** Registered fingerprint query: md5 of the raw text plus the portable
     * polynomial fingerprint of the NORMALIZED text — both recomputable by
     * the DuckDB oracle, giving the fingerprint family a full hash gate
     * (the xxhash64 [[fingerprint]] column stays API-only; its collision
-    * behavior is cross-checked in TextSpec against md5 groups). */
+    * behavior is cross-checked in TextSpec against md5 groups). Since r6
+    * the fold is the native codegen'd [[PolyHash]] expression over the
+    * [[normText]] column — `normText` ≡ the old UDF's `normString`
+    * (collapse-whitespace then trim then lower commute), so values are
+    * unchanged. */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), polyFpUdf(col("text")).as("poly_fp"),
+      .select(col("doc_id"),
+        HashExpressions.poly_hash(normText(col("text"))).as("poly_fp"),
         md5(col("text")).as("md5_hex"))
 
   val fingerprintQuerySql: String =

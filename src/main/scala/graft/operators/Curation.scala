@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -225,8 +225,12 @@ object Curation {
     * upgrades the split family from rows-only to fully hash-oracled
     * (xxhash64, the previous key, has no SQL mirror). Measured balance at
     * both SFs: every split within 1σ of its target fraction. */
-  private val splitHashUdf = udf((id: Long, seed: Int) =>
-    TextFunctions.polyHash(s"$id:$seed") * 0x2545F4914F6CDD1DL)
+  /** Since r6 the native codegen'd expression (Long.toString renders
+    * identically in Java and Scala interpolation, so the hash input —
+    * `"docId:seed"` — and every split assignment are unchanged). */
+  private def splitHash(id: Column, seed: Int): Column =
+    graft.functions.HashExpressions.poly_token_hash(
+      concat(id.cast("string"), lit(s":$seed")))
 
   /** Deterministic train/val/test assignment: bucket = portableHash(doc_id,
     * seed) mod 100 → [0,80) train / [80,90) val / [90,100) test. Content-
@@ -238,12 +242,12 @@ object Curation {
   def splitAssign(spark: SparkSession, dir: String, seed: Int = 42): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("bucket",
-        pmod(splitHashUdf(col("doc_id"), lit(seed)), lit(100L)).cast("int"))
+        pmod(splitHash(col("doc_id"), seed), lit(100L)).cast("int"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
-      .withColumn("shuffle_key", splitHashUdf(col("doc_id"), lit(seed + 1)))
+      .withColumn("shuffle_key", splitHash(col("doc_id"), seed + 1))
       .select("doc_id", "split", "bucket", "shuffle_key")
 
   // the portable-hash SQL generators live in TextFunctions (one source of

@@ -336,7 +336,12 @@ object Dedup {
   private[graft] def portableTokenHash(s: String): Long =
     graft.functions.TextFunctions.polyHash(s) * 0x2545F4914F6CDD1DL
 
-  private[operators] val portableTokenHashUdf = udf(portableTokenHash _)
+  /** Column form — since r6 the native codegen'd [[graft.functions
+    * .PolyHash]] expression, bit-identical to [[portableTokenHash]] (the
+    * prior Scala UDF paid a serde boundary per TOKEN on the SimHash and
+    * feature-hash paths). */
+  private[operators] def portableTokenHashCol(c: Column): Column =
+    graft.functions.HashExpressions.poly_token_hash(c)
 
   /** Per-doc 64-bit SimHash over token hashes (frequency-weighted via token
     * multiplicity). Keys on [[portableTokenHash]] so signatures — and every
@@ -347,7 +352,7 @@ object Dedup {
     val simhash = udaf(SimHashAgg)
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), portableTokenHashUdf(col("tok")).as("th"))
+      .select(col("doc_id"), portableTokenHashCol(col("tok")).as("th"))
       .groupBy("doc_id")
       .agg(simhash(col("th")).as("simhash"))
   }

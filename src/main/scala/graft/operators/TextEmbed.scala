@@ -45,7 +45,7 @@ object TextEmbed {
   private def embeddingsImpl(spark: SparkSession, dir: String, dim: Int): DataFrame = {
     val hashed = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), Dedup.portableTokenHashUdf(col("tok")).as("h"))
+      .select(col("doc_id"), Dedup.portableTokenHashCol(col("tok")).as("h"))
       .select(col("doc_id"),
         pmod(col("h"), lit(dim.toLong)).cast("int").as("bucket"),
         when(shiftrightunsigned(col("h"), 32).bitwiseAND(lit(1L)) === 1L, 1.0)

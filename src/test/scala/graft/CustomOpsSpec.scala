@@ -265,3 +265,52 @@ class CosineExprSpec extends AnyFunSuite {
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 }
+
+class PolyHashExprSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+  import graft.functions.HashExpressions.{poly_hash, poly_token_hash}
+
+  test("native fold is bit-identical to the Scala kernels, codegen and interpreted") {
+    val cases = Seq("", "a", "spark", "Zürich ünïcode", "x" * 300,
+      "tab\tand\nnewline", "0:42", "123456789:7")
+    // codegen path (whole-stage over a local relation)
+    val got = cases.toDF("s")
+      .select(col("s"), poly_hash(col("s")).as("h"), poly_token_hash(col("s")).as("m"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == graft.functions.TextFunctions.polyHash(s), s"fold($s)")
+      assert(r.getLong(2) == graft.functions.TextFunctions.polyHash(s) * 0x2545F4914F6CDD1DL,
+        s"mixed($s)")
+    }
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    cases.foreach { s =>
+      val e = graft.functions.PolyHash(Literal(s), mixed = false)
+      assert(e.eval(null) == graft.functions.TextFunctions.polyHash(s))
+    }
+  }
+
+  test("null in, null out; SQL surface via extensions") {
+    val r = Seq(Option.empty[String]).toDF("s")
+      .select(poly_hash(col("s"))).collect()(0)
+    assert(r.isNullAt(0))
+    val sql = spark.sql("SELECT poly_token_hash('spark') AS h").collect()(0)
+    assert(sql.getLong(0) ==
+      graft.functions.TextFunctions.polyHash("spark") * 0x2545F4914F6CDD1DL)
+  }
+
+  test("split assignment and fingerprints survive the UDF-to-expression swap") {
+    // the expression replaced Scala UDFs on hash-oracled paths — any value
+    // drift would show as a driver hash mismatch; pin the kernels here too
+    val fp = graft.functions.TextFunctions.fingerprintQuery(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    fp.foreach { r =>
+      val want = graft.functions.TextFunctions.polyHash(
+        graft.functions.TextFunctions.normString(texts(r.getLong(0))))
+      assert(r.getAs[Long]("poly_fp") == want)
+    }
+  }
+}
