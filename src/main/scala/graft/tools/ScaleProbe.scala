@@ -58,7 +58,9 @@ object ScaleProbe {
     ("q_semantic_dedup", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.semanticDedup(s, d)),
     ("q_ann_lsh", "embeddings",
-      (s: SparkSession, d: String) => graft.operators.Similarity.lshTopK(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Similarity.lshTopK(s, d)),
+    ("q_semantic_probe", "embeddings",
+      (s: SparkSession, d: String) => graft.operators.Similarity.semanticProbe(s, d)))
 
   val ExponentGate = 1.5
 
