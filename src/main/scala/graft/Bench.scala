@@ -36,7 +36,9 @@ object Bench {
     val maxWaitMs =
       sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "600").toLong * 1000L
     val loadavgStart = awaitQuiet(quietThreshold, maxWaitMs)
-    val tainted = loadavgStart >= quietThreshold
+    // an unreadable loadavg (-1) means the machine was NEVER verified quiet
+    // — that must read as tainted, not clean
+    val tainted = !(loadavgStart >= 0.0 && loadavgStart < quietThreshold)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -256,7 +256,16 @@ object TextFunctions {
   /** Polynomial 64-bit hash (base 1e9+7, natural Long wraparound) over a
     * string — the engine-portable fingerprint: the same fold is expressible
     * in DuckDB HUGEINT mod-2^64 arithmetic, so unlike xxhash64 it can be
-    * hash-oracled. Shares the winnowing scheme's hash family. */
+    * hash-oracled. Shares the winnowing scheme's hash family.
+    *
+    * CHARSET CONTRACT: this fold (and the codegen'd [[PolyHash]]
+    * expression) iterates UTF-16 units (`charAt`), while the DuckDB mirror
+    * ([[polyFoldSql]]) iterates Unicode code points — they agree on the
+    * Basic Multilingual Plane and diverge on astral characters (surrogate
+    * pairs fold as two values vs one). The corpus the oracles run over is
+    * pinned printable-ASCII by the MultimodalSpec precondition test; a
+    * deployment hashing astral text keeps self-consistent values but must
+    * not expect DuckDB parity on those rows. */
   def polyHash(s: String): Long = {
     var h = 0L
     var i = 0

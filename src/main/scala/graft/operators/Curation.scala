@@ -450,7 +450,15 @@ object Curation {
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
         round(sum(when(col("cnt") > 1, 1.0).otherwise(0.0)) / count(lit(1)), 6)
           .as("dup_rate"),
-        round(avg(col("quality_score")), 6).as("mean_quality"),
+        // decimal-exact mean (the LmScore order-free-sums parity rule):
+        // quality_score is a 6-dp-rounded value, so the DECIMAL(18,6) sum
+        // is exact under ANY partitioning/order on both engines; the one
+        // cast-to-double + division are then identical IEEE ops. A plain
+        // double avg would be partial-aggregation-order-dependent and could
+        // flip the 6-dp rounding (and with it the rank/keep cut).
+        round(sum(col("quality_score").cast(org.apache.spark.sql.types
+            .DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
         round(avg(col("n_chars").cast("double")), 6).as("mean_chars"))
     val w = Window.orderBy(col("reputation").desc, col("source").asc)
     per
@@ -474,7 +482,8 @@ object Curation {
        |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
        |    ROUND(SUM(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END)
        |      / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
-       |    ROUND(AVG(quality_score), 6) AS mean_quality,
+       |    ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(*), 6) AS mean_quality,
        |    ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
        |  FROM h JOIN hc USING (h) JOIN q USING (doc_id)
        |  GROUP BY source),

@@ -73,7 +73,8 @@ object ScaleProbe {
     val maxWaitMs =
       sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "600").toLong * 1000L
     val loadavgStart = graft.Bench.awaitQuiet(quietThreshold, maxWaitMs)
-    val tainted = loadavgStart >= quietThreshold
+    // unreadable loadavg ⇒ never verified quiet ⇒ tainted (as in Bench)
+    val tainted = !(loadavgStart >= 0.0 && loadavgStart < quietThreshold)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
