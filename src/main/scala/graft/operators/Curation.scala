@@ -332,6 +332,22 @@ object Curation {
       .distinct()
   }
 
+  /** THE 13-gram contamination core, over any (doc_id, text, split) frame:
+    * one row per contaminated TRAIN doc with its distinct offending-gram
+    * count. Shared by [[decontaminate]] (full corpus) and
+    * [[curationPipeline]] (stage-4 survivors) so the construction — the
+    * gram window, the eval-side distinct, the train×eval join — cannot
+    * fork between the two consumers. */
+  private def contaminationHits(docsSplit: DataFrame, n: Int): DataFrame = {
+    val grams = docNgrams(docsSplit.select("doc_id", "text"), n)
+      .join(docsSplit.select("doc_id", "split"), "doc_id")
+    val evalGrams = grams.filter(col("split") =!= "train")
+      .select("gram").distinct()
+    grams.filter(col("split") === "train")
+      .join(evalGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
   /** Benchmark decontamination by long-n-gram overlap (the GPT-3 appendix-C
     * / PaLM recipe, on word 13-grams): a train-split document is
     * contaminated iff it shares at least one 13-token n-gram with any
@@ -350,13 +366,8 @@ object Curation {
   def decontaminate(spark: SparkSession, dir: String,
       n: Int = 13, seed: Int = 42): DataFrame = {
     val splits = splitAssign(spark, dir, seed).select("doc_id", "split")
-    val grams = docNgrams(Tables.documents(spark, dir), n)
-      .join(splits, "doc_id")
-    val evalGrams = grams.filter(col("split") =!= "train")
-      .select("gram").distinct()
-    val hits = grams.filter(col("split") === "train")
-      .join(evalGrams, "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
+    val hits = contaminationHits(
+      Tables.documents(spark, dir).select("doc_id", "text").join(splits, "doc_id"), n)
     splits.filter(col("split") === "train")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -364,16 +375,22 @@ object Curation {
         col("n_contaminated_ngrams").isNotNull.as("contaminated"))
   }
 
-  /** DuckDB oracle for [[decontaminate]]: the split CTE + the shared token
-    * list, n-grams via 1-based inclusive list slices. */
-  def decontaminateSql(n: Int = 13, seed: Int = 42): String =
-    s"""WITH ${splitSqlCte(seed)},
-       |${TextFunctions.tokListCteSql},
+  /** The gram CTE chain (toklist → distinct (doc_id, gram) via 1-based
+    * inclusive list slices) — the ONE SQL mirror of [[docNgrams]], shared
+    * by [[decontaminateSql]] and [[curationPipelineSql]]. */
+  private def ngramCtes(n: Int): String =
+    s"""${TextFunctions.tokListCteSql},
        |grams AS (
        |  SELECT DISTINCT doc_id, gram FROM (
        |    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - $n + 2),
        |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
-       |    FROM toklist WHERE len(toks) >= $n)),
+       |    FROM toklist WHERE len(toks) >= $n))""".stripMargin
+
+  /** DuckDB oracle for [[decontaminate]]: the split CTE + the shared gram
+    * chain. */
+  def decontaminateSql(n: Int = 13, seed: Int = 42): String =
+    s"""WITH ${splitSqlCte(seed)},
+       |${ngramCtes(n)},
        |g AS (SELECT grams.doc_id, gram, split FROM grams JOIN s USING (doc_id)),
        |ev AS (SELECT DISTINCT gram FROM g WHERE split <> 'train'),
        |hits AS (
@@ -436,8 +453,21 @@ object Curation {
     * runs over the SOURCE table (domains — metadata-scale, millions of
     * rows at web scale, 20 here), the one place a single-partition sort is
     * the right call. */
+  private val reputationMemo = new SessionMemo[(String, Int), DataFrame]
+
+  /** Memoized per (session, dir, keepTop): the reputation table is consumed
+    * by its own query, the pipeline funnel and the epoch plan — at scale it
+    * is a materialized per-ingest table, and the memo (the established
+    * multi-consumer-artifact policy, cf. [[dupClusters]]) is its in-session
+    * form. */
   def sourceReputation(spark: SparkSession, dir: String,
-      keepTop: Int = 15): DataFrame = {
+      keepTop: Int = 15): DataFrame =
+    reputationMemo.getOrElseUpdate(spark, (dir, keepTop)) {
+      sourceReputationImpl(spark, dir, keepTop).cache()
+    }
+
+  private def sourceReputationImpl(spark: SparkSession, dir: String,
+      keepTop: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val quality = TextFunctions.qualityQuery(spark, dir)
       .select("doc_id", "quality_score")
@@ -516,25 +546,24 @@ object Curation {
       n: Int = 13, seed: Int = 42): DataFrame = {
     val quality = TextFunctions.qualityQuery(spark, dir)
       .select("doc_id", "n_tokens", "quality_score")
+    // the five funnel aggregates are independent consumers of this shared
+    // lineage — cache the two frames everything rescans (docs: 5 branches;
+    // s2: the md5 dedup chain feeding stages 3-5) so one run scans the
+    // corpus once, not once per stage
     val docs = Tables.documents(spark, dir)
-      .select("doc_id", "source", "text").join(quality, "doc_id")
+      .select("doc_id", "source", "text").join(quality, "doc_id").cache()
     val keptSources = sourceReputation(spark, dir, keepTop)
       .filter(col("keep")).select("source")
     val s1 = docs.join(broadcast(keptSources), "source")
     val canon = s1.withColumn("h", md5(col("text")))
     val reps = canon.groupBy("h").agg(min("doc_id").as("rep"))
-    val s2 = canon.join(reps, "h").filter(col("doc_id") === col("rep"))
+    val s2 = canon.join(reps, "h").filter(col("doc_id") === col("rep")).cache()
     val s3 = s2.filter(col("quality_score") >= minQuality
       && col("n_tokens") >= minTokens)
     val sp = splitAssign(spark, dir, seed).select("doc_id", "split")
     val s3s = s3.join(sp, "doc_id")
-    val grams = docNgrams(s3s.select("doc_id", "text"), n)
-      .join(s3s.select("doc_id", "split"), "doc_id")
-    val evalGrams = grams.filter(col("split") =!= "train")
-      .select("gram").distinct()
-    val contaminated = grams.filter(col("split") === "train")
-      .join(evalGrams, "gram").select("doc_id").distinct()
-    val s4 = s3s.join(contaminated, Seq("doc_id"), "left_anti")
+    val s4 = s3s.join(contaminationHits(s3s, n).select("doc_id"),
+      Seq("doc_id"), "left_anti")
     def stage(df: DataFrame, id: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum("n_tokens"), lit(0L)).as("sum_tokens"))
@@ -565,12 +594,7 @@ object Curation {
        |s2 AS (SELECT c.* FROM canon c JOIN reps r ON c.h = r.h AND c.doc_id = r.rep),
        |s3 AS (SELECT * FROM s2
        |       WHERE quality_score >= $minQuality AND n_tokens >= $minTokens),
-       |${TextFunctions.tokListCteSql},
-       |grams AS (
-       |  SELECT DISTINCT doc_id, gram FROM (
-       |    SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - $n + 2),
-       |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
-       |    FROM toklist WHERE len(toks) >= $n)),
+       |${ngramCtes(n)},
        |g AS (SELECT grams.doc_id, gram, s.split
        |      FROM grams JOIN s USING (doc_id) JOIN s3 USING (doc_id)),
        |ev AS (SELECT DISTINCT gram FROM g WHERE split <> 'train'),

@@ -52,11 +52,17 @@ object Similarity {
     * Queries are broadcast; the corpus is scanned once; per-query top-k via
     * rank window over the (nQueries × N) scored pairs. */
   def bruteForceTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame =
+    bruteForceTopKOf(corpus(spark, dir), nQueries, k)
+
+  /** The same exact search over ANY (vec_id, emb) frame — the third tier
+    * generalized like [[lshTopKOf]]/[[ivfTopKOf]], so the round-then-rank
+    * contract (rounded cosine DESC, vec_id tiebreak) exists once. */
+  def bruteForceTopKOf(vecs: DataFrame,
       nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val c = corpus(spark, dir)
-    val q = c.filter(col("vec_id") < nQueries)
+    val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = vecs.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
     val w = Window.partitionBy("q_id")
@@ -85,20 +91,27 @@ object Similarity {
   /** DuckDB oracle for [[bruteForceTopK]] (defaults nQueries=20, k=5):
     * ranking on the ROUNDED score with the same vec_id tiebreak keeps the
     * top-k cut grid-stable across engines. */
-  def bruteForceTopKSql: String =
-    s"""WITH c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < 20),
+  def bruteForceTopKSql: String = bruteForceTopKSqlOver(
+    "c AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)")
+
+  /** As [[bruteForceTopKSql]] over an arbitrary CTE chain whose LAST
+    * relation is named `c` with (vec_id, emb DOUBLE[]) — the oracle twin of
+    * [[bruteForceTopKOf]]. `idOut` renames the result-id column header
+    * (the text twin reports `doc_id`). */
+  def bruteForceTopKSqlOver(source: String, nQueries: Int = 20, k: Int = 5,
+      idOut: String = "vec_id"): String =
+    s"""WITH $source,
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < $nQueries),
        |cos AS (
        |  SELECT q.q_id, c.vec_id,
        |    ROUND(${cosSqlExpr("c.emb", "q.q_emb")}, 6) AS cosine
        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id)
-       |SELECT q_id, rank, vec_id, cosine FROM (
+       |SELECT q_id, rank, vec_id AS $idOut, cosine FROM (
        |  SELECT q_id, vec_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
        |  FROM cos)
-       |WHERE rank <= 5""".stripMargin
+       |WHERE rank <= $k""".stripMargin
 
   // ------------------------------------------------------------ LSH
   val NumPlanes = 8
@@ -220,20 +233,31 @@ object Similarity {
     meanVectors(corpus(spark, dir), "label", "emb")
       .withColumnRenamed("label", "c_label")
 
-  /** Assign every vector to its nearest centroid (coarse quantization). */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
-    val cents = centroids(spark, dir)
-      .withColumn("c_nrm", norm(col("centroid")))
+  /** THE nearest-centroid ranking every IVF-family consumer shares:
+    * (rounded cosine DESC, centroid label ASC) per vec_id, keep the
+    * `nprobe` best. Returns the input columns plus `cell`, `cos_c`, `crk`.
+    * PARITY-CRITICAL single source: ivfAssign, ivfTopKOf (both its vector
+    * assignment and its query probe), the SemDeDup probed-cell build and
+    * the incremental semantic probe — and their DuckDB mirrors — all
+    * assume exactly this order; previously four Scala copies could drift
+    * from each other and the SQL independently. */
+  private def nearestCells(vecs: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("c_label").asc)
-    c.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
-        col("cos_c").as("cos_to_centroid"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nprobe)
+      .withColumn("cell", col("c_label"))
+      .drop("centroid", "c_label")
   }
+
+  /** Assign every vector to its nearest centroid (coarse quantization). */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    nearestCells(corpus(spark, dir), centroids(spark, dir), 1)
+      .select(col("vec_id"), col("label"), col("cell").as("assigned_label"),
+        col("cos_c").as("cos_to_centroid"))
 
   /** Lloyd (k-means) refinement of the IVF coarse quantizer — "training"
     * the index instead of trusting the label-seeded centroids. Per round:
@@ -318,26 +342,17 @@ object Similarity {
       nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val cents = meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
       .withColumnRenamed("label", "c_label")
-    // nearest-centroid assignment — identical ranking to ivfAssign
-    val wv = Window.partitionBy("vec_id")
-      .orderBy(col("cos_c").desc, col("c_label").asc)
-    val assign = vecs.crossJoin(broadcast(cents))
-      .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
-      .withColumn("rk", row_number().over(wv))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("c_label").as("cell"))
+    // nearest-centroid assignment — the shared ranking
+    val assign = nearestCells(vecs, cents, 1)
+      .select(col("vec_id"), col("cell"))
     val c = vecs.select(col("vec_id"), col("emb")).join(assign, "vec_id")
     // rank ALL cells per query on the same (rounded cosine, label) order the
     // assignment uses — crk=1 is by construction the query's own cell
-    val wq = Window.partitionBy("q_id")
-      .orderBy(col("cos_c").desc, col("c_label").asc)
-    val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_c", round(cosine_sim(col("q_emb"), col("centroid")), 6))
-      .withColumn("crk", row_number().over(wq))
-      .filter(col("crk") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("c_label").as("q_cell"))
+    val q = nearestCells(
+        c.filter(col("vec_id") < nQueries).select(col("vec_id"), col("emb")),
+        cents, nprobe)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("cell").as("q_cell"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     c.join(broadcast(q), col("cell") === col("q_cell"))
@@ -552,17 +567,9 @@ object Similarity {
       probedCellsImpl(spark, dir, nprobe).cache()
     }
 
-  private def probedCellsImpl(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val c = corpus(spark, dir)
-    val cents = centroids(spark, dir)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos_c").desc, col("c_label").asc)
-    c.crossJoin(broadcast(cents))
-      .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nprobe)
-      .select(col("c_label").as("cell"), col("vec_id"), col("emb"), col("nrm"))
-  }
+  private def probedCellsImpl(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    nearestCells(corpus(spark, dir), centroids(spark, dir), nprobe)
+      .select(col("cell"), col("vec_id"), col("emb"), col("nrm"))
 
   /** Cell-scoped embedding pairs — the actual SemDeDup construction (Abbas
     * et al. 2023 §2: pairwise similarity WITHIN k-means clusters, never
@@ -805,15 +812,9 @@ object Similarity {
     val batch = c.filter(col("vec_id") % 2 === 1)
     val cents = meanVectors(index.select(col("label"), col("emb")), "label", "emb")
       .withColumnRenamed("label", "c_label")
-    def cellsOf(df: DataFrame, probes: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos_c").desc, col("c_label").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= probes)
-        .select(col("c_label").as("cell"), col("vec_id"), col("emb"))
-    }
+    def cellsOf(df: DataFrame, probes: Int): DataFrame =
+      nearestCells(df, cents, probes)
+        .select(col("cell"), col("vec_id"), col("emb"))
     val stored = cellsOf(index, 1)
       .select(col("cell"), col("vec_id").as("index_id"), col("emb").as("i_emb"))
     val probing = cellsOf(batch, nprobe)

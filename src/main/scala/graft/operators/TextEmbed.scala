@@ -167,39 +167,21 @@ object TextEmbed {
     * one linear corpus scan; the sub-linear regime composes the same way
     * through the LSH/IVF tiers (any (id, emb) frame). */
   def textNearDupTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val c = embeddings(spark, dir)
-    val q = c.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("q_id"), col("emb").as("q_emb"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("doc_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("doc_id") =!= col("q_id"))
-      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "doc_id", "cosine")
-  }
+      nQueries: Int = 20, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopKOf(
+        embeddings(spark, dir).select(col("doc_id").as("vec_id"), col("emb")),
+        nQueries, k)
+      .withColumnRenamed("vec_id", "doc_id")
 
   /** DuckDB oracle for [[textNearDupTopK]]: assemble full-precision
-    * embedding lists from the coordinate CTEs, then the proven
-    * rounded-cosine ranking with the doc_id tiebreak. */
-  def textNearDupTopKSql(nQueries: Int = 20, k: Int = 5): String = {
-    // ONE cosine mirror for the whole engine — Similarity owns it
-    def cosExpr(a: String, b: String): String = Similarity.cosSqlExpr(a, b)
-    s"""WITH $embedSqlCtes,
-       |vecs AS (
-       |  SELECT doc_id, list(val ORDER BY pos) AS emb FROM coords GROUP BY doc_id),
-       |q AS (SELECT doc_id AS q_id, emb AS q_emb FROM vecs WHERE doc_id < $nQueries),
-       |scored AS (
-       |  SELECT q.q_id, v.doc_id,
-       |    ROUND(${cosExpr("v.emb", "q.q_emb")}, 6) AS cosine
-       |  FROM vecs v CROSS JOIN q WHERE v.doc_id <> q.q_id)
-       |SELECT q_id, rank, doc_id, cosine FROM (
-       |  SELECT q_id, doc_id, cosine,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-       |      ORDER BY cosine DESC NULLS LAST, doc_id ASC) AS INT) AS rank
-       |  FROM scored)
-       |WHERE rank <= $k""".stripMargin
-  }
+    * embedding lists from the coordinate CTEs, then the GENERALIZED
+    * brute-force oracle ([[Similarity.bruteForceTopKSqlOver]]) — the
+    * round-then-rank contract generated in one place. */
+  def textNearDupTopKSql(nQueries: Int = 20, k: Int = 5): String =
+    Similarity.bruteForceTopKSqlOver(
+      s"""$embedSqlCtes,
+         |v AS (
+         |  SELECT doc_id, list(val ORDER BY pos) AS emb FROM coords GROUP BY doc_id),
+         |c AS (SELECT doc_id AS vec_id, emb FROM v)""".stripMargin,
+      nQueries, k, idOut = "doc_id")
 }
