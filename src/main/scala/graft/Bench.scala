@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   private def loadavgNow(): Double =
     try new String(java.nio.file.Files.readAllBytes(
@@ -23,6 +24,57 @@ object Bench {
     lv
   }
 
+  // ------------------------------------------------ per-query steal detection
+  /** The pre-run loadavg gate is blind to MID-RUN steal: r6's artifact
+    * passed the gate at 0.66, then an external ~6-minute CPU burst inflated
+    * a contiguous band of queries 5-12× with `tainted:false` stamped on it.
+    * Loadavg cannot police the run itself (the 1-min average is dominated
+    * by the bench's own 32-core burn), so each query is instead bracketed
+    * by jiffy counters: total machine busy time from `/proc/stat` minus
+    * this JVM's own time from `/proc/self/stat` = CPU burned by OTHER
+    * processes during the query's wall window. A query whose window shows
+    * sustained external compute is stamped tainted; `clean_total` sums the
+    * untainted ones, and tainted queries get one end-of-run retry. */
+  private[graft] case class CpuSnap(busyJiffies: Long, selfJiffies: Long, ok: Boolean)
+
+  /** Linux USER_HZ — fixed at 100 on every mainstream kernel/arch
+    * (`getconf CLK_TCK`); only jiffy RATIOS vs wall time are consumed, so
+    * an exotic 250/1000 Hz kernel would only scale the taint threshold. */
+  private val Hz = 100.0
+
+  private[graft] def cpuSnap(): CpuSnap =
+    try {
+      // /proc/stat line 1: "cpu  user nice system idle iowait irq softirq steal ..."
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f(0) + f(1) + f(2) + f(5) + f(6) +
+        (if (f.length > 7) f(7) else 0L) // + steal when virtualized
+      // /proc/self/stat field 2 (comm) may contain spaces — parse from the
+      // LAST ')' ; utime/stime/cutime/cstime are overall fields 14-17,
+      // i.e. indices 11-14 of the post-comm remainder (state is field 3)
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      val rest = raw.substring(raw.lastIndexOf(')') + 1).trim.split("\\s+")
+      val self = rest(11).toLong + rest(12).toLong + rest(13).toLong + rest(14).toLong
+      CpuSnap(busy, self, ok = true)
+    } catch { case _: Throwable => CpuSnap(0L, 0L, ok = false) }
+
+  /** CPU-seconds burned by processes OTHER than this JVM between two snaps;
+    * None when either snap failed (⇒ caller must treat the window as
+    * unverifiable, not clean). */
+  private[graft] def externalCpuSec(a: CpuSnap, b: CpuSnap): Option[Double] =
+    if (!a.ok || !b.ok) None
+    else Some(math.max(0.0,
+      ((b.busyJiffies - a.busyJiffies) - (b.selfJiffies - a.selfJiffies)) / Hz))
+
+  /** Taint rule: external compute above `coresThreshold` CPUs sustained
+    * over the window, with a 50 ms absolute floor so jiffy granularity
+    * cannot flag a sub-100 ms query (at 100 Hz a 40 ms window is only ~4
+    * ticks per CPU — ±1-tick noise would otherwise read as half a core). */
+  private[graft] def taintedWindow(extSec: Double, wallSec: Double,
+      coresThreshold: Double): Boolean =
+    extSec > coresThreshold * wallSec + 0.05
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,10 +87,15 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "1.0").toDouble
     val maxWaitMs =
       sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "600").toLong * 1000L
+    // external cores a query's window may absorb before its time is
+    // uncertifiable — 0.5 is far under the 15-40% inflation real steal
+    // bursts produce on 32 threads, far over jiffy noise
+    val taintCores =
+      sys.env.getOrElse("SPARK_GRAFT_TAINT_CORES", "0.5").toDouble
     val loadavgStart = awaitQuiet(quietThreshold, maxWaitMs)
     // an unreadable loadavg (-1) means the machine was NEVER verified quiet
     // — that must read as tainted, not clean
-    val tainted = !(loadavgStart >= 0.0 && loadavgStart < quietThreshold)
+    val preGateTainted = !(loadavgStart >= 0.0 && loadavgStart < quietThreshold)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,11 +126,15 @@ object Bench {
     catch { case _: Throwable => }
     // optional comma-separated name filter for targeted perf iteration —
     // the driver never sets it, so the per-round artifact always covers the
-    // full registry
+    // full registry. Filtered artifacts are STAMPED as such below: a
+    // partial run must never pass for a full-registry pin.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
+
+    /** One measured execution: (elapsed sec — -1.0 on crash, external
+      * CPU-sec during the window — None if unverifiable). */
+    def runOne(fn: SparkEntry.Q): (Double, Option[Double]) = {
+      val c0 = cpuSnap()
       val t0 = System.nanoTime()
       // toRdd.count() executes the FULL physical plan (projections included);
       // Dataset.count() would let Catalyst prune all computed columns and
@@ -81,23 +142,89 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case _: Throwable => false }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ext = externalCpuSec(c0, cpuSnap())
       // a crashed query must be visibly -1, not a fast-looking elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      (if (ok) wall else -1.0, ext)
     }
+    case class Timing(sec: Double, extSec: Option[Double], rerun: Boolean) {
+      // an unverifiable window (proc unreadable) must read tainted, not clean
+      def tainted: Boolean =
+        sec >= 0.0 && (extSec match {
+          case Some(e) => taintedWindow(e, sec, taintCores)
+          case None => true
+        })
+    }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+    val first = scala.collection.mutable.LinkedHashMap[String, Timing]()
+    names.foreach { case (name, fn) =>
+      val (sec, ext) = runOne(fn)
+      first(name) = Timing(sec, ext, rerun = false)
+    }
+    // one end-of-run retry for every tainted query: a transient external
+    // burst (the r6 artifact's failure mode) has usually passed by then, so
+    // the retry rescues the query into clean_total; if the retry window is
+    // ALSO dirty the query stays flagged (keep the smaller time — steal
+    // only ever inflates). Memoized/cached state from the first pass makes
+    // retries cheap but NOT free of meaning: the steady-state time is what
+    // the bench pins for memoized queries anyway.
+    val results = first.map { case (name, t) =>
+      if (!t.tainted) name -> t
+      else {
+        val (sec2, ext2) = runOne(SparkEntry.queries(name))
+        val retry = Timing(sec2, ext2, rerun = true)
+        if (!retry.tainted && retry.sec >= 0.0) name -> retry
+        else if (retry.sec >= 0.0 && t.sec >= 0.0 && retry.sec < t.sec)
+          name -> retry
+        else name -> t.copy(rerun = true)
+      }
+    }.toSeq
     def r3(v: Double): Double = math.rint(v * 1e3) / 1e3
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + r3(t.sec) }
       .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val taintedNames = results.collect { case (k, t) if t.tainted => k }
+    val rerunNames = results.collect { case (k, t) if t.rerun => k }
+    val extMap = results.flatMap { case (k, t) =>
+      t.extSec.map(e => s"\"" + k + "\":" + r3(e))
+    }.mkString("{", ",", "}")
+    def jArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = r3(results.map(_._2.sec).sum)
+    // sum over queries whose windows were verified externally-quiet — the
+    // number that IS comparable round-over-round even when a burst hit the
+    // run (the r6 failure mode: a clean pre-gate, a dirty middle)
+    val cleanTotal = r3(results.collect {
+      case (_, t) if !t.tainted && t.sec >= 0.0 => t.sec }.sum)
+    // Θ(N²)-by-contract verification twins, bucketed out of the headline
+    // linear total: their cost grows quadratically with bench SF by DESIGN
+    // (they bracket the sub-quadratic primaries), so inside one total they
+    // would swamp the linear fleet as SF grows and mask real regressions
+    val twins = SparkEntry.truthTwins
+    val totalLinear = r3(results.collect {
+      case (k, t) if !twins.contains(k) => t.sec }.sum)
+    val totalTwins = r3(results.collect {
+      case (k, t) if twins.contains(k) => t.sec }.sum)
+    val cleanTotalLinear = r3(results.collect {
+      case (k, t) if !twins.contains(k) && !t.tainted && t.sec >= 0.0 => t.sec }.sum)
+    val tainted = preGateTainted || taintedNames.nonEmpty
+    val filtered = only.isDefined
     // loadavg = PRE-run sample (external steal indicator: far above ~1 means
     // the numbers are contaminated and must not be compared round-over-
     // round); loadavg_end is informational (dominated by the bench itself)
     val loadavgEnd = loadavgNow()
+    val common = s""""sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd,""" +
+      s""""tainted":$tainted,"pre_gate_tainted":$preGateTainted,""" +
+      s""""tainted_queries":${jArr(taintedNames)},""" +
+      s""""clean_total":$cleanTotal,"total_linear":$totalLinear,""" +
+      s""""total_truth_twins":$totalTwins,"clean_total_linear":$cleanTotalLinear,""" +
+      s""""filtered":$filtered,"query_count":${results.size},""" +
+      s""""registry_count":${SparkEntry.queries.size}"""
     // per-query detail first, short summary LAST: the driver tail-captures
     // the END of stdout, so the short line must be the final one to survive
     // truncation. Exactly one line carries "metric":"total" (a
     // grep+json.loads consumer must never see two).
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd,"tainted":$tainted}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd,"tainted":$tainted}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"external_cpu_sec":$extMap,"rerun_queries":${jArr(rerunNames)},$common}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$common}""")
     spark.stop()
   }
 }

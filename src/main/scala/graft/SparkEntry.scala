@@ -304,6 +304,20 @@ object SparkEntry {
       Some(Multimodal.resizeSql)),
   )
 
+  /** The Θ(N²)-by-contract verification twins: exact all-pairs sweeps kept
+    * deliberately to bracket the sub-quadratic primaries (cell-scoped
+    * SemDeDup, banded LSH). Bench buckets them into `total_truth_twins`,
+    * out of the headline `total_linear` — their cost grows quadratically
+    * with bench SF BY DESIGN, so inside one total they would swamp the
+    * linear fleet as SF grows and mask real regressions there.
+    * Membership = every registered query whose contract requires the full
+    * N×N embedding sweep (`Similarity.embeddingPairs` / `blockGrid`). */
+  val truthTwins: Set[String] = Set(
+    "q_semantic_dedup_exact", // CC over the full N×N tile-grid pair graph
+    "q_modality_agreement",   // exact×exact pair-set agreement (both sweeps)
+    "q_embed_neardup",        // exact top-1 neighbor, full N×N tile grid
+    "q_semantic_recall")      // recall vs the exact pair list (needs the sweep)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Combine.enrichedOrders(spark, "/root/testdata/sf0.001")

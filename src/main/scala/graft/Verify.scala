@@ -41,7 +41,13 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a FILTERED run writes its partial oracle map under a distinct name:
+    // overwriting oracle_sql.json would let a targeted run's artifact pass
+    // for a full-registry one (the same discipline as Bench's "filtered"
+    // stamp — partial artifacts must be distinguishable)
+    val oracleName =
+      if (only.isDefined) "oracle_sql_filtered.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleName"), json)
     spark.stop()
   }
 }

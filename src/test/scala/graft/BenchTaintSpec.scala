@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mid-run steal defense (r6 post-mortem): Bench brackets every query
+  * with /proc/stat-minus-/proc/self/stat jiffy windows, so CPU burned by
+  * OTHER processes during a query is measured directly — the pre-run
+  * loadavg gate provably cannot see a burst that starts after it passes.
+  * This spec drives the measurement with a REAL external load (spawned
+  * spin processes) and shows the flag firing, per the r6 mandate. */
+class BenchTaintSpec extends AnyFunSuite {
+
+  private def measureWindow(wallMs: Long): Option[Double] = {
+    val a = Bench.cpuSnap()
+    Thread.sleep(wallMs)
+    Bench.externalCpuSec(a, Bench.cpuSnap())
+  }
+
+  test("cpuSnap reads /proc and windows are sane") {
+    val s = Bench.cpuSnap()
+    assert(s.ok, "/proc/stat + /proc/self/stat must be readable on this platform")
+    val ext = measureWindow(200L)
+    assert(ext.isDefined)
+    assert(ext.get >= 0.0, "external CPU can never be negative")
+  }
+
+  test("deliberate external load fires the per-query taint flag") {
+    // ambient external burn first — the control window
+    val quiet = measureWindow(1200L).get
+    // 4 spin processes OUTSIDE this JVM (their jiffies land in /proc/stat
+    // but not /proc/self/stat) for ~3 s
+    val spinners = (1 to 4).map { _ =>
+      new ProcessBuilder("sh", "-c",
+        "end=$(( $(date +%s) + 3 )); while [ $(date +%s) -lt $end ]; do :; done")
+        .start()
+    }
+    try {
+      Thread.sleep(300L) // let the spinners reach steady spin
+      val loaded = measureWindow(1200L).get
+      // ~4 cores for 1.2 s ≈ 4.8 external CPU-sec; demand a wide margin
+      // over ambient so background noise cannot flake the assertion
+      assert(loaded > quiet + 1.0,
+        s"external load must be visible: loaded=$loaded quiet=$quiet")
+      assert(Bench.taintedWindow(loaded, 1.2, coresThreshold = 0.5),
+        s"a 4-core external burst must taint the window (ext=$loaded)")
+    } finally spinners.foreach(_.destroyForcibly())
+  }
+
+  test("taint rule: threshold scales with wall time, floor kills jiffy noise") {
+    // sub-100 ms window with one stray tick: NOT tainted (granularity floor)
+    assert(!Bench.taintedWindow(extSec = 0.04, wallSec = 0.04, coresThreshold = 0.5))
+    // long quiet window: tiny ambient burn stays clean
+    assert(!Bench.taintedWindow(extSec = 0.2, wallSec = 10.0, coresThreshold = 0.5))
+    // sustained external core during a 2 s query: tainted
+    assert(Bench.taintedWindow(extSec = 2.0, wallSec = 2.0, coresThreshold = 0.5))
+    // the r6 artifact's shape — multiple external cores for seconds: tainted
+    assert(Bench.taintedWindow(extSec = 30.0, wallSec = 6.0, coresThreshold = 0.5))
+  }
+}
