@@ -57,7 +57,17 @@ object Similarity {
 
   /** The same exact search over ANY (vec_id, emb) frame — the third tier
     * generalized like [[lshTopKOf]]/[[ivfTopKOf]], so the round-then-rank
-    * contract (rounded cosine DESC, vec_id tiebreak) exists once. */
+    * contract (rounded cosine DESC, vec_id tiebreak) exists once.
+    *
+    * Re-rank physics: the scored (nQueries × N) rows go through the
+    * bounded-heap [[TopK.ScoreTopKAgg]] — a map-side-combinable
+    * Aggregator holding k rows per query — NOT a `row_number()` window,
+    * which would hash ALL N scored rows of a query into ONE partition and
+    * full-sort them (nQueries single-task corpus sorts at scale). The
+    * heap shuffles ≤ k rows per partition per query; the output order
+    * contract (rounded cosine DESC, vec_id ASC) is identical, so the same
+    * DuckDB window oracle verifies it. The LSH/IVF tiers keep their
+    * windows: their candidate sets are bucket-bounded already. */
   def bruteForceTopKOf(vecs: DataFrame,
       nQueries: Int = 20, k: Int = 5): DataFrame = {
     val q = vecs.filter(col("vec_id") < nQueries)
@@ -65,12 +75,13 @@ object Similarity {
     val scored = vecs.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cosine")
+    val topk = udaf(new TopK.ScoreTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    scored.groupBy("q_id")
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
   }
 
   /** The DuckDB cosine mirror, generated in ONE place for every oracle:

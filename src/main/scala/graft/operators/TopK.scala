@@ -38,6 +38,30 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Item]]()
   }
 
+  /** (score DESC, id ASC) bounded top-k — the ANN tiers' re-rank order as
+    * an Aggregator: map-side-combinable, shuffles at most k rows per
+    * partition per query. The brute tier's old `row_number() over
+    * (partition by q_id)` re-rank put ALL N scored rows of a query into
+    * one partition for a full sort — at 100× scale, nQueries single-task
+    * full-corpus sorts; this keeps the scan distributed and the shuffle
+    * k-bounded. Field names match the ANN output schema so consumers
+    * project the exploded struct directly. */
+  case class Scored(vec_id: Long, cosine: Double)
+
+  class ScoreTopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    private val ord: Ordering[Scored] = Ordering.by(s => (-s.cosine, s.vec_id))
+    override def zero: List[Scored] = Nil
+    override def reduce(b: List[Scored], a: Scored): List[Scored] =
+      (a :: b).sorted(ord).take(k)
+    override def merge(x: List[Scored], y: List[Scored]): List[Scored] =
+      (x ++ y).sorted(ord).take(k)
+    override def finish(b: List[Scored]): Seq[Scored] = b.sorted(ord)
+    override def bufferEncoder: Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
   /** Latest-K events per event_type — identical semantics (and oracle) to
     * the window-based `q_tail_n_per_key`, different physics. */
   def tailKHeap(spark: SparkSession, dir: String, k: Int = K): DataFrame = {

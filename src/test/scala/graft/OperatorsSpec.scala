@@ -207,6 +207,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("brute-force re-rank plan: bounded heap, no single-partition window sort") {
+    // the 100× criterion for the brute tier: the per-query re-rank must be
+    // the map-side-combinable top-k Aggregator (partial + final
+    // ObjectHashAggregate, ≤ k rows shuffled per partition per query) —
+    // never row_number() over (partition by q_id), which hashes every
+    // scored corpus row of a query into ONE partition and full-sorts it
+    val p = Similarity.bruteForceTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"brute re-rank regressed to a per-q_id window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"expected a partial-aggregable bounded-heap re-rank:\n$p")
+  }
+
   test("lsh topk returns plausible neighbors (subset quality)") {
     val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 10, k = 5).collect()
       .groupBy(_.getAs[Long]("q_id"))
