@@ -283,6 +283,12 @@ object SparkEntry {
     ("q_semantic_probe",
       ((s: SparkSession, d: String) => graft.operators.Similarity.semanticProbe(s, d)): Q,
       Some(graft.operators.Similarity.semanticProbeSql())),
+    // the same probe against the PERSISTED TxTable index layout (centroids
+    // + cell assignments written once, probed without index-side recompute)
+    // — the IDENTICAL oracle proves stored ≡ in-memory
+    ("q_semantic_probe_stored",
+      graft.operators.Similarity.semanticProbeStoredQuery _,
+      Some(graft.operators.Similarity.semanticProbeSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
     // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)

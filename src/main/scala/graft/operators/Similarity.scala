@@ -838,6 +838,63 @@ object Similarity {
       .select("index_id", "new_id", "cosine").distinct()
   }
 
+  // ------------------------------------------------ stored IVF index
+  /** Materialize the IVF layout — the index half's centroids and its
+    * single-nearest-cell assignments — as two TxTables under `path`
+    * (`centroids`: (c_label, centroid), `cells`: (cell, index_id, i_emb)).
+    * This is the STORED form of the layout [[semanticProbe]] simulates
+    * in-memory, completing the stored/in-memory symmetry the LSH family
+    * has (`Dedup.writeLshIndex` / `nearDupsFromStoredIndex`). At 100 TB
+    * the cell table is appended per ingest and the probe never recomputes
+    * index-side state; TxTable versioning gives the probe a consistent
+    * snapshot under concurrent appends. */
+  def writeIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val index = corpus(spark, dir).filter(col("vec_id") % 2 === 0)
+    val cents = meanVectors(index.select(col("label"), col("emb")), "label", "emb")
+      .withColumnRenamed("label", "c_label")
+    graft.serve.TxTable.write(spark, cents, s"$path/centroids")
+    val cells = nearestCells(index, cents, 1)
+      .select(col("cell"), col("vec_id").as("index_id"), col("emb").as("i_emb"))
+    graft.serve.TxTable.write(spark, cells, s"$path/cells")
+  }
+
+  /** The stored-index form of [[semanticProbe]]: the batch (odd ids)
+    * probes the PERSISTED layout — centroids and cell assignments read
+    * back from the TxTable snapshot, no index-side recompute (the
+    * operator's whole point: daily ingest touches batch×cell state only).
+    * Doubles round-trip parquet bit-exactly and the centroid ranking is
+    * the shared [[nearestCells]] order, so the output is identical to the
+    * in-memory form — the SAME [[semanticProbeSql]] oracle verifies it. */
+  def semanticProbeStored(spark: SparkSession, dir: String, indexPath: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
+    val cents = graft.serve.TxTable.read(spark, s"$indexPath/centroids")
+    val stored = graft.serve.TxTable.read(spark, s"$indexPath/cells")
+    val batch = corpus(spark, dir).filter(col("vec_id") % 2 === 1)
+    val probing = nearestCells(batch, cents, nprobe)
+      .select(col("cell"), col("vec_id").as("new_id"), col("emb").as("b_emb"))
+    probing.join(stored, "cell")
+      .withColumn("cosine", round(cosine_sim(col("b_emb"), col("i_emb")), 6))
+      .filter(col("cosine") >= threshold)
+      // a pair reachable through two probed cells appears twice with
+      // identical bits — distinct is exact (as in [[semanticProbe]])
+      .select("index_id", "new_id", "cosine").distinct()
+  }
+
+  private val storedIndexMemo = new SessionMemo[String, String]
+
+  /** Registered-query form: write the stored index once per (session, sf
+    * dir) under the scratch root, then probe it. The memo is the
+    * in-session stand-in for "the index was materialized by last night's
+    * ingest" — the probe itself reads only the TxTable. */
+  def semanticProbeStoredQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = storedIndexMemo.getOrElseUpdate(spark, dir) {
+      val p = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}"
+      writeIvfIndex(spark, dir, p)
+      p
+    }
+    semanticProbeStored(spark, dir, path)
+  }
+
   /** DuckDB oracle for [[semanticProbe]]: index-half centroids, both
     * assignments under the same (rounded cosine, label) ranking, exact
     * verify within probed cells. */

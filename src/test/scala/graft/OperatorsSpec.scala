@@ -326,6 +326,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic probe stored index: persisted layout reproduces the in-memory probe") {
+    // the stored/in-memory symmetry contract: writing the IVF layout to a
+    // TxTable and probing THAT must yield bit-identical pairs to the
+    // in-memory simulation (doubles round-trip parquet exactly; the
+    // centroid ranking is the single-sourced nearestCells order)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.writeIvfIndex(spark, sf, path)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"), r.getAs[Double]("cosine"))
+    val stored = Similarity.semanticProbeStored(spark, sf, path).collect().map(key).sorted
+    val memory = Similarity.semanticProbe(spark, sf).collect().map(key).sorted
+    assert(stored.nonEmpty && stored.toSeq == memory.toSeq)
+    // and the probe never recomputes index-side assignments: its plan reads
+    // the stored cell table, so no index-half centroid cross-join appears —
+    // exactly one crossJoin (the BATCH × centroids routing) survives
+    val plan = Similarity.semanticProbeStored(spark, sf, path)
+      .queryExecution.executedPlan.toString
+    val nlJoins = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlJoins <= 1, s"index-side state must come from the stored table:\n$plan")
+  }
+
   test("semantic dedup plan: cell-scoped, no cartesian tile grid anywhere") {
     // the 100× criterion: the primary operator's pair generation must be
     // the one cell-keyed shuffle, never the O(N²) CartesianProduct grid
