@@ -173,6 +173,17 @@ object TxTable {
               s"TxTable $path: version $v is not resolvable (no checkpoint and no reset in range)")
           Seq.empty
         }, commits)
+    // the delta tail must be CONTIGUOUS from its root to v: a mid-log hole
+    // (external deletion — vacuum only ever prunes a prefix and
+    // checkpoints what it keeps) means unseen removes/adds, and folding
+    // across it would silently produce a wrong manifest. Fail loudly
+    // instead, like the unrooted-chain case above.
+    val root: Long =
+      if (lastReset >= 0) tail.head._1
+      else cp.map(_ + 1L).getOrElse(0L)
+    if (tail.map(_._1) != (root to v).toSeq)
+      throw new java.io.FileNotFoundException(
+        s"TxTable $path: version $v is not resolvable (delta chain $root..$v has holes: ${tail.map(_._1).mkString(",")})")
     val state = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
     start.foreach(e => state(e.rel) = e)
     tail.foreach { case (_, c) =>
@@ -511,12 +522,21 @@ object TxTable {
           c.adds.foreach(e => m(e.rel) = e)
         case _ =>
           val m = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
-          if (c.reset) c.adds.foreach(e => m(e.rel) = e)
-          else resolveEntries(fs, path, v).foreach(e => m(e.rel) = e)
-          state = Some(m)
+          if (c.reset) { c.adds.foreach(e => m(e.rel) = e); state = Some(m) }
+          else
+            // a version whose delta ancestry has a hole (external mid-log
+            // deletion) has no knowable manifest — report it as -1 files
+            // rather than a silently-wrong fold; resolution re-roots at
+            // the next reset/checkpointed version
+            try {
+              resolveEntries(fs, path, v).foreach(e => m(e.rel) = e)
+              state = Some(m)
+            } catch {
+              case _: java.io.FileNotFoundException => state = None
+            }
       }
       prev = v
-      (v, c.op, state.get.size)
+      (v, c.op, state.map(_.size).getOrElse(-1))
     }
     rows.reverse
   }

@@ -197,6 +197,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == referenced, s"orphans survived vacuum: ${kept -- referenced}")
   }
 
+  test("TxTable pruned prefix without checkpoint fails loudly, never a wrong manifest") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_pruned_prefix"
+    (1 to 3).foreach { i =>
+      TxTable.merge(spark, Seq(("k" + i, i * 1.0)).toDF("doc_id", "price"),
+        path, Seq("doc_id"))
+    }
+    // out-of-band prune of v0 (no checkpoint exists at interval 10): the
+    // surviving delta chain (v1, v2) is NOT rooted at the table's first
+    // commit, so state rebuilt over an empty base would silently drop v0's
+    // rows — resolution must refuse instead
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_txlog/00000000.txt"), false)
+    intercept[java.io.FileNotFoundException] {
+      TxTable.manifest(spark, path)
+    }
+  }
+
+  test("TxTable mid-log hole: affected versions refuse/report, checkpoint re-roots") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_midlog_hole"
+    // 12 merges → v0..v11, checkpoint written at v10 (CheckpointInterval)
+    (0 to 11).foreach { i =>
+      TxTable.merge(spark, Seq(("k" + (i % 3), i.toLong, i * 1.0))
+        .toDF("doc_id", "ver", "price"), path, Seq("doc_id"), Some("ver"))
+    }
+    val expected = (0L to 11L).map(v => v -> TxTable.manifest(spark, path, Some(v)).size).toMap
+    // external deletion punches a hole at v5: v5..v9 manifests become
+    // unknowable (their delta ancestry has unseen removes/adds); v10+ stay
+    // resolvable through the checkpoint
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_txlog/00000005.txt"), false)
+    (6L to 9L).foreach { v =>
+      intercept[java.io.FileNotFoundException] { TxTable.manifest(spark, path, Some(v)) }
+    }
+    assert(TxTable.manifest(spark, path, Some(10L)).size == expected(10L))
+    assert(TxTable.manifest(spark, path).size == expected(11L))
+    // history: pre-hole versions fold normally, unknowable ones read -1
+    // (loud, never a silently-wrong count), checkpointed tail is exact —
+    // i.e. every resolvable version matches full resolution
+    val h = TxTable.history(spark, path).map(r => r._1 -> r._3).toMap
+    (0L to 4L).foreach(v => assert(h(v) == expected(v), s"v$v"))
+    (6L to 9L).foreach(v => assert(h(v) == -1, s"v$v must be unresolvable"))
+    assert(h(10L) == expected(10L) && h(11L) == expected(11L))
+  }
+
   test("upsert crash recovery: a table stranded at __old is restored, not destroyed") {
     val path = s"$root/serving/crash_recover"
     val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
