@@ -632,10 +632,23 @@ object Curation {
       .join(toks, "doc_id").join(broadcast(kept), "source")
       .groupBy("source").agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("avail_tokens"))
-    val k = per.agg(count(lit(1)).as("n_sources"))
+    epochPlanFrom(per, budgetTokens)
+  }
+
+  /** The planning step over an already-priced (source, n_docs,
+    * avail_tokens) frame — split out so the degenerate-source guard is
+    * testable without a corpus seam. A kept source whose docs sum to ZERO
+    * tokens must be excluded BEFORE the rate division: budget/0 is
+    * Infinity and `ceil(∞).cast("int")` throws under ANSI mode (default
+    * in Spark 4), so one degenerate source would crash the whole plan; it
+    * also cannot contribute tokens, so excluding it — from n_sources too —
+    * is the correct recipe, mirrored in the oracle. */
+  private[graft] def epochPlanFrom(per: DataFrame, budgetTokens: Long): DataFrame = {
+    val funded = per.filter(col("avail_tokens") > 0L)
+    val k = funded.agg(count(lit(1)).as("n_sources"))
     val target = lit(budgetTokens.toDouble) / col("n_sources")
     val rate = target / col("avail_tokens")
-    per.crossJoin(broadcast(k))
+    funded.crossJoin(broadcast(k))
       .select(col("source"), col("n_docs"), col("avail_tokens"),
         round(target, 6).as("target_tokens"),
         round(rate, 6).as("sample_rate"),
@@ -653,12 +666,13 @@ object Curation {
        |    CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
        |  FROM documents JOIN q USING (doc_id) JOIN kept USING (source)
        |  GROUP BY source),
-       |k AS (SELECT COUNT(*) AS n_sources FROM per)
+       |funded AS (SELECT * FROM per WHERE avail_tokens > 0),
+       |k AS (SELECT COUNT(*) AS n_sources FROM funded)
        |SELECT source, n_docs, avail_tokens,
        |  ROUND($budgetTokens.0 / n_sources, 6) AS target_tokens,
        |  ROUND(($budgetTokens.0 / n_sources) / avail_tokens, 6) AS sample_rate,
        |  CAST(CEIL(($budgetTokens.0 / n_sources) / avail_tokens) AS INT) AS epochs
-       |FROM per CROSS JOIN k""".stripMargin
+       |FROM funded CROSS JOIN k""".stripMargin
 
   // ---------------------------------------------------------------- tf-idf
   /** Top-5 terms per language by TF-IDF (smoothed idf = ln((N+1)/(df+1))):

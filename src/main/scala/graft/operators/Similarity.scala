@@ -473,9 +473,10 @@ object Similarity {
     * exact all-pairs kernels ([[embeddingNearDupSummary]],
     * [[embeddingPairs]]). Shuffle-replicated cartesian, never a broadcast
     * (which would materialize the corpus on the driver). */
-  private def blockGrid(spark: SparkSession, dir: String, nBlocks: Int) = {
+  private def blockGridOf(vecs: DataFrame, nBlocks: Int) = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val blocked = corpus(spark, dir)
+    val blocked = vecs
       .select(col("vec_id"), col("emb"), col("nrm"))
       .withColumn("block", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
       .groupBy("block")
@@ -485,6 +486,9 @@ object Similarity {
       .crossJoin(blocked.toDF("rvs").hint("shuffle_replicate_nl"))
       .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
   }
+
+  private def blockGrid(spark: SparkSession, dir: String, nBlocks: Int) =
+    blockGridOf(corpus(spark, dir), nBlocks)
 
   def embeddingNearDupSummary(spark: SparkSession, dir: String,
       nBlocks: Int = 8): DataFrame = {
@@ -540,9 +544,23 @@ object Similarity {
     }
 
   private def embeddingPairsImpl(spark: SparkSession, dir: String,
+      threshold: Double, nBlocks: Int): DataFrame =
+    embeddingPairsOf(corpus(spark, dir).select(col("vec_id"), col("emb")),
+      threshold, nBlocks)
+
+  /** The exact N×N sweep over ANY (vec_id, emb) frame. Exposed
+    * package-private for the scale-probe harness, which runs it on
+    * REPLICATED corpora to measure the Θ(N²) exponent directly — at the
+    * bench SFs the registered twin's wall time is fixed-overhead-dominated
+    * (≈0.3-0.5 s of planning vs ≈2M pairs), so a plain sf-vs-sf probe of
+    * it cannot distinguish quadratic from linear (the r6 calibration
+    * gap); doubling a replicated corpus puts the pair sweep in charge of
+    * the clock. */
+  private[graft] def embeddingPairsOf(vecs: DataFrame,
       threshold: Double, nBlocks: Int): DataFrame = {
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val grid = blockGrid(spark, dir, nBlocks)
+    val grid = blockGridOf(vecs.withColumn("nrm", norm(col("emb"))), nBlocks)
     grid.flatMap { case (lvs, rvs) =>
       lvs.iterator.flatMap { case (id, emb, nrm) =>
         rvs.iterator.flatMap { case (rid, remb, rnrm) =>
@@ -644,7 +662,17 @@ object Similarity {
     * the minimum vec_id of each component; untouched vectors are their own
     * singleton clusters. The synthetic corpus' embeddings are
     * near-orthogonal, so the registered threshold sits at the tail of its
-    * cosine distribution (0.4); a real corpus would run 0.9+. Fully
+    * cosine distribution (0.4); a real corpus would run 0.9+.
+    *
+    * SCALE CAVEAT (the k-vs-N contract): the Σ_cells |cell|² bound is
+    * sub-quadratic only when k — the centroid count — GROWS with the
+    * corpus so a cell stays task-sized (the standard SemDeDup deployment:
+    * k ≈ N/targetCellSize, centroids from [[ivfTrain]]). At the shipped
+    * default (k = the 5 label-seeded centroids, fixed so the DuckDB
+    * oracle can recompute the assignment exactly) the bound is
+    * nprobe²·N²/k — a constant-factor saving over the exact sweep, not an
+    * asymptotic one. The probe harness measures the kernel's Θ(N²) class
+    * explicitly on replicated corpora (see [[embeddingPairsOf]]). Fully
     * hash-oracled: the oracle recomputes the probed-cell assignment, the
     * within-cell pair graph, and resolves components as min-reachable-id
     * via a recursive transitive closure. The exact-graph twin

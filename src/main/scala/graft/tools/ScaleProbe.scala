@@ -1,33 +1,43 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Empirical scale-exponent guard: run the hot "linear-claim" operators at
-  * two scale factors and measure how runtime actually grows with input
-  * rows. An operator whose SCALE.md story says "one shuffle, linear" but
-  * whose measured exponent creeps toward 2 has a hidden quadratic — this
-  * probe is what would have flagged the pre-r6 semanticDedup (exact N×N
-  * pair grid) automatically.
+/** Empirical scale-exponent guard: run the hot operators at two scales and
+  * measure how runtime actually grows with input rows. An operator whose
+  * SCALE.md story says "one shuffle, linear" but whose measured exponent
+  * creeps toward 2 has a hidden quadratic.
   *
   * exponent = log(t_big / t_small) / log(rows_big / rows_small)
+  *
+  * Two expected classes, each with its own gate:
+  *  - `linear` probes run at sf0.01 vs sf0.1 and must stay UNDER 1.5
+  *    (loose on purpose: fixed per-query overhead biases exponents down
+  *    at these SFs, so the gate catches quadratic blow-ups, not 10%
+  *    regressions — the bench owns those).
+  *  - `quadratic` probes assert the opposite: the exact N×N sweep (the
+  *    truth twins' kernel) must measure ABOVE 1.5, proving the harness
+  *    actually distinguishes the quadratic tier — a "fix" that
+  *    accidentally linearizes a truth twin, or a probe-harness bug that
+  *    flattens every exponent, fails this leg. The registered twin's
+  *    sf-vs-sf wall time is fixed-overhead-dominated at bench SFs
+  *    (2000 embeddings ⇒ ~2M pairs ≈ the planning cost), which is why the
+  *    quadratic leg runs the kernel on REPLICATED corpora (4× vs 8× of
+  *    sf0.1) where the pair sweep owns the clock.
   *
   * Method: every probe runs COLD (graft.Caches.clear before each timed
   * run) so it pays its own full pipeline cost, not a sibling's cached
   * state; the session is warmed once so JVM/codegen startup is outside
-  * every measurement. Fixed per-query overhead (~0.1-0.5 s of planning)
-  * biases exponents DOWN at these SFs — the 1.5 gate is therefore
-  * deliberately loose: it catches quadratic blow-ups, not 10% regressions
-  * (the bench owns those). The machine-quiet gate is the bench's: the
-  * probe sleep-retries for pre-run loadavg < 1 BEFORE any work, records
-  * that one sample, and stamps `tainted` in the summary when the gate was
+  * every measurement. The machine-quiet gate is the bench's: the probe
+  * sleep-retries for pre-run loadavg < 1 BEFORE any work, records that
+  * one sample, and stamps `tainted` in the summary when the gate was
   * never met — per-probe samples would mostly measure the probe's own
   * 32-core burn (the `loadavg_end` lesson).
   *
   * Usage: `sbt 'runMain graft.tools.ScaleProbe'` (env SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_SF_SMALL/_BIG override defaults). Emits one JSON line per
-  * probe plus a summary line; exits non-zero if any linear-claim probe
-  * exceeds the exponent gate. The committed report lives at
-  * PROBE_r{N}.json. */
+  * probe plus a summary line; exits non-zero if any probe lands outside
+  * its expected class. The committed report lives at PROBE_r{N}.json. */
 object ScaleProbe {
 
   /** (probe name, input table whose row count is the scale denominator,
@@ -55,6 +65,13 @@ object ScaleProbe {
       (s: SparkSession, d: String) => graft.operators.Curation.sourceReputation(s, d)),
     ("q_curation_pipeline", "documents",
       (s: SparkSession, d: String) => graft.operators.Curation.curationPipeline(s, d)),
+    // r7 additions: the heavy families the r6 verdict called out
+    ("q_search_analyzed", "documents",
+      (s: SparkSession, d: String) => graft.functions.Analyzer.searchAnalyzed(s, d)),
+    ("q_minhash_precision", "documents",
+      (s: SparkSession, d: String) => graft.operators.Invariants.minhashPrecision(s, d)),
+    ("q_modality_agreement_lsh", "documents",
+      (s: SparkSession, d: String) => graft.operators.Curation.modalityAgreementLsh(s, d)),
     ("q_semantic_dedup", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.semanticDedup(s, d)),
     ("q_ann_lsh", "embeddings",
@@ -94,29 +111,56 @@ object ScaleProbe {
 
     def rowsOf(dir: String, table: String): Long =
       spark.read.parquet(s"$dir/$table.parquet").count()
-    def timeCold(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    def timeCold(thunk: => DataFrame): Double = {
       graft.Caches.clear(spark)
       val t0 = System.nanoTime()
-      fn(spark, dir).queryExecution.toRdd.count()
+      thunk.queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
     def r3(v: Double): Double = math.rint(v * 1e3) / 1e3
 
     var worst = 0.0
-    val lines = probes.map { case (name, table, fn) =>
-      val (rs, rb) = (rowsOf(sfSmall, table), rowsOf(sfBig, table))
-      val ts = timeCold(fn, sfSmall)
-      val tb = timeCold(fn, sfBig)
+    var allOk = true
+    def emit(name: String, table: String, rs: Long, rb: Long,
+        ts: Double, tb: Double, expected: String): Unit = {
       val exp = math.log(tb / ts) / math.log(rb.toDouble / rs)
-      worst = math.max(worst, exp)
-      val ok = exp < ExponentGate
-      val line = s"""{"probe":"$name","table":"$table","rows_small":$rs,"rows_big":$rb,""" +
-        s""""t_small":${r3(ts)},"t_big":${r3(tb)},"exponent":${r3(exp)},"linear_ok":$ok}"""
-      println(line)
-      (line, ok)
+      val ok =
+        if (expected == "linear") exp < ExponentGate else exp > ExponentGate
+      if (expected == "linear") worst = math.max(worst, exp)
+      allOk &&= ok
+      println(s"""{"probe":"$name","table":"$table","rows_small":$rs,"rows_big":$rb,""" +
+        s""""t_small":${r3(ts)},"t_big":${r3(tb)},"exponent":${r3(exp)},""" +
+        s""""expected":"$expected","ok":$ok,"linear_ok":${exp < ExponentGate}}""")
     }
-    val allOk = lines.forall(_._2)
-    println(s"""{"metric":"scale_probe","gate":$ExponentGate,"worst_exponent":${r3(worst)},"all_linear":$allOk,"loadavg":$loadavgStart,"tainted":$tainted,"sf_small":"$sfSmall","sf_big":"$sfBig"}""")
+
+    probes.foreach { case (name, table, fn) =>
+      val (rs, rb) = (rowsOf(sfSmall, table), rowsOf(sfBig, table))
+      val ts = timeCold(fn(spark, sfSmall))
+      val tb = timeCold(fn(spark, sfBig))
+      emit(name, table, rs, rb, ts, tb, "linear")
+    }
+
+    // the quadratic leg: the exact-sweep kernel (what q_semantic_dedup_exact,
+    // q_modality_agreement, q_embed_neardup and q_semantic_recall are built
+    // on) over replicated corpora, where the pair sweep — not fixed
+    // overhead — owns the clock. Replicas shift vec_ids so the frames are
+    // valid (distinct ids); the kernel has no idea it is being doubled.
+    def replicated(times: Int): DataFrame = {
+      val base = graft.Tables.spread(spark, graft.Tables.embeddings(spark, sfBig))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      (0 until times).map(i => base.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"), col("emb")))
+        .reduce(_ unionByName _)
+    }
+    val baseRows = rowsOf(sfBig, "embeddings")
+    val tQs = timeCold(
+      graft.operators.Similarity.embeddingPairsOf(replicated(4), 0.4, 8))
+    val tQb = timeCold(
+      graft.operators.Similarity.embeddingPairsOf(replicated(8), 0.4, 8))
+    emit("q_semantic_dedup_exact_kernel", "embeddings_x4_vs_x8",
+      baseRows * 4, baseRows * 8, tQs, tQb, "quadratic")
+
+    println(s"""{"metric":"scale_probe","gate":$ExponentGate,"worst_linear_exponent":${r3(worst)},"all_ok":$allOk,"loadavg":$loadavgStart,"tainted":$tainted,"sf_small":"$sfSmall","sf_big":"$sfBig"}""")
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -173,6 +173,25 @@ class CurationSpec extends AnyFunSuite {
       && plan.exists(_.getAs[Double]("sample_rate") < 1.0))
   }
 
+  test("epoch plan: a zero-token source is excluded, never an ANSI crash") {
+    import spark.implicits._
+    // one degenerate source (zero available tokens): budget/0 = Infinity
+    // and ceil(inf).cast(int) throws under ANSI mode — the guard must
+    // exclude it from the plan AND from the n_sources budget split
+    val per = Seq(
+      ("web", 10L, 1000L),
+      ("empty", 3L, 0L),
+      ("books", 5L, 500L)).toDF("source", "n_docs", "avail_tokens")
+    val plan = Curation.epochPlanFrom(per, budgetTokens = 600L).collect()
+    assert(plan.map(_.getAs[String]("source")).toSet == Set("web", "books"))
+    // budget split across the FUNDED sources only (600/2 = 300 each)
+    plan.foreach { r =>
+      assert(r.getAs[Double]("target_tokens") == 300.0)
+      assert(r.getAs[Int]("epochs") ==
+        math.ceil(300.0 / r.getAs[Long]("avail_tokens")).toInt)
+    }
+  }
+
   test("tfidf: k per lang, rank ordered, df consistent") {
     val t = Curation.tfidfTopTerms(spark, sf).collect()
     val byLang = t.groupBy(_.getString(0))
