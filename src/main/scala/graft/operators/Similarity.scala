@@ -252,7 +252,7 @@ object Similarity {
     * the incremental semantic probe — and their DuckDB mirrors — all
     * assume exactly this order; previously four Scala copies could drift
     * from each other and the SQL independently. */
-  private def nearestCells(vecs: DataFrame, cents: DataFrame,
+  private[graft] def nearestCells(vecs: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("c_label").asc)

@@ -152,13 +152,17 @@ object ScaleProbe {
           (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"), col("emb")))
         .reduce(_ unionByName _)
     }
+    // 8× vs 16× (not 4×/8×): at 4× the sweep is ~1.4 s of which ~0.55 s is
+    // fixed planning/shuffle overhead, diluting the measured exponent to
+    // ~1.49 — right on the gate. Doubling both sides puts ≥ 85% of the
+    // clock in the pair loop (measured exponent ~1.8).
     val baseRows = rowsOf(sfBig, "embeddings")
     val tQs = timeCold(
-      graft.operators.Similarity.embeddingPairsOf(replicated(4), 0.4, 8))
-    val tQb = timeCold(
       graft.operators.Similarity.embeddingPairsOf(replicated(8), 0.4, 8))
-    emit("q_semantic_dedup_exact_kernel", "embeddings_x4_vs_x8",
-      baseRows * 4, baseRows * 8, tQs, tQb, "quadratic")
+    val tQb = timeCold(
+      graft.operators.Similarity.embeddingPairsOf(replicated(16), 0.4, 8))
+    emit("q_semantic_dedup_exact_kernel", "embeddings_x8_vs_x16",
+      baseRows * 8, baseRows * 16, tQs, tQb, "quadratic")
 
     println(s"""{"metric":"scale_probe","gate":$ExponentGate,"worst_linear_exponent":${r3(worst)},"all_ok":$allOk,"loadavg":$loadavgStart,"tainted":$tainted,"sf_small":"$sfSmall","sf_big":"$sfBig"}""")
     spark.stop()
