@@ -299,6 +299,11 @@ object SparkEntry {
     // graft.etl.Pipeline, summarized from its serving tables
     ("q_pipeline_serving", graft.etl.Pipeline.servingSummaryQuery _,
       Some(graft.etl.Pipeline.servingSummarySql)),
+    // TxTable change feed (Delta-CDF semantics) over a deterministic
+    // two-commit table built from orders — the expected feed is
+    // recomputed straight from the source parquet by the oracle
+    ("q_table_changes", graft.serve.ChangeFeed.tableChangesQuery _,
+      Some(graft.serve.ChangeFeed.tableChangesSql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

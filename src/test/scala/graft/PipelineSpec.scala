@@ -247,6 +247,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(h(10L) == expected(10L) && h(11L) == expected(11L))
   }
 
+  test("TxTable change feed: deltas classify, resets diff, carries suppressed") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_cdc"
+    def rows(t: (Long, String, Double)*) = t.toSeq.toDF("id", "name", "price")
+    TxTable.merge(spark, rows((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)),
+      path, Seq("id"))
+    TxTable.merge(spark, rows((2L, "y", 25.0), (4L, "w", 40.0)), path, Seq("id"))
+    // v2 is a RESET (full write): drops 3 and 4, keeps 1 and 2 unchanged
+    TxTable.write(spark, rows((1L, "x", 10.0), (2L, "y", 25.0)), path)
+    def feed(a: Long, b: Long) =
+      TxTable.changes(spark, path, a, b, Seq("id")).collect()
+        .map(r => (r.getAs[String]("change_type"), r.getAs[Int]("commit_version"),
+          r.getAs[Long]("id"), r.getAs[Double]("price"))).toSet
+    // merge commit: the new key is an insert, the changed key an update
+    // pair, and carried rewrites of identical rows (1, 3 in touched
+    // files) are suppressed — rewrite traffic is not change
+    assert(feed(0L, 1L) == Set(
+      ("insert", 1, 4L, 40.0),
+      ("update_preimage", 1, 2L, 20.0),
+      ("update_postimage", 1, 2L, 25.0)))
+    // reset commit: full-snapshot diff — pure deletes here
+    assert(feed(1L, 2L) == Set(
+      ("delete", 2, 3L, 30.0), ("delete", 2, 4L, 40.0)))
+    assert(feed(0L, 2L) == feed(0L, 1L) ++ feed(1L, 2L))
+    // a vacuumed/deleted commit inside the range must refuse, not skip
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_txlog/00000001.txt"), false)
+    intercept[java.io.FileNotFoundException] {
+      TxTable.changes(spark, path, 0L, 2L, Seq("id"))
+    }
+  }
+
   test("upsert crash recovery: a table stranded at __old is restored, not destroyed") {
     val path = s"$root/serving/crash_recover"
     val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
