@@ -304,6 +304,12 @@ object SparkEntry {
     // recomputed straight from the source parquet by the oracle
     ("q_table_changes", graft.serve.ChangeFeed.tableChangesQuery _,
       Some(graft.serve.ChangeFeed.tableChangesSql)),
+    // incremental materialized-view maintenance over that feed: the view
+    // is built at v0 and maintained to v1 through the CHANGES alone; the
+    // oracle recomputes the v1 aggregate from source — hash equality
+    // proves delta-apply ≡ full rebuild (decimal-exact sums)
+    ("q_view_maintenance", graft.serve.ChangeFeed.viewMaintenanceQuery _,
+      Some(graft.serve.ChangeFeed.viewMaintenanceSql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

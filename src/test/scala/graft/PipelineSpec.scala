@@ -281,6 +281,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("view maintenance: delta-apply equals full rebuild at every step") {
+    import graft.serve.{ChangeFeed, TxTable}
+    import spark.implicits._
+    val path = s"$root/serving/tx_view"
+    def rows(t: (Long, Double)*) = t.toSeq.toDF("o_orderkey", "price")
+    TxTable.merge(spark, rows((1L, 10.0), (2L, 20.0), (3L, 30.0), (53L, 5.0)),
+      path, Seq("o_orderkey"))
+    TxTable.merge(spark, rows((2L, 25.0), (4L, 40.0)), path, Seq("o_orderkey"))
+    // v2 reset: key 3 disappears entirely — its group must LEAVE the view
+    TxTable.write(spark,
+      rows((1L, 10.0), (2L, 25.0), (4L, 40.0), (53L, 5.0)), path)
+    def render(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("n_rows"),
+        r.getAs[java.math.BigDecimal]("s"))).sortBy(_._1).toSeq
+    val view0 = ChangeFeed.viewOf(TxTable.read(spark, path, Some(0L)))
+    // decimal sums are exact and associative, so the maintained view must
+    // equal the full rebuild BIT-FOR-BIT, not approximately — and key 53
+    // shares group 3 with key 3 (pmod 50), so counts, not presence, decide
+    val m1 = ChangeFeed.maintain(view0,
+      TxTable.changes(spark, path, 0L, 1L, Seq("o_orderkey")))
+    assert(render(m1) ==
+      render(ChangeFeed.viewOf(TxTable.read(spark, path, Some(1L)))))
+    val m2 = ChangeFeed.maintain(m1,
+      TxTable.changes(spark, path, 1L, 2L, Seq("o_orderkey")))
+    assert(render(m2) ==
+      render(ChangeFeed.viewOf(TxTable.read(spark, path, Some(2L)))))
+    // group 3 still present (key 53 remains), but with ONE row now
+    assert(render(m2).find(_._1 == 3L).map(_._2).contains(1L))
+  }
+
   test("upsert crash recovery: a table stranded at __old is restored, not destroyed") {
     val path = s"$root/serving/crash_recover"
     val g = Sink.withDocId(Format.combine(spark, formattedDir), "symbol", "date")
