@@ -260,6 +260,43 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("band").parquet(path)
 
+  /** The TRANSACTIONAL form of the stored index: the same (band, sig,
+    * doc_id) rows MERGE-committed into a TxTable keyed by (doc_id, band).
+    * This is what "appended per ingest" (the claim the plain-parquet
+    * `writeLshIndex` docs make) actually looks like in production:
+    *  - each ingest batch is ONE atomic commit — readers/probes always see
+    *    a consistent snapshot, never a half-written batch;
+    *  - keyed by (doc_id, band), re-ingesting a document is an idempotent
+    *    upsert of its NumBands rows (a re-crawled page replaces its old
+    *    signatures instead of duplicating buckets);
+    *  - the merge's stats pre-filter prunes untouched index files, so an
+    *    append costs O(batch), not O(index);
+    *  - vacuum / compaction / the change feed come with the format.
+    * Probe-side, [[nearDupsFromTxIndex]] reads a snapshot of this table —
+    * same candidates, same verify as the parquet path. */
+  def appendLshIndexTx(spark: SparkSession, dir: String, path: String,
+      docFilter: Column = lit(true)): Long =
+    graft.serve.TxTable.merge(spark,
+      bandSignatureRows(
+        Tables.spread(spark, Tables.documents(spark, dir)).filter(docFilter),
+        "doc_id", "text"),
+      path, Seq("doc_id", "band"))
+
+  /** [[nearDupsFromStoredIndex]] against a TxTable snapshot (latest by
+    * default) instead of raw parquet. */
+  def nearDupsFromTxIndex(spark: SparkSession, dir: String,
+      indexPath: String, newDocs: DataFrame, threshold: Double = 0.7,
+      version: Option[Long] = None): DataFrame = {
+    val cands = dedupProbe(newDocs,
+        graft.serve.TxTable.read(spark, indexPath, version))
+      .select(col("index_id").as("doc_a"), col("new_id").as("doc_b"))
+      .distinct()
+    exactJaccardFromShingles(docShingles(spark, dir).cache(), cands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"),
+        col("jaccard"))
+  }
+
   /** The stored-index form of incremental dedup: band the NEW batch
     * row-locally, bucket-join into the PERSISTED index (no index-side
     * signature recompute — the operator's whole point), then exact-verify

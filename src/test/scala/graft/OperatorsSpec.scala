@@ -131,6 +131,34 @@ class DedupSpec extends AnyFunSuite {
       s"stored-index path diverged: only-stored=${stored -- inMem}, only-mem=${inMem -- stored}")
   }
 
+  test("TxTable LSH index: two appends equal one build; re-ingest is idempotent") {
+    import graft.serve.TxTable
+    val dir = java.nio.file.Files.createTempDirectory("lsh_tx_index").toString
+    val path = s"$dir/index"
+    // the even half arrives as TWO ingest batches (two atomic commits)
+    Dedup.appendLshIndexTx(spark, sf, path, col("doc_id") % 4 === 0)
+    Dedup.appendLshIndexTx(spark, sf, path, col("doc_id") % 4 === 2)
+    val newBatch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    def probe() = Dedup.nearDupsFromTxIndex(spark, sf, path, newBatch)
+      .collect().map(r => (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val twoAppends = probe()
+    val inMem = Dedup.minhashNearDupsIncremental(spark, sf)
+      .collect().map(r => (r.getAs[Long]("index_id"), r.getAs[Long]("new_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(twoAppends.nonEmpty && twoAppends == inMem,
+      s"tx-index probe diverged: only-tx=${twoAppends -- inMem}, only-mem=${inMem -- twoAppends}")
+    // re-ingesting one batch (a re-crawl) must upsert, not duplicate:
+    // row count per (doc_id, band) stays 1 and the probe is unchanged
+    val v = Dedup.appendLshIndexTx(spark, sf, path, col("doc_id") % 4 === 0)
+    assert(v == 2L, "third commit")
+    val dupCounts = TxTable.read(spark, path)
+      .groupBy("doc_id", "band").count().filter(col("count") > 1).count()
+    assert(dupCounts == 0L, "re-ingest duplicated index rows")
+    assert(probe() == twoAppends)
+  }
+
   test("shingles of short docs fall back to whole text") {
     import spark.implicits._
     val df = Seq((1L, "one two")).toDF("doc_id", "text")

@@ -29,6 +29,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every truth twin names a registered query") {
+    // a renamed registry entry must not silently fall out of the bench's
+    // truth-twin bucket (the Θ(N²) queries Bench reports separately)
+    val unknown = SparkEntry.truthTwins -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"truthTwins not in registry: $unknown")
+  }
+
   test("every oracle key exists in queries") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet -- qs
