@@ -45,7 +45,10 @@ object Bench {
   private[graft] def cpuSnap(): CpuSnap =
     try {
       // /proc/stat line 1: "cpu  user nice system idle iowait irq softirq steal ..."
-      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      // (Files.readAllBytes, not Source.fromFile — the latter leaks an fd
+      // per call and this runs 2+ times per query)
+      val f = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat"))).linesIterator.next()
         .trim.split("\\s+").drop(1).map(_.toLong)
       val busy = f(0) + f(1) + f(2) + f(5) + f(6) +
         (if (f.length > 7) f(7) else 0L) // + steal when virtualized
@@ -168,7 +171,12 @@ object Bench {
     // ALSO dirty the query stays flagged (keep the smaller time — steal
     // only ever inflates). Memoized/cached state from the first pass makes
     // retries cheap but NOT free of meaning: the steady-state time is what
-    // the bench pins for memoized queries anyway.
+    // the bench pins for memoized queries anyway. CAVEAT: a retry runs
+    // after the WHOLE fleet, so sibling queries may have warmed shared
+    // caches the query's position-ordered first run would not see — a
+    // rescued time can undercut the same query's quiet-round time. That is
+    // why every rescued query is stamped in `rerun_queries`: compare those
+    // entries with that grain of salt, or rerun the bench quiet.
     val results = first.map { case (name, t) =>
       if (!t.tainted) name -> t
       else {
@@ -200,10 +208,14 @@ object Bench {
     // (they bracket the sub-quadratic primaries), so inside one total they
     // would swamp the linear fleet as SF grows and mask real regressions
     val twins = SparkEntry.truthTwins
+    // the -1.0 crash sentinel must stay visible in the per-query map but
+    // must NOT be summed into bucket totals (it would silently deduct a
+    // second); crashed queries are surfaced by name instead
+    val crashedNames = results.collect { case (k, t) if t.sec < 0.0 => k }
     val totalLinear = r3(results.collect {
-      case (k, t) if !twins.contains(k) => t.sec }.sum)
+      case (k, t) if !twins.contains(k) && t.sec >= 0.0 => t.sec }.sum)
     val totalTwins = r3(results.collect {
-      case (k, t) if twins.contains(k) => t.sec }.sum)
+      case (k, t) if twins.contains(k) && t.sec >= 0.0 => t.sec }.sum)
     val cleanTotalLinear = r3(results.collect {
       case (k, t) if !twins.contains(k) && !t.tainted && t.sec >= 0.0 => t.sec }.sum)
     val tainted = preGateTainted || taintedNames.nonEmpty
@@ -215,6 +227,7 @@ object Bench {
     val common = s""""sf":"$sfDir","loadavg":$loadavgStart,"loadavg_end":$loadavgEnd,""" +
       s""""tainted":$tainted,"pre_gate_tainted":$preGateTainted,""" +
       s""""tainted_queries":${jArr(taintedNames)},""" +
+      s""""crashed_queries":${jArr(crashedNames)},""" +
       s""""clean_total":$cleanTotal,"total_linear":$totalLinear,""" +
       s""""total_truth_twins":$totalTwins,"clean_total_linear":$cleanTotalLinear,""" +
       s""""filtered":$filtered,"query_count":${results.size},""" +

@@ -282,13 +282,14 @@ object Dedup {
         "doc_id", "text"),
       path, Seq("doc_id", "band"))
 
-  /** [[nearDupsFromStoredIndex]] against a TxTable snapshot (latest by
-    * default) instead of raw parquet. */
-  def nearDupsFromTxIndex(spark: SparkSession, dir: String,
-      indexPath: String, newDocs: DataFrame, threshold: Double = 0.7,
-      version: Option[Long] = None): DataFrame = {
-    val cands = dedupProbe(newDocs,
-        graft.serve.TxTable.read(spark, indexPath, version))
+  /** The shared probe→verify tail of every stored-index form: bucket-join
+    * the new batch into `index`, then exact-verify the colliding pairs
+    * against the corpus text. ONE copy, so the TxTable and parquet index
+    * paths cannot drift in verify semantics (threshold, caching, output
+    * contract) — the parity their specs pin. */
+  private def verifyAgainstIndex(spark: SparkSession, dir: String,
+      index: DataFrame, newDocs: DataFrame, threshold: Double): DataFrame = {
+    val cands = dedupProbe(newDocs, index)
       .select(col("index_id").as("doc_a"), col("new_id").as("doc_b"))
       .distinct()
     exactJaccardFromShingles(docShingles(spark, dir).cache(), cands)
@@ -296,6 +297,14 @@ object Dedup {
       .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"),
         col("jaccard"))
   }
+
+  /** [[nearDupsFromStoredIndex]] against a TxTable snapshot (latest by
+    * default) instead of raw parquet. */
+  def nearDupsFromTxIndex(spark: SparkSession, dir: String,
+      indexPath: String, newDocs: DataFrame, threshold: Double = 0.7,
+      version: Option[Long] = None): DataFrame =
+    verifyAgainstIndex(spark, dir,
+      graft.serve.TxTable.read(spark, indexPath, version), newDocs, threshold)
 
   /** The stored-index form of incremental dedup: band the NEW batch
     * row-locally, bucket-join into the PERSISTED index (no index-side
@@ -306,15 +315,9 @@ object Dedup {
     * signatures, so the candidate sets are identical). */
   def nearDupsFromStoredIndex(spark: SparkSession, dir: String,
       indexPath: String, newDocs: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
-    val cands = dedupProbe(newDocs, spark.read.parquet(indexPath))
-      .select(col("index_id").as("doc_a"), col("new_id").as("doc_b"))
-      .distinct()
-    exactJaccardFromShingles(docShingles(spark, dir).cache(), cands)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"),
-        col("jaccard"))
-  }
+      threshold: Double = 0.7): DataFrame =
+    verifyAgainstIndex(spark, dir, spark.read.parquet(indexPath), newDocs,
+      threshold)
 
   /** Per-doc dedup summary — total-coverage view (one row per doc even when
     * it has no near-dup), so downstream keep/drop decisions are a single

@@ -21,46 +21,42 @@ object TopK {
 
   val K = 5
 
+  /** The one bounded-top-k Aggregator, generic in the row type and order.
+    * Buffer is a ≤k sorted list; reduce/merge re-sort a ≤k+1 / ≤2k list —
+    * O(k log k) per row with tiny constants at the k this engine uses.
+    * Both concrete orders below share this single implementation so an
+    * encoder or insertion fix can never be applied to one and missed on
+    * the other. */
+  class BoundedTopK[T: scala.reflect.runtime.universe.TypeTag](
+      k: Int, ord: Ordering[T]) extends Aggregator[T, List[T], Seq[T]] {
+    override def zero: List[T] = Nil
+    override def reduce(b: List[T], a: T): List[T] =
+      (a :: b).sorted(ord).take(k)
+    override def merge(x: List[T], y: List[T]): List[T] =
+      (x ++ y).sorted(ord).take(k)
+    override def finish(b: List[T]): Seq[T] = b.sorted(ord)
+    override def bufferEncoder: Encoder[List[T]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[T]]()
+    override def outputEncoder: Encoder[Seq[T]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[T]]()
+  }
+
   /** (sortTs, id, payload) — the id doubles as the deterministic tiebreak. */
   case class Item(ts: Long, id: Long, value: Double)
 
-  class TopKAgg(k: Int) extends Aggregator[Item, List[Item], Seq[Item]] {
-    private val ord: Ordering[Item] = Ordering.by(i => (-i.ts, -i.id))
-    override def zero: List[Item] = Nil
-    override def reduce(b: List[Item], a: Item): List[Item] =
-      (a :: b).sorted(ord).take(k)
-    override def merge(x: List[Item], y: List[Item]): List[Item] =
-      (x ++ y).sorted(ord).take(k)
-    override def finish(b: List[Item]): Seq[Item] = b.sorted(ord)
-    override def bufferEncoder: Encoder[List[Item]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Item]]()
-    override def outputEncoder: Encoder[Seq[Item]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Item]]()
-  }
+  class TopKAgg(k: Int)
+    extends BoundedTopK[Item](k, Ordering.by(i => (-i.ts, -i.id)))
 
-  /** (score DESC, id ASC) bounded top-k — the ANN tiers' re-rank order as
-    * an Aggregator: map-side-combinable, shuffles at most k rows per
-    * partition per query. The brute tier's old `row_number() over
-    * (partition by q_id)` re-rank put ALL N scored rows of a query into
-    * one partition for a full sort — at 100× scale, nQueries single-task
-    * full-corpus sorts; this keeps the scan distributed and the shuffle
-    * k-bounded. Field names match the ANN output schema so consumers
-    * project the exploded struct directly. */
+  /** (score DESC, id ASC) bounded top-k — the ANN tiers' re-rank order.
+    * The brute tier's old `row_number() over (partition by q_id)` re-rank
+    * put ALL N scored rows of a query into one partition for a full sort —
+    * at 100× scale, nQueries single-task full-corpus sorts; this keeps the
+    * scan distributed and the shuffle k-bounded. Field names match the ANN
+    * output schema so consumers project the exploded struct directly. */
   case class Scored(vec_id: Long, cosine: Double)
 
-  class ScoreTopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
-    private val ord: Ordering[Scored] = Ordering.by(s => (-s.cosine, s.vec_id))
-    override def zero: List[Scored] = Nil
-    override def reduce(b: List[Scored], a: Scored): List[Scored] =
-      (a :: b).sorted(ord).take(k)
-    override def merge(x: List[Scored], y: List[Scored]): List[Scored] =
-      (x ++ y).sorted(ord).take(k)
-    override def finish(b: List[Scored]): Seq[Scored] = b.sorted(ord)
-    override def bufferEncoder: Encoder[List[Scored]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
-    override def outputEncoder: Encoder[Seq[Scored]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
-  }
+  class ScoreTopKAgg(k: Int)
+    extends BoundedTopK[Scored](k, Ordering.by(s => (-s.cosine, s.vec_id)))
 
   /** Latest-K events per event_type — identical semantics (and oracle) to
     * the window-based `q_tail_n_per_key`, different physics. */

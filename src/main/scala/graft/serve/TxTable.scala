@@ -526,13 +526,27 @@ object TxTable {
       if (rels.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf)
       else spark.read.parquet(rels.map(r => s"$path/$r"): _*)
-    val frames = versions.map { v =>
+    // the CDC schema with zero change rows — the shape of the feed's most
+    // common polling state (no commits since `fromV`, or only no-op
+    // commits in the window); must be a valid empty frame, not a crash
+    def emptyFeed: DataFrame = {
+      val snap = read(spark, path, Some(toV))
+      val nonKey = snap.columns.filterNot(keys.contains).toSeq
+      snap.limit(0).select(
+        Seq(lit("").as("change_type"), lit(0).cast("int").as("commit_version"))
+          ++ (keys ++ nonKey).map(col): _*)
+    }
+    val frames = versions.flatMap { v =>
       val c = readCommit(fs, path, v)
       val (oldRels, newRels) =
         if (c.reset) (resolveEntries(fs, path, v - 1).map(_.rel), c.adds.map(_.rel))
         else (c.removes, c.adds.map(_.rel))
+      // a commit touching no files (e.g. a merge of an empty batch) is an
+      // empty diff, not an error — it must not poison every window
+      // spanning it
+      if (oldRels.isEmpty && newRels.isEmpty) None else Some {
       lazy val newDf = readRels(newRels, throw new IllegalStateException(
-        s"TxTable $path: commit $v has neither adds nor removes"))
+        s"TxTable $path: commit $v unreachable schema thunk"))
       val oldDf = readRels(oldRels, newDf.schema)
       val nw = if (newRels.isEmpty) readRels(Nil, oldDf.schema) else newDf
       val nonKey = nw.columns.filterNot(keys.contains).toSeq
@@ -551,8 +565,9 @@ object TxTable {
       deletes.unionByName(inserts)
         .unionByName(side("o", "update_preimage"))
         .unionByName(side("n", "update_postimage"))
+      }
     }
-    frames.reduce(_ unionByName _)
+    if (frames.isEmpty) emptyFeed else frames.reduce(_ unionByName _)
   }
 
   /** Commit history (version, op, n_files) — newest first. Lists the
