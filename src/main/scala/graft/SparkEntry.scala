@@ -256,6 +256,11 @@ object SparkEntry {
     ("q_semantic_dedup",
       ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)): Q,
       Some(Similarity.semanticDedupSql())),
+    // adaptive-k scoping: k = ceil(sqrt(N)) strided seeds, so the pair
+    // sweep is Theta(N^1.5) in N alone — closes the fixed-k caveat
+    ("q_semantic_dedup_adaptive",
+      ((s: SparkSession, d: String) => Similarity.semanticDedupAdaptive(s, d)): Q,
+      Some(Similarity.semanticDedupAdaptiveSql())),
     // truth twin over the full N×N tile-grid pair graph
     ("q_semantic_dedup_exact",
       ((s: SparkSession, d: String) => Similarity.semanticDedupExact(s, d)): Q,

@@ -626,9 +626,19 @@ object Similarity {
     }
 
   private[graft] def cellPairsImpl(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame =
+    withinCellPairs(probedCells(spark, dir, nprobe), threshold)
+
+  /** The within-cell pairwise sweep shared by the fixed-k (label-seeded)
+    * and adaptive-k (strided-seed) SemDeDup scopings: group an
+    * (cell, vec_id, emb, nrm) frame by cell, run the fused primitive-array
+    * pair loop inside each, dedup pairs seen from two shared cells. ONE
+    * copy so the two scopings cannot drift in kernel semantics (j-ascending
+    * dot order, rounding, the max-dedup). */
+  private def withinCellPairs(celled: DataFrame, threshold: Double): DataFrame = {
+    val spark = celled.sparkSession
     import spark.implicits._
-    val cells = probedCells(spark, dir, nprobe)
+    val cells = celled
       .groupBy("cell")
       .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm"))).as("vs"))
       .select("vs")
@@ -701,6 +711,56 @@ object Similarity {
       .withColumn("keep", col("vec_id") === col("cluster_id"))
   }
 
+  // ------------------------------------------------- adaptive-k SemDeDup
+  /** The centroid count the adaptive scoping uses: k = ⌈√N⌉ (min 2). With
+    * E|cell| ≈ nprobe·N/k this puts the pair sweep at Σ|cell|² ≈
+    * nprobe²·N²/k = Θ(N^1.5) — genuinely sub-quadratic in N alone, closing
+    * the fixed-k caveat on [[semanticDedup]] (whose nprobe²·N²/k bound is a
+    * constant-factor saving when k is the 5 fixed label seeds). */
+  private[graft] def adaptiveK(n: Long): Int =
+    math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  private val adaptivePairsMemo = new SessionMemo[(String, Double, Int), DataFrame]
+
+  /** Cell-scoped pairs with CORPUS-SIZE-DERIVED k: seeds are the vectors
+    * with vec_id ≡ 0 (mod stride), stride = ⌈N/k⌉ — a map-side pick, no
+    * global sort — and every vector joins its `nprobe` nearest seeds by
+    * the shared [[nearestCells]] ranking. Deterministic end to end, so the
+    * DuckDB oracle recomputes seeds, assignment, and the pair graph
+    * exactly — which Lloyd-trained centroids (float-sum order sensitivity
+    * × k×dim×iters) could not sustain. A production deployment at fixed
+    * quality targets swaps the strided seeds for [[ivfTrain]] centroids
+    * with k = N/targetCellSize; the SCOPING (this function's shape) is
+    * unchanged — seed choice moves recall, not the complexity class.
+    * Broadcast stays tiny: √N seeds × dim doubles ≈ 8 MB at N = 10⁹. */
+  def adaptiveCellPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame =
+    adaptivePairsMemo.getOrElseUpdate(spark, (dir, threshold, nprobe)) {
+      adaptiveCellPairsImpl(spark, dir, threshold, nprobe).cache()
+    }
+
+  private[graft] def adaptiveCellPairsImpl(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
+    val c = corpus(spark, dir)
+    val n = c.count() // one scalar action; the corpus scan is reused below
+    val stride = math.max(1L, math.ceil(n.toDouble / adaptiveK(n)).toLong)
+    val seeds = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("c_label"), col("emb").as("centroid"))
+    withinCellPairs(
+      nearestCells(c, seeds, nprobe)
+        .select(col("cell"), col("vec_id"), col("emb"), col("nrm")),
+      threshold)
+  }
+
+  /** SemDeDup with the adaptive-k scoping: same cluster/keep contract as
+    * [[semanticDedup]], sub-quadratic in N with no caveat. Fully
+    * hash-oracled — the oracle recomputes N, k, the strided seeds, the
+    * probed assignment, and the components. */
+  def semanticDedupAdaptive(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame =
+    dedupFromPairs(spark, dir,
+      adaptiveCellPairs(spark, dir, threshold, nprobe))
+
   /** Recall contract of the cell scoping, stated as data (the
     * `minhashRecall` pattern): every EXACT pair (rounded cosine ≥
     * threshold, from the tile-grid truth sweep) whose endpoints share a
@@ -772,6 +832,53 @@ object Similarity {
     * undirected edges), singletons self-rooted. */
   def semanticDedupSql(threshold: Double = 0.4, nprobe: Int = 2): String =
     s"""WITH RECURSIVE ${cellSqlCtes(nprobe)},
+       |pairs AS (
+       |  SELECT va, vb FROM cand
+       |  JOIN n a ON a.vec_id = va JOIN n b ON b.vec_id = vb
+       |  WHERE ROUND(list_sum(list_transform(range(1, len(a.emb) + 1),
+       |          i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm), 6) >= $threshold),
+       |edges AS (
+       |  SELECT va AS s, vb AS d FROM pairs
+       |  UNION SELECT vb AS s, va AS d FROM pairs),
+       |reach AS (
+       |  SELECT vec_id, vec_id AS r FROM c
+       |  UNION
+       |  SELECT e.s AS vec_id, reach.r FROM edges e JOIN reach ON reach.vec_id = e.d)
+       |SELECT vec_id, MIN(r) AS cluster_id, vec_id = MIN(r) AS keep
+       |FROM reach GROUP BY vec_id""".stripMargin
+
+  /** DuckDB oracle for [[semanticDedupAdaptive]]: recomputes N, k = ⌈√N⌉
+    * (min 2), stride = ⌈N/k⌉ (min 1), the vec_id ≡ 0 (mod stride) seed
+    * pick, the (rounded cosine DESC, seed id ASC) nprobe assignment, the
+    * within-cell pair graph, and min-reachable-id components — every
+    * formula mirrored term for term from the Scala. */
+  def semanticDedupAdaptiveSql(threshold: Double = 0.4, nprobe: Int = 2): String =
+    s"""WITH RECURSIVE c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |m AS (
+       |  SELECT GREATEST(CAST(ceil(CAST(count(*) AS DOUBLE)
+       |      / GREATEST(2, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))
+       |    AS BIGINT), 1) AS stride
+       |  FROM c),
+       |seeds AS (
+       |  SELECT vec_id AS c_label, emb AS centroid
+       |  FROM c, m WHERE vec_id % stride = 0),
+       |probe AS (
+       |  SELECT vec_id, c_label AS cell FROM (
+       |    SELECT c.vec_id, seeds.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ROUND(${cosSqlExpr("c.emb", "seeds.centroid")}, 6) DESC NULLS LAST,
+       |                 seeds.c_label ASC) AS crk
+       |    FROM c CROSS JOIN seeds)
+       |  WHERE crk <= $nprobe),
+       |n AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+       |      i -> emb[i] * emb[i]))) AS nrm
+       |  FROM c),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM probe a JOIN probe b ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |pairs AS (
        |  SELECT va, vb FROM cand
        |  JOIN n a ON a.vec_id = va JOIN n b ON b.vec_id = vb

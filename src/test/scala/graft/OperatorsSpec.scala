@@ -389,6 +389,38 @@ class SimilaritySpec extends AnyFunSuite {
       s"cell-scoped pair generation regressed to the N² grid:\n$p")
   }
 
+  test("adaptive semantic dedup: √N seeds, same component contract, no cartesian") {
+    // k follows the corpus size: ⌈√N⌉ with a floor of 2
+    assert(Similarity.adaptiveK(0L) == 2 && Similarity.adaptiveK(4L) == 2 &&
+      Similarity.adaptiveK(5L) == 3 && Similarity.adaptiveK(10000L) == 100)
+    val n = Tables.embeddings(spark, sf).count()
+    val pairs = Similarity.adaptiveCellPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty, "strided seeds should still scope real near-dup pairs")
+    assert(pairs.forall { case (a, b) => a < b })
+    // the scoping never invents pairs: every adaptive pair is a true exact
+    // pair (the kernel is the shared withinCellPairs sweep, so cosines and
+    // the threshold are identical by construction)
+    val exact = Similarity.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    pairs.foreach(p => assert(exact.contains(p), s"adaptive pair $p not exact"))
+    // component contract, same as the fixed-k primary
+    val labels = Similarity.semanticDedupAdaptive(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(labels.size == n)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 == labels(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (id, (cl, keep)) => assert(cl <= id && keep == (cl == id)) }
+    // plan pin on the un-memoized impl: the pair generation is the one
+    // cell-keyed shuffle — the N² CartesianProduct grid must never appear
+    val p = Similarity.adaptiveCellPairsImpl(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"adaptive pair generation regressed to the N² grid:\n$p")
+  }
+
   test("semantic cell recall: every shared-cell exact pair is found with equal cosine") {
     val rows = Similarity.semanticCellRecall(spark, sf).collect()
     assert(rows.nonEmpty)
