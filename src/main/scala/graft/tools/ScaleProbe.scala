@@ -74,6 +74,8 @@ object ScaleProbe {
       (s: SparkSession, d: String) => graft.operators.Curation.modalityAgreementLsh(s, d)),
     ("q_semantic_dedup", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.semanticDedup(s, d)),
+    ("q_semantic_dedup_adaptive", "embeddings",
+      (s: SparkSession, d: String) => graft.operators.Similarity.semanticDedupAdaptive(s, d)),
     ("q_ann_lsh", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.lshTopK(s, d)),
     ("q_semantic_probe", "embeddings",
