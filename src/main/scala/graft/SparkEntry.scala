@@ -47,6 +47,11 @@ object SparkEntry {
     ("q_last_value_per_key", LensQueries.lastValuePerKey _, Some(LensQueries.lastValuePerKeySql)),
     ("q_differences_daily", LensQueries.differencesDaily _, Some(LensQueries.differencesDailySql)),
     ("q_pct_change_daily", LensQueries.pctChangeDaily _, Some(LensQueries.pctChangeDailySql)),
+    // the Detail_cours dashboard read path composed end-to-end: drill-down
+    // filter → date_histogram → last_value → differences → pct-change
+    ("q_lens_dashboard",
+      ((s: SparkSession, d: String) => LensQueries.lensDashboard(s, d)): Q,
+      Some(LensQueries.lensDashboardSql)),
     ("q_tail_n_per_key", LensQueries.tailNPerKey _, Some(LensQueries.tailNPerKeySql)),
     // same semantics, bounded-heap physics (map-side combinable Aggregator) —
     // verified against the identical window oracle

@@ -36,15 +36,37 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) which Spark 4 refuses
-    * to read as a timestamp. Read it as a raw long (legacy conf) and convert
-    * ns → µs with integer division (`div`, not `/`: double division would
-    * lose precision on ~1.7e18 ns epoch values) into a real TimestampType. */
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations, so the reader branches on the type Spark actually reads
+    * rather than assuming one:
+    *
+    *   - INT64 TIMESTAMP(NANOS): Spark 4 refuses to read nanos as a
+    *     timestamp, so (under `spark.sql.legacy.parquet.nanosAsLong`) it
+    *     surfaces as LongType ns-since-epoch. Convert ns → µs with integer
+    *     division (`div`, not `/`: double division would lose precision on
+    *     ~1.7e18 ns values) into a real TimestampType.
+    *   - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *     TIMESTAMP_NTZ. Cast to TimestampType — the session timezone is
+    *     pinned to UTC everywhere (Verify/Bench/specs), so the cast maps
+    *     wall-clock 1:1 to the same instant and `date_format` rendering
+    *     stays byte-identical to the DuckDB oracles' `strftime` (DuckDB
+    *     also reads the column naive).
+    *   - TIMESTAMP(MICROS, adjusted): already TimestampType; pass through.
+    *
+    * All downstream queries therefore see one logical schema:
+    * `ts TIMESTAMP` in UTC. SchemaDriftSpec pins this contract. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; expected INT64 nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

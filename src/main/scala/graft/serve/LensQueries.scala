@@ -537,4 +537,63 @@ object LensQueries {
 
   val distinctPairsSql: String =
     "SELECT DISTINCT event_type, user_id FROM events"
+
+  // ------------------------------------------------------- dashboard e2e
+  /** The reference's `Detail_cours` dashboard read path, composed end-to-end
+    * the way one dashboard view executes it (`kibana/export (1).ndjson:4`):
+    * drill-down filter on ONE symbol → date_histogram (day) → per-bucket
+    * last_value + avg → differences (lag delta of the closing value) →
+    * time-shift pct-change formula `(diff(last) / last(shift 1d)) * 100`.
+    *
+    * Scale shape: the drill-down filter + projection push into the parquet
+    * scan; one shuffle builds the daily buckets (per-day last_value comes
+    * from the same row_number pass the A9 operator uses — deterministic via
+    * the (ts, event_id) tiebreak). The day-ordered windows then run over the
+    * AGGREGATED series — one row per day, bounded by the calendar (≤ a few
+    * thousand rows at any corpus size) — so the unpartitioned window is a
+    * deliberate driver-sized tail, not a scale risk: its input is already
+    * one bucket per day regardless of raw-event volume. */
+  def lensDashboard(spark: SparkSession, dir: String,
+      symbol: String = "purchase"): DataFrame = {
+    val perEvent = Window.partitionBy(date_trunc("day", col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === symbol && col("value").isNotNull)
+      .withColumn("rn", row_number().over(perEvent))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg("value"), 6).as("avg_value"),
+        max(when(col("rn") === 1, col("value"))).as("last_value"))
+    val byDay = Window.orderBy("day")
+    val prev = lag("last_value", 1).over(byDay)
+    daily
+      .withColumn("diff", round(col("last_value") - prev, 6))
+      .withColumn("pct_change",
+        round((col("last_value") - prev) / nullif(prev, lit(0.0)) * 100, 6))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("avg_value"), col("last_value"),
+        col("diff"), col("pct_change"))
+  }
+
+  val lensDashboardSql: String =
+    """WITH f AS (
+      |  SELECT * FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM f),
+      |daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         ROUND(AVG(value), 6) AS avg_value,
+      |         MAX(CASE WHEN rn = 1 THEN value END) AS last_value
+      |  FROM ranked GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_events, avg_value, last_value,
+      |       ROUND(last_value - LAG(last_value) OVER (ORDER BY day), 6) AS diff,
+      |       ROUND((last_value - LAG(last_value) OVER (ORDER BY day))
+      |             / NULLIF(LAG(last_value) OVER (ORDER BY day), 0.0) * 100,
+      |             6) AS pct_change
+      |FROM daily""".stripMargin
 }

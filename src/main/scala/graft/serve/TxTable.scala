@@ -110,8 +110,37 @@ object TxTable {
     finally in.close()
   }
 
+  // --------------------------------------------------- torn-file framing
+  /** Every log file (commit + checkpoint) ends with a `#eof <n>` trailer
+    * (n = payload line count). The publish rename is atomic on HDFS/local,
+    * but on a store without atomic rename (the documented Delta-on-S3
+    * caveat) a crashed writer can leave a HALF-WRITTEN file at a committed
+    * name. Without framing, a truncated body silently parses as a shorter
+    * manifest — wrong data with no error. With it, any truncation removes
+    * the trailer (it is the last line) and a mid-line cut breaks the line
+    * count, so reads refuse loudly instead.
+    *
+    * Recovery (documented contract): a torn commit means the writer DIED
+    * mid-publish — the version never happened. Delete the torn
+    * `_txlog/NNNNNNNN.txt` and the table resolves at the previous version;
+    * the version number becomes claimable again. A torn CHECKPOINT is
+    * derivable state: delete it and reads fall back to the delta chain. */
+  private val EofPrefix = "#eof "
+
+  private def framed(lines: Seq[String]): Array[Byte] =
+    (lines :+ (EofPrefix + lines.length)).mkString("\n").getBytes("UTF-8")
+
+  private def unframe(lines: List[String], p: Path, what: String): List[String] =
+    lines.lastOption match {
+      case Some(l) if l == EofPrefix + (lines.length - 1) => lines.init
+      case _ => throw new java.io.IOException(
+        s"TxTable: $what $p is torn/truncated (bad or missing '#eof' trailer). " +
+        "A crashed writer died mid-publish: this version never committed. " +
+        s"Recover by deleting $p — the table resolves at the previous version.")
+    }
+
   private def readCommit(fs: FileSystem, path: String, v: Long): Commit = {
-    val lines = readLines(fs, commitFile(path, v))
+    val lines = unframe(readLines(fs, commitFile(path, v)), commitFile(path, v), "commit")
     val (op, body) = (lines.head, lines.tail)
     val legacyFull = body.exists(l => !l.startsWith("+") && !l.startsWith("-"))
     if (legacyFull)
@@ -132,7 +161,7 @@ object TxTable {
       entries: Seq[ManifestEntry]): Unit = {
     val tmp = new Path(logDir(path), s"_cptmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
-    try out.write(entries.map(_.line).mkString("\n").getBytes("UTF-8"))
+    try out.write(framed(entries.map(_.line)))
     finally out.close()
     if (!publish(fs, tmp, checkpointFile(path, v))) fs.delete(tmp, false)
   }
@@ -161,8 +190,11 @@ object TxTable {
     val lastReset = commits.lastIndexWhere(_._2.reset)
     val (start, tail) =
       if (lastReset >= 0) (Seq.empty[ManifestEntry], commits.drop(lastReset))
-      else (cp.map(c => readLines(fs, checkpointFile(path, c)).filter(_.nonEmpty)
-        .map(ManifestEntry.parse)).getOrElse {
+      else (cp.map { c =>
+        val f = checkpointFile(path, c)
+        unframe(readLines(fs, f), f, "checkpoint")
+          .filter(_.nonEmpty).map(ManifestEntry.parse)
+      }.getOrElse {
           // with no checkpoint and no reset in range, the delta chain is
           // only sound if it is rooted at the TABLE's first commit (v0) —
           // merely starting at the oldest SURVIVING commit is not enough:
@@ -270,7 +302,7 @@ object TxTable {
     val tmp = new Path(logDir(path), s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     val body = removes.map("-" + _) ++ adds.map("+" + _.line)
-    try out.write((op +: body).mkString("\n").getBytes("UTF-8"))
+    try out.write(framed(op +: body))
     finally out.close()
     val won = publish(fs, tmp, commitFile(path, v))
     if (!won) fs.delete(tmp, false)

@@ -46,6 +46,22 @@ class BenchTaintSpec extends AnyFunSuite {
     } finally spinners.foreach(_.destroyForcibly())
   }
 
+  test("crash sentinels are excluded from the headline total, never deducted") {
+    // all clean, no crashes: value == clean_total by construction
+    val (t1, c1) = Bench.headlineTotals(Seq((1.5, false), (2.5, false)))
+    assert(t1 == 4.0 && c1 == 4.0, "untainted green run: total must equal clean_total")
+    // a synthetic crashed query (-1 sentinel): the headline must stay the sum
+    // of the queries that RAN — never shrink by the sentinel (r7's bug made a
+    // broken run read 30 s FASTER than a green one)
+    val (t2, c2) = Bench.headlineTotals(Seq((1.5, false), (-1.0, false), (2.5, false)))
+    assert(t2 == 4.0, s"crash must not deduct from the headline: $t2")
+    assert(c2 == 4.0)
+    assert(t2 >= t1 - 1e-9, "a crash can only raise attention, never lower the number")
+    // tainted queries drop from clean_total but stay in the headline
+    val (t3, c3) = Bench.headlineTotals(Seq((1.5, false), (3.0, true), (-1.0, false)))
+    assert(t3 == 4.5 && c3 == 1.5)
+  }
+
   test("taint rule: threshold scales with wall time, floor kills jiffy noise") {
     // sub-100 ms window with one stray tick: NOT tainted (granularity floor)
     assert(!Bench.taintedWindow(extSec = 0.04, wallSec = 0.04, coresThreshold = 0.5))

@@ -247,6 +247,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(h(10L) == expected(10L) && h(11L) == expected(11L))
   }
 
+  test("TxTable torn commit refuses loudly; deleting it recovers the version") {
+    import graft.serve.TxTable
+    import spark.implicits._
+    val path = s"$root/serving/tx_torn_commit"
+    TxTable.write(spark, Seq(("a", 1.0)).toDF("doc_id", "price"), path) // v0
+    TxTable.merge(spark, Seq(("b", 2.0)).toDF("doc_id", "price"), path,
+      Seq("doc_id")) // v1
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val v1 = new org.apache.hadoop.fs.Path(path, "_txlog/00000001.txt")
+    // a writer dying mid-publish on a store without atomic rename leaves a
+    // HALF-WRITTEN commit at a committed name: replay that by truncating
+    // the file mid-body (the `#eof` trailer is the last line, so any
+    // truncation removes or corrupts it)
+    val bytes = {
+      val in = fs.open(v1)
+      try { val b = new Array[Byte](fs.getFileStatus(v1).getLen.toInt)
+        in.readFully(b); b } finally in.close()
+    }
+    def overwrite(content: Array[Byte]): Unit = {
+      fs.delete(v1, false)
+      val out = fs.create(v1, true)
+      try out.write(content) finally out.close()
+    }
+    overwrite(bytes.take(bytes.length / 2))
+    // reads touching the torn version refuse LOUDLY (never a silently
+    // shorter manifest — the pre-framing failure mode)
+    val e = intercept[java.io.IOException] { TxTable.manifest(spark, path) }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    assert(e.getMessage.contains("Recover"), "refusal must document recovery")
+    // a zero-byte torn file (crash before any flush) refuses the same way
+    overwrite(Array.emptyByteArray)
+    intercept[java.io.IOException] { TxTable.manifest(spark, path) }
+    // versions BELOW the torn commit stay readable — the damage is scoped
+    assert(TxTable.read(spark, path, Some(0L)).count() == 1L)
+    // documented recovery: the torn version never committed — delete it and
+    // the table resolves at the previous version
+    fs.delete(v1, false)
+    assert(TxTable.read(spark, path).count() == 1L)
+    // ... and the version number is claimable again: a retried writer
+    // commits as v1 and the table moves on (log-level idempotent re-commit)
+    TxTable.merge(spark, Seq(("b", 2.0)).toDF("doc_id", "price"), path,
+      Seq("doc_id"))
+    assert(TxTable.history(spark, path).head._1 == 1L)
+    assert(TxTable.read(spark, path).count() == 2L)
+  }
+
   test("TxTable change feed: deltas classify, resets diff, carries suppressed") {
     import graft.serve.TxTable
     import spark.implicits._

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Testdata physical-schema drift detection (r7 post-mortem).
+  *
+  * The driver regenerated `/root/testdata` between r6 and r7 and flipped
+  * `events.ts` from INT64 TIMESTAMP(NANOS) to TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false). The reader assumed the old layout, so the drift
+  * surfaced as 30 opaque query crashes instead of one named failure. This
+  * spec pins the LOGICAL contract each query family relies on — column name
+  * plus a tolerant type class — at the reader boundary, so the next
+  * physical-layout change fails HERE, by table name, first.
+  */
+class SchemaDriftSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // --- tolerant type classes: the semantics queries need, not the layout --
+  private val integral: DataType => Boolean = {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+  private val fractional: DataType => Boolean = {
+    case _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  private val str: DataType => Boolean = { case _: StringType => true; case _ => false }
+  /** Anything the date/window functions accept: queries over these columns
+    * only date_trunc/date_format/compare, which work identically on all
+    * three (under the UTC session timezone pinned in SparkTestSession). */
+  private val timeish: DataType => Boolean = {
+    case _: TimestampType | _: TimestampNTZType | _: DateType => true
+    case _ => false
+  }
+  /** events.ts is STRICT TimestampType: Tables.events normalizes every
+    * physical layout to one logical type so unix_timestamp /
+    * to_utc_timestamp semantics never shift under the queries. */
+  private val utcTimestamp: DataType => Boolean = {
+    case _: TimestampType => true; case _ => false
+  }
+  private val floatArray: DataType => Boolean = {
+    case ArrayType(et, _) => fractional(et); case _ => false
+  }
+
+  private val contract: Map[String, Seq[(String, DataType => Boolean, String)]] = Map(
+    "region" -> Seq(
+      ("r_regionkey", integral, "integral"), ("r_name", str, "string")),
+    "nation" -> Seq(
+      ("n_nationkey", integral, "integral"), ("n_name", str, "string"),
+      ("n_regionkey", integral, "integral")),
+    "customer" -> Seq(
+      ("c_custkey", integral, "integral"), ("c_name", str, "string"),
+      ("c_nationkey", integral, "integral"), ("c_acctbal", fractional, "fractional"),
+      ("c_mktsegment", str, "string")),
+    "supplier" -> Seq(
+      ("s_suppkey", integral, "integral"), ("s_name", str, "string"),
+      ("s_nationkey", integral, "integral"), ("s_acctbal", fractional, "fractional")),
+    "part" -> Seq(
+      ("p_partkey", integral, "integral"), ("p_name", str, "string"),
+      ("p_brand", str, "string"), ("p_type", str, "string"),
+      ("p_size", integral, "integral"), ("p_retailprice", fractional, "fractional")),
+    "orders" -> Seq(
+      ("o_orderkey", integral, "integral"), ("o_custkey", integral, "integral"),
+      ("o_orderstatus", str, "string"), ("o_totalprice", fractional, "fractional"),
+      ("o_orderdate", timeish, "timestamp-like"), ("o_orderpriority", str, "string")),
+    "lineitem" -> Seq(
+      ("l_orderkey", integral, "integral"), ("l_partkey", integral, "integral"),
+      ("l_suppkey", integral, "integral"), ("l_linenumber", integral, "integral"),
+      ("l_quantity", fractional, "fractional"),
+      ("l_extendedprice", fractional, "fractional"),
+      ("l_discount", fractional, "fractional"), ("l_tax", fractional, "fractional"),
+      ("l_returnflag", str, "string"), ("l_linestatus", str, "string"),
+      ("l_shipdate", timeish, "timestamp-like")),
+    "events" -> Seq(
+      ("event_id", integral, "integral"), ("ts", utcTimestamp, "TIMESTAMP (strict)"),
+      ("user_id", integral, "integral"), ("event_type", str, "string"),
+      ("value", fractional, "fractional"), ("props", str, "string")),
+    "documents" -> Seq(
+      ("doc_id", integral, "integral"), ("text", str, "string"),
+      ("lang", str, "string"), ("source", str, "string"),
+      ("n_chars", integral, "integral")),
+    "embeddings" -> Seq(
+      ("vec_id", integral, "integral"), ("embedding", floatArray, "array<fractional>"),
+      ("label", integral, "integral")))
+
+  private def reader(name: String): DataFrame = name match {
+    case "events" => Tables.events(spark, sf)
+    case other    => Tables.t(spark, sf, other)
+  }
+
+  test("testdata physical schema drift is detected at the reader") {
+    assert(contract.keySet == Tables.All.toSet,
+      "every Tables.All table needs a pinned logical contract")
+    val violations = Tables.All.flatMap { table =>
+      val schema = reader(table).schema
+      contract(table).flatMap { case (col, ok, want) =>
+        schema.fields.find(_.name == col) match {
+          case None => Some(s"$table.$col: column MISSING (schema: ${schema.simpleString})")
+          case Some(f) if !ok(f.dataType) =>
+            Some(s"$table.$col: read as ${f.dataType.simpleString}, queries need $want")
+          case _ => None
+        }
+      }
+    }
+    assert(violations.isEmpty,
+      "testdata drifted under the readers:\n  " + violations.mkString("\n  "))
+  }
+
+  // --- both branches of the events reader, exercised with fixtures --------
+
+  /** One instant, two physical layouts. 2023-11-14T22:13:20.123456Z. */
+  private val micros = 1700000000123456L
+
+  private def fixtureDir(sub: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-drift-$sub")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def eventsRow(tsCol: org.apache.spark.sql.Column): DataFrame =
+    spark.range(1).select(
+      col("id").as("event_id"), tsCol.as("ts"), lit(7L).as("user_id"),
+      lit("click").as("event_type"), lit(1.5).as("value"), lit("{}").as("props"))
+
+  test("events reader: LongType (legacy nanos-as-long) branch converts ns to timestamp") {
+    // a real TIMESTAMP(NANOS) file can't be written from Spark; a plain
+    // INT64 ns column reaches the reader as the same LongType the legacy
+    // nanosAsLong conf produces, driving the identical branch
+    val dir = fixtureDir("nanos")
+    eventsRow(lit(micros * 1000L + 789L)).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = Tables.events(spark, dir)
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select(unix_micros(col("ts"))).head.getLong(0)
+    assert(got == micros, s"ns→µs integer division must floor to $micros, got $got")
+  }
+
+  test("events reader: TIMESTAMP_NTZ (regenerated micros) branch casts 1:1 under UTC") {
+    val dir = fixtureDir("ntz")
+    eventsRow(timestamp_micros(lit(micros)).cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType,
+      "fixture must actually hit the NTZ branch")
+    val out = Tables.events(spark, dir)
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select(unix_micros(col("ts"))).head.getLong(0)
+    assert(got == micros,
+      s"NTZ wall-clock must map to the same UTC instant, got $got want $micros")
+  }
+
+  test("events reader: both branches yield the identical logical row") {
+    val d1 = fixtureDir("eq-long"); val d2 = fixtureDir("eq-ntz")
+    eventsRow(lit(micros * 1000L)).write.mode("overwrite")
+      .parquet(s"$d1/events.parquet")
+    eventsRow(timestamp_micros(lit(micros)).cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val a = Tables.events(spark, d1).collect().toSeq
+    val b = Tables.events(spark, d2).collect().toSeq
+    assert(a == b, s"physical layout must be invisible downstream: $a vs $b")
+  }
+}
