@@ -15,8 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // read INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) columns as
+    // TimestampType (LTZ) instead of TIMESTAMP_NTZ: the engine pins the
+    // session timezone to UTC everywhere, so the two render identically —
+    // but a native TimestampType column keeps comparisons cast-free, which
+    // is what lets timestamp range predicates reach the parquet scan as
+    // PushedFilters (row-group pruning at lake scale). An NTZ read would
+    // put a cast between every filter and the scan.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Spread a small-file input across the cluster before per-row-expensive
     * work. The small tables here are single parquet files with ONE row
@@ -54,12 +63,22 @@ object Tables {
     *   - TIMESTAMP(MICROS, adjusted): already TimestampType; pass through.
     *
     * All downstream queries therefore see one logical schema:
-    * `ts TIMESTAMP` in UTC. SchemaDriftSpec pins this contract. */
+    * `ts TIMESTAMP` in UTC. SchemaDriftSpec pins this contract. With
+    * `inferTimestampNTZ` disabled in [[t]], the micros layout already
+    * arrives as TimestampType (the zero-cost branch — filters on `ts`
+    * push into the scan); the NTZ branch stays as defense in case the
+    * read path ever surfaces NTZ again. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(t(spark, dir, "events"))
+  }
+
+  /** The layout-normalization branch, split out so every arm is testable
+    * on in-memory frames (SchemaDriftSpec) regardless of which physical
+    * layout the current testdata happens to ship. */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

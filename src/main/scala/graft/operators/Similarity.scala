@@ -740,17 +740,46 @@ object Similarity {
     }
 
   private[graft] def adaptiveCellPairsImpl(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
-    val c = corpus(spark, dir)
+      threshold: Double = 0.4, nprobe: Int = 2): DataFrame =
+    adaptiveCellPairsOf(corpus(spark, dir), threshold, nprobe)
+
+  /** The adaptive ⌈√N⌉-seed cell assignment over ANY (vec_id, emb) frame —
+    * the scoping stage shared by the kernel and the probe harness's
+    * work-count leg. */
+  private def adaptiveAssignment(vecs: DataFrame, nprobe: Int): DataFrame = {
+    val c = vecs.select(col("vec_id"), col("emb"))
+      .withColumn("nrm", norm(col("emb")))
     val n = c.count() // one scalar action; the corpus scan is reused below
     val stride = math.max(1L, math.ceil(n.toDouble / adaptiveK(n)).toLong)
     val seeds = c.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("c_label"), col("emb").as("centroid"))
-    withinCellPairs(
-      nearestCells(c, seeds, nprobe)
-        .select(col("cell"), col("vec_id"), col("emb"), col("nrm")),
-      threshold)
+    nearestCells(c, seeds, nprobe)
+      .select(col("cell"), col("vec_id"), col("emb"), col("nrm"))
   }
+
+  /** The adaptive scoping over ANY (vec_id, emb) frame — generalized like
+    * [[embeddingPairsOf]] so the probe harness can drive the kernel on
+    * replicated corpora. */
+  private[graft] def adaptiveCellPairsOf(vecs: DataFrame,
+      threshold: Double, nprobe: Int): DataFrame =
+    withinCellPairs(adaptiveAssignment(vecs, nprobe), threshold)
+
+  /** EXACT size of the candidate universe the adaptive scoping sweeps:
+    * Σ_cells C(|cell|,2) under the same assignment [[adaptiveCellPairsOf]]
+    * runs (a pair sharing two probed cells counts twice — that is the work
+    * the kernel performs before its max-dedup). The probe harness gates
+    * this count's growth exponent at ≈1.5: the Θ(N^1.5) claim is about the
+    * candidate universe, and at probe sizes the fully-parallel sweep is
+    * sub-second wall, so only the work count — deterministic and
+    * noise-free — can carry the assertion. */
+  private[graft] def adaptiveCandidatePairCount(vecs: DataFrame,
+      nprobe: Int): Long =
+    adaptiveAssignment(vecs, nprobe)
+      .groupBy("cell").agg(count(lit(1)).as("m"))
+      // div, not `/`: Spark's / is always double division; m·(m−1) is even
+      // so the integer div is exact
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
+      .head.getLong(0)
 
   /** SemDeDup with the adaptive-k scoping: same cluster/keep contract as
     * [[semanticDedup]], sub-quadratic in N with no caveat. Fully
@@ -1023,7 +1052,10 @@ object Similarity {
     * ingest" — the probe itself reads only the TxTable. */
   def semanticProbeStoredQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = storedIndexMemo.getOrElseUpdate(spark, dir) {
-      val p = s"/tmp/graft_ivf_index/${new java.io.File(dir).getName}"
+      // path keyed by the TxTable log-format version: a stale index written
+      // by an older format must miss (and rebuild) rather than torn-refuse
+      val p = s"/tmp/graft_ivf_index/v${graft.serve.TxTable.LogFormatVersion}/" +
+        new java.io.File(dir).getName
       writeIvfIndex(spark, dir, p)
       p
     }

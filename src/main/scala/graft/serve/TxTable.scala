@@ -127,6 +127,15 @@ object TxTable {
     * derivable state: delete it and reads fall back to the delta chain. */
   private val EofPrefix = "#eof "
 
+  /** On-disk log format version — bumped when the log format changes
+    * incompatibly (v2: the `#eof` torn-file framing; v1 files have no
+    * trailer and are indistinguishable from a truncated v2 file, so they
+    * must refuse). Long-lived scratch layers (the stored IVF index) key
+    * their cache paths by this, so an index persisted by an older format
+    * is simply a different path — rebuilt idempotently — never a spurious
+    * torn-commit refusal. */
+  val LogFormatVersion = 2
+
   private def framed(lines: Seq[String]): Array[Byte] =
     (lines :+ (EofPrefix + lines.length)).mkString("\n").getBytes("UTF-8")
 

@@ -83,6 +83,14 @@ object ScaleProbe {
 
   val ExponentGate = 1.5
 
+  /** Band for the `sesquilinear` class (the adaptive-k SemDeDup kernel:
+    * Θ(N^1.5) pair work by construction — k=⌈√N⌉ cells of ~nprobe·√N
+    * vectors). Wide enough for overhead dilution at probe sizes, narrow
+    * enough that a scoping edit that collapses to linear (~0.3 measured)
+    * or degrades to quadratic (~2.2 measured) fails the leg. */
+  val SesquiLo = 1.1
+  val SesquiHi = 1.9
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
@@ -126,8 +134,11 @@ object ScaleProbe {
     def emit(name: String, table: String, rs: Long, rb: Long,
         ts: Double, tb: Double, expected: String): Unit = {
       val exp = math.log(tb / ts) / math.log(rb.toDouble / rs)
-      val ok =
-        if (expected == "linear") exp < ExponentGate else exp > ExponentGate
+      val ok = expected match {
+        case "linear"       => exp < ExponentGate
+        case "sesquilinear" => exp > SesquiLo && exp < SesquiHi
+        case _              => exp > ExponentGate // quadratic
+      }
       if (expected == "linear") worst = math.max(worst, exp)
       allOk &&= ok
       println(s"""{"probe":"$name","table":"$table","rows_small":$rs,"rows_big":$rb,""" +
@@ -165,6 +176,42 @@ object ScaleProbe {
       graft.operators.Similarity.embeddingPairsOf(replicated(16), 0.4, 8))
     emit("q_semantic_dedup_exact_kernel", "embeddings_x8_vs_x16",
       baseRows * 8, baseRows * 16, tQs, tQb, "quadratic")
+
+    // the sesquilinear leg: the adaptive-k scoping (k=⌈√N⌉ strided seeds,
+    // r7). Assignment ranking is N×k = N^1.5 rows and the within-cell
+    // sweep is Σ|cell|² ≈ nprobe²·N^1.5 pairs, so the measured exponent
+    // must land BETWEEN the linear fleet and the quadratic kernel —
+    // pinning the r7 complexity claim against future scoping edits.
+    // Unlike the exact kernel (whose N² sweep dwarfs everything), the
+    // adaptive kernel's N^1.5 work is modest at probe sizes, so the leg
+    // needs two dilution controls: the replicated corpus is MATERIALIZED
+    // to parquet outside the timed window (a 16/32-branch union's
+    // planning cost is ~linear in replica count and reads as exponent→1),
+    // and nprobe=4 quadruples the pair sweep so it owns the clock.
+    def materialized(times: Int): DataFrame = {
+      val p = s"/tmp/graft_probe_replica_$times"
+      replicated(times).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val (m8, m32) = (materialized(8), materialized(32))
+    // This leg gates WORK, not wall time. Unlike the exact kernel (whose
+    // N² sweep owns the clock), the adaptive kernel's Θ(N^1.5) pair sweep
+    // is fully parallel and sub-second at any probe-affordable N, so wall
+    // time is constant+linear-dominated and the exponent unmeasurable
+    // (three timed calibrations landed 0.69–0.88 regardless of replication
+    // or min-of-k). The complexity claim is about the candidate universe
+    // the scoping generates, so the leg counts it exactly —
+    // Σ_cells C(|cell|,2) under the kernel's own assignment — which is
+    // deterministic, noise-free, and crisply (ratio^1.5) between scales.
+    val pairsS = graft.operators.Similarity.adaptiveCandidatePairCount(m8, 4)
+    val pairsB = graft.operators.Similarity.adaptiveCandidatePairCount(m32, 4)
+    val expA = math.log(pairsB.toDouble / pairsS) / math.log(4.0)
+    val okA = expA > SesquiLo && expA < SesquiHi
+    allOk &&= okA
+    println(s"""{"probe":"q_semantic_dedup_adaptive_scoping","table":"embeddings_x8_vs_x32",""" +
+      s""""rows_small":${baseRows * 8},"rows_big":${baseRows * 32},""" +
+      s""""pairs_small":$pairsS,"pairs_big":$pairsB,"exponent":${r3(expA)},""" +
+      s""""expected":"sesquilinear","unit":"candidate_pairs","ok":$okA,"linear_ok":false}""")
 
     println(s"""{"metric":"scale_probe","gate":$ExponentGate,"worst_linear_exponent":${r3(worst)},"all_ok":$allOk,"loadavg":$loadavgStart,"tainted":$tainted,"sf_small":"$sfSmall","sf_big":"$sfBig"}""")
     spark.stop()

@@ -125,31 +125,36 @@ class SchemaDriftSpec extends AnyFunSuite {
       col("id").as("event_id"), tsCol.as("ts"), lit(7L).as("user_id"),
       lit("click").as("event_type"), lit(1.5).as("value"), lit("{}").as("props"))
 
-  test("events reader: LongType (legacy nanos-as-long) branch converts ns to timestamp") {
-    // a real TIMESTAMP(NANOS) file can't be written from Spark; a plain
-    // INT64 ns column reaches the reader as the same LongType the legacy
-    // nanosAsLong conf produces, driving the identical branch
-    val dir = fixtureDir("nanos")
-    eventsRow(lit(micros * 1000L + 789L)).write.mode("overwrite")
-      .parquet(s"$dir/events.parquet")
-    val out = Tables.events(spark, dir)
+  test("events normalization: LongType (legacy nanos-as-long) arm converts ns to timestamp") {
+    // a real TIMESTAMP(NANOS) file can't be written from Spark; a LongType
+    // ns column IS what the legacy nanosAsLong conf surfaces, so driving
+    // the normalization arm directly is exact
+    val out = Tables.normalizeEventsTs(eventsRow(lit(micros * 1000L + 789L)))
     assert(out.schema("ts").dataType == TimestampType)
     val got = out.select(unix_micros(col("ts"))).head.getLong(0)
     assert(got == micros, s"ns→µs integer division must floor to $micros, got $got")
   }
 
-  test("events reader: TIMESTAMP_NTZ (regenerated micros) branch casts 1:1 under UTC") {
-    val dir = fixtureDir("ntz")
-    eventsRow(timestamp_micros(lit(micros)).cast(TimestampNTZType))
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    assert(raw.schema("ts").dataType == TimestampNTZType,
-      "fixture must actually hit the NTZ branch")
-    val out = Tables.events(spark, dir)
+  test("events normalization: TIMESTAMP_NTZ arm casts 1:1 under UTC") {
+    val ntz = eventsRow(timestamp_micros(lit(micros)).cast(TimestampNTZType))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val out = Tables.normalizeEventsTs(ntz)
     assert(out.schema("ts").dataType == TimestampType)
     val got = out.select(unix_micros(col("ts"))).head.getLong(0)
     assert(got == micros,
       s"NTZ wall-clock must map to the same UTC instant, got $got want $micros")
+  }
+
+  test("events reader: micros parquet reads as native TimestampType (pushdown-capable)") {
+    // with inferTimestampNTZ disabled at the reader, the regenerated
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) layout surfaces directly as
+    // TimestampType — no cast between a ts predicate and the parquet scan
+    val dir = fixtureDir("micros")
+    eventsRow(timestamp_micros(lit(micros)).cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Tables.events(spark, dir)
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.select(unix_micros(col("ts"))).head.getLong(0) == micros)
   }
 
   test("events reader: both branches yield the identical logical row") {
