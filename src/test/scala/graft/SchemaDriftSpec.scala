@@ -157,6 +157,35 @@ class SchemaDriftSpec extends AnyFunSuite {
     assert(out.select(unix_micros(col("ts"))).head.getLong(0) == micros)
   }
 
+  test("timestamp range predicates reach the parquet scan as PushedFilters") {
+    // the point of reading timestamps natively (inferTimestampNTZ=false)
+    // instead of casting: a cast between predicate and scan kills pushdown,
+    // which at lake scale is row-group pruning vs a full-table read. Pin
+    // the plan so a reader change cannot silently regress it.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanOf(q: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
+    }
+    // lineitem: the registered range-scan query (P3/P6)
+    val li = scanOf(graft.serve.LensQueries.filterRangeProject(spark, sf))
+    val liPushed = li.metadata("PushedFilters")
+    assert(liPushed.contains("GreaterThanOrEqual(l_shipdate") &&
+           liPushed.contains("LessThan(l_shipdate"),
+      s"l_shipdate range must push into the scan, got: $liPushed")
+    // events: a ts predicate through the normalizing reader
+    val ev = scanOf(Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-02").cast(TimestampType))
+      .select("event_id", "ts"))
+    val evPushed = ev.metadata("PushedFilters")
+    assert(evPushed.contains("GreaterThanOrEqual(ts"),
+      s"ts range must push into the events scan, got: $evPushed")
+  }
+
   test("events reader: both branches yield the identical logical row") {
     val d1 = fixtureDir("eq-long"); val d2 = fixtureDir("eq-ntz")
     eventsRow(lit(micros * 1000L)).write.mode("overwrite")
