@@ -108,6 +108,11 @@ object SparkEntry {
     ("q_repetition_metrics", TextFunctions.repetitionQuery _, Some(TextFunctions.repetitionQuerySql)),
     ("q_mixture_weights", graft.operators.Curation.mixtureWeights _,
       Some(graft.operators.Curation.mixtureWeightsSql)),
+    // DSIR importance resampling (Xie et al. 2023): hashed-n-gram LM ratio
+    // weights against a target corpus, deterministic top-fraction selection
+    ("q_dsir_weights",
+      ((s: SparkSession, d: String) => graft.operators.Curation.dsirWeights(s, d)): Q,
+      Some(graft.operators.Curation.dsirWeightsSql())),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
     // RefinedWeb-style source/domain gating: rank sources by quality − dup rate
     ("q_source_reputation",

@@ -719,4 +719,114 @@ object Curation {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
       |        ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
       |WHERE rk <= 5""".stripMargin
+
+  // ------------------------------------------------------------------ DSIR
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every source document by how much its
+    * hashed-n-gram distribution looks like a TARGET corpus, then keep the
+    * top fraction. The published recipe, Spark-first:
+    *
+    *  1. features = bag of word unigrams + bigrams, hashed into `buckets`
+    *     bins (the paper's hashed n-gram feature space; the engine-portable
+    *     `poly_token_hash` so the DuckDB oracle reproduces the binning);
+    *  2. two smoothed bag-of-ngrams LMs over the bins: target p̂ (here the
+    *     `lang = 'en'` subset — the clean-corpus stand-in this synthetic
+    *     lake offers) and source q̂ (the whole corpus), add-α smoothing;
+    *  3. per-doc importance weight log w(x) = Σ_features (ln p̂(b) − ln q̂(b))
+    *     over the doc's feature OCCURRENCES (the paper's product over the
+    *     bag, in log space);
+    *  4. `selected` = top ⌈keepFrac·N⌉ docs by (log weight, doc_id) — the
+    *     deterministic rank form of the paper's importance resampling.
+    *
+    * Scale shape: one explode keyed by bucket (feature rows ≈ 2·tokens),
+    * two B-row bucket aggregates, the B-row log-ratio table BROADCAST back
+    * onto the feature stream, and one doc-keyed partial-agg sum — no
+    * full-corpus shuffle wider than the feature explode the tokenizer
+    * already pays elsewhere. The final exact rank is an N-row window for
+    * oracle parity; a 100 TB deployment thresholds on an approximate
+    * quantile of log w instead (one pass, no global sort). */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096,
+      alpha: Double = 0.01, keepFrac: Double = 0.2): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val toked = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokens(col("text")).as("t"))
+    val feats = toked.select(col("doc_id"), col("lang"),
+        explode(concat(col("t"), TextFunctions.ngrams(col("t"), 2))).as("f"))
+      .withColumn("b", pmod(
+        graft.functions.HashExpressions.poly_token_hash(
+          concat(col("f"), lit(":dsir"))),
+        lit(buckets.toLong)))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val src = feats.groupBy("b").agg(count(lit(1)).as("cs"))
+    val totals = tgt.agg(sum("ct").as("tt")).crossJoin(src.agg(sum("cs").as("ts")))
+    val aB = alpha * buckets
+    val ratio = src.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
+         log((col("cs") + alpha) / (col("ts") + aB))).as("lr"))
+    val w = feats.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("lw"))
+    // total coverage: a token-less doc carries zero features and weight 0
+    val full = docs.select("doc_id").join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("lw"), lit(0.0)).as("lw"))
+    val rk = Window.orderBy(col("lw").desc, col("doc_id").asc)
+    full
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("lw"), 6).as("log_weight"),
+        (col("rk") <= ceil(col("n") * keepFrac)).as("selected"))
+  }
+
+  /** DuckDB oracle for [[dsirWeights]] — re-derives the tokenization, the
+    * portable hash binning, both smoothed LMs, the log-weight sum, and the
+    * rank selection. */
+  def dsirWeightsSql(buckets: Int = 4096, alpha: Double = 0.01,
+      keepFrac: Double = 0.2): String = {
+    val mix = TextFunctions.polyMixSql("f || ':dsir'")
+    val signed = TextFunctions.wrapSignedSql("hu")
+    raw"""WITH toked AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |uni AS (SELECT doc_id, lang, UNNEST(toks) AS f FROM toked),
+      |bi AS (
+      |  SELECT doc_id, lang, UNNEST(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [] END) AS f
+      |  FROM toked),
+      |feats AS (
+      |  SELECT doc_id, lang, ((hb % $buckets) + $buckets) % $buckets AS b
+      |  FROM (SELECT doc_id, lang, $signed AS hb
+      |        FROM (SELECT doc_id, lang, $mix AS hu
+      |              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)))),
+      |tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+      |src AS (SELECT b, COUNT(*) AS cs FROM feats GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(ct) FROM tgt) AS tt, (SELECT SUM(cs) FROM src) AS ts),
+      |ratio AS (
+      |  SELECT b,
+      |    ln((COALESCE(ct, 0) + $alpha) / (tt + ${alpha * buckets}))
+      |      - ln((cs + $alpha) / (ts + ${alpha * buckets})) AS lr
+      |  FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      |w AS (
+      |  SELECT doc_id, COUNT(*) AS n_feats, SUM(lr) AS lw
+      |  FROM feats JOIN ratio USING (b) GROUP BY 1),
+      |fullw AS (
+      |  SELECT d.doc_id, COALESCE(w.n_feats, 0) AS n_feats,
+      |         COALESCE(w.lw, 0.0) AS lw
+      |  FROM documents d LEFT JOIN w USING (doc_id)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY lw DESC, doc_id ASC) AS rk,
+      |         COUNT(*) OVER () AS n
+      |  FROM fullw)
+      |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+      |       ROUND(lw, 6) AS log_weight,
+      |       rk <= CEIL(n * $keepFrac) AS selected
+      |FROM ranked""".stripMargin
+  }
 }

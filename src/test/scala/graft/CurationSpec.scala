@@ -192,6 +192,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR: en target scores higher, selection is the exact top fraction") {
+    val w = graft.operators.Curation.dsirWeights(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .cache()
+    val n = w.count()
+    // selection cardinality: exactly ceil(keepFrac * N), deterministic
+    val kept = w.filter(col("selected")).count()
+    assert(kept == math.ceil(0.2 * n).toLong, s"kept $kept of $n")
+    // the method's point: documents from the target language model (en)
+    // must average a higher importance weight than the rest of the corpus
+    val means = w.groupBy(col("lang") === "en")
+      .agg(avg("log_weight").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} must exceed non-en mean ${means(false)}")
+    // and the selected set should be overwhelmingly target-like
+    val keptEn = w.filter(col("selected") && col("lang") === "en").count()
+    assert(keptEn.toDouble / kept > 0.9,
+      s"top-20% should be dominated by target-like docs: $keptEn/$kept en")
+  }
+
   test("tfidf: k per lang, rank ordered, df consistent") {
     val t = Curation.tfidfTopTerms(spark, sf).collect()
     val byLang = t.groupBy(_.getString(0))
