@@ -206,6 +206,10 @@ object SparkEntry {
     ("q_decontaminate",
       ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)): Q,
       Some(graft.operators.Curation.decontaminateSql())),
+    // sliding token-window chunking with tail anchoring (context-window prep)
+    ("q_chunk_documents",
+      ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocuments(s, d)): Q,
+      Some(graft.operators.Packing.chunkDocumentsSql())),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,
       Some(graft.operators.Packing.packContiguousSql())),

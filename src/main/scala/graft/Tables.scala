@@ -73,6 +73,16 @@ object Tables {
     normalizeEventsTs(t(spark, dir, "events"))
   }
 
+  /** THE logical events schema every consumer sees after normalization —
+    * the single source for the streaming reader's mandatory explicit
+    * schema (a file-source stream given a drifted schema silently yields
+    * NULLs, not an error, so a private copy would bypass the drift
+    * detection SchemaDriftSpec provides; that spec asserts the batch
+    * reader's output equals this DDL exactly). */
+  val EventsSchemaDdl: String =
+    "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
+
   /** The layout-normalization branch, split out so every arm is testable
     * on in-memory frames (SchemaDriftSpec) regardless of which physical
     * layout the current testdata happens to ship. */

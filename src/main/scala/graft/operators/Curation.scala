@@ -745,29 +745,55 @@ object Curation {
     * already pays elsewhere. The final exact rank is an N-row window for
     * oracle parity; a 100 TB deployment thresholds on an approximate
     * quantile of log w instead (one pass, no global sort). */
-  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096,
-      alpha: Double = 0.01, keepFrac: Double = 0.2): DataFrame = {
-    val docs = Tables.spread(spark, Tables.documents(spark, dir))
-    val toked = docs.select(col("doc_id"), col("lang"),
-      TextFunctions.tokens(col("text")).as("t"))
-    val feats = toked.select(col("doc_id"), col("lang"),
-        explode(concat(col("t"), TextFunctions.ngrams(col("t"), 2))).as("f"))
+  /** Hashed unigram+bigram feature stream of a (doc_id, lang?, text)
+    * frame — DSIR's feature space, shared by offline LM training and the
+    * ingest-time gate so the two can never bin differently. */
+  private[graft] def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(docs.columns.filter(_ != "text").map(col) :+
+        TextFunctions.tokens(col("text")).as("t"): _*)
+      .withColumn("f", explode(concat(col("t"), TextFunctions.ngrams(col("t"), 2))))
+      .drop("t")
       .withColumn("b", pmod(
         graft.functions.HashExpressions.poly_token_hash(
           concat(col("f"), lit(":dsir"))),
         lit(buckets.toLong)))
-    val tgt = feats.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val src = feats.groupBy("b").agg(count(lit(1)).as("cs"))
-    val totals = tgt.agg(sum("ct").as("tt")).crossJoin(src.agg(sum("cs").as("ts")))
+
+  /** The TRAINED selection model: per-bucket log(p̂_target/q̂_source) under
+    * add-α smoothing — a B-row table a production pipeline materializes
+    * offline and broadcasts at ingest (StreamSelect does exactly that). */
+  private[graft] def dsirRatio(spark: SparkSession, dir: String,
+      buckets: Int = 4096, alpha: Double = 0.01): DataFrame = {
+    val feats = dsirFeatures(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select("doc_id", "lang", "text"), buckets)
+    // BOTH bucket LMs from ONE pass over the feature stream (a conditional
+    // sum rides the same partial aggregation as the total count — a
+    // filter-then-regroup would pay the explode and shuffle twice more)
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cs").as("ts"), sum("ct").as("tt"))
     val aB = alpha * buckets
-    val ratio = src.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
+        (log((col("ct") + alpha) / (col("tt") + aB)) -
          log((col("cs") + alpha) / (col("ts") + aB))).as("lr"))
-    val w = feats.join(broadcast(ratio), "b")
+  }
+
+  /** Per-doc log importance weight of ANY (doc_id, text) frame under a
+    * trained ratio table — the scoring kernel the batch query and the
+    * streaming gate share. */
+  private[graft] def dsirScore(docs: DataFrame, ratio: DataFrame,
+      buckets: Int): DataFrame =
+    dsirFeatures(docs.select("doc_id", "text"), buckets)
+      .join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("lr").as("lw"))
+
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096,
+      alpha: Double = 0.01, keepFrac: Double = 0.2): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val w = dsirScore(docs, dsirRatio(spark, dir, buckets, alpha), buckets)
     // total coverage: a token-less doc carries zero features and weight 0
     val full = docs.select("doc_id").join(w, Seq("doc_id"), "left")
       .select(col("doc_id"),

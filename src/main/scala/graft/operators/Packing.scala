@@ -153,6 +153,69 @@ object Packing {
     * advancing every language's chain by one document. Exact because the
     * kernel's order (lang, doc_id) and its open-new-bin rule are both
     * replicated; recursion depth = max docs per language. */
+  // ------------------------------------------------------------- chunking
+  /** Overlapping token-window chunking — the tokenize-and-split step that
+    * turns variable-length documents into training-window-sized pieces
+    * (the fixed-context precursor to packing): windows of `window` tokens
+    * every `stride` tokens, plus one END-ANCHORED window whenever the
+    * stride grid would strand a tail shorter than `window` — with
+    * stride ≤ window this guarantees every token lands in ≥ 1 chunk
+    * (sliding-window chunking with tail anchoring, as used by
+    * context-window preprocessors). Entirely row-local higher-order-
+    * function arithmetic (sequence/slice/explode — no UDF, no shuffle):
+    * each document expands to its own chunks wherever it already lives.
+    * Chunk content is reported as md5 of the space-joined window (exact,
+    * engine-portable) so the oracle verifies the tokens themselves. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 32): DataFrame = {
+    require(stride <= window, "stride > window would strand tokens between chunks")
+    val toked = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val anchor = greatest(lit(1), col("n") - (window - 1))
+    toked
+      .withColumn("starts", array_union(
+        sequence(lit(1), anchor, lit(stride)), array(anchor)))
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(col("starts")).as(Seq("chunk_pos", "s")))
+      .withColumn("chunk", slice(col("t"), col("s"), lit(window)))
+      .select(col("doc_id"), col("chunk_pos"),
+        col("s").as("start_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_sig"))
+  }
+
+  /** DuckDB oracle for [[chunkDocuments]] — same tokenization, stride
+    * grid, tail anchor, slicing, and md5 rendering. */
+  def chunkDocumentsSql(window: Int = 64, stride: Int = 32): String =
+    raw"""WITH toked AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS t
+      |  FROM documents),
+      |sized AS (SELECT doc_id, t, len(t) AS n FROM toked),
+      |grid AS (
+      |  SELECT doc_id, t, n,
+      |    greatest(1, n - ${window - 1}) AS anchor,
+      |    range(1, greatest(1, n - ${window - 1}) + 1, $stride) AS base
+      |  FROM sized),
+      |st AS (
+      |  SELECT doc_id, t,
+      |    CASE WHEN list_contains(base, anchor) THEN base
+      |         ELSE list_append(base, anchor) END AS starts
+      |  FROM grid),
+      |ex AS (
+      |  SELECT doc_id, t,
+      |    UNNEST(list_transform(range(len(starts)),
+      |      i -> struct_pack(pos := i, s := starts[i + 1]))) AS u
+      |  FROM st)
+      |SELECT doc_id,
+      |  CAST(u.pos AS INT) AS chunk_pos,
+      |  CAST(u.s AS INT) AS start_idx,
+      |  CAST(len(list_slice(t, u.s, u.s + ${window - 1})) AS INT) AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(t, u.s, u.s + ${window - 1}), ' ')) AS chunk_sig
+      |FROM ex""".stripMargin
+
   def packNextFitSql(budget: Int = DefaultBudget): String =
     s"""WITH RECURSIVE toked AS (
        |  SELECT doc_id, lang,

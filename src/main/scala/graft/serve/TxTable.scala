@@ -142,10 +142,26 @@ object TxTable {
   private def unframe(lines: List[String], p: Path, what: String): List[String] =
     lines.lastOption match {
       case Some(l) if l == EofPrefix + (lines.length - 1) => lines.init
-      case _ => throw new java.io.IOException(
-        s"TxTable: $what $p is torn/truncated (bad or missing '#eof' trailer). " +
-        "A crashed writer died mid-publish: this version never committed. " +
-        s"Recover by deleting $p — the table resolves at the previous version.")
+      case _ =>
+        // recovery advice must match what the file IS: a torn checkpoint is
+        // derivable state (the version itself committed fine), while a torn
+        // commit means the writer died mid-publish and the version never
+        // happened — and a table whose WHOLE log lacks trailers is a
+        // pre-v2 (trailer-less format) table, where deleting "the torn
+        // file" one read at a time would serially destroy a healthy log
+        val recovery =
+          if (what == "checkpoint")
+            s"A checkpoint is derivable state: delete $p and reads fall " +
+            "back to the delta chain — the version itself is still committed."
+          else
+            s"If ONLY this file lacks the trailer, a crashed writer died " +
+            s"mid-publish and this version never committed: delete $p and " +
+            "the table resolves at the previous version. If EVERY commit " +
+            "in the log lacks a trailer, this is a pre-v2 trailer-less " +
+            "table — do NOT delete files one by one; migrate or re-ingest it."
+        throw new java.io.IOException(
+          s"TxTable: $what $p is torn/truncated (bad or missing '#eof' trailer). " +
+          recovery)
     }
 
   private def readCommit(fs: FileSystem, path: String, v: Long): Commit = {

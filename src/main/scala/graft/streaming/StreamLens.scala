@@ -29,12 +29,14 @@ object StreamLens {
 
   /** Streaming scan of an events DIRECTORY (file-source streams take a
     * directory of part-files — the live-ingest layout — not a single
-    * file). Explicit schema is mandatory for file streams; `ts TIMESTAMP`
-    * reads the micros layout natively as the batch reader does. */
+    * file). Explicit schema is mandatory for file streams; it is the ONE
+    * shared `Tables.EventsSchemaDdl` (pinned against the batch reader by
+    * SchemaDriftSpec) because a file stream fills columns missing from
+    * the physical files with silent NULLs rather than failing — a private
+    * schema copy here would bypass the drift detection. */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
     spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
-        "event_type STRING, value DOUBLE, props STRING")
+      .schema(graft.Tables.EventsSchemaDdl)
       .parquet(eventsDir)
 
   /** The live per-day aggregate behind the dashboard: one row per day,

@@ -133,12 +133,11 @@ object ScaleProbe {
     var allOk = true
     def emit(name: String, table: String, rs: Long, rb: Long,
         ts: Double, tb: Double, expected: String): Unit = {
+      // emit handles the two WALL-TIME classes; the sesquilinear class is
+      // work-count-based and has its own emission in the adaptive leg below
       val exp = math.log(tb / ts) / math.log(rb.toDouble / rs)
-      val ok = expected match {
-        case "linear"       => exp < ExponentGate
-        case "sesquilinear" => exp > SesquiLo && exp < SesquiHi
-        case _              => exp > ExponentGate // quadratic
-      }
+      val ok =
+        if (expected == "linear") exp < ExponentGate else exp > ExponentGate
       if (expected == "linear") worst = math.max(worst, exp)
       allOk &&= ok
       println(s"""{"probe":"$name","table":"$table","rows_small":$rs,"rows_big":$rb,""" +

@@ -47,6 +47,31 @@ class PackingSpec extends AnyFunSuite {
     assert(out.map(_._4) == List("null_0", "null_1", "en_0"))
   }
 
+  test("chunking: every token covered, windows bounded, tail anchored") {
+    import org.apache.spark.sql.functions._
+    val w = 64; val stride = 32
+    val chunks = graft.operators.Packing.chunkDocuments(spark, sf, w, stride)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+    val per = chunks.groupBy("doc_id").agg(
+        min("start_idx").as("first_s"),
+        max(col("start_idx") + col("n_chunk_tokens") - 1).as("last_end"),
+        max("n_chunk_tokens").as("max_w"),
+        count(lit(1)).as("n_chunks"))
+      .join(toks, "doc_id").cache()
+    assert(per.count() == toks.count(), "every doc chunks (even empty ones)")
+    // windows start at 1 and never exceed the window size
+    assert(per.filter(col("first_s") =!= 1).count() == 0)
+    assert(per.filter(col("max_w") > w).count() == 0)
+    // tail anchoring: the last window ends exactly at the doc's last token
+    // (for non-empty docs), so no token is stranded; with stride <= window
+    // consecutive starts overlap, so coverage is total
+    assert(per.filter(col("n") > 0 && col("last_end") =!= col("n")).count() == 0,
+      "anchored final window must end at token n")
+    // a doc with n <= window has exactly one chunk
+    assert(per.filter(col("n") <= w && col("n_chunks") =!= 1).count() == 0)
+  }
+
   test("next-fit wastes less budget than pathological and beats doc-per-pack") {
     val p = Packing.packNextFit(spark, sf).collect()
     val nPacks = p.map(_.getAs[String]("pack_key")).distinct.length

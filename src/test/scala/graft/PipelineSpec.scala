@@ -276,7 +276,9 @@ class PipelineSpec extends AnyFunSuite {
     // shorter manifest — the pre-framing failure mode)
     val e = intercept[java.io.IOException] { TxTable.manifest(spark, path) }
     assert(e.getMessage.contains("torn"), e.getMessage)
-    assert(e.getMessage.contains("Recover"), "refusal must document recovery")
+    assert(e.getMessage.contains("previous version") &&
+           e.getMessage.contains("trailer-less"),
+      "refusal must document recovery AND warn about pre-v2 tables: " + e.getMessage)
     // a zero-byte torn file (crash before any flush) refuses the same way
     overwrite(Array.emptyByteArray)
     intercept[java.io.IOException] { TxTable.manifest(spark, path) }

@@ -91,6 +91,17 @@ class SchemaDriftSpec extends AnyFunSuite {
     case other    => Tables.t(spark, sf, other)
   }
 
+  test("the batch events reader matches the shared streaming schema exactly") {
+    // Tables.EventsSchemaDdl is the explicit schema the file-source stream
+    // MUST be given (streams silently null-fill on drift instead of
+    // failing); equality with the batch reader's output schema is what
+    // makes this spec the drift detector for the streaming path too
+    val want = org.apache.spark.sql.types.StructType.fromDDL(Tables.EventsSchemaDdl)
+    val got = Tables.events(spark, sf).schema
+    assert(got == want,
+      s"events logical schema drifted from Tables.EventsSchemaDdl:\n$got\nvs\n$want")
+  }
+
   test("testdata physical schema drift is detected at the reader") {
     assert(contract.keySet == Tables.All.toSet,
       "every Tables.All table needs a pinned logical contract")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+import graft.serve.TxTable
+import graft.streaming.StreamSelect
+import java.nio.file.Files
+
+/** Ingest-time DSIR gate: offline-trained LM ratio table, per-batch
+  * scoring, atomic TxTable MERGE — streamed decisions must equal the batch
+  * pipeline's weights exactly (shared binning/smoothing kernels). */
+class StreamSelectSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streamed selection equals batch weights; replay is idempotent") {
+    val root = Files.createTempDirectory("stream_select").toString
+    // the "arriving" half of the corpus: odd doc_ids
+    val arriving = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    arriving.write.mode("overwrite").parquet(s"$root/in")
+    // offline training over the WHOLE lake (the nightly job)
+    val ratio = Curation.dsirRatio(spark, sf).cache()
+    val table = s"$root/decisions"
+    StreamSelect.selectStreamTx(spark, s"$root/in", ratio, table, s"$root/ckpt")
+    val streamed = TxTable.read(spark, table).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("log_weight"),
+        r.getAs[Boolean]("keep"))).toSet
+    // batch truth: the registered q_dsir_weights pipeline's weights for
+    // the same docs (same ratio, same kernels), thresholded at 0
+    val batch = StreamSelect.selectGate(arriving, ratio).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("log_weight"),
+        r.getAs[Boolean]("keep"))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) ==
+      arriving.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "total coverage: every arriving doc gets a decision")
+    // the weights must ALSO match the registered batch query bit-for-bit
+    val registered = Curation.dsirWeights(spark, sf)
+      .select(col("doc_id"), col("log_weight"))
+      .filter(col("doc_id") % 2 === 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed.map(t => (t._1, t._2)) == registered,
+      "gate and registered query share kernels — weights must be identical")
+    // replay from a fresh checkpoint: decisions converge to the same table
+    StreamSelect.selectStreamTx(spark, s"$root/in", ratio, table, s"$root/ckpt2")
+    val replayed = TxTable.read(spark, table).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("log_weight"),
+        r.getAs[Boolean]("keep"))).toSet
+    assert(replayed == streamed)
+  }
+}
