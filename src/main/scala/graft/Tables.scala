@@ -83,6 +83,16 @@ object Tables {
     "event_id LONG, ts TIMESTAMP, user_id LONG, " +
       "event_type STRING, value DOUBLE, props STRING"
 
+  /** The (doc_id, text) drop-stream projection contract shared by the
+    * ingest gates (StreamCurate/StreamSelect) — same rationale as
+    * [[EventsSchemaDdl]]: a file stream null-fills on drift instead of
+    * failing, so every gate must read ONE pinned schema
+    * (SchemaDriftSpec asserts conformance with the documents reader). */
+  val DocTextSchemaDdl: String = "doc_id LONG, text STRING"
+
+  /** The (vec_id, emb) embedding drop-stream contract (StreamSemantic). */
+  val VecSchemaDdl: String = "vec_id LONG, emb ARRAY<DOUBLE>"
+
   /** The layout-normalization branch, split out so every arm is testable
     * on in-memory frames (SchemaDriftSpec) regardless of which physical
     * layout the current testdata happens to ship. */

@@ -759,8 +759,15 @@ object Curation {
         lit(buckets.toLong)))
 
   /** The TRAINED selection model: per-bucket log(p̂_target/q̂_source) under
-    * add-α smoothing — a B-row table a production pipeline materializes
-    * offline and broadcasts at ingest (StreamSelect does exactly that). */
+    * add-α smoothing — a table a production pipeline materializes offline
+    * and broadcasts at ingest (StreamSelect does exactly that). DENSE over
+    * the FULL bucket space [0, B): a bucket no training feature hashed to
+    * still gets its smoothed floor log((0+α)/(tt+αB)) − log((0+α)/(ts+αB)),
+    * so scoring a document with vocabulary the lake has never seen applies
+    * the add-α smoothing instead of silently dropping those features (an
+    * inner join against a sparse, corpus-driven table would zero-count
+    * them — wrong for the ingest gate, whose whole input is novel docs).
+    * Exactly B rows regardless of corpus size. */
   private[graft] def dsirRatio(spark: SparkSession, dir: String,
       buckets: Int = 4096, alpha: Double = 0.01): DataFrame = {
     val feats = dsirFeatures(
@@ -774,10 +781,11 @@ object Curation {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
     val totals = counts.agg(sum("cs").as("ts"), sum("ct").as("tt"))
     val aB = alpha * buckets
-    counts.crossJoin(broadcast(totals))
+    val spine = spark.range(buckets).select(col("id").as("b"))
+    spine.join(counts, Seq("b"), "left").crossJoin(broadcast(totals))
       .select(col("b"),
-        (log((col("ct") + alpha) / (col("tt") + aB)) -
-         log((col("cs") + alpha) / (col("ts") + aB))).as("lr"))
+        (log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
+         log((coalesce(col("cs"), lit(0L)) + alpha) / (col("ts") + aB))).as("lr"))
   }
 
   /** Per-doc log importance weight of ANY (doc_id, text) frame under a

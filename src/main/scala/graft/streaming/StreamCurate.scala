@@ -54,7 +54,7 @@ object StreamCurate {
   def curateStreamTx(spark: SparkSession, inDir: String,
       staticIndex: DataFrame, tablePath: String, checkpoint: String,
       minQuality: Double = 0.3, minTokens: Int = 10): Unit = {
-    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+    val stream = spark.readStream.schema(graft.Tables.DocTextSchemaDdl)
       .parquet(inDir)
     val q = stream.writeStream
       .outputMode("append")

@@ -29,13 +29,20 @@ object StreamSelect {
     * least as target-like as the source average"). Total coverage: a
     * token-less doc has weight 0 and passes at the default threshold. */
   def selectGate(newDocs: DataFrame, ratio: DataFrame,
-      buckets: Int = 4096, threshold: Double = 0.0): DataFrame =
-    newDocs.select("doc_id")
-      .join(Curation.dsirScore(newDocs, ratio, buckets), Seq("doc_id"), "left")
+      buckets: Int = 4096, threshold: Double = 0.0): DataFrame = {
+    // one row per doc BEFORE scoring: a producer retry can land the same
+    // doc twice in one micro-batch, and dsirScore's groupBy would sum
+    // features across the copies — doubling the weight (and flipping
+    // keep at any nonzero threshold) rather than emitting a duplicate
+    // row the merge would collapse
+    val batch = newDocs.select("doc_id", "text").dropDuplicates("doc_id")
+    batch.select("doc_id")
+      .join(Curation.dsirScore(batch, ratio, buckets), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         round(coalesce(col("lw"), lit(0.0)), 6).as("log_weight"))
       .withColumn("keep", col("log_weight") >= threshold)
+  }
 
   /** Streaming deployment: replay (doc_id, text) parquet drops from
     * `inDir`, score each micro-batch against the offline-trained `ratio`
@@ -44,7 +51,7 @@ object StreamSelect {
   def selectStreamTx(spark: SparkSession, inDir: String, ratio: DataFrame,
       tablePath: String, checkpoint: String,
       buckets: Int = 4096, threshold: Double = 0.0): Unit = {
-    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+    val stream = spark.readStream.schema(graft.Tables.DocTextSchemaDdl)
       .parquet(inDir)
     val q = stream.writeStream
       .outputMode("append")

@@ -66,7 +66,7 @@ object StreamSemantic {
       threshold: Double = 0.4, nprobe: Int = 2): Unit = {
     val cents = graft.serve.TxTable.read(spark, s"$indexPath/centroids")
     val cells = graft.serve.TxTable.read(spark, s"$indexPath/cells")
-    val stream = spark.readStream.schema("vec_id LONG, emb ARRAY<DOUBLE>")
+    val stream = spark.readStream.schema(graft.Tables.VecSchemaDdl)
       .parquet(inDir)
     val q = stream.writeStream
       .outputMode("append")

@@ -72,6 +72,11 @@ object ScaleProbe {
       (s: SparkSession, d: String) => graft.operators.Invariants.minhashPrecision(s, d)),
     ("q_modality_agreement_lsh", "documents",
       (s: SparkSession, d: String) => graft.operators.Curation.modalityAgreementLsh(s, d)),
+    // r8 additions: the two new document pipelines
+    ("q_dsir_weights", "documents",
+      (s: SparkSession, d: String) => graft.operators.Curation.dsirWeights(s, d)),
+    ("q_chunk_documents", "documents",
+      (s: SparkSession, d: String) => graft.operators.Packing.chunkDocuments(s, d)),
     ("q_semantic_dedup", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.semanticDedup(s, d)),
     ("q_semantic_dedup_adaptive", "embeddings",
@@ -164,17 +169,23 @@ object ScaleProbe {
           (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"), col("emb")))
         .reduce(_ unionByName _)
     }
-    // 8× vs 16× (not 4×/8×): at 4× the sweep is ~1.4 s of which ~0.55 s is
-    // fixed planning/shuffle overhead, diluting the measured exponent to
-    // ~1.49 — right on the gate. Doubling both sides puts ≥ 85% of the
-    // clock in the pair loop (measured exponent ~1.8).
+    // 16× vs 32× with MIN-of-two cold runs per side. Both defenses are
+    // load-bearing: single runs carry GC/JIT noise that can INFLATE either
+    // side (one observed 2.56/6.83 → 1.41), and min-of-2 then exposed that
+    // at 8×/16× the honest steady state was ALSO under the gate — ~0.86 s
+    // of fixed planning/shuffle overhead on a 2.1 s small side dilutes a
+    // by-construction-quadratic kernel to a measured ~1.47. At 16×/32× the
+    // overhead is ~15% of the small side and the sweep owns the clock
+    // (expected measured ~1.8).
     val baseRows = rowsOf(sfBig, "embeddings")
-    val tQs = timeCold(
-      graft.operators.Similarity.embeddingPairsOf(replicated(8), 0.4, 8))
-    val tQb = timeCold(
+    def minOf2(thunk: => DataFrame): Double =
+      math.min(timeCold(thunk), timeCold(thunk))
+    val tQs = minOf2(
       graft.operators.Similarity.embeddingPairsOf(replicated(16), 0.4, 8))
-    emit("q_semantic_dedup_exact_kernel", "embeddings_x8_vs_x16",
-      baseRows * 8, baseRows * 16, tQs, tQb, "quadratic")
+    val tQb = minOf2(
+      graft.operators.Similarity.embeddingPairsOf(replicated(32), 0.4, 8))
+    emit("q_semantic_dedup_exact_kernel", "embeddings_x16_vs_x32",
+      baseRows * 16, baseRows * 32, tQs, tQb, "quadratic")
 
     // the sesquilinear leg: the adaptive-k scoping (k=⌈√N⌉ strided seeds,
     // r7). Assignment ranking is N×k = N^1.5 rows and the within-cell

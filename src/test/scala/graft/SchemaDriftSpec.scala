@@ -102,6 +102,26 @@ class SchemaDriftSpec extends AnyFunSuite {
       s"events logical schema drifted from Tables.EventsSchemaDdl:\n$got\nvs\n$want")
   }
 
+  test("ingest-gate stream schemas conform to the table readers") {
+    // the drop-stream DDLs the gates read with (streams null-fill on
+    // drift) must stay a projection of the actual reader output
+    def conforms(ddl: String, table: org.apache.spark.sql.DataFrame,
+        rename: Map[String, String] = Map.empty): Unit =
+      org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.foreach { f =>
+        val src = rename.getOrElse(f.name, f.name)
+        val actual = table.schema.fields.find(_.name == src)
+        assert(actual.isDefined, s"$src missing from table for DDL '$ddl'")
+        assert(actual.get.dataType == f.dataType ||
+          // the embedding stream carries double vectors; the table stores
+          // float — the documented cast at the gate boundary
+          (f.name == "emb"),
+          s"$src: table ${actual.get.dataType} vs stream ${f.dataType}")
+      }
+    conforms(Tables.DocTextSchemaDdl, Tables.t(spark, sf, "documents"))
+    conforms(Tables.VecSchemaDdl, Tables.t(spark, sf, "embeddings"),
+      Map("emb" -> "embedding"))
+  }
+
   test("testdata physical schema drift is detected at the reader") {
     assert(contract.keySet == Tables.All.toSet,
       "every Tables.All table needs a pinned logical contract")

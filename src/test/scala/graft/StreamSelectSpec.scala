@@ -49,4 +49,27 @@ class StreamSelectSpec extends AnyFunSuite {
         r.getAs[Boolean]("keep"))).toSet
     assert(replayed == streamed)
   }
+
+  test("novel vocabulary is smoothed, not dropped; in-batch duplicates score once") {
+    import spark.implicits._
+    val ratio = Curation.dsirRatio(spark, sf).cache()
+    // a doc whose vocabulary the lake has never seen: every feature hashes
+    // to SOME bucket of the dense ratio table and must receive the add-α
+    // floor — not be silently discarded by the scoring join
+    val novel = Seq((900001L, "zzqx wvvk pflm zzqx wvvk")).toDF("doc_id", "text")
+    val scored = StreamSelect.selectGate(novel, ratio).collect().head
+    // 5 unigrams + 4 bigrams = 9 feature occurrences, all counted
+    assert(scored.getAs[Long]("n_feats") == 9L,
+      s"unseen-bucket features must still count: ${scored}")
+    assert(scored.getAs[Double]("log_weight") != 0.0,
+      "a fully-novel doc must carry the smoothing-floor weight, not 0")
+    // the same doc twice in one micro-batch scores as ONE doc (a producer
+    // retry must not double the weight)
+    val dup = novel.unionAll(novel)
+    val once = StreamSelect.selectGate(dup, ratio).collect()
+    assert(once.length == 1)
+    assert(once.head.getAs[Long]("n_feats") == 9L &&
+      once.head.getAs[Double]("log_weight") ==
+        scored.getAs[Double]("log_weight"))
+  }
 }
