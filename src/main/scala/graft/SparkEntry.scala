@@ -206,6 +206,13 @@ object SparkEntry {
     ("q_decontaminate",
       ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)): Q,
       Some(graft.operators.Curation.decontaminateSql())),
+    // BPE vocabulary training (Sennrich et al. 2016): merges trained on the
+    // word-frequency table; the first merge decision is independently oracled
+    ("q_bpe_train",
+      ((s: SparkSession, d: String) => graft.operators.BpeTrain.train(s, d)): Q, None),
+    ("q_bpe_first_merge",
+      ((s: SparkSession, d: String) => graft.operators.BpeTrain.firstMerge(s, d)): Q,
+      Some(graft.operators.BpeTrain.firstMergeSql)),
     // sliding token-window chunking with tail anchoring (context-window prep)
     ("q_chunk_documents",
       ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocuments(s, d)): Q,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding vocabulary TRAINING (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the tokenizer-construction step of a training-data
+  * pipeline, distributed the classic scalable way:
+  *
+  *  - the corpus is scanned ONCE into a (word, count) frequency table
+  *    (Zipf: distinct words ≪ corpus tokens — at 100 TB the word table is
+  *    maybe tens of millions of rows, trivially partitionable);
+  *  - every merge round runs on that compact table only: count adjacent
+  *    symbol pairs weighted by word frequency (one small shuffle), pick
+  *    the argmax pair (a one-row scalar collect, like `ivfTrain`'s SSE),
+  *    apply the merge to each word's symbol array (row-local);
+  *  - `localCheckpoint` per round truncates the growing lineage — the
+  *    same iterative-DataFrame pattern as connected components and Lloyd.
+  *
+  * Determinism: the argmax tiebreak is (count DESC, left ASC, right ASC),
+  * so training is reproducible across runs/partitionings — BpeSpec pins
+  * run-to-run equality and the first merge is independently hash-oracled
+  * (`q_bpe_first_merge` — DuckDB recomputes the weighted pair argmax).
+  *
+  * The per-word merge application is a Scala UDF by design: replacing an
+  * adjacent symbol pair inside an array is a stateful per-row scan (the
+  * genuine imperative-kernel case), while everything corpus-shaped around
+  * it stays relational. */
+object BpeTrain {
+
+  /** (word, wc) frequency table — the ONE corpus scan. */
+  private def wordTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Initial symbol sequence of a word: its characters. */
+  private def charSymbols(word: org.apache.spark.sql.Column) =
+    filter(split(word, ""), s => length(s) > 0)
+
+  private def mergeUdf(left: String, right: String) =
+    udf((syms: Seq[String]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == left && syms(i + 1) == right) {
+          out += (left + right); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    })
+
+  /** Adjacent-pair counts of the current symbol table, weighted by word
+    * frequency; zip_with over (syms, tail) keeps the pairing row-local. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("wc"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wc").as("cnt"))
+
+  /** Train `merges` BPE merges; returns (rank, left, right, merged,
+    * pair_count) ordered by rank — the merge table a tokenizer ships. */
+  def train(spark: SparkSession, dir: String, merges: Int = 20): DataFrame = {
+    import spark.implicits._
+    var words = wordTable(spark, dir)
+      .filter(length(col("word")) >= 2)
+      .select(col("wc"), charSymbols(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      // deterministic argmax: one tiny sorted head over the pair counts
+      val best = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((rank, l, r, l + r, c))
+        words = words
+          .select(col("wc"), mergeUdf(l, r)(col("syms")).as("syms"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    out.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** The FIRST merge decision, standalone and fully oracled: the weighted
+    * adjacent-character pair argmax over the word table — the anchor that
+    * pins [[train]]'s counting and tiebreak against an independent engine
+    * (BpeSpec additionally asserts train()'s row 1 equals this). */
+  def firstMerge(spark: SparkSession, dir: String): DataFrame =
+    pairCounts(wordTable(spark, dir)
+        .filter(length(col("word")) >= 2)
+        .select(col("wc"), charSymbols(col("word")).as("syms")))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      .limit(1)
+      .select(col("l").as("left"), col("r").as("right"),
+        col("cnt").as("pair_count"))
+
+  val firstMergeSql: String =
+    raw"""WITH toked AS (
+      |  SELECT list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
+      |                     x -> x <> '') AS toks
+      |  FROM documents),
+      |words AS (
+      |  SELECT word, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST(toks) AS word FROM toked)
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, wc
+      |  FROM (SELECT word, wc, UNNEST(range(1, length(word))) AS i
+      |        FROM words WHERE length(word) >= 2))
+      |SELECT l AS "left", r AS "right", CAST(SUM(wc) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY pair_count DESC, l ASC, r ASC
+      |LIMIT 1""".stripMargin
+}
