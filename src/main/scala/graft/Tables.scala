@@ -23,6 +23,14 @@ object Tables {
     // is what lets timestamp range predicates reach the parquet scan as
     // PushedFilters (row-group pruning at lake scale). An NTZ read would
     // put a cast between every filter and the scan.
+    //
+    // DELIBERATE SESSION-GLOBAL side effect: parquet NTZ inference has no
+    // per-read option, only this session conf, so the first Tables read
+    // flips it for every later parquet read in the session. That is the
+    // contract this engine WANTS (one timestamp semantics everywhere,
+    // UTC); code that genuinely needs NTZ reads in the same session must
+    // set the conf back around its read — none does today, and
+    // SchemaDriftSpec names the drift if that assumption ever breaks.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
   }

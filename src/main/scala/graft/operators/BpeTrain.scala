@@ -27,7 +27,17 @@ import graft.functions.TextFunctions
   * The per-word merge application is a Scala UDF by design: replacing an
   * adjacent symbol pair inside an array is a stateful per-row scan (the
   * genuine imperative-kernel case), while everything corpus-shaped around
-  * it stays relational. */
+  * it stays relational.
+  *
+  * CHARSET CONTRACT (same as `TextFunctions.polyHash`): Spark's
+  * `split(word, "")` yields UTF-16 units while DuckDB's `substr` walks
+  * code points — they agree on the Basic Multilingual Plane and diverge
+  * on astral characters (a surrogate pair counts as two symbols here, one
+  * there). The oracle corpus is pinned printable-ASCII by the
+  * MultimodalSpec precondition; a deployment training over astral text
+  * gets self-consistent merges but must not expect DuckDB parity (and
+  * should switch the symbol split to code points if half-surrogate merge
+  * symbols are unacceptable in its merge table). */
 object BpeTrain {
 
   /** (word, wc) frequency table — the ONE corpus scan. */

@@ -761,18 +761,27 @@ object Curation {
   /** The TRAINED selection model: per-bucket log(p̂_target/q̂_source) under
     * add-α smoothing — a table a production pipeline materializes offline
     * and broadcasts at ingest (StreamSelect does exactly that). DENSE over
-    * the FULL bucket space [0, B): a bucket no training feature hashed to
-    * still gets its smoothed floor log((0+α)/(tt+αB)) − log((0+α)/(ts+αB)),
-    * so scoring a document with vocabulary the lake has never seen applies
-    * the add-α smoothing instead of silently dropping those features (an
-    * inner join against a sparse, corpus-driven table would zero-count
-    * them — wrong for the ingest gate, whose whole input is novel docs).
-    * Exactly B rows regardless of corpus size. */
+    * the FULL bucket space [0, B), so scoring never drops a feature (an
+    * inner join against a sparse, corpus-driven table would silently
+    * zero-count novel vocabulary — wrong for the ingest gate, whose whole
+    * input is new docs). Exactly B rows regardless of corpus size.
+    *
+    * EVIDENCE-FREE buckets store lr = 0, not the smoothed ratio: with no
+    * occurrence in either corpus the α/α ratio reduces to the constant
+    * ln((ts+αB)/(tt+αB)) — pure corpus-size bias, positive whenever the
+    * source outweighs the target — which would GROW with novel-doc length
+    * and score out-of-distribution garbage above genuine target docs
+    * (a gibberish drop would outrank every English document). No evidence
+    * ⇒ no contribution. */
   private[graft] def dsirRatio(spark: SparkSession, dir: String,
-      buckets: Int = 4096, alpha: Double = 0.01): DataFrame = {
-    val feats = dsirFeatures(
+      buckets: Int = 4096, alpha: Double = 0.01): DataFrame =
+    ratioFromFeatures(dsirFeatures(
       Tables.spread(spark, Tables.documents(spark, dir))
-        .select("doc_id", "lang", "text"), buckets)
+        .select("doc_id", "lang", "text"), buckets), buckets, alpha)
+
+  private def ratioFromFeatures(feats: DataFrame, buckets: Int,
+      alpha: Double): DataFrame = {
+    val spark = feats.sparkSession
     // BOTH bucket LMs from ONE pass over the feature stream (a conditional
     // sum rides the same partial aggregation as the total count — a
     // filter-then-regroup would pay the explode and shuffle twice more)
@@ -784,24 +793,39 @@ object Curation {
     val spine = spark.range(buckets).select(col("id").as("b"))
     spine.join(counts, Seq("b"), "left").crossJoin(broadcast(totals))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
-         log((coalesce(col("cs"), lit(0L)) + alpha) / (col("ts") + aB))).as("lr"))
+        when(coalesce(col("cs"), lit(0L)) === 0L && coalesce(col("ct"), lit(0L)) === 0L,
+          lit(0.0))
+        .otherwise(
+          log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
+          log((coalesce(col("cs"), lit(0L)) + alpha) / (col("ts") + aB)))
+        .as("lr"))
   }
+
+  /** Per-doc (n_feats, summed log-ratio) over an already-built feature
+    * stream — the one aggregation both scoring paths share. */
+  private def scoreFeatures(feats: DataFrame, ratio: DataFrame): DataFrame =
+    feats.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("lw"))
 
   /** Per-doc log importance weight of ANY (doc_id, text) frame under a
     * trained ratio table — the scoring kernel the batch query and the
     * streaming gate share. */
   private[graft] def dsirScore(docs: DataFrame, ratio: DataFrame,
       buckets: Int): DataFrame =
-    dsirFeatures(docs.select("doc_id", "text"), buckets)
-      .join(broadcast(ratio), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("lr").as("lw"))
+    scoreFeatures(dsirFeatures(docs.select("doc_id", "text"), buckets), ratio)
 
   def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096,
       alpha: Double = 0.01, keepFrac: Double = 0.2): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
-    val w = dsirScore(docs, dsirRatio(spark, dir, buckets, alpha), buckets)
+    // ONE feature build serves LM training AND scoring (the explode +
+    // hash is the query's dominant cost — recomputing it would double
+    // the corpus work; the cache is the in-session form of the
+    // materialized feature table a 100 TB deployment persists once)
+    val feats = dsirFeatures(docs.select("doc_id", "lang", "text"), buckets)
+      .cache()
+    val w = scoreFeatures(feats.select("doc_id", "b"),
+      ratioFromFeatures(feats, buckets, alpha))
     // total coverage: a token-less doc carries zero features and weight 0
     val full = docs.select("doc_id").join(w, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -558,7 +558,12 @@ object LensQueries {
     val perEvent = Window.partitionBy(date_trunc("day", col("ts")))
       .orderBy(col("ts").desc, col("event_id").desc)
     val daily = Tables.events(spark, dir)
-      .filter(col("event_type") === symbol && col("value").isNotNull)
+      // ts IS NOT NULL is part of the dashboard contract: streaming
+      // window() silently drops null event times, so the batch side must
+      // exclude them EXPLICITLY or the streamed twin diverges on data
+      // with null timestamps (StreamLens mirrors this filter)
+      .filter(col("event_type") === symbol && col("value").isNotNull &&
+              col("ts").isNotNull)
       .withColumn("rn", row_number().over(perEvent))
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(
@@ -579,7 +584,8 @@ object LensQueries {
   val lensDashboardSql: String =
     """WITH f AS (
       |  SELECT * FROM events
-      |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL
+      |    AND ts IS NOT NULL),
       |ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
       |                               ORDER BY ts DESC, event_id DESC) AS rn

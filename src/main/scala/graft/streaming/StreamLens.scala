@@ -44,7 +44,11 @@ object StreamLens {
   def dashboardToMemory(spark: SparkSession, eventsDir: String,
       symbol: String, queryName: String): StreamingQuery =
     eventsStream(spark, eventsDir)
-      .filter(col("event_type") === symbol && col("value").isNotNull)
+      // ts IS NOT NULL mirrors the batch dashboard's explicit contract —
+      // window() would drop null event times silently anyway, and an
+      // implicit drop is exactly how streamed and batch results diverge
+      .filter(col("event_type") === symbol && col("value").isNotNull &&
+              col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 day"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -111,10 +111,13 @@ class SchemaDriftSpec extends AnyFunSuite {
         val src = rename.getOrElse(f.name, f.name)
         val actual = table.schema.fields.find(_.name == src)
         assert(actual.isDefined, s"$src missing from table for DDL '$ddl'")
-        assert(actual.get.dataType == f.dataType ||
-          // the embedding stream carries double vectors; the table stores
-          // float — the documented cast at the gate boundary
-          (f.name == "emb"),
+        // the ONLY sanctioned divergence: the embedding stream carries
+        // double vectors while the table stores float (the documented
+        // cast at the gate boundary) — any OTHER drift of emb must fail
+        val sanctionedEmb = f.name == "emb" &&
+          f.dataType == ArrayType(DoubleType) &&
+          actual.get.dataType == ArrayType(FloatType)
+        assert(actual.get.dataType == f.dataType || sanctionedEmb,
           s"$src: table ${actual.get.dataType} vs stream ${f.dataType}")
       }
     conforms(Tables.DocTextSchemaDdl, Tables.t(spark, sf, "documents"))

@@ -50,19 +50,38 @@ class StreamSelectSpec extends AnyFunSuite {
     assert(replayed == streamed)
   }
 
-  test("novel vocabulary is smoothed, not dropped; in-batch duplicates score once") {
+  test("novel vocabulary is neutral, not dropped and not rewarded; duplicates score once") {
     import spark.implicits._
     val ratio = Curation.dsirRatio(spark, sf).cache()
     // a doc whose vocabulary the lake has never seen: every feature hashes
-    // to SOME bucket of the dense ratio table and must receive the add-α
-    // floor — not be silently discarded by the scoring join
+    // to SOME bucket of the dense ratio table and must be COUNTED — but an
+    // evidence-free bucket contributes lr = 0, never the corpus-size-bias
+    // floor ln((ts+αB)/(tt+αB)) > 0, which would make the gate score
+    // gibberish ABOVE genuine target docs, growing with document length
     val novel = Seq((900001L, "zzqx wvvk pflm zzqx wvvk")).toDF("doc_id", "text")
     val scored = StreamSelect.selectGate(novel, ratio).collect().head
-    // 5 unigrams + 4 bigrams = 9 feature occurrences, all counted
+    // 5 unigrams + 4 bigrams = 9 feature occurrences, all counted (at
+    // B=4096 most buckets hold SOME corpus evidence, so hash collisions
+    // legitimately give a small nonzero weight — that is DSIR's hashed
+    // feature sharing, not a bug)
     assert(scored.getAs[Long]("n_feats") == 9L,
       s"unseen-bucket features must still count: ${scored}")
-    assert(scored.getAs[Double]("log_weight") != 0.0,
-      "a fully-novel doc must carry the smoothing-floor weight, not 0")
+    // the anti-bias invariant: before the evidence-free floor fix, every
+    // novel feature added ~ln(ts/tt) ≈ +0.9, so this doc scored ≈ +8 and
+    // a 10× longer one ≈ +80 — gibberish weight must NOT grow with length
+    val long = Seq((900002L,
+      Seq.fill(10)("zzqx wvvk pflm zzqx wvvk").mkString(" qqvz ")))
+      .toDF("doc_id", "text")
+    val wShort = scored.getAs[Double]("log_weight")
+    val wLong = StreamSelect.selectGate(long, ratio).collect().head
+      .getAs[Double]("log_weight")
+    assert(math.abs(wShort) < 1.0,
+      s"novel doc must score near-neutral, got $wShort (bias would be ~+8)")
+    assert(wLong < 1.0,
+      s"gibberish weight must not grow with length, got $wLong (bias would be ~+80)")
+    assert(!StreamSelect.selectGate(long, ratio, threshold = 1.0)
+      .collect().head.getAs[Boolean]("keep"),
+      "long gibberish must not out-score a target-likeness threshold")
     // the same doc twice in one micro-batch scores as ONE doc (a producer
     // retry must not double the weight)
     val dup = novel.unionAll(novel)
