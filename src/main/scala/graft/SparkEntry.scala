@@ -243,6 +243,11 @@ object SparkEntry {
     ("q_dedup_ngram_jaccard",
       ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q,
       Some(Dedup.ngramJaccardPairsSql)),
+    // the df-cap recall trade quantified per doc ("no silent caps"): which
+    // docs could even be part of a threshold pair the capped index misses
+    ("q_ngram_cap_exposure",
+      ((s: SparkSession, d: String) => Dedup.ngramCapExposure(s, d)): Q,
+      Some(Dedup.ngramCapExposureSql())),
     // exact duplicated-span detection (substring-level dedup primitive)
     ("q_dedup_spans",
       ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,

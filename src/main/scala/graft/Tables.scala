@@ -32,19 +32,37 @@ object Tables {
     // set the conf back around its read — none does today, and
     // SchemaDriftSpec names the drift if that assumption ever breaks.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // the UTC contract is enforced HERE, not assumed of the caller: the
+    // NTZ→LTZ reading above (and normalizeEventsTs's cast) is only
+    // instant-preserving when the session renders in UTC. Bench/Verify/
+    // specs all pin this too, but a library consumer that reads through
+    // Tables without copying their builder config must get the same
+    // instants — not silently shifted ones.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Spread a small-file input across the cluster before per-row-expensive
-    * work. The small tables here are single parquet files with ONE row
-    * group, so Spark plans ONE task — every downstream lambda/UDF/kernel
-    * runs single-threaded until the first shuffle (neither AQE nor
-    * maxPartitionBytes can split inside a row group). One tiny round-robin
-    * shuffle buys full parallelism. At lake scale inputs arrive multi-file
-    * and this is a no-op decision, but the principle (right-size INPUT
-    * partitions to the compute, not just shuffle partitions) stands. */
-  def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+    * work — IF the scan actually under-parallelizes. The small testdata
+    * tables are single parquet files with ONE row group, so Spark plans ONE
+    * task — every downstream lambda/UDF/kernel runs single-threaded until
+    * the first shuffle (neither AQE nor maxPartitionBytes can split inside
+    * a row group). One tiny round-robin shuffle buys full parallelism.
+    *
+    * At lake scale inputs arrive as thousands of splittable files and the
+    * scan already plans >= cluster parallelism — there the round-robin
+    * would be a full shuffle of the corpus before every operator, so this
+    * is a DECISION, not an unconditional repartition: the input passes
+    * through untouched whenever its planned partition count is at least
+    * half of `defaultParallelism` (ScaleSpec pins both arms). Reading the
+    * planned count via `rdd.getNumPartitions` costs one physical planning
+    * of the scan (no job); the returned frame is the ORIGINAL `df`, so
+    * downstream plans are unaffected in the pass-through arm. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")

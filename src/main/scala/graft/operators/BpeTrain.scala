@@ -102,6 +102,16 @@ object BpeTrain {
     out.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Test probe: the exact frame a training round aggregates — pairCounts
+    * over the checkpointed word table. ScaleSpec pins that its plan is
+    * corpus-free (no parquet scan): the 20-round loop must only ever
+    * touch the compact word table, never re-read the lake. */
+  private[graft] def roundPlanProbe(spark: SparkSession, dir: String): DataFrame =
+    pairCounts(wordTable(spark, dir)
+      .filter(length(col("word")) >= 2)
+      .select(col("wc"), charSymbols(col("word")).as("syms"))
+      .localCheckpoint(true))
+
   /** The FIRST merge decision, standalone and fully oracled: the weighted
     * adjacent-character pair argmax over the word table — the anchor that
     * pins [[train]]'s counting and tiebreak against an independent engine

@@ -626,6 +626,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-doc quantification of the df-cap recall trade — "no silent caps"
+    * made measurable. [[ngramJaccardPairs]] can only witness a pair through
+    * a shared RARE (2 ≤ df ≤ dfCap) shingle; a pair sharing ONLY df>cap
+    * shingles is structurally invisible. For a doc with n_sh shingles of
+    * which n_common are df>cap, any invisible pair (a, b) has
+    * n_inter ≤ min(c_a, c_b) and union ≥ max(n_a, n_b), so its jaccard is
+    * at most c_a/n_a — `exposure_bound`. `exposed` marks docs whose bound
+    * clears the pipeline threshold, i.e. the only docs that could be part
+    * of a missed threshold pair; everything else carries a per-doc PROOF
+    * of full recall. Reuses the pipeline's cached shingle/df frames, so
+    * the audit costs two small aggregates, not a corpus re-scan. */
+  def ngramCapExposure(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, n: Int = 3, dfCap: Int = 20): DataFrame = {
+    val sh = docShingles(spark, dir, n).cache()
+    val withDf = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2),
+      "sh").cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val commonCnt = withDf.filter(col("df") > dfCap)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    counts.join(commonCnt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("doc_id"), col("n_sh"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_sh"), 6)
+          .as("exposure_bound"),
+        (col("n_common").cast("double") / col("n_sh") >= threshold)
+          .as("exposed"))
+  }
+
+  /** DuckDB oracle for [[ngramCapExposure]] — re-derives the shingle sets,
+    * the df histogram, and the per-doc bound. */
+  def ngramCapExposureSql(threshold: Double = 0.5, dfCap: Int = 20): String =
+    raw"""WITH toked AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |    FROM toked)),
+      |freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_common
+      |  FROM sh s JOIN freq USING (sh) WHERE freq.df > $dfCap GROUP BY 1),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+      |SELECT c.doc_id, c.n_sh, CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+      |  ROUND(COALESCE(m.n_common, 0) / CAST(c.n_sh AS DOUBLE), 6) AS exposure_bound,
+      |  COALESCE(m.n_common, 0) / CAST(c.n_sh AS DOUBLE) >= $threshold AS exposed
+      |FROM counts c LEFT JOIN common m USING (doc_id)""".stripMargin
+
   // ------------------------------------------------ exact duplicated spans
   /** Cross-document EXACT duplicated-span detection — the substring-dedup
     * primitive (Lee et al., "Deduplicating Training Data Makes Language

@@ -1053,9 +1053,19 @@ object Similarity {
   def semanticProbeStoredQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = storedIndexMemo.getOrElseUpdate(spark, dir) {
       // path keyed by the TxTable log-format version: a stale index written
-      // by an older format must miss (and rebuild) rather than torn-refuse
-      val p = s"/tmp/graft_ivf_index/v${graft.serve.TxTable.LogFormatVersion}/" +
-        new java.io.File(dir).getName
+      // by an older format must miss (and rebuild) rather than torn-refuse.
+      // Superseded versions (older vN dirs AND the pre-versioning layout's
+      // bare <name> dirs) are dead weight nothing will ever read again —
+      // remove them when the current-version path is created (r8 ADVICE)
+      val root = new java.io.File("/tmp/graft_ivf_index")
+      val cur = s"v${graft.serve.TxTable.LogFormatVersion}"
+      Option(root.listFiles()).foreach(_.filter(_.getName != cur).foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      })
+      val p = s"$root/$cur/" + new java.io.File(dir).getName
       writeIvfIndex(spark, dir, p)
       p
     }

@@ -41,6 +41,45 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[T]]()
   }
 
+  /** The k-th BEST element under `ord` (the boundary of the top-k set), as
+    * a single row instead of k collected rows — the shape a selection
+    * threshold wants: "keep the top ⌈frac·N⌉" becomes one bounded-heap
+    * aggregate, one collected scalar, one broadcast filter — no global
+    * sort, no single-partition window, no k-row driver collect. Same
+    * bounded buffer and map-side combine as [[BoundedTopK]], plus a
+    * short-circuit: a row no better than the current k-th never touches
+    * the buffer, so the common-case reduce is one comparison.
+    *
+    * `finish` on fewer than k total rows returns the WORST row seen — a
+    * threshold that admits everything, which is exactly right when
+    * ⌈frac·N⌉ ≥ N. Callers guard the zero-row case (no threshold exists).
+    * k is Int-bounded; past ~2³¹ selected rows the right tool is a
+    * quantile sketch + exact boundary refinement, not a bigger heap. */
+  class BoundedKth[T: scala.reflect.runtime.universe.TypeTag](
+      k: Int, ord: Ordering[T]) extends Aggregator[T, List[T], T] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def zero: List[T] = Nil
+    override def reduce(b: List[T], a: T): List[T] =
+      if (b.lengthCompare(k) >= 0 && ord.lteq(b.last, a)) b
+      else (a :: b).sorted(ord).take(k)
+    override def merge(x: List[T], y: List[T]): List[T] =
+      (x ++ y).sorted(ord).take(k)
+    override def finish(b: List[T]): T = b.last
+    override def bufferEncoder: Encoder[List[T]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[T]]()
+    override def outputEncoder: Encoder[T] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
+  }
+
+  /** (log-weight, doc_id) — DSIR's selection order: weight DESC, doc_id
+    * ASC tiebreak (identical to the oracle's ROW_NUMBER ordering). */
+  case class DocW(lw: Double, doc_id: Long)
+  object DocW {
+    val ord: Ordering[DocW] = Ordering.by(d => (-d.lw, d.doc_id))
+  }
+
+  class DocKthAgg(k: Int) extends BoundedKth[DocW](k, DocW.ord)
+
   /** (sortTs, id, payload) — the id doubles as the deterministic tiebreak. */
   case class Item(ts: Long, id: Long, value: Double)
 

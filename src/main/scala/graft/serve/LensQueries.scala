@@ -555,7 +555,13 @@ object LensQueries {
     * one bucket per day regardless of raw-event volume. */
   def lensDashboard(spark: SparkSession, dir: String,
       symbol: String = "purchase"): DataFrame = {
-    val perEvent = Window.partitionBy(date_trunc("day", col("ts")))
+    // the day key is materialized ONCE as a column and shared by the
+    // window's partitionBy and the groupBy: keying both on the same
+    // attribute lets EnsureRequirements satisfy the aggregate with the
+    // window's existing hashpartitioning — ONE shuffle to the day grain
+    // (two fresh `date_trunc` expressions planned as separate exchanges
+    // before; ScaleSpec pins the single-exchange shape)
+    val perEvent = Window.partitionBy(col("day"))
       .orderBy(col("ts").desc, col("event_id").desc)
     val daily = Tables.events(spark, dir)
       // ts IS NOT NULL is part of the dashboard contract: streaming
@@ -564,8 +570,9 @@ object LensQueries {
       // with null timestamps (StreamLens mirrors this filter)
       .filter(col("event_type") === symbol && col("value").isNotNull &&
               col("ts").isNotNull)
+      .withColumn("day", date_trunc("day", col("ts")))
       .withColumn("rn", row_number().over(perEvent))
-      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day"))
       .agg(
         count(lit(1)).as("n_events"),
         round(avg("value"), 6).as("avg_value"),

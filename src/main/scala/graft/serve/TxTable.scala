@@ -164,8 +164,34 @@ object TxTable {
           recovery)
     }
 
+  /** A table whose EVERY commit lacks the `#eof` trailer is a pre-v2
+    * (trailer-less format) table, not a torn one — one crashed writer
+    * cannot have torn the whole log. Checked only on an unframe failure
+    * (one extra log scan on the error path, nothing on healthy reads). */
+  private def preV2Log(fs: FileSystem, path: String): Boolean = {
+    val vs = listLog(fs, path, ".txt")
+    vs.nonEmpty && vs.forall { v =>
+      val lines = readLines(fs, commitFile(path, v))
+      !lines.lastOption.contains(EofPrefix + (lines.length - 1))
+    }
+  }
+
   private def readCommit(fs: FileSystem, path: String, v: Long): Commit = {
-    val lines = unframe(readLines(fs, commitFile(path, v)), commitFile(path, v), "commit")
+    val lines =
+      try unframe(readLines(fs, commitFile(path, v)), commitFile(path, v), "commit")
+      catch {
+        // distinguish "this table predates the framing format" from "this
+        // file is torn" PROGRAMMATICALLY — the torn-commit recovery advice
+        // (delete the file) applied one read at a time would serially
+        // destroy a healthy pre-v2 log
+        case e: java.io.IOException if preV2Log(fs, path) =>
+          throw new java.io.IOException(
+            s"TxTable: $path is a pre-v$LogFormatVersion trailer-less table " +
+            "(NO commit in its log carries an '#eof' trailer). This is a " +
+            "format upgrade, not corruption — do not delete commit files; " +
+            "migrate by re-writing the table with a current writer, or " +
+            "re-ingest it.", e)
+      }
     val (op, body) = (lines.head, lines.tail)
     val legacyFull = body.exists(l => !l.startsWith("+") && !l.startsWith("-"))
     if (legacyFull)
@@ -530,10 +556,17 @@ object TxTable {
     * manifest stats recorded at commit then let [[StatsFileIndex]] prune
     * point/range filters on either column to a few files, where the
     * merge-accumulated layout satisfied almost none. */
+  /** Test seam: invoked once after compact stages its rewrite, before its
+    * first commit attempt — the window where a racing MERGE's commit must
+    * make the compaction re-read and re-stage (a reset commit of the STALE
+    * snapshot would silently undo the merge). No-op in production. */
+  private[graft] var onCompactStaged: () => Unit = () => ()
+
   def compact(spark: SparkSession, path: String, numFiles: Int = 1,
       zorderBy: Option[(String, String)] = None): Long = {
     val fs = hfs(spark, path)
     var attempt = 0
+    var firstStage = true
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path).getOrElse(
         throw new java.io.FileNotFoundException(s"TxTable at $path has no commits"))
@@ -544,6 +577,7 @@ object TxTable {
         case None => snapshot.repartition(numFiles)
       }
       val files = stageData(spark, arranged, path)
+      if (firstStage) { firstStage = false; onCompactStaged() }
       if (tryCommit(fs, path, base + 1, "compact", Nil, files)) {
         maybeCheckpoint(fs, path, base + 1, files)
         return base + 1

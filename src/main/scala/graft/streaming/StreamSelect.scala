@@ -34,14 +34,26 @@ object StreamSelect {
     // doc twice in one micro-batch, and dsirScore's groupBy would sum
     // features across the copies — doubling the weight (and flipping
     // keep at any nonzero threshold) rather than emitting a duplicate
-    // row the merge would collapse
-    val batch = newDocs.select("doc_id", "text").dropDuplicates("doc_id")
+    // row the merge would collapse. The pick among copies is
+    // DETERMINISTIC (max by text hash — any total order does), not
+    // dropDuplicates' partition-order-dependent arbitrary row: a retry
+    // that redelivers the same doc_id with different bytes must yield
+    // the same decision on every replay, or the replay-idempotence
+    // contract of the TxTable merge breaks at exactly the worst time.
+    val batch = newDocs.select("doc_id", "text")
+      .groupBy("doc_id")
+      .agg(max_by(col("text"), xxhash64(col("text"))).as("text"))
     batch.select("doc_id")
       .join(Curation.dsirScore(batch, ratio, buckets), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        round(coalesce(col("lw"), lit(0.0)), 6).as("log_weight"))
-      .withColumn("keep", col("log_weight") >= threshold)
+        coalesce(col("lw"), lit(0.0)).as("lw"))
+      // keep thresholds the UNROUNDED weight — the 6-dp rounding is
+      // display normalization (oracle parity), and a doc within 5e-7 of
+      // the threshold must not flip on presentation rounding
+      .select(col("doc_id"), col("n_feats"),
+        round(col("lw"), 6).as("log_weight"),
+        (col("lw") >= threshold).as("keep"))
   }
 
   /** Streaming deployment: replay (doc_id, text) parquet drops from

@@ -28,6 +28,18 @@ object ProfileDedup {
     t("full minhashNearDups cold2") { Dedup.minhashNearDups(spark, dir).count() }
     t("connected components") { graft.operators.Curation.connectedComponents(
       Dedup.minhashNearDups(spark, dir).select("doc_a","doc_b")).count() }
+    // ngram-Jaccard decomposition (the r8 9.49-vs-6.4 s wobble): the
+    // exposure audit shares the pipeline's cached shingle/df frames, so
+    // cold exposure ≈ shingle-build + df-index cost, and the warm pairs
+    // run isolates pair expansion + UB prune + exact verify.
+    println("--- ngram-Jaccard stages ---")
+    spark.catalog.clearCache()
+    t("ngram sh+df (cold, via exposure)") { Dedup.ngramCapExposure(spark, dir).count() }
+    t("ngram pairs (warm sh+df)") { Dedup.ngramJaccardPairs(spark, dir).count() }
+    spark.catalog.clearCache()
+    t("ngram pairs cold run 1") { Dedup.ngramJaccardPairs(spark, dir).count() }
+    spark.catalog.clearCache()
+    t("ngram pairs cold run 2") { Dedup.ngramJaccardPairs(spark, dir).count() }
     spark.stop()
   }
 }

@@ -204,8 +204,20 @@ object ScaleProbe {
     // to parquet outside the timed window (a 16/32-branch union's
     // planning cost is ~linear in replica count and reads as exponent→1),
     // and nprobe=4 quadruples the pair sweep so it owns the clock.
+    // replica dirs are RUN-SCOPED (fresh temp dir + JVM-exit cleanup):
+    // a fixed shared /tmp path would let two concurrent probe runs
+    // clobber each other's corpus mid-read (r8 ADVICE)
+    val replicaRoot = java.nio.file.Files
+      .createTempDirectory("graft_probe_replica_").toFile
+    replicaRoot.deleteOnExit()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(replicaRoot)
+    }
     def materialized(times: Int): DataFrame = {
-      val p = s"/tmp/graft_probe_replica_$times"
+      val p = s"$replicaRoot/x$times"
       replicated(times).write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }

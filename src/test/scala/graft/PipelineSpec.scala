@@ -296,6 +296,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(TxTable.read(spark, path).count() == 2L)
   }
 
+  test("TxTable pre-v2 trailer-less log is detected programmatically, not via prose") {
+    import graft.serve.TxTable
+    val path = s"$root/serving/tx_pre_v2"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def writeRaw(name: String, content: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path, s"_txlog/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // a durable table persisted by the pre-framing (v1) format: legacy
+    // full-manifest commits, no '#eof' trailer anywhere in the log
+    writeRaw("00000000.txt", "write\ndata/aa-part-00000.parquet")
+    writeRaw("00000001.txt", "write\ndata/bb-part-00000.parquet")
+    // every read must raise the DISTINCT migrate error — the torn-commit
+    // recovery advice (delete the file) applied per-read would serially
+    // destroy this healthy log
+    val e = intercept[java.io.IOException] { TxTable.manifest(spark, path) }
+    assert(e.getMessage.contains("trailer-less table") &&
+      e.getMessage.contains("do not delete"), e.getMessage)
+    // but a SINGLE trailer-less file in an otherwise-framed log is still
+    // a torn commit with the torn recovery path, not a format mismatch
+    val fine = s"$root/serving/tx_pre_v2_mixed"
+    import spark.implicits._
+    TxTable.write(spark, Seq(("a", 1.0)).toDF("doc_id", "price"), fine)
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(fine), spark.sparkContext.hadoopConfiguration)
+    val out = fs2.create(new org.apache.hadoop.fs.Path(fine, "_txlog/00000001.txt"), true)
+    try out.write("merge\n+data/cc-part-00000.parquet".getBytes("UTF-8"))
+    finally out.close()
+    val e2 = intercept[java.io.IOException] { TxTable.manifest(spark, fine) }
+    assert(e2.getMessage.contains("torn") &&
+      !e2.getMessage.contains("trailer-less table ("), e2.getMessage)
+  }
+
   test("TxTable change feed: deltas classify, resets diff, carries suppressed") {
     import graft.serve.TxTable
     import spark.implicits._

@@ -299,6 +299,68 @@ class TxStatsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("compaction racing a merge: the reset commit forces a recompute, no dangling file refs") {
+    // the r8 verdict's remaining Delta-spec seam: an OPTIMIZE/compact
+    // commits between a MERGE's snapshot read and its commit. The compact
+    // is a RESET commit that superseded every file the merge's staged
+    // rewrite referenced — re-committing the stale delta would remove
+    // files the new manifest no longer contains (dangling references) and
+    // resurrect pre-compact row copies. disjointFrom() must flag the
+    // reset and force a full recompute against the compacted snapshot.
+    val path = freshDir("race_compact"); writeRangeTable(path)
+    TxTable.mergeRecomputes.set(0)
+    var compactV = -1L
+    TxTable.onMergeStaged = () => {
+      TxTable.onMergeStaged = () => ()
+      compactV = TxTable.compact(spark, path, numFiles = 2)
+    }
+    try {
+      val aVersion = TxTable.merge(spark, upd(5, 15, "A", 1.0), path, Seq("id"))
+      assert(compactV == 1L && aVersion == 2L)
+      assert(TxTable.mergeRecomputes.get == 1L,
+        "a reset commit landing mid-merge must force exactly one recompute")
+    } finally TxTable.onMergeStaged = () => ()
+    val out = TxTable.read(spark, path).cache()
+    try {
+      assert(out.count() == 10000, "no row duplicated or lost across the race")
+      assert(out.filter(col("txt") === "A").count() == 10)
+    } finally out.unpersist()
+    // every manifest entry resolves to a file that exists on disk
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    TxTable.manifest(spark, path).foreach { e =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(path, e.rel)),
+        s"dangling manifest reference after the race: ${e.rel}")
+    }
+  }
+
+  test("merge racing a compaction: compact re-reads and never resurrects pre-merge rows") {
+    // the mirror interleave: a MERGE commits between compact's snapshot
+    // read and its commit. If compact re-published its STALE staged
+    // snapshot as a reset, the merge's update would be silently undone —
+    // the worst kind of lost update, performed by a maintenance job. The
+    // optimistic loop must lose the version race, re-read, and re-stage.
+    val path = freshDir("compact_race"); writeRangeTable(path)
+    var mergeV = -1L
+    TxTable.onCompactStaged = () => {
+      TxTable.onCompactStaged = () => ()
+      mergeV = TxTable.merge(spark, upd(5, 15, "A", 1.0), path, Seq("id"))
+    }
+    try {
+      val cv = TxTable.compact(spark, path, numFiles = 2)
+      assert(mergeV == 1L && cv == 2L,
+        "compact must lose the version race to the merge and retry on top")
+    } finally TxTable.onCompactStaged = () => ()
+    val out = TxTable.read(spark, path).cache()
+    try {
+      assert(out.count() == 10000)
+      assert(out.filter(col("txt") === "A").count() == 10,
+        "compaction resurrected pre-merge rows — lost update")
+      // and the table really is compacted to the requested layout
+      assert(TxTable.manifest(spark, path).size == 2)
+    } finally out.unpersist()
+  }
+
   test("rangesOverlap is conservative at the edges") {
     import TxStats.{rangesOverlap, ColStats}
     val cs = ColStats(Some(BigDecimal(10)), Some(BigDecimal(20)), 0L)
