@@ -852,18 +852,45 @@ object Curation {
       if (n == 0L) lit(false)
       else {
         val k = math.ceil(n * keepFrac).toLong.min(n).max(1L)
-        require(k <= Int.MaxValue,
-          s"keep set of $k rows exceeds the bounded-heap threshold range; " +
-            "switch to quantile-sketch + boundary refinement at this scale")
-        val kth = udaf(new TopK.DocKthAgg(k.toInt),
-          org.apache.spark.sql.Encoders.product[TopK.DocW])
-        val t = full.agg(kth(col("lw"), col("doc_id")).as("t"))
-          .select(col("t.lw"), col("t.doc_id")).head()
-        val (tLw, tId) = (t.getDouble(0), t.getLong(1))
-        // rank(doc) <= k  ⇔  (lw, doc_id) at-or-above the k-th in the
-        // selection order; lw values compare bit-identically because both
-        // sides read the SAME checkpointed doubles
-        col("lw") > tLw || (col("lw") === tLw && col("doc_id") <= tId)
+        // Sketch + exact refine: the k-th-from-top weight has ascending
+        // rank n−k+1; a Greenwald-Khanna sketch with rank error ≤ εn
+        // (approxQuantile's guarantee) brackets its VALUE between the
+        // quantiles 2ε either side. EXACTNESS never depends on the
+        // sketch — any bracketing values yield the same threshold — the
+        // sketch only bounds the refine band to ~6εn rows, so no stage
+        // ever holds k (≈ keepFrac·N) rows in one buffer the way a
+        // whole-table heap or a global sort would. Docs strictly above
+        // the hi bracket are provably inside the top-k (rank ≤ k − εn);
+        // the remaining k′ boundary seats are resolved exactly by the
+        // bounded heap over the band alone. Degenerate corpora (one lw
+        // value everywhere) widen the band to the tie class — the
+        // honest cost of an exact tie-broken cut.
+        val eps = math.max(1e-4, 1.0 / n)
+        val q = 1.0 - k.toDouble / n
+        val brackets = full.stat.approxQuantile("lw",
+          Array(math.max(0.0, q - 2 * eps), math.min(1.0, q + 2 * eps)), eps)
+        val (tLo, tHi) = (brackets(0), brackets(1))
+        val nAbove = full.filter(col("lw") > tHi).count()
+        require(nAbove <= k,
+          s"sketch rank guarantee violated: $nAbove definitely-selected > k=$k")
+        if (nAbove == k) col("lw") > tHi
+        else {
+          val kBand = k - nAbove
+          require(kBand <= Int.MaxValue,
+            s"boundary band of $kBand rows (massive lw ties) exceeds the " +
+              "refine heap range")
+          val kth = udaf(new TopK.DocKthAgg(kBand.toInt),
+            org.apache.spark.sql.Encoders.product[TopK.DocW])
+          val t = full.filter(col("lw") >= tLo && col("lw") <= tHi)
+            .agg(kth(col("lw"), col("doc_id")).as("t"))
+            .select(col("t.lw"), col("t.doc_id")).head()
+          val (tLw, tId) = (t.getDouble(0), t.getLong(1))
+          // rank(doc) <= k  ⇔  above the hi bracket, or at-or-above the
+          // band's k′-th in the (lw DESC, doc_id ASC) order; lw compares
+          // bit-identically because both sides read the SAME
+          // checkpointed doubles
+          col("lw") > tLw || (col("lw") === tLw && col("doc_id") <= tId)
+        }
       }
     full.select(col("doc_id"), col("n_feats"),
       round(col("lw"), 6).as("log_weight"),

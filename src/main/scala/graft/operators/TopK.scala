@@ -53,8 +53,10 @@ object TopK {
     * `finish` on fewer than k total rows returns the WORST row seen — a
     * threshold that admits everything, which is exactly right when
     * ⌈frac·N⌉ ≥ N. Callers guard the zero-row case (no threshold exists).
-    * k is Int-bounded; past ~2³¹ selected rows the right tool is a
-    * quantile sketch + exact boundary refinement, not a bigger heap. */
+    * Buffers are O(k): for large selections, bracket the boundary with a
+    * rank-guaranteed quantile sketch first and run this heap over the
+    * narrow refine band only — `Curation.dsirWeights` is the pattern
+    * (sketch brackets ⇒ k′ = k − definitely-selected ≈ εN seats). */
   class BoundedKth[T: scala.reflect.runtime.universe.TypeTag](
       k: Int, ord: Ordering[T]) extends Aggregator[T, List[T], T] {
     require(k >= 1, s"k must be >= 1, got $k")
