@@ -271,6 +271,15 @@ object SparkEntry {
     ("q_ann_ivf",
       ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)): Q,
       Some(Similarity.ivfTopKSql())),
+    // the memory tier: int8 codes ranked by integer dot, exact re-rank of
+    // the survivors — fully hash-oracled two-stage search
+    ("q_ann_quantized",
+      ((s: SparkSession, d: String) => Similarity.quantizedTopK(s, d)): Q,
+      Some(Similarity.quantizedTopKSql())),
+    // its approximation audit: per-query hit count vs the exact top-k
+    ("q_quantized_recall",
+      ((s: SparkSession, d: String) => Similarity.quantizedRecall(s, d)): Q,
+      Some(Similarity.quantizedRecallSql())),
     ("q_ivf_assign", Similarity.ivfAssign _, Some(Similarity.ivfAssignSql)),
     ("q_ivf_train",
       ((s: SparkSession, d: String) => Similarity.ivfTrain(s, d)): Q, None),

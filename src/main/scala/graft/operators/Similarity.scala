@@ -226,6 +226,173 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ------------------------------------------- scalar int8 quantization
+  /** Scalar int8 quantization + two-stage search — the MEMORY tier of the
+    * ANN family (FAISS's SQ8 flat, in pure DataFrame ops). At 100 TB the
+    * float64 corpus is 512 B/vector; the code table is 64 B/vector — the
+    * difference between an index that fits executor memory and one that
+    * doesn't. Search is two-stage: (1) integer dot products over the CODES
+    * rank the whole corpus cheaply (one scan of the 8× smaller table,
+    * queries broadcast, bounded-heap top-m per query — the heavy pass
+    * touches only int arithmetic); (2) the m surviving candidates per
+    * query are re-ranked by EXACT float cosine (m·nQueries rows — driver-
+    * scale) and cut to k. Fully deterministic: the quantization grid is
+    * per-dimension (min, max) — an exact two-row aggregate — codes round
+    * half-up on both engines, and both rank stages tiebreak on vec_id, so
+    * the entire two-stage result is DuckDB-hash-oracled end to end. */
+  def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = 20): DataFrame =
+    quantizedTopKOf(corpus(spark, dir), nQueries, k, m)
+
+  /** Per-dimension (lo, hi) of the corpus — the quantization grid. dim×2
+    * doubles: metadata-scale, collected and folded into the plan as
+    * literals (like the IVF centroid collect) so code assignment is pure
+    * expression work. */
+  private def quantParams(vecs: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = vecs
+      .select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** v → code ∈ [−128, 127]: round((v−lo)/(hi−lo)·255) − 128; a constant
+    * dimension (hi = lo) maps to 0. Two zip_with passes, no UDF. */
+  private def quantExpr(emb: Column, lows: Seq[Double], his: Seq[Double]): Column = {
+    val lo = array(lows.map(lit): _*)
+    val rng = array(lows.zip(his).map { case (l, h) => lit(h - l) }: _*)
+    zip_with(zip_with(emb, lo, (v, l) => v - l), rng,
+      (d, r) => when(r === 0d, lit(0))
+        .otherwise((round(d / r * 255) - 128).cast("int")))
+  }
+
+  def quantizedTopKOf(vecs: DataFrame, nQueries: Int = 20, k: Int = 5,
+      m: Int = 20): DataFrame = {
+    val (lows, his) = quantParams(vecs)
+    val qc = vecs.select(col("vec_id"), col("emb"))
+      .withColumn("qemb", quantExpr(col("emb"), lows, his))
+    val q = qc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qemb").as("q_qemb"),
+        col("emb").as("q_emb"))
+    // stage 1: integer scoring over codes; per-element casts keep the sum
+    // in Long (64 dims × 127² ≪ 2⁶³). The qscore Double is exact (integer
+    // magnitude ≪ 2⁵³), so the heap's (score DESC, vec_id ASC) order is
+    // the exact integer order.
+    val qdot = aggregate(
+      zip_with(col("qemb"), col("q_qemb"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val topm = udaf(new TopK.ScoreTopKAgg(m),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val cands = qc.crossJoin(broadcast(q.select("q_id", "q_qemb")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qscore", qdot.cast("double"))
+      .groupBy("q_id")
+      .agg(topm(col("vec_id"), col("qscore")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.vec_id").as("vec_id"))
+    // stage 2: exact cosine re-rank of the nQueries×m candidates — the
+    // candidate list broadcasts INTO the float scan, so the big table is
+    // read once and never shuffles
+    val topk = udaf(new TopK.ScoreTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    vecs.select(col("vec_id"), col("emb"))
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
+      .groupBy("q_id")
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
+  }
+
+  /** Per-query hit count of the quantized tier against the exact
+    * brute-force top-k — the oracled approximation-quality audit (the
+    * "no silent approximation" twin: recall is a standing query, not a
+    * one-off claim). Total coverage: a query with zero overlap reports 0,
+    * never drops out. */
+  def quantizedRecall(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, m: Int = 20): DataFrame = {
+    val quant = quantizedTopK(spark, dir, nQueries, k, m)
+    val exact = bruteForceTopK(spark, dir, nQueries, k)
+    val hits = quant.select("q_id", "vec_id")
+      .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** The quantized-search CTE chain, ending in `qtop(q_id, rank, vec_id,
+    * cosine)` — shared by the search oracle and the recall oracle. */
+  private def quantizedCtes(nQueries: Int, k: Int, m: Int): String =
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |dims AS (
+       |  SELECT pos, MIN(v) AS lo, MAX(v) AS hi
+       |  FROM (SELECT UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c)
+       |  GROUP BY 1),
+       |grid AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM dims),
+       |qc AS (
+       |  SELECT vec_id, emb,
+       |    list_transform(range(1, len(emb) + 1),
+       |      i -> CASE WHEN g.his[i] - g.los[i] = 0.0 THEN 0
+       |           ELSE CAST(ROUND((emb[i] - g.los[i]) / (g.his[i] - g.los[i]) * 255) - 128 AS INT) END)
+       |      AS qemb
+       |  FROM c CROSS JOIN grid g),
+       |qq AS (SELECT vec_id AS q_id, qemb AS q_qemb, emb AS q_emb
+       |       FROM qc WHERE vec_id < $nQueries),
+       |s1 AS (
+       |  SELECT qq.q_id, qc.vec_id,
+       |    list_sum(list_transform(range(1, len(qc.qemb) + 1),
+       |      i -> CAST(qc.qemb[i] AS BIGINT) * qq.q_qemb[i])) AS qscore
+       |  FROM qc CROSS JOIN qq WHERE qc.vec_id <> qq.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qscore DESC, vec_id ASC) AS r
+       |    FROM s1)
+       |  WHERE r <= $m),
+       |rer AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    ROUND(${cosSqlExpr("qc.emb", "qq.q_emb")}, 6) AS cosine
+       |  FROM cand
+       |  JOIN qc ON qc.vec_id = cand.vec_id
+       |  JOIN qq ON qq.q_id = cand.q_id),
+       |qtop AS (
+       |  SELECT q_id, rank, vec_id, cosine FROM (
+       |    SELECT q_id, vec_id, cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+       |    FROM rer)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** DuckDB oracle for [[quantizedTopK]]: grid, codes, integer ranking and
+    * exact re-rank all re-derived. */
+  def quantizedTopKSql(nQueries: Int = 20, k: Int = 5, m: Int = 20): String =
+    s"""WITH ${quantizedCtes(nQueries, k, m)}
+       |SELECT q_id, rank, vec_id, cosine FROM qtop""".stripMargin
+
+  /** DuckDB oracle for [[quantizedRecall]]: the quantized chain joined
+    * against an independently recomputed exact brute-force top-k. */
+  def quantizedRecallSql(nQueries: Int = 20, k: Int = 5, m: Int = 20): String =
+    s"""WITH ${quantizedCtes(nQueries, k, m)},
+       |bcos AS (
+       |  SELECT qq.q_id, c.vec_id,
+       |    ROUND(${cosSqlExpr("c.emb", "qq.q_emb")}, 6) AS cosine
+       |  FROM c CROSS JOIN qq WHERE c.vec_id <> qq.q_id),
+       |btop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+       |    FROM bcos)
+       |  WHERE r <= $k),
+       |hits AS (
+       |  SELECT q.q_id, COUNT(*) AS n_hits
+       |  FROM qtop q JOIN btop b ON b.q_id = q.q_id AND b.vec_id = q.vec_id
+       |  GROUP BY 1)
+       |SELECT DISTINCT b.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM btop b LEFT JOIN hits h ON h.q_id = b.q_id""".stripMargin
+
   // ------------------------------------------------------------ IVF
   /** Mean vector per key: posexplode → (key, pos) mean → re-assemble in
     * position order. Two small shuffles; shared by the label-seeded

@@ -261,6 +261,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized topk: high recall vs exact, coherent shape, no corpus shuffle") {
+    // 8-bit scalar quantization preserves cosine order well at this dim —
+    // the two-stage search must recover most of the exact top-k, and the
+    // recall audit query must agree with a direct comparison
+    val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val quant = Similarity.quantizedTopK(spark, sf, nQueries = 10, k = 5).collect()
+    val byQ = quant.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == exact.keySet, "every query must answer")
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // exact re-rank: reported cosines are true cosines, so they are
+      // bounded by the query's exact best
+    }
+    val hits = exact.map { case (q, t) =>
+      (byQ(q).map(_.getAs[Long]("vec_id")).toSet & t).size }.sum
+    val total = exact.map(_._2.size).sum
+    assert(hits.toDouble / total >= 0.8,
+      s"quantized recall collapsed: $hits/$total")
+    // the registered audit query reports the same per-query hit counts
+    val audited = Similarity.quantizedRecall(spark, sf, nQueries = 10, k = 5)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hits")).toMap
+    exact.foreach { case (q, t) =>
+      assert(audited(q) == (byQ(q).map(_.getAs[Long]("vec_id")).toSet & t).size.toLong)
+    }
+    // scale shape: queries broadcast into both stages; the corpus never
+    // sort-merge-joins or hashes itself across the wire for the search
+    val p = Similarity.quantizedTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the search:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries/candidates must broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"both rank stages must be bounded-heap aggregates:\n$p")
+    assert(!p.contains("Window"), s"no window re-rank in the quantized tier:\n$p")
+  }
+
   test("ivf assign: every vector assigned, cos to centroid in [-1,1]") {
     val a = Similarity.ivfAssign(spark, sf).collect()
     assert(a.length == Tables.embeddings(spark, sf).count())
