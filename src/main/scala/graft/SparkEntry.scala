@@ -318,6 +318,9 @@ object SparkEntry {
     ("q_embed_text_ivf",
       ((s: SparkSession, d: String) => graft.operators.TextEmbed.textIvfTopK(s, d)): Q,
       Some(graft.operators.TextEmbed.textIvfTopKSql())),
+    ("q_embed_text_quantized",
+      ((s: SparkSession, d: String) => graft.operators.TextEmbed.textQuantizedTopK(s, d)): Q,
+      Some(graft.operators.TextEmbed.textQuantizedTopKSql())),
     // incremental semantic dedup: new odd-id batch probed against the
     // stored even-id IVF layout — fully deterministic, hash-oracled
     ("q_semantic_probe",

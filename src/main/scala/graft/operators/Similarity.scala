@@ -323,10 +323,17 @@ object Similarity {
       .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
-  /** The quantized-search CTE chain, ending in `qtop(q_id, rank, vec_id,
-    * cosine)` — shared by the search oracle and the recall oracle. */
-  private def quantizedCtes(nQueries: Int, k: Int, m: Int): String =
-    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+  /** The default corpus source for the quantized oracle chain. */
+  private val QuantDefaultSource =
+    "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+  /** The quantized-search CTE chain over an arbitrary source chain whose
+    * LAST relation is `c(vec_id, emb DOUBLE[])` (the same contract as
+    * [[bruteForceTopKSqlOver]]/[[lshTopKSqlOver]]), ending in
+    * `qtop(q_id, rank, vec_id, cosine)` — shared by the search oracle,
+    * the recall oracle, and the text-embedding twin. */
+  private def quantizedCtes(source: String, nQueries: Int, k: Int, m: Int): String =
+    s"""$source,
        |dims AS (
        |  SELECT pos, MIN(v) AS lo, MAX(v) AS hi
        |  FROM (SELECT UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c)
@@ -369,13 +376,19 @@ object Similarity {
   /** DuckDB oracle for [[quantizedTopK]]: grid, codes, integer ranking and
     * exact re-rank all re-derived. */
   def quantizedTopKSql(nQueries: Int = 20, k: Int = 5, m: Int = 20): String =
-    s"""WITH ${quantizedCtes(nQueries, k, m)}
-       |SELECT q_id, rank, vec_id, cosine FROM qtop""".stripMargin
+    quantizedTopKSqlOver(QuantDefaultSource, nQueries, k, m)
+
+  /** As [[quantizedTopKSql]] over an arbitrary `c(vec_id, emb)` source —
+    * the oracle twin of [[quantizedTopKOf]]'s composition surface. */
+  def quantizedTopKSqlOver(source: String, nQueries: Int = 20, k: Int = 5,
+      m: Int = 20, idOut: String = "vec_id"): String =
+    s"""WITH ${quantizedCtes(source, nQueries, k, m)}
+       |SELECT q_id, rank, vec_id AS $idOut, cosine FROM qtop""".stripMargin
 
   /** DuckDB oracle for [[quantizedRecall]]: the quantized chain joined
     * against an independently recomputed exact brute-force top-k. */
   def quantizedRecallSql(nQueries: Int = 20, k: Int = 5, m: Int = 20): String =
-    s"""WITH ${quantizedCtes(nQueries, k, m)},
+    s"""WITH ${quantizedCtes(QuantDefaultSource, nQueries, k, m)},
        |bcos AS (
        |  SELECT qq.q_id, c.vec_id,
        |    ROUND(${cosSqlExpr("c.emb", "qq.q_emb")}, 6) AS cosine

@@ -160,6 +160,28 @@ object TextEmbed {
          |  FROM v JOIN documents d ON d.doc_id = v.vec_id)""".stripMargin,
       nQueries, k, nprobe)
 
+  /** Text embeddings through the MEMORY tier ([[Similarity
+    * .quantizedTopKOf]]): int8 codes over the hashed-text vectors, integer
+    * ranking, exact re-rank — how a curation pipeline near-dup-searches a
+    * corpus whose float embeddings exceed executor memory. Fixture-free
+    * and fully hash-oracled like the LSH/IVF twins. */
+  def textQuantizedTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, m: Int = 20): DataFrame =
+    Similarity.quantizedTopKOf(
+        embeddings(spark, dir).select(col("doc_id").as("vec_id"), col("emb")),
+        nQueries, k, m)
+      .withColumnRenamed("vec_id", "doc_id")
+
+  /** DuckDB oracle for [[textQuantizedTopK]]: the embed CTEs assembled to
+    * vectors feeding the shared quantized-chain generator. */
+  def textQuantizedTopKSql(nQueries: Int = 20, k: Int = 5, m: Int = 20): String =
+    Similarity.quantizedTopKSqlOver(
+      s"""$embedSqlCtes,
+         |v AS (
+         |  SELECT doc_id, list(val ORDER BY pos) AS emb FROM coords GROUP BY doc_id),
+         |c AS (SELECT doc_id AS vec_id, emb FROM v)""".stripMargin,
+      nQueries, k, m, idOut = "doc_id")
+
   /** The composed text→embed→near-dup query: exact cosine top-k of the
     * first `nQueries` docs' hashed-text embeddings against the whole
     * embedded corpus — [[Similarity.bruteForceTopK]]'s shape fed by

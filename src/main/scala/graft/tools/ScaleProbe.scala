@@ -90,7 +90,11 @@ object ScaleProbe {
     ("q_ann_lsh", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.lshTopK(s, d)),
     ("q_semantic_probe", "embeddings",
-      (s: SparkSession, d: String) => graft.operators.Similarity.semanticProbe(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Similarity.semanticProbe(s, d)),
+    // r9 addition: the int8-quantized two-stage search — stage 1 is one
+    // linear scan of the code table, stage 2 a constant m·nQueries re-rank
+    ("q_ann_quantized", "embeddings",
+      (s: SparkSession, d: String) => graft.operators.Similarity.quantizedTopK(s, d)))
 
   val ExponentGate = 1.5
 
