@@ -213,6 +213,15 @@ object SparkEntry {
     ("q_bpe_first_merge",
       ((s: SparkSession, d: String) => graft.operators.BpeTrain.firstMerge(s, d)): Q,
       Some(graft.operators.BpeTrain.firstMergeSql)),
+    // BPE APPLICATION (the tokenize step): per-doc real token bill under the
+    // trained merge table — broadcast merges, zero-shuffle row-local encode
+    ("q_bpe_encode",
+      ((s: SparkSession, d: String) => graft.operators.BpeEncode.encodeQuery(s, d)): Q, None),
+    // hash-oracled roundtrip twin: the encoded stream re-assembles to the
+    // normalized text byte-for-byte (DuckDB recomputes the md5 from raw text)
+    ("q_bpe_encode_roundtrip",
+      ((s: SparkSession, d: String) => graft.operators.BpeEncode.roundtripQuery(s, d)): Q,
+      Some(graft.operators.BpeEncode.roundtripSql)),
     // sliding token-window chunking with tail anchoring (context-window prep)
     ("q_chunk_documents",
       ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocuments(s, d)): Q,

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding APPLICATION (the tokenize step): encode the corpus
+  * with a merge table trained by [[BpeTrain]] — the missing middle of the
+  * tokenizer story (train → ENCODE → chunk/pack) that turns "token count"
+  * from a whitespace/regex proxy into the count a real BPE tokenizer
+  * would bill.
+  *
+  * Scale design — the encode is a PURE MAP over the corpus:
+  *  - the merge table is vocabulary-sized (tens of thousands of rows at
+  *    production scale, 20 here), broadcast once via
+  *    `sparkContext.broadcast` — never joined;
+  *  - each document encodes row-locally: its words run through the
+  *    rank-ordered merge loop (the standard BPE apply: repeatedly merge
+  *    the LOWEST-rank adjacent pair, all occurrences left-to-right —
+  *    [[BpeTrain]]'s training-side `mergeUdf` pass per pair, so encoding
+  *    the training corpus reproduces training's final word states
+  *    whenever no two distinct merges fuse to the same symbol string
+  *    (base symbols are single chars, merged ones length ≥ 2, so a
+  *    collision needs two multi-char merges with equal concatenations —
+  *    absent here and rare anywhere; BpeSpec asserts the reproduction
+  *    and the fixed point empirically rather than assuming it);
+  *  - a per-task memo caches word → tokens (Zipf: a task sees the same
+  *    words over and over), so the merge loop amortizes to
+  *    O(distinct words per task) without the shuffle a distinct-word
+  *    encode-then-join would cost. Zero exchanges in the whole plan:
+  *    every document expands where it already lives.
+  *
+  * The per-word merge loop is a Scala UDF by design (same adjudication as
+  * training's merge application): replacing ranked adjacent pairs inside
+  * a symbol array is a stateful per-row scan — the genuine imperative-
+  * kernel case — while everything corpus-shaped stays relational.
+  *
+  * Correctness is anchored two ways:
+  *  - `q_bpe_encode_roundtrip` (hash-oracled): BPE tokens of a word
+  *    concatenate back to the word exactly and merges never cross word
+  *    boundaries, so re-assembling the encoded output (concat tokens
+  *    within a word, join words with a space) must reproduce the
+  *    normalized text byte-for-byte; the md5 is recomputed by DuckDB
+  *    from the RAW text, so a dropped/duplicated/reordered symbol
+  *    anywhere in the encode fails the hash.
+  *  - BpeSpec pins the fixed point (no adjacent pair in the encoded
+  *    corpus is still a trained merge), the bounds
+  *    (n_words ≤ n_tokens ≤ n_chars), hand-built merge cases, and
+  *    determinism across partitionings.
+  *
+  * Charset: inherits [[BpeTrain]]'s UTF-16-unit symbol contract (and its
+  * BMP caveat) — the two sides must split identically or the fixed-point
+  * invariant breaks. */
+object BpeEncode {
+
+  /** Encode one word under rank-ordered merges. `ranks` maps the adjacent
+    * pair "l r" (space-joined: symbols never contain spaces, tokens() is
+    * a whitespace split) to its training rank; lower rank merges first.
+    * Each round merges ALL occurrences of the chosen pair left-to-right —
+    * the same pass [[BpeTrain]] applies during training. */
+  private[graft] def encodeWord(word: String,
+      ranks: Map[String, Int]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair present in the word
+      var bestL: String = null
+      var bestR: String = null
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse(syms(i) + " " + syms(i + 1), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestL = syms(i); bestR = syms(i + 1) }
+        i += 1
+      }
+      if (bestL == null) done = true
+      else {
+        // merge ALL occurrences left-to-right — the training-side pass
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = 0
+        while (p < syms.length) {
+          if (p + 1 < syms.length && syms(p) == bestL && syms(p + 1) == bestR) {
+            out += (bestL + bestR); p += 2
+          } else { out += syms(p); p += 1 }
+        }
+        syms = out.toVector
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  /** doc_id → per-word token arrays (word boundaries preserved so the
+    * roundtrip can re-assemble the text), over any (doc_id, text) frame.
+    * `merges` must carry (rank, left, right) as trained. */
+  def encodeOf(spark: SparkSession, docs: DataFrame,
+      merges: DataFrame): DataFrame = {
+    val ranks: Map[String, Int] = merges
+      .select(col("left"), col("right"), col("rank"))
+      .collect()
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getInt(2))
+      .toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val enc = udf { (words: Seq[String]) =>
+      // per-task memo: created at task deserialization, amortizes the
+      // merge loop across a task's repeated words (Zipf)
+      val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+      words.map(w => memo.getOrElseUpdate(w, encodeWord(w, bc.value)))
+    }
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
+      .withColumn("word_toks", enc(col("words")))
+      .drop("words")
+  }
+
+  /** Per-document encode summary on the corpus: word/char/token counts
+    * and the token-stream signature. n_tokens is the REAL BPE bill (vs
+    * `q_bpe_token_count`'s regex proxy) — not SQL-derivable, so this
+    * entry is rows-only; the roundtrip twin below hash-anchors the same
+    * encode end to end. */
+  def encodeQuery(spark: SparkSession, dir: String): DataFrame =
+    encoded(spark, dir)
+      .select(col("doc_id"),
+        size(col("word_toks")).as("n_words"),
+        aggregate(col("word_toks"), lit(0),
+          (acc, w) => acc + size(w)).as("n_tokens"),
+        aggregate(col("word_toks"), lit(0),
+          (acc, w) => acc + length(concat_ws("", w))).as("n_chars"),
+        md5(concat_ws(" ",
+          transform(col("word_toks"), w => concat_ws("", w)))).as("tok_sig"))
+
+  /** Hash-oracled roundtrip: re-assemble the encoded stream (concat a
+    * word's tokens, join words with a space) and md5 it; DuckDB computes
+    * the same md5 from the raw text's normalization. Exact because BPE
+    * merges are intra-word concatenations — any encode defect that
+    * drops, duplicates, splits or reorders a symbol breaks the hash. */
+  def roundtripQuery(spark: SparkSession, dir: String): DataFrame =
+    encoded(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          transform(col("word_toks"), w => concat_ws("", w)))).as("text_sig"))
+
+  def roundtripSql: String =
+    raw"""SELECT doc_id,
+      |  md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS text_sig
+      |FROM documents""".stripMargin
+
+  private val encMemo = new SessionMemo[String, DataFrame]
+
+  /** Memoized corpus encode under the memoized trained merges — shared by
+    * the summary and roundtrip queries (one training + one encode per
+    * session/dir, same materialized-artifact contract as `ivfTrain`). */
+  private def encoded(spark: SparkSession, dir: String): DataFrame =
+    encMemo.getOrElseUpdate(spark, dir) {
+      encodeOf(spark, Tables.spread(spark, Tables.documents(spark, dir)),
+        BpeTrain.train(spark, dir)).cache()
+    }
+}

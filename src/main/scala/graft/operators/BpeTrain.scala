@@ -73,9 +73,23 @@ object BpeTrain {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("wc").as("cnt"))
 
+  private val trainMemo = new SessionMemo[(String, Int), DataFrame]
+
   /** Train `merges` BPE merges; returns (rank, left, right, merged,
-    * pair_count) ordered by rank — the merge table a tokenizer ships. */
-  def train(spark: SparkSession, dir: String, merges: Int = 20): DataFrame = {
+    * pair_count) ordered by rank — the merge table a tokenizer ships.
+    * Memoized per (session, dir, merges): training runs once and its
+    * merge table is shared by `q_bpe_train` and [[BpeEncode]]'s encode
+    * queries (same materialized-artifact contract as
+    * `Similarity.ivfTrain`). */
+  def train(spark: SparkSession, dir: String, merges: Int = 20): DataFrame =
+    trainMemo.getOrElseUpdate(spark, (dir, merges)) {
+      trainImpl(spark, dir, merges).cache()
+    }
+
+  /** The un-memoized training run — spec surface for determinism tests
+    * (the public [[train]] would satisfy run-to-run equality trivially
+    * via the memo). */
+  private[graft] def trainImpl(spark: SparkSession, dir: String, merges: Int): DataFrame = {
     import spark.implicits._
     var words = wordTable(spark, dir)
       .filter(length(col("word")) >= 2)

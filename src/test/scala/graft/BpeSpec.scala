@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.BpeTrain
+import graft.operators.{BpeEncode, BpeTrain}
 
 /** BPE vocabulary training: deterministic merges on the word-frequency
   * table, anchored by the independently-oracled first-merge decision. */
@@ -35,7 +35,9 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("training is deterministic across runs") {
-    val again = BpeTrain.train(spark, sf, merges = 10).collect()
+    // trainImpl, not train: the public surface memoizes per (dir, merges)
+    // and would compare a frame against itself
+    val again = BpeTrain.trainImpl(spark, sf, merges = 10).collect()
     assert(merges.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
@@ -45,5 +47,95 @@ class BpeSpec extends AnyFunSuite {
     // split/consume pair occurrences, never create more of the same pair
     // than existed for the first decision
     assert(merges.map(_.getLong(4)).max == merges.head.getLong(4))
+  }
+
+  // ------------------------------------------------------ encode (apply)
+
+  private def ranksOf(rows: Array[org.apache.spark.sql.Row]): Map[String, Int] =
+    rows.map(m => (m.getString(1) + " " + m.getString(2)) -> m.getInt(0)).toMap
+
+  test("encodeWord: hand cases under a known merge table") {
+    // ranks: 1:(a,b)→ab  2:(ab,c)→abc  3:(d,e)→de
+    val r = Map("a b" -> 1, "ab c" -> 2, "d e" -> 3)
+    assert(BpeEncode.encodeWord("abc", r) == Seq("abc"))
+    assert(BpeEncode.encodeWord("abcde", r) == Seq("abc", "de"))
+    assert(BpeEncode.encodeWord("cab", r) == Seq("c", "ab"))
+    assert(BpeEncode.encodeWord("ababc", r) == Seq("ab", "abc"))
+    assert(BpeEncode.encodeWord("xyz", r) == Seq("x", "y", "z"))
+    assert(BpeEncode.encodeWord("a", r) == Seq("a"))
+    // all occurrences merge left-to-right in one rank pass
+    assert(BpeEncode.encodeWord("aaab", Map("a a" -> 1)) == Seq("aa", "a", "b"))
+  }
+
+  test("greedy encode reproduces sequential-by-rank training application on the corpus") {
+    // training applies merge r to every word at round r; greedy applies the
+    // lowest applicable rank repeatedly — equivalent absent symbol-string
+    // collisions (see BpeEncode scaladoc). Verify empirically over every
+    // distinct corpus word under the full trained table.
+    val trained = BpeTrain.train(spark, sf).collect()
+    val ranks = ranksOf(trained)
+    val ordered = trained.sortBy(_.getInt(0))
+      .map(m => (m.getString(1), m.getString(2)))
+    def sequential(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      ordered.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = 0
+        while (p < syms.length) {
+          if (p + 1 < syms.length && syms(p) == l && syms(p + 1) == r) {
+            out += (l + r); p += 2
+          } else { out += syms(p); p += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(BpeEncode.encodeWord(w, ranks) == sequential(w), s"word '$w'")
+    }
+  }
+
+  test("encoded corpus is a fixed point: no adjacent trained pair survives") {
+    val ranks = ranksOf(BpeTrain.train(spark, sf).collect())
+    val encoded = BpeEncode.encodeOf(spark,
+      Tables.documents(spark, sf), BpeTrain.train(spark, sf))
+      .select(explode(col("word_toks")).as("toks")).collect()
+    encoded.foreach { row =>
+      val toks = row.getSeq[String](0)
+      toks.sliding(2).foreach {
+        case Seq(a, b) => assert(!ranks.contains(a + " " + b),
+          s"unmerged trained pair ($a,$b) in $toks")
+        case _ =>
+      }
+    }
+  }
+
+  test("encode bounds and roundtrip signature per document") {
+    val enc = BpeEncode.encodeQuery(spark, sf)
+    val bad = enc.filter(col("n_tokens") < col("n_words") ||
+      col("n_tokens") > col("n_chars")).count()
+    assert(bad == 0, "n_words <= n_tokens <= n_chars must hold per doc")
+    // the roundtrip signature equals md5 of the normalized raw text
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(concat_ws(" ",
+        graft.functions.TextFunctions.tokens(col("text")))).as("text_sig"))
+    val diff = BpeEncode.roundtripQuery(spark, sf)
+      .except(expected).count()
+    assert(diff == 0, "encoded stream must re-assemble to the normalized text")
+  }
+
+  test("encode is invariant to input partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val a = BpeEncode.encodeOf(spark, docs, BpeTrain.train(spark, sf))
+      .select(col("doc_id"), to_json(col("word_toks")).as("j"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = BpeEncode.encodeOf(spark, docs.repartition(7), BpeTrain.train(spark, sf))
+      .select(col("doc_id"), to_json(col("word_toks")).as("j"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
   }
 }
