@@ -289,6 +289,15 @@ object SparkEntry {
     ("q_quantized_recall",
       ((s: SparkSession, d: String) => Similarity.quantizedRecall(s, d)): Q,
       Some(Similarity.quantizedRecallSql())),
+    // product quantization (Jégou et al. 2011): label-seeded per-subspace
+    // codebooks, ADC lookup-table ranking, exact re-rank — the 4-byte/vector
+    // tier, hash-oracled end to end like the int8 chain
+    ("q_ann_pq",
+      ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)): Q,
+      Some(Similarity.pqTopKSql())),
+    ("q_pq_recall",
+      ((s: SparkSession, d: String) => Similarity.pqRecall(s, d)): Q,
+      Some(Similarity.pqRecallSql())),
     ("q_ivf_assign", Similarity.ivfAssign _, Some(Similarity.ivfAssignSql)),
     ("q_ivf_train",
       ((s: SparkSession, d: String) => Similarity.ivfTrain(s, d)): Q, None),
@@ -330,6 +339,9 @@ object SparkEntry {
     ("q_embed_text_quantized",
       ((s: SparkSession, d: String) => graft.operators.TextEmbed.textQuantizedTopK(s, d)): Q,
       Some(graft.operators.TextEmbed.textQuantizedTopKSql())),
+    ("q_embed_text_pq",
+      ((s: SparkSession, d: String) => graft.operators.TextEmbed.textPqTopK(s, d)): Q,
+      Some(graft.operators.TextEmbed.textPqTopKSql())),
     // incremental semantic dedup: new odd-id batch probed against the
     // stored even-id IVF layout — fully deterministic, hash-oracled
     ("q_semantic_probe",

@@ -290,14 +290,20 @@ object Similarity {
       .agg(topm(col("vec_id"), col("qscore")).as("top"))
       .select(col("q_id"), explode(col("top")).as("s"))
       .select(col("q_id"), col("s.vec_id").as("vec_id"))
-    // stage 2: exact cosine re-rank of the nQueries×m candidates — the
-    // candidate list broadcasts INTO the float scan, so the big table is
-    // read once and never shuffles
+    exactRerank(vecs, cands, q.select(col("q_id"), col("q_emb")), k)
+  }
+
+  /** Stage 2 shared by the code-compressed tiers (int8 scalar, PQ): exact
+    * cosine re-rank of the nQueries×m candidates — the candidate list
+    * broadcasts INTO the float scan, so the big table is read once and
+    * never shuffles. `q` must carry (q_id, q_emb). */
+  private def exactRerank(vecs: DataFrame, cands: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val topk = udaf(new TopK.ScoreTopKAgg(k),
       org.apache.spark.sql.Encoders.product[TopK.Scored])
     vecs.select(col("vec_id"), col("emb"))
       .join(broadcast(cands), "vec_id")
-      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+      .join(broadcast(q), "q_id")
       .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
       .groupBy("q_id")
       .agg(topk(col("vec_id"), col("cosine")).as("top"))
@@ -389,6 +395,221 @@ object Similarity {
     * against an independently recomputed exact brute-force top-k. */
   def quantizedRecallSql(nQueries: Int = 20, k: Int = 5, m: Int = 20): String =
     s"""WITH ${quantizedCtes(QuantDefaultSource, nQueries, k, m)},
+       |bcos AS (
+       |  SELECT qq.q_id, c.vec_id,
+       |    ROUND(${cosSqlExpr("c.emb", "qq.q_emb")}, 6) AS cosine
+       |  FROM c CROSS JOIN qq WHERE c.vec_id <> qq.q_id),
+       |btop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+       |    FROM bcos)
+       |  WHERE r <= $k),
+       |hits AS (
+       |  SELECT q.q_id, COUNT(*) AS n_hits
+       |  FROM qtop q JOIN btop b ON b.q_id = q.q_id AND b.vec_id = q.vec_id
+       |  GROUP BY 1)
+       |SELECT DISTINCT b.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM btop b LEFT JOIN hits h ON h.q_id = b.q_id""".stripMargin
+
+  // ------------------------------------------- product quantization (PQ)
+  /** Product quantization + ADC search (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search") — the deepest-compression
+    * tier of the ANN family. The vector space is split into `nsub`
+    * subspaces; each subspace gets a small codebook, and a vector is
+    * stored as `nsub` small code ids: at 64 dims / 16 subspaces / 10
+    * codes that is 16 × ⌈log₂10⌉ bits ≈ 8 bytes per vector vs 64 (int8
+    * scalar) vs 512 (float64) —
+    * the tier that keeps a 100 TB corpus's index in cluster memory when
+    * even the int8 codes don't fit.
+    *
+    * Codebooks are LABEL-SEEDED PER-SUBSPACE MEANS, the same deterministic
+    * seeding the IVF tier uses — sound because means commute with
+    * slicing: the per-label mean of a subvector IS the label centroid
+    * sliced. (Lloyd refinement per subspace is the `ivfTrain` upgrade
+    * path; seeding keeps the whole chain closed-form, so the search is
+    * hash-oracled end to end instead of rows-only.) Codebooks collect to
+    * the driver and fold into the plan as literals (labels × dim doubles —
+    * metadata scale, the `quantParams`/centroid-collect pattern), so
+    * encoding is pure expression work: argmin over `nsub × ncode` rounded
+    * L2 distances, tiebreak on code index — zero joins, zero shuffles.
+    *
+    * Search is ADC (asymmetric distance computation): queries stay
+    * EXACT floats; each corpus vector contributes only its codes. Stage 1
+    * scores every vector as Σ_s dot(query_slice_s, codeword[s, code_s]) —
+    * a lookup-table dot product folded into expressions — and keeps the
+    * top-m per query in the bounded heap; stage 2 re-ranks the m
+    * candidates by exact cosine (shared [[exactRerank]]) and cuts to k.
+    * Rank order on ROUND(·, 6) with vec_id tiebreak on both stages keeps
+    * the cut grid-stable across engines, so the whole chain (centroid
+    * means, slicing, code argmin, ADC ranking, exact re-rank) is
+    * re-derived by the DuckDB oracle.
+    *
+    * At production scale the code table is an index artifact you persist
+    * and maintain incrementally (the TxTable stored-index pattern the
+    * LSH/IVF tiers already ship); here it is computed inline — one
+    * expression-only projection over the scan. */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame =
+    pqTopKOf(corpus(spark, dir), nQueries, k, m, nsub)
+
+  /** The same PQ search over ANY (vec_id, label, emb) frame — the
+    * composition surface ([[ivfTopKOf]] contract: `label` seeds the
+    * codebooks). */
+  def pqTopKOf(vecs: DataFrame, nQueries: Int = 20, k: Int = 5,
+      m: Int = 50, nsub: Int = 16): DataFrame = {
+    // codebook: label-ordered centroids, collected (labels × dim — tiny)
+    val cents: Seq[Seq[Double]] =
+      meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
+        .orderBy("label").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val dim = cents.head.length
+    require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
+    val sub = dim / nsub
+    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
+    def sliceOf(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
+    def cwSlice(ci: Int, s: Int): Seq[Double] =
+      cents(ci).slice(s * sub, (s + 1) * sub)
+    // per-subspace code: argmin over rounded L2 to each codeword slice,
+    // tiebreak lower code index — array_min over (d2, ci) structs orders
+    // lexicographically, which is exactly that
+    def codeExpr(emb: Column, s: Int): Column =
+      array_min(array(cents.indices.map { ci =>
+        val d2 = round(aggregate(
+          zip_with(sliceOf(emb, s), litArr(cwSlice(ci, s)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x), 6)
+        struct(d2.as("d"), lit(ci).as("c"))
+      }: _*)).getField("c")
+    val coded = vecs.select(
+      col("vec_id") +: col("emb") +:
+        (0 until nsub).map(s => codeExpr(col("emb"), s).as(s"code_$s")): _*)
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    // stage 1: ADC — per subspace, look the codeword up by code id
+    // (array-of-array literal) and dot it with the query's exact slice
+    val adc = (0 until nsub).map { s =>
+      val table = array(cents.indices.map(ci => litArr(cwSlice(ci, s))): _*)
+      aggregate(
+        zip_with(sliceOf(col("q_emb"), s),
+          element_at(table, col(s"code_$s") + 1), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val topm = udaf(new TopK.ScoreTopKAgg(m),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val cands = coded.crossJoin(broadcast(q.select(col("q_id"), col("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qscore", round(adc, 6))
+      .groupBy("q_id")
+      .agg(topm(col("vec_id"), col("qscore")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.vec_id").as("vec_id"))
+    exactRerank(vecs, cands, q, k)
+  }
+
+  /** Per-query hit count of the PQ tier against the exact brute-force
+    * top-k — the oracled approximation audit ([[quantizedRecall]]
+    * contract: zero-overlap queries report 0, never drop out). */
+  def pqRecall(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame = {
+    val pq = pqTopK(spark, dir, nQueries, k, m, nsub)
+    val exact = bruteForceTopK(spark, dir, nQueries, k)
+    val hits = pq.select("q_id", "vec_id")
+      .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** The labeled default corpus source for the PQ oracle chain. */
+  private val PqDefaultSource =
+    "c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+  /** The PQ chain over an arbitrary source whose LAST relation is
+    * `c(vec_id, label, emb DOUBLE[])` (the [[ivfSqlCtesOver]] contract),
+    * ending in `qtop(q_id, rank, vec_id, cosine)`: label-mean centroids,
+    * code-index assignment by dense label rank, rounded-L2 argmin codes,
+    * ADC scoring, exact re-rank — every stage re-derived. */
+  private def pqCtes(source: String, nQueries: Int, k: Int, m: Int,
+      nsub: Int): String =
+    s"""$source,
+       |pv AS (
+       |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c),
+       |cvec AS (
+       |  SELECT label, list(m ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, AVG(v) AS m FROM pv GROUP BY 1, 2)
+       |  GROUP BY label),
+       |cbl AS (
+       |  SELECT DENSE_RANK() OVER (ORDER BY label) - 1 AS ci, centroid FROM cvec),
+       |subs AS (SELECT UNNEST(range(0, $nsub)) AS s),
+       |-- subspace width inline from len(), NOT via a LIMIT-1 dims CTE:
+       |-- cross-joining a LIMIT-1 CTE into this chain makes DuckDB 1.0.0
+       |-- silently materialize ZERO rows on the deeper text-embed source
+       |-- (COUNT(*) says 10000, any value-projecting scan says none)
+       |cw AS (
+       |  SELECT ci, s, list_slice(centroid, s * (len(centroid) // $nsub) + 1,
+       |                           (s + 1) * (len(centroid) // $nsub)) AS w
+       |  FROM cbl CROSS JOIN subs),
+       |vs AS (
+       |  SELECT vec_id, s, list_slice(emb, s * (len(emb) // $nsub) + 1,
+       |                           (s + 1) * (len(emb) // $nsub)) AS v
+       |  FROM c CROSS JOIN subs),
+       |codes AS (
+       |  SELECT vec_id, s, ci AS code FROM (
+       |    SELECT vs.vec_id, vs.s, cw.ci,
+       |      ROW_NUMBER() OVER (PARTITION BY vs.vec_id, vs.s
+       |        ORDER BY ROUND(list_sum(list_transform(range(1, len(vs.v) + 1),
+       |                 i -> (vs.v[i] - cw.w[i]) * (vs.v[i] - cw.w[i]))), 6) ASC,
+       |               cw.ci ASC) AS rk
+       |    FROM vs JOIN cw ON cw.s = vs.s)
+       |  WHERE rk = 1),
+       |qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < $nQueries),
+       |s1 AS (
+       |  SELECT qq.q_id, codes.vec_id,
+       |    ROUND(SUM(list_sum(list_transform(range(1, len(cw.w) + 1),
+       |      i -> qq.q_emb[codes.s * len(cw.w) + i] * cw.w[i]))), 6) AS qscore
+       |  FROM codes
+       |  JOIN cw ON cw.s = codes.s AND cw.ci = codes.code
+       |  CROSS JOIN qq
+       |  WHERE codes.vec_id <> qq.q_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qscore DESC, vec_id ASC) AS r
+       |    FROM s1)
+       |  WHERE r <= $m),
+       |rer AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    ROUND(${cosSqlExpr("c.emb", "qq.q_emb")}, 6) AS cosine
+       |  FROM cand
+       |  JOIN c ON c.vec_id = cand.vec_id
+       |  JOIN qq ON qq.q_id = cand.q_id),
+       |qtop AS (
+       |  SELECT q_id, rank, vec_id, cosine FROM (
+       |    SELECT q_id, vec_id, cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+       |    FROM rer)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** DuckDB oracle for [[pqTopK]]. */
+  def pqTopKSql(nQueries: Int = 20, k: Int = 5, m: Int = 50,
+      nsub: Int = 16): String =
+    pqTopKSqlOver(PqDefaultSource, nQueries, k, m, nsub)
+
+  /** As [[pqTopKSql]] over an arbitrary labeled source — the oracle twin
+    * of [[pqTopKOf]]'s composition surface. */
+  def pqTopKSqlOver(source: String, nQueries: Int = 20, k: Int = 5,
+      m: Int = 50, nsub: Int = 16, idOut: String = "vec_id"): String =
+    s"""WITH ${pqCtes(source, nQueries, k, m, nsub)}
+       |SELECT q_id, rank, vec_id AS $idOut, cosine FROM qtop""".stripMargin
+
+  /** DuckDB oracle for [[pqRecall]]: the PQ chain joined against an
+    * independently recomputed exact brute-force top-k. */
+  def pqRecallSql(nQueries: Int = 20, k: Int = 5, m: Int = 50,
+      nsub: Int = 16): String =
+    s"""WITH ${pqCtes(PqDefaultSource, nQueries, k, m, nsub)},
        |bcos AS (
        |  SELECT qq.q_id, c.vec_id,
        |    ROUND(${cosSqlExpr("c.emb", "qq.q_emb")}, 6) AS cosine

@@ -182,6 +182,37 @@ object TextEmbed {
          |c AS (SELECT doc_id AS vec_id, emb FROM v)""".stripMargin,
       nQueries, k, m, idOut = "doc_id")
 
+  /** Text embeddings through the CODE-BOOK tier ([[Similarity.pqTopKOf]]):
+    * product-quantization codes over the hashed-text vectors, `lang`
+    * seeding the per-subspace codebooks (the [[textIvfTopK]] prior), ADC
+    * ranking, exact re-rank — the deepest-compression search path for a
+    * corpus whose int8 codes still exceed memory. Fixture-free and fully
+    * hash-oracled like its siblings. */
+  def textPqTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame = {
+    val vecs = embeddings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang").as("label")), "doc_id")
+      .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
+    Similarity.pqTopKOf(vecs, nQueries, k, m, nsub)
+      .withColumnRenamed("vec_id", "doc_id")
+  }
+
+  /** DuckDB oracle for [[textPqTopK]]: the coordinate CTEs assembled to
+    * labeled vectors feeding the shared PQ-chain generator (the
+    * [[textIvfTopKSql]] source shape). */
+  def textPqTopKSql(nQueries: Int = 20, k: Int = 5, m: Int = 50,
+      nsub: Int = 16): String =
+    Similarity.pqTopKSqlOver(
+      s"""$embedSqlCtes,
+         |v AS (
+         |  SELECT doc_id AS vec_id, list(val ORDER BY pos) AS emb
+         |  FROM coords GROUP BY doc_id),
+         |c AS (
+         |  SELECT v.vec_id, d.lang AS label, v.emb
+         |  FROM v JOIN documents d ON d.doc_id = v.vec_id)""".stripMargin,
+      nQueries, k, m, nsub, idOut = "doc_id")
+
   /** The composed text→embed→near-dup query: exact cosine top-k of the
     * first `nQueries` docs' hashed-text embeddings against the whole
     * embedded corpus — [[Similarity.bruteForceTopK]]'s shape fed by

@@ -299,6 +299,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window re-rank in the quantized tier:\n$p")
   }
 
+  test("pq topk: audited recall vs exact, exact re-rank, no corpus shuffle") {
+    // 16-subspace product codes over label-seeded codebooks: far coarser
+    // than int8 scalar (≈8 B/vector vs 64), so the floor is lower — the
+    // registered recall audit is the design's honesty contract
+    val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val pq = Similarity.pqTopK(spark, sf, nQueries = 10, k = 5).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == exact.keySet, "every query must answer")
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+    val hits = exact.map { case (q, t) =>
+      (byQ(q).map(_.getAs[Long]("vec_id")).toSet & t).size }.sum
+    val total = exact.map(_._2.size).sum
+    assert(hits.toDouble / total >= 0.5,
+      s"pq recall collapsed below its measured band: $hits/$total")
+    // stage 2 is EXACT: every reported cosine is a true cosine, bounded by
+    // the query's brute-force best
+    val best = Similarity.bruteForceTopK(spark, sf, nQueries = 10, k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cosine")).toMap
+    byQ.foreach { case (q, rs) =>
+      rs.foreach(r => assert(r.getAs[Double]("cosine") <= best(q) + 1e-9))
+    }
+    // the registered audit agrees with the direct comparison
+    val audited = Similarity.pqRecall(spark, sf, nQueries = 10, k = 5)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hits")).toMap
+    exact.foreach { case (q, t) =>
+      assert(audited(q) == (byQ(q).map(_.getAs[Long]("vec_id")).toSet & t).size.toLong)
+    }
+    // scale shape: codebooks are plan literals (zero joins for encoding),
+    // queries/candidates broadcast, both rank stages are bounded heaps
+    val p = Similarity.pqTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the search:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries/candidates must broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"both rank stages must be bounded-heap aggregates:\n$p")
+    assert(!p.contains("Window"), s"no window re-rank in the pq tier:\n$p")
+  }
+
   test("ivf assign: every vector assigned, cos to centroid in [-1,1]") {
     val a = Similarity.ivfAssign(spark, sf).collect()
     assert(a.length == Tables.embeddings(spark, sf).count())
