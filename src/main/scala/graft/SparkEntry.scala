@@ -298,6 +298,16 @@ object SparkEntry {
     ("q_pq_recall",
       ((s: SparkSession, d: String) => Similarity.pqRecall(s, d)): Q,
       Some(Similarity.pqRecallSql())),
+    // per-subspace Lloyd refinement of the product quantizer (the ivfTrain
+    // upgrade path, run in every subspace at once): stats are rows-only,
+    // the convergence invariant is oracled, the trained search shape-mirrors
+    // the hash-oracled seeded chain
+    ("q_pq_train",
+      ((s: SparkSession, d: String) => Similarity.pqTrain(s, d)): Q, None),
+    ("q_pq_train_monotone", graft.operators.Invariants.pqTrainMonotone _,
+      Some(graft.operators.Invariants.pqTrainMonotoneSql())),
+    ("q_ann_pq_trained",
+      ((s: SparkSession, d: String) => Similarity.pqTopKTrained(s, d)): Q, None),
     ("q_ivf_assign", Similarity.ivfAssign _, Some(Similarity.ivfAssignSql)),
     ("q_ivf_train",
       ((s: SparkSession, d: String) => Similarity.ivfTrain(s, d)): Q, None),

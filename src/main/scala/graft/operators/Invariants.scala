@@ -123,6 +123,23 @@ object Invariants {
     s"""SELECT CAST(i AS INT) AS iter, true AS sse_nonincreasing
        |FROM range(0, ${iters + 1}) t(i)""".stripMargin
 
+  /** Per-subspace Lloyd convergence invariant for the product quantizer —
+    * the [[ivfTrainMonotone]] contract on [[Similarity.pqTrain]]'s stats:
+    * both steps minimize L2 in every subspace independently, so the
+    * summed quantization error is non-increasing. */
+  def pqTrainMonotone(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("iter")
+    Similarity.pqTrain(spark, dir)
+      .withColumn("prev_qe", lag("qe", 1).over(w))
+      .select(col("iter"),
+        (col("prev_qe").isNull || col("qe") <= col("prev_qe") + 1e-6)
+          .as("qe_nonincreasing"))
+  }
+
+  def pqTrainMonotoneSql(iters: Int = 3): String =
+    s"""SELECT CAST(i AS INT) AS iter, true AS qe_nonincreasing
+       |FROM range(0, ${iters + 1}) t(i)""".stripMargin
+
   /** bool_and as a codegen-friendly min-over-indicator (works on any Spark
     * version and keeps the aggregate in HashAggregate). Shared by every
     * invariant-style aggregate in this package. */

@@ -457,18 +457,34 @@ object Similarity {
     * composition surface ([[ivfTopKOf]] contract: `label` seeds the
     * codebooks). */
   def pqTopKOf(vecs: DataFrame, nQueries: Int = 20, k: Int = 5,
-      m: Int = 50, nsub: Int = 16): DataFrame = {
-    // codebook: label-ordered centroids, collected (labels × dim — tiny)
+      m: Int = 50, nsub: Int = 16): DataFrame =
+    pqSearch(vecs, seededCodebooks(vecs, nsub), nQueries, k, m)
+
+  /** The label-seeded codebooks (the oracled search default): label-ordered
+    * centroids collected (labels × dim — tiny) and sliced per subspace —
+    * indexed cb(s)(ci) = the sub-dim codeword. */
+  private[graft] def seededCodebooks(vecs: DataFrame,
+      nsub: Int): Seq[Seq[Seq[Double]]] = {
     val cents: Seq[Seq[Double]] =
       meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
         .orderBy("label").collect().map(_.getSeq[Double](1).toSeq).toSeq
     val dim = cents.head.length
     require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
     val sub = dim / nsub
+    (0 until nsub).map(s => cents.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** The PQ search under an ARBITRARY codebook set (seeded or
+    * Lloyd-refined by [[pqTrain]]) — cb(s)(ci), all subspaces equal
+    * width. */
+  private[graft] def pqSearch(vecs: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      nQueries: Int, k: Int, m: Int): DataFrame = {
+    val nsub = cb.length
+    val sub = cb.head.head.length
     def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
     def sliceOf(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
-    def cwSlice(ci: Int, s: Int): Seq[Double] =
-      cents(ci).slice(s * sub, (s + 1) * sub)
+    def cwSlice(ci: Int, s: Int): Seq[Double] = cb(s)(ci)
+    val cents = cb.head // per-subspace code count (uniform across s)
     // per-subspace code: argmin over rounded L2 to each codeword slice,
     // tiebreak lower code index — array_min over (d2, ci) structs orders
     // lexicographically, which is exactly that
@@ -520,6 +536,114 @@ object Similarity {
       .join(hits, Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
+
+  private val pqTrainMemo =
+    new SessionMemo[(String, Int, Int), (DataFrame, Seq[Seq[Seq[Double]]])]
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks — "training" the
+    * product quantizer instead of trusting the label-seeded slices, the
+    * same upgrade path [[ivfTrain]] gives the coarse quantizer, run in all
+    * `nsub` subspaces at once. Per round: nearest-codeword assignment
+    * under L2 (codebooks broadcast — nsub × ncode × sub doubles, tiny at
+    * any corpus scale) via a map-side-combinable `min(struct)` aggregate
+    * keyed (vec_id, s) — NOT a window, so no per-key sort — then mean
+    * re-estimation per (s, code) (posexplode → two small shuffles, the
+    * [[meanVectors]] shape with a compound key). Cells left empty by an
+    * assignment keep their previous codeword. `localCheckpoint` per round
+    * truncates the doubling lineage (connected-components/Lloyd pattern).
+    *
+    * Both Lloyd steps minimize L2, so the total quantization error — the
+    * sum of assigned subspace d2 over every (vector, subspace) — is
+    * non-increasing; `q_pq_train_monotone` states that invariant and
+    * SimilaritySpec asserts it on the stats.
+    *
+    * Output: one row per iteration (0 = the seeded assignment) with the
+    * quantization error and how many (vector, subspace) assignments
+    * changed code. Memoized per (dir, iters, nsub); the refined codebooks
+    * feed [[pqTopKTrained]]. */
+  def pqTrain(spark: SparkSession, dir: String, iters: Int = 3,
+      nsub: Int = 16): DataFrame =
+    pqTrainFull(spark, dir, iters, nsub)._1
+
+  private[graft] def pqTrainFull(spark: SparkSession, dir: String,
+      iters: Int, nsub: Int): (DataFrame, Seq[Seq[Seq[Double]]]) =
+    pqTrainMemo.getOrElseUpdate(spark, (dir, iters, nsub)) {
+      val r = pqTrainImpl(spark, dir, iters, nsub)
+      (r._1.cache(), r._2)
+    }
+
+  private def pqTrainImpl(spark: SparkSession, dir: String, iters: Int,
+      nsub: Int): (DataFrame, Seq[Seq[Seq[Double]]]) = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    var cb = seededCodebooks(c, nsub)
+    val sub = cb.head.head.length
+    // the (vec_id, s, v) subvector table — ONE projection of the corpus,
+    // reused by every round
+    val sv = c.select(col("vec_id"), explode(array((0 until nsub).map { s =>
+        struct(lit(s).as("s"), slice(col("emb"), s * sub + 1, sub).as("v"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.v").as("v"))
+      .localCheckpoint(true)
+    def cbDf(b: Seq[Seq[Seq[Double]]]): DataFrame =
+      b.zipWithIndex.flatMap { case (cws, s) =>
+        cws.zipWithIndex.map { case (w, ci) => (s, ci, w) }
+      }.toDF("s", "ci", "w")
+    def assignTo(b: Seq[Seq[Seq[Double]]]): DataFrame =
+      sv.join(broadcast(cbDf(b)), "s")
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d2"), col("ci"))).as("m"))
+        .select(col("vec_id"), col("s"),
+          col("m.ci").as("ci"), col("m.d2").as("d2"))
+        .localCheckpoint(true)
+    def qe(assign: DataFrame): Double =
+      assign.agg(coalesce(sum("d2"), lit(0.0))).collect()(0).getDouble(0)
+    def meansOf(assign: DataFrame,
+        prev: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+      val fitted = assign.join(sv, Seq("vec_id", "s"))
+        .select(col("s"), col("ci"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("s", "ci", "pos").agg(avg("x").as("m"))
+        .groupBy("s", "ci")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("s"), col("ci"),
+          transform(col("pm"), p => p.getField("m")).as("w"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      prev.zipWithIndex.map { case (cws, s) =>
+        cws.zipWithIndex.map { case (old, ci) => fitted.getOrElse((s, ci), old) }
+      }
+    }
+    var assign = assignTo(cb)
+    val stats = scala.collection.mutable.ArrayBuffer((0, qe(assign), 0L))
+    var i = 1
+    while (i <= iters) {
+      cb = meansOf(assign, cb)
+      val next = assignTo(cb)
+      val moved = next.select(col("vec_id"), col("s"), col("ci").as("new_ci"))
+        .join(assign.select(col("vec_id"), col("s"), col("ci")), Seq("vec_id", "s"))
+        .filter(col("new_ci") =!= col("ci")).count()
+      assign = next
+      stats += ((i, qe(assign), moved))
+      i += 1
+    }
+    (stats.toSeq.toDF("iter", "qe", "n_moved")
+       .select(col("iter"), round(col("qe"), 4).as("qe"), col("n_moved")),
+     cb)
+  }
+
+  /** PQ search under the Lloyd-refined codebooks — the trained twin of
+    * [[pqTopK]]. Rows-only by contract (k-means isn't SQL-re-derivable);
+    * it shape-mirrors the hash-oracled seeded search, its training is
+    * invariant-oracled (`q_pq_train_monotone`), and SimilaritySpec holds
+    * its recall to the seeded tier's floor. */
+  def pqTopKTrained(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = 50, nsub: Int = 16, iters: Int = 3): DataFrame =
+    pqSearch(corpus(spark, dir), pqTrainFull(spark, dir, iters, nsub)._2,
+      nQueries, k, m)
 
   /** The labeled default corpus source for the PQ oracle chain. */
   private val PqDefaultSource =

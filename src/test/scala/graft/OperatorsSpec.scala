@@ -342,6 +342,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window re-rank in the pq tier:\n$p")
   }
 
+  test("pq train: quantization error non-increasing, trained search holds the floor") {
+    val stats = Similarity.pqTrain(spark, sf).collect().sortBy(_.getInt(0))
+    assert(stats.map(_.getInt(0)).toSeq == (0 to 3))
+    val qes = stats.map(_.getAs[Double]("qe"))
+    qes.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-6, s"Lloyd qe increased: ${qes.toSeq}")
+    }
+    assert(qes.last < qes.head, "training should actually refine the seeded codebooks")
+    // the registered invariant query agrees
+    val inv = graft.operators.Invariants.pqTrainMonotone(spark, sf).collect()
+    assert(inv.forall(_.getBoolean(1)))
+    // trained search: every query answers, k rows each, recall no worse
+    // than the seeded tier's asserted floor
+    val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val trained = Similarity.pqTopKTrained(spark, sf, nQueries = 10, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(trained.keySet == exact.keySet)
+    trained.foreach { case (_, rs) => assert(rs.length == 5) }
+    val hits = exact.map { case (q, t) =>
+      (trained(q).map(_.getAs[Long]("vec_id")).toSet & t).size }.sum
+    assert(hits.toDouble / exact.map(_._2.size).sum >= 0.5,
+      s"trained pq recall below the seeded floor: $hits")
+  }
+
   test("ivf assign: every vector assigned, cos to centroid in [-1,1]") {
     val a = Similarity.ivfAssign(spark, sf).collect()
     assert(a.length == Tables.embeddings(spark, sf).count())
