@@ -178,6 +178,13 @@ object SparkEntry {
     ("q_mg_guarantee",
       ((s: SparkSession, d: String) => graft.operators.Sketches.mgGuarantee(s, d)): Q,
       Some(graft.operators.Sketches.mgGuaranteeSql())),
+    // count-min point queries (the third sketch: HLL distinct, MG heavy,
+    // CMS how-often) — estimates rows-only, the guarantee twin oracled
+    ("q_cms_estimates",
+      ((s: SparkSession, d: String) => graft.operators.Sketches.cmsEstimates(s, d)): Q, None),
+    ("q_cms_guarantee",
+      ((s: SparkSession, d: String) => graft.operators.Sketches.cmsGuarantee(s, d)): Q,
+      Some(graft.operators.Sketches.cmsGuaranteeSql())),
     ("q_pack_bounds",
       ((s: SparkSession, d: String) => graft.operators.Packing.packBounds(s, d)): Q,
       Some(graft.operators.Packing.packBoundsSql)),
@@ -226,6 +233,10 @@ object SparkEntry {
     ("q_chunk_documents",
       ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocuments(s, d)): Q,
       Some(graft.operators.Packing.chunkDocumentsSql())),
+    // the same chunk kernel on the REAL BPE token bill — rows-only by
+    // contract, bracketed by the oracled whitespace twin + encode roundtrip
+    ("q_chunk_bpe",
+      ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocumentsBpe(s, d)): Q, None),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,
       Some(graft.operators.Packing.packContiguousSql())),

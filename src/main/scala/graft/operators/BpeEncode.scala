@@ -149,8 +149,12 @@ object BpeEncode {
   private val encMemo = new SessionMemo[String, DataFrame]
 
   /** Memoized corpus encode under the memoized trained merges — shared by
-    * the summary and roundtrip queries (one training + one encode per
-    * session/dir, same materialized-artifact contract as `ivfTrain`). */
+    * the summary and roundtrip queries and the BPE-chunking twin
+    * (`Packing.chunkDocumentsBpe`): one training + one encode per
+    * session/dir, same materialized-artifact contract as `ivfTrain`. */
+  private[graft] def encodedWordToks(spark: SparkSession, dir: String): DataFrame =
+    encoded(spark, dir)
+
   private def encoded(spark: SparkSession, dir: String): DataFrame =
     encMemo.getOrElseUpdate(spark, dir) {
       encodeOf(spark, Tables.spread(spark, Tables.documents(spark, dir)),

@@ -167,13 +167,22 @@ object Packing {
     * Chunk content is reported as md5 of the space-joined window (exact,
     * engine-portable) so the oracle verifies the tokens themselves. */
   def chunkDocuments(spark: SparkSession, dir: String,
-      window: Int = 64, stride: Int = 32): DataFrame = {
+      window: Int = 64, stride: Int = 32): DataFrame =
+    chunkTokens(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t")),
+      window, stride)
+
+  /** THE chunk kernel over any (doc_id, t ARRAY<STRING>) token frame —
+    * shared by the whitespace-token query above (oracled) and the
+    * real-BPE-token twin [[chunkDocumentsBpe]], so the two differ ONLY in
+    * the tokenizer feeding them. */
+  private[graft] def chunkTokens(toked: DataFrame,
+      window: Int, stride: Int): DataFrame = {
     require(stride <= window, "stride > window would strand tokens between chunks")
-    val toked = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-      .withColumn("n", size(col("t")))
     val anchor = greatest(lit(1), col("n") - (window - 1))
     toked
+      .withColumn("n", size(col("t")))
       .withColumn("starts", array_union(
         sequence(lit(1), anchor, lit(stride)), array(anchor)))
       .select(col("doc_id"), col("t"), col("n"),
@@ -184,6 +193,23 @@ object Packing {
         size(col("chunk")).as("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_sig"))
   }
+
+  /** Chunking on the REAL token bill: the same window/stride/anchor
+    * kernel run over the BPE token stream [[BpeEncode]] produces (each
+    * doc's per-word token arrays flattened in order), so chunk
+    * boundaries land where a trained tokenizer would put them — the
+    * difference between "64 words" and "64 tokens" is exactly what makes
+    * context-window packing honest. Rows-only by contract (BPE tokens
+    * aren't SQL-re-derivable); bracketed by the ORACLED whitespace-token
+    * twin (`q_chunk_documents`, same kernel) and the ORACLED encode
+    * roundtrip (`q_bpe_encode_roundtrip`, same token stream), and
+    * PackingSpec pins coverage + stream reassembly on the BPE side. */
+  def chunkDocumentsBpe(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 32): DataFrame =
+    chunkTokens(
+      BpeEncode.encodedWordToks(spark, dir)
+        .select(col("doc_id"), flatten(col("word_toks")).as("t")),
+      window, stride)
 
   /** DuckDB oracle for [[chunkDocuments]] — same tokenization, stride
     * grid, tail anchor, slicing, and md5 rendering. */

@@ -162,6 +162,122 @@ object Sketches {
        |FROM cnt JOIN tot USING (lang)
        |WHERE cnt.exact_count > tot.n_terms / ${k + 1}.0""".stripMargin
 
+  // --------------------------------------------------- count-min sketch
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — the POINT-QUERY
+    * member of the sketch family (HLL answers "how many distinct", MG
+    * "which are heavy", CMS "how often is THIS one"): a depth×width grid
+    * of counters, each row hashing every term once; an estimate is the
+    * MIN over rows. Collisions only ever ADD, so the estimate NEVER
+    * undercounts — the deterministic half of the guarantee — and
+    * overcounts by more than εN (ε = e/width) with probability ≤ e^-depth
+    * per row of hashes. Mergeable by pointwise sum (Agarwal et al. 2012),
+    * so it composes with partial aggregation like sum/count: at 100 TB
+    * each partition ships one fixed depth×width Long grid per language,
+    * never a per-term row. Hashing is MurmurHash3 seeded by the grid row —
+    * deterministic across runs and partitionings (SketchesSpec pins it). */
+  class CountMinAgg(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], term: String): Array[Long] = {
+      var d = 0
+      while (d < depth) {
+        b(d * width + Sketches.cmsSlot(term, d, width)) += 1L
+        d += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Row-`d` slot of a term — shared by the aggregator's ingest and the
+    * estimate lookup so they can never drift. */
+  private[graft] def cmsSlot(term: String, d: Int, width: Int): Int =
+    java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(term, d), width)
+
+  private[graft] def cmsEstimate(sketch: Seq[Long], term: String,
+      depth: Int, width: Int): Long = {
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = sketch(d * width + cmsSlot(term, d, width))
+      if (c < est) est = c
+      d += 1
+    }
+    est
+  }
+
+  val CmsDepth = 4
+  val CmsWidth = 2048
+
+  /** One CMS per language over the exploded term stream. */
+  private def cmsPerLang(terms: DataFrame, depth: Int, width: Int): DataFrame = {
+    val cms = udaf(new CountMinAgg(depth, width), Encoders.STRING)
+    terms.groupBy("lang").agg(cms(col("term")).as("sketch"))
+  }
+
+  /** CMS point estimates for the exact-heavy terms per language — the
+    * sketch queried where answers are checkable. Rows-only (the grid is
+    * hash-layout-specific); its guarantee twin below is the oracle. */
+  def cmsEstimates(spark: SparkSession, dir: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth, k: Int = 30): DataFrame = {
+    val terms = langTerms(spark, dir)
+    val totals = terms.groupBy("lang").agg(count(lit(1)).as("n_terms"))
+    val heavy = terms.groupBy("lang", "term")
+      .agg(count(lit(1)).as("exact_count"))
+      .join(broadcast(totals), "lang")
+      .filter(col("exact_count") > col("n_terms") / lit(k + 1.0))
+    val est = udf((sketch: Seq[Long], term: String) =>
+      cmsEstimate(sketch, term, depth, width))
+    heavy.join(broadcast(cmsPerLang(terms, depth, width)), "lang")
+      .select(col("lang"), col("term"),
+        est(col("sketch"), col("term")).as("cms_count"))
+  }
+
+  /** The count-min guarantee per exact-heavy term, oracle-checkable like
+    * [[mgGuarantee]]: the estimate never undercounts (deterministic —
+    * collisions only add), and overcounts within the standard e·N/width
+    * additive bound (hash-dependent but fixed for a fixed corpus, the
+    * q_minhash_recall class of oracle; holds at every shipped SF). */
+  def cmsGuarantee(spark: SparkSession, dir: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth, k: Int = 30): DataFrame = {
+    val terms = langTerms(spark, dir)
+    val totals = terms.groupBy("lang").agg(count(lit(1)).as("n_terms"))
+    val heavy = terms.groupBy("lang", "term")
+      .agg(count(lit(1)).as("exact_count"))
+      .join(broadcast(totals), "lang")
+      .filter(col("exact_count") > col("n_terms") / lit(k + 1.0))
+    val est = udf((sketch: Seq[Long], term: String) =>
+      cmsEstimate(sketch, term, depth, width))
+    heavy.join(broadcast(cmsPerLang(terms, depth, width)), "lang")
+      .withColumn("cms_count", est(col("sketch"), col("term")))
+      .select(col("lang"), col("term"),
+        (col("cms_count") >= col("exact_count")).as("never_undercounts"),
+        ((col("cms_count") - col("exact_count")).cast("double") <=
+          lit(math.E / width) * col("n_terms")).as("overcount_within_bound"))
+  }
+
+  def cmsGuaranteeSql(k: Int = 30): String =
+    s"""WITH terms AS (
+       |  SELECT lang,
+       |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), ' '),
+       |           x -> x <> '')) AS term
+       |  FROM documents),
+       |tot AS (SELECT lang, COUNT(*) AS n_terms FROM terms GROUP BY 1),
+       |cnt AS (SELECT lang, term, COUNT(*) AS exact_count FROM terms GROUP BY 1, 2)
+       |SELECT cnt.lang AS lang, cnt.term AS term,
+       |       true AS never_undercounts, true AS overcount_within_bound
+       |FROM cnt JOIN tot USING (lang)
+       |WHERE cnt.exact_count > tot.n_terms / ${k + 1}.0""".stripMargin
+
   def heavyTermsExactSql(k: Int = 30): String =
     s"""WITH terms AS (
        |  SELECT lang,

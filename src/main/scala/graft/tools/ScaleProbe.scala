@@ -94,7 +94,14 @@ object ScaleProbe {
     // r9 addition: the int8-quantized two-stage search — stage 1 is one
     // linear scan of the code table, stage 2 a constant m·nQueries re-rank
     ("q_ann_quantized", "embeddings",
-      (s: SparkSession, d: String) => graft.operators.Similarity.quantizedTopK(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Similarity.quantizedTopK(s, d)),
+    // r9 additions: PQ/ADC search (expression-encoded codes, one linear
+    // scan + constant re-rank) and the real-BPE corpus encode (train on
+    // the Zipf-compact word table + one zero-shuffle map over the docs)
+    ("q_ann_pq", "embeddings",
+      (s: SparkSession, d: String) => graft.operators.Similarity.pqTopK(s, d)),
+    ("q_bpe_encode", "documents",
+      (s: SparkSession, d: String) => graft.operators.BpeEncode.encodeQuery(s, d)))
 
   val ExponentGate = 1.5
 

@@ -72,6 +72,33 @@ class PackingSpec extends AnyFunSuite {
     assert(per.filter(col("n") <= w && col("n_chunks") =!= 1).count() == 0)
   }
 
+  test("bpe chunking: same kernel contract on the real token stream") {
+    import org.apache.spark.sql.functions._
+    val w = 64; val stride = 32
+    val chunks = Packing.chunkDocumentsBpe(spark, sf, w, stride)
+    // the denominator is the BPE token count, not the word count
+    val toks = graft.operators.BpeEncode.encodeQuery(spark, sf)
+      .select(col("doc_id"), col("n_tokens").as("n"))
+    val per = chunks.groupBy("doc_id").agg(
+        min("start_idx").as("first_s"),
+        max(col("start_idx") + col("n_chunk_tokens") - 1).as("last_end"),
+        max("n_chunk_tokens").as("max_w"),
+        count(lit(1)).as("n_chunks"))
+      .join(toks, "doc_id").cache()
+    assert(per.count() == toks.count(), "every doc chunks")
+    assert(per.filter(col("first_s") =!= 1).count() == 0)
+    assert(per.filter(col("max_w") > w).count() == 0)
+    assert(per.filter(col("n") > 0 && col("last_end") =!= col("n")).count() == 0,
+      "anchored final window must end at the last BPE token")
+    assert(per.filter(col("n") <= w && col("n_chunks") =!= 1).count() == 0)
+    // BPE tokens outnumber words (merges start from characters), so the
+    // real bill produces at least as many chunks in total as the word proxy
+    val bpeChunks = chunks.count()
+    val wordChunks = Packing.chunkDocuments(spark, sf, w, stride).count()
+    assert(bpeChunks >= wordChunks,
+      s"real token bill must not under-chunk: $bpeChunks vs $wordChunks")
+  }
+
   test("next-fit wastes less budget than pathological and beats doc-per-pack") {
     val p = Packing.packNextFit(spark, sf).collect()
     val nPacks = p.map(_.getAs[String]("pack_key")).distinct.length

@@ -295,6 +295,21 @@ class ScaleSpec extends AnyFunSuite {
       s"chunking must stay in HOF expression space:\n$plan")
   }
 
+  test("bpe encode: a pure map — no hash shuffle, no window, merges broadcast") {
+    // the encode is one projection over the corpus: merge ranks travel as
+    // a broadcast variable inside the (by-design) imperative UDF, words
+    // never join against a vocabulary table; the only allowed exchange is
+    // the input spread (round-robin at test scale, absent at lake scale)
+    val merges = operators.BpeTrain.train(spark, sf)
+    val plan = physicalPlan(operators.BpeEncode.encodeOf(
+      spark, Tables.spread(spark, Tables.documents(spark, sf)), merges))
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"encode must not shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"encode must not join or window:\n$plan")
+  }
+
   test("lens dashboard: one shuffle to the day grain; ordered tail on the aggregated series") {
     val plan = physicalPlan(serve.LensQueries.lensDashboard(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length

@@ -32,6 +32,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(summary("hot") <= 50)
   }
 
+  test("CMS kernel: never undercounts, exact when collision-free, merge = one-pass") {
+    val depth = 4; val width = 64
+    val agg = new Sketches.CountMinAgg(depth, width)
+    val stream = Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ (1 to 20).map(i => s"t$i")
+    val sk = stream.foldLeft(agg.zero)(agg.reduce)
+    def est(t: String) = Sketches.cmsEstimate(sk.toSeq, t, depth, width)
+    assert(est("a") >= 10 && est("b") >= 3, "CMS must never undercount")
+    // merge path: split across partials must equal the one-pass grid
+    val (s1, s2) = stream.splitAt(9)
+    val merged = agg.merge(
+      s1.foldLeft(agg.zero)(agg.reduce), s2.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == sk.toSeq, "pointwise merge must equal one pass")
+    // an absent term can only read collision mass, bounded by total inserts
+    assert(est("never-seen") <= stream.length * depth)
+  }
+
+  test("distributed CMS: guarantee query all-true, estimates exact on this corpus") {
+    val g = Sketches.cmsGuarantee(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getAs[Boolean]("never_undercounts"), s"undercount at $r")
+      assert(r.getAs[Boolean]("overcount_within_bound"), s"overcount at $r")
+    }
+    // estimates line up with the exact 2-pass heavy counts where both exist
+    val est = Sketches.cmsEstimates(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("cms_count")).toMap
+    val exact = Sketches.heavyTermsExact(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("exact_count")).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"estimate under exact for $k")
+    }
+  }
+
   test("distributed heavy terms: top-1 matches exact count per lang") {
     val approx = Sketches.heavyTermsPerLang(spark, sf).collect()
       .filter(_.getInt(1) == 1)
