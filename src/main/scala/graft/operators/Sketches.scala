@@ -218,8 +218,11 @@ object Sketches {
   val CmsDepth = 4
   val CmsWidth = 2048
 
-  /** One CMS per language over the exploded term stream. */
-  private def cmsPerLang(terms: DataFrame, depth: Int, width: Int): DataFrame = {
+  /** One CMS per language over an exploded (lang, term) stream — shared
+    * by the batch point-query/guarantee queries and the streaming
+    * ingest-time maintenance twin (`streaming/StreamSketch`), so the two
+    * sides can never drift on hashing or grid layout. */
+  private[graft] def cmsPerLang(terms: DataFrame, depth: Int, width: Int): DataFrame = {
     val cms = udaf(new CountMinAgg(depth, width), Encoders.STRING)
     terms.groupBy("lang").agg(cms(col("term")).as("sketch"))
   }
