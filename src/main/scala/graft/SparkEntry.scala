@@ -185,6 +185,16 @@ object SparkEntry {
     ("q_cms_guarantee",
       ((s: SparkSession, d: String) => graft.operators.Sketches.cmsGuarantee(s, d)): Q,
       Some(graft.operators.Sketches.cmsGuaranteeSql())),
+    // model-based quality gate (CCNet/LLaMA/DCLM-style learned filter):
+    // distributed logistic GD over the oracled hashed-text embeddings with
+    // teacher labels from the oracled quality rule — stats and the scored
+    // gate rows-only, the descent-lemma convergence invariant oracled
+    ("q_quality_train",
+      ((s: SparkSession, d: String) => graft.operators.Classifier.qualityTrain(s, d)): Q, None),
+    ("q_quality_train_monotone", graft.operators.Invariants.qualityTrainMonotone _,
+      Some(graft.operators.Invariants.qualityTrainMonotoneSql())),
+    ("q_quality_gate",
+      ((s: SparkSession, d: String) => graft.operators.Classifier.qualityGate(s, d)): Q, None),
     ("q_pack_bounds",
       ((s: SparkSession, d: String) => graft.operators.Packing.packBounds(s, d)): Q,
       Some(graft.operators.Packing.packBoundsSql)),

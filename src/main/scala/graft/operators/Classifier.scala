@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Model-based quality filtering — the learned gate modern curation
+  * pipelines put next to the rule-based one (CCNet's fastText LM filter,
+  * LLaMA's "quality classifier", DCLM's fastText gate): train a LINEAR
+  * classifier to imitate a quality oracle, then score and gate the corpus
+  * with the model.
+  *
+  * Everything is assembled from pieces this engine already oracles:
+  * features are the L2-normalized feature-hash embeddings
+  * ([[TextEmbed.embeddings]], every coordinate DuckDB-verified via
+  * `q_embed_text`) plus a bias; weak-supervision labels come from the
+  * deterministic composite quality rule (`TextFunctions.qualityMetrics`,
+  * oracled via `q_quality_metrics`) thresholded at `tau` — the standard
+  * distillation setup where a cheap closed-form teacher labels the
+  * training set for a model that generalizes past it.
+  *
+  * Training is full-batch gradient descent on the convex logistic loss,
+  * in the classic DISTRIBUTED-GD shape: the corpus never moves — each
+  * iteration broadcasts the (dim+1)-vector `w` into one scan that
+  * computes per-row `σ(w·x) − y` (pure expression work), and the gradient
+  * reduces via posexplode → per-position partial sums (the `meanVectors`
+  * shuffle: ≤ dim+1 rows per partition after map-side combine). At 100 TB
+  * an iteration is one linear pass; `w` is 65 doubles on the driver.
+  *
+  * Convergence is a THEOREM here, not a hope: logistic loss is L-smooth
+  * with L ≤ max‖x‖²/4 = (1+1)/4 = 0.5 on unit-normalized features with a
+  * unit bias (zero-token docs stay all-zero, so ‖x‖² ≤ 2 everywhere),
+  * and the descent lemma guarantees a monotone loss decrease for any
+  * fixed step η < 2/L = 4 — the default η = 3.5 sits inside the bound.
+  * `q_quality_train_monotone` states that invariant (oracled, the
+  * ivfTrain/pqTrain pattern); ClassifierSpec additionally asserts real
+  * progress and that the gate beats the majority-class baseline — the
+  * content features earn their keep against the ratio-driven teacher,
+  * they don't just memorize it. */
+object Classifier {
+
+  // τ sits at the corpus's median composite score (scores span ~0.51-0.80
+  // with median ~0.67 across the shipped SFs), so the teacher labels SPLIT
+  // the corpus — at a τ outside the score range the task degenerates to a
+  // constant and "accuracy" stops measuring anything (ClassifierSpec pins
+  // that both classes are actually present)
+  val DefaultTau = 0.67
+  val DefaultIters = 15
+  val DefaultEta = 3.5
+
+  /** (doc_id, x ARRAY<DOUBLE> (bias ++ emb), y DOUBLE) — the training
+    * frame: embeddings joined to thresholded teacher labels. Docs with no
+    * tokens have no embedding and drop out (nothing to score). */
+  private def trainingFrame(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    val labels = graft.functions.TextFunctions
+      .qualityMetrics(Tables.spread(spark, Tables.documents(spark, dir)), "text")
+      .select(col("doc_id"),
+        when(col("quality_score") >= tau, 1.0d).otherwise(0.0d).as("y"))
+    TextEmbed.embeddings(spark, dir)
+      .select(col("doc_id"), concat(array(lit(1.0d)), col("emb")).as("x"))
+      .join(labels, "doc_id")
+  }
+
+  private def dotW(x: Column, w: Seq[Double]): Column =
+    aggregate(zip_with(x, array(w.map(lit): _*), (a, b) => a * b),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private val trainMemo =
+    new SessionMemo[(String, Double, Int, Double), (DataFrame, Seq[Double])]
+
+  /** Training stats: one row per iteration (0 = the zero-weight start)
+    * with the mean logistic loss and teacher-agreement accuracy. */
+  def qualityTrain(spark: SparkSession, dir: String, tau: Double = DefaultTau,
+      iters: Int = DefaultIters, eta: Double = DefaultEta): DataFrame =
+    qualityTrainFull(spark, dir, tau, iters, eta)._1
+
+  private[graft] def qualityTrainFull(spark: SparkSession, dir: String,
+      tau: Double = DefaultTau, iters: Int = DefaultIters,
+      eta: Double = DefaultEta): (DataFrame, Seq[Double]) =
+    trainMemo.getOrElseUpdate(spark, (dir, tau, iters, eta)) {
+      val r = qualityTrainImpl(spark, dir, tau, iters, eta)
+      (r._1.cache(), r._2)
+    }
+
+  private def qualityTrainImpl(spark: SparkSession, dir: String, tau: Double,
+      iters: Int, eta: Double): (DataFrame, Seq[Double]) = {
+    import spark.implicits._
+    val data = trainingFrame(spark, dir, tau).localCheckpoint(true)
+    val n = data.count().toDouble
+    val dim = data.select(size(col("x"))).head().getInt(0)
+    var w: Seq[Double] = Seq.fill(dim)(0.0)
+
+    // loss, accuracy, and the full gradient in ONE pass over the corpus:
+    // per-row expressions produce (loss_i, hit_i, err_i·x) and the array
+    // reduces by position (map-side-combined partial sums)
+    def pass(wNow: Seq[Double]): (Double, Double, Seq[Double]) = {
+      val margin = dotW(col("x"), wNow)
+      val p = lit(1.0d) / (lit(1.0d) + exp(-margin))
+      val scored = data.select(
+        col("y"),
+        // numerically stable log-loss: log(1+e^-|m|) + max(0, -y·±m) form
+        // is overkill at these magnitudes; the direct form stays finite
+        // because p is bounded away from 0/1 by the exp of a dot of
+        // bounded terms
+        (-(col("y") * log(p) + (lit(1.0d) - col("y")) * log(lit(1.0d) - p))).as("l"),
+        when((p >= 0.5d) === (col("y") === 1.0d), 1.0d).otherwise(0.0d).as("hit"),
+        transform(col("x"), xi => xi * (p - col("y"))).as("g"))
+      val sums = scored.agg(
+        sum("l").as("sl"), sum("hit").as("sh")).head()
+      val grad = scored
+        .select(posexplode(col("g")).as(Seq("pos", "gv")))
+        .groupBy("pos").agg(sum("gv").as("s"))
+        .orderBy("pos").collect().map(_.getDouble(1))
+      (sums.getDouble(0) / n, sums.getDouble(1) / n, grad.toSeq.map(_ / n))
+    }
+
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    var i = 0
+    var cur = pass(w)
+    stats += ((0, cur._1, cur._2))
+    while (i < iters) {
+      w = w.zip(cur._3).map { case (wi, gi) => wi - eta * gi }
+      cur = pass(w)
+      i += 1
+      stats += ((i, cur._1, cur._2))
+    }
+    (stats.toSeq.toDF("iter", "loss", "accuracy")
+       .select(col("iter"), round(col("loss"), 6).as("loss"),
+         round(col("accuracy"), 6).as("accuracy")),
+     w)
+  }
+
+  /** The learned gate applied corpus-wide: per-doc sigmoid score and
+    * keep/drop under the trained weights — one broadcast-weights scan,
+    * the production read path of the classifier. Rows-only by contract
+    * (the weights aren't SQL-derivable); training is invariant-oracled
+    * and ClassifierSpec holds the gate to a teacher-agreement floor. */
+  def qualityGate(spark: SparkSession, dir: String, tau: Double = DefaultTau,
+      iters: Int = DefaultIters, eta: Double = DefaultEta): DataFrame = {
+    val w = qualityTrainFull(spark, dir, tau, iters, eta)._2
+    trainingFrame(spark, dir, tau)
+      .withColumn("score",
+        round(lit(1.0d) / (lit(1.0d) + exp(-dotW(col("x"), w))), 6))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= 0.5d).as("keep"),
+        (col("y") === 1.0d).as("teacher_keep"))
+  }
+}

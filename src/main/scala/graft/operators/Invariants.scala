@@ -140,6 +140,23 @@ object Invariants {
     s"""SELECT CAST(i AS INT) AS iter, true AS qe_nonincreasing
        |FROM range(0, ${iters + 1}) t(i)""".stripMargin
 
+  /** Descent-lemma convergence invariant for the learned quality gate —
+    * [[Classifier.qualityTrain]] runs full-batch GD on an L-smooth convex
+    * loss with η < 2/L, so the loss is non-increasing by theorem (1e-6
+    * slack for the 6-dp display rounding of each loss). */
+  def qualityTrainMonotone(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("iter")
+    Classifier.qualityTrain(spark, dir)
+      .withColumn("prev_loss", lag("loss", 1).over(w))
+      .select(col("iter"),
+        (col("prev_loss").isNull || col("loss") <= col("prev_loss") + 1e-6)
+          .as("loss_nonincreasing"))
+  }
+
+  def qualityTrainMonotoneSql(iters: Int = Classifier.DefaultIters): String =
+    s"""SELECT CAST(i AS INT) AS iter, true AS loss_nonincreasing
+       |FROM range(0, ${iters + 1}) t(i)""".stripMargin
+
   /** bool_and as a codegen-friendly min-over-indicator (works on any Spark
     * version and keeps the aggregate in HashAggregate). Shared by every
     * invariant-style aggregate in this package. */

@@ -101,7 +101,11 @@ object ScaleProbe {
     ("q_ann_pq", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.pqTopK(s, d)),
     ("q_bpe_encode", "documents",
-      (s: SparkSession, d: String) => graft.operators.BpeEncode.encodeQuery(s, d)))
+      (s: SparkSession, d: String) => graft.operators.BpeEncode.encodeQuery(s, d)),
+    // r9 addition: learned quality gate — 15 GD iterations, each one
+    // linear scan; w is driver-side metadata
+    ("q_quality_gate", "documents",
+      (s: SparkSession, d: String) => graft.operators.Classifier.qualityGate(s, d)))
 
   val ExponentGate = 1.5
 
