@@ -202,6 +202,14 @@ object SparkEntry {
     ("q_stratified_sample",
       ((s: SparkSession, d: String) => graft.operators.Sampling.stratifiedSummary(s, d)): Q,
       Some(graft.operators.Sampling.stratifiedSummarySql())),
+    // cluster-BALANCED sampling (topic debias for data mixing): equal
+    // per-embedding-cluster budgets — membership rows-only, the allocation
+    // oracled with the clusters themselves re-derived in SQL
+    ("q_cluster_sample",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSample(s, d)): Q, None),
+    ("q_cluster_sample_summary",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSummary(s, d)): Q,
+      Some(graft.operators.Sampling.clusterBalancedSummarySql())),
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),

@@ -755,7 +755,7 @@ object Similarity {
   /** Mean vector per key: posexplode → (key, pos) mean → re-assemble in
     * position order. Two small shuffles; shared by the label-seeded
     * centroids and each Lloyd re-estimation round. */
-  private def meanVectors(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+  private[graft] def meanVectors(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
     df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(keyCol, "pos").agg(avg("v").as("m"))
       .groupBy(keyCol)
@@ -911,7 +911,7 @@ object Similarity {
   /** As [[ivfSqlCtes]] over an arbitrary CTE chain whose LAST relation is
     * named `c` with (vec_id, label, emb DOUBLE[]) — the oracle-side twin
     * of [[ivfTopKOf]]. */
-  private def ivfSqlCtesOver(source: String): String =
+  private[graft] def ivfSqlCtesOver(source: String): String =
     s"""$source,
        |pv AS (
        |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c),

@@ -150,15 +150,19 @@ object TextEmbed {
     * chain is built from `coords` here rather than reusing
     * [[embedVecsCtes]], whose final relation is already named `c`). */
   def textIvfTopKSql(nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): String =
-    Similarity.ivfTopKSqlOver(
-      s"""$embedSqlCtes,
-         |v AS (
-         |  SELECT doc_id AS vec_id, list(val ORDER BY pos) AS emb
-         |  FROM coords GROUP BY doc_id),
-         |c AS (
-         |  SELECT v.vec_id, d.lang AS label, v.emb
-         |  FROM v JOIN documents d ON d.doc_id = v.vec_id)""".stripMargin,
-      nQueries, k, nprobe)
+    Similarity.ivfTopKSqlOver(labeledVecsCtes, nQueries, k, nprobe)
+
+  /** The embed chain assembled to lang-LABELED vectors as the `c` relation
+    * the IVF/PQ generators expect — shared by the IVF twin, the PQ twin,
+    * and the cluster-balanced sampler's oracle. */
+  private[graft] val labeledVecsCtes: String =
+    s"""$embedSqlCtes,
+       |v AS (
+       |  SELECT doc_id AS vec_id, list(val ORDER BY pos) AS emb
+       |  FROM coords GROUP BY doc_id),
+       |c AS (
+       |  SELECT v.vec_id, d.lang AS label, v.emb
+       |  FROM v JOIN documents d ON d.doc_id = v.vec_id)""".stripMargin
 
   /** Text embeddings through the MEMORY tier ([[Similarity
     * .quantizedTopKOf]]): int8 codes over the hashed-text vectors, integer
@@ -203,14 +207,7 @@ object TextEmbed {
     * [[textIvfTopKSql]] source shape). */
   def textPqTopKSql(nQueries: Int = 20, k: Int = 5, m: Int = 50,
       nsub: Int = 16): String =
-    Similarity.pqTopKSqlOver(
-      s"""$embedSqlCtes,
-         |v AS (
-         |  SELECT doc_id AS vec_id, list(val ORDER BY pos) AS emb
-         |  FROM coords GROUP BY doc_id),
-         |c AS (
-         |  SELECT v.vec_id, d.lang AS label, v.emb
-         |  FROM v JOIN documents d ON d.doc_id = v.vec_id)""".stripMargin,
+    Similarity.pqTopKSqlOver(labeledVecsCtes,
       nQueries, k, m, nsub, idOut = "doc_id")
 
   /** The composed text→embed→near-dup query: exact cosine top-k of the

@@ -72,6 +72,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(ids1 === ids2)
   }
 
+  test("cluster-balanced sample: per-cluster cap respected, membership reproducible") {
+    val budget = 40
+    val s1 = Sampling.clusterBalancedSample(spark, sf, budget)
+    val per = s1.groupBy("cluster").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.nonEmpty)
+    // never over budget, and the summary's allocation matches exactly
+    per.values.foreach(n => assert(n <= budget))
+    val summary = Sampling.clusterBalancedSummary(spark, sf, budget).collect()
+    summary.foreach { r =>
+      val expect = math.min(budget.toLong, r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_sampled") == expect, s"allocation drift: $r")
+      assert(per.getOrElse(r.getString(0), 0L) == expect)
+    }
+    // an under-budget cluster keeps ALL its docs; an over-budget one is cut
+    assert(summary.exists(r => r.getAs[Long]("n_docs") > budget),
+      "fixture must exercise the capped arm")
+    // same membership under a different physical partitioning
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.clusterBalancedSample(spark, sf, budget)
+      .repartition(7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("bloom semi join output equals the plain semi join") {
     val viaBloom = Pruning.bloomSemiJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
