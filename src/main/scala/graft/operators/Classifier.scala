@@ -91,28 +91,30 @@ object Classifier {
     val dim = data.select(size(col("x"))).head().getInt(0)
     var w: Seq[Double] = Seq.fill(dim)(0.0)
 
-    // loss, accuracy, and the full gradient in ONE pass over the corpus:
-    // per-row expressions produce (loss_i, hit_i, err_i·x) and the array
-    // reduces by position (map-side-combined partial sums)
+    // loss, accuracy, AND the full gradient in ONE JOB per iteration:
+    // each row emits its gradient vector with (loss, hit) appended as two
+    // extra trailing positions, and everything reduces through the same
+    // posexplode → per-position partial sums (map-side combined). Two
+    // scalar aggregates would otherwise cost a second full job per
+    // iteration — at 15 iterations that is the difference between 16 and
+    // 32 scheduled passes.
     def pass(wNow: Seq[Double]): (Double, Double, Seq[Double]) = {
       val margin = dotW(col("x"), wNow)
       val p = lit(1.0d) / (lit(1.0d) + exp(-margin))
-      val scored = data.select(
-        col("y"),
-        // numerically stable log-loss: log(1+e^-|m|) + max(0, -y·±m) form
-        // is overkill at these magnitudes; the direct form stays finite
-        // because p is bounded away from 0/1 by the exp of a dot of
-        // bounded terms
-        (-(col("y") * log(p) + (lit(1.0d) - col("y")) * log(lit(1.0d) - p))).as("l"),
-        when((p >= 0.5d) === (col("y") === 1.0d), 1.0d).otherwise(0.0d).as("hit"),
-        transform(col("x"), xi => xi * (p - col("y"))).as("g"))
-      val sums = scored.agg(
-        sum("l").as("sl"), sum("hit").as("sh")).head()
-      val grad = scored
+      // numerically stable log-loss forms are overkill at these
+      // magnitudes; the direct form stays finite because p is bounded
+      // away from 0/1 by the exp of a dot of bounded terms
+      val loss = -(col("y") * log(p) + (lit(1.0d) - col("y")) * log(lit(1.0d) - p))
+      val hit = when((p >= 0.5d) === (col("y") === 1.0d), 1.0d).otherwise(0.0d)
+      val sums = data
+        .select(concat(
+          transform(col("x"), xi => xi * (p - col("y"))),
+          array(loss, hit)).as("g"))
         .select(posexplode(col("g")).as(Seq("pos", "gv")))
         .groupBy("pos").agg(sum("gv").as("s"))
         .orderBy("pos").collect().map(_.getDouble(1))
-      (sums.getDouble(0) / n, sums.getDouble(1) / n, grad.toSeq.map(_ / n))
+      val (grad, tail) = sums.splitAt(dim)
+      (tail(0) / n, tail(1) / n, grad.toSeq.map(_ / n))
     }
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
