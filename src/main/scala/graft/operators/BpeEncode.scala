@@ -102,10 +102,13 @@ object BpeEncode {
       .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getInt(2))
       .toMap
     val bc = spark.sparkContext.broadcast(ranks)
+    // per-task memo: the CLOSURE captures the (empty) map, each task
+    // deserializes its own copy once and shares it across all its rows —
+    // declared OUTSIDE the lambda body, where it would be rebuilt per row
+    // and the Zipf amortization would silently never happen. Tasks are
+    // single-threaded over their own copy, so no synchronization.
+    val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     val enc = udf { (words: Seq[String]) =>
-      // per-task memo: created at task deserialization, amortizes the
-      // merge loop across a task's repeated words (Zipf)
-      val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
       words.map(w => memo.getOrElseUpdate(w, encodeWord(w, bc.value)))
     }
     docs
