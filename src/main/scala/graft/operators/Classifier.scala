@@ -148,4 +148,18 @@ object Classifier {
         (col("score") >= 0.5d).as("keep"),
         (col("y") === 1.0d).as("teacher_keep"))
   }
+
+  /** Score ANY (doc_id, text) batch under GIVEN weights — the deployment
+    * split the streaming gate uses (`streaming/StreamScore`): train
+    * offline on the corpus, broadcast the 65 doubles, score each arriving
+    * batch row-locally. Embedding a doc is batch-invariant (token votes
+    * never cross documents), so a doc scores identically here and in
+    * [[qualityGate]] — the equality StreamScoreSpec pins. Token-less docs
+    * have no embedding and drop out, exactly as in the batch gate. */
+  def scoreDocs(docs: DataFrame, w: Seq[Double]): DataFrame =
+    TextEmbed.embedDocs(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), concat(array(lit(1.0d)), col("emb")).as("x"))
+      .select(col("doc_id"),
+        round(lit(1.0d) / (lit(1.0d) + exp(-dotW(col("x"), w))), 6).as("score"))
+      .withColumn("keep", col("score") >= 0.5d)
 }

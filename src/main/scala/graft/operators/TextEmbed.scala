@@ -42,8 +42,16 @@ object TextEmbed {
       embeddingsImpl(spark, dir, dim).cache()
     }
 
-  private def embeddingsImpl(spark: SparkSession, dir: String, dim: Int): DataFrame = {
-    val hashed = Tables.spread(spark, Tables.documents(spark, dir))
+  private def embeddingsImpl(spark: SparkSession, dir: String, dim: Int): DataFrame =
+    embedDocs(Tables.spread(spark, Tables.documents(spark, dir)), dim)
+
+  /** The embed kernel over ANY (doc_id, text) frame — the corpus reader
+    * above and the ingest-time scorer (`streaming/StreamScore`) share it,
+    * and because every step is doc-local (token votes never cross
+    * documents) the embedding of a doc is IDENTICAL whether it arrives in
+    * a full-corpus scan or a one-file micro-batch. */
+  private[graft] def embedDocs(docs: DataFrame, dim: Int = Dim): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Dedup.portableTokenHashCol(col("tok")).as("h"))
       .select(col("doc_id"),
