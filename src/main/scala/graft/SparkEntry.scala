@@ -202,6 +202,11 @@ object SparkEntry {
     ("q_stratified_sample",
       ((s: SparkSession, d: String) => graft.operators.Sampling.stratifiedSummary(s, d)): Q,
       Some(graft.operators.Sampling.stratifiedSummarySql())),
+    // the mega-stratum two-phase form — quantile-bracketed exact refine,
+    // identical membership, so the IDENTICAL summary oracle proves it
+    ("q_stratified_twophase",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.stratifiedSummaryTwoPhase(s, d)): Q,
+      Some(graft.operators.Sampling.stratifiedSummarySql())),
     // cluster-BALANCED sampling (topic debias for data mixing): equal
     // per-embedding-cluster budgets — membership rows-only, the allocation
     // oracled with the clusters themselves re-derived in SQL

@@ -20,10 +20,10 @@ import graft.Tables
   *
   * Scale shape: one hash shuffle on the stratum key; the rank is a window
   * over each stratum. At 100 TB a mega-stratum would bottleneck its single
-  * window partition — the documented fix is the two-phase form (sample a
-  * hash THRESHOLD from the per-stratum count, filter rows below it — no
-  * global sort), which trades exactness for O(1) per-row work; the exact
-  * form here is the contract both must satisfy on bounded strata.
+  * window partition — [[stratifiedSampleTwoPhase]] is the wired fix
+  * (quantile-bracketed exact refine: only an ε-band per stratum is ever
+  * sorted) and gives IDENTICAL membership, pinned row-for-row by
+  * LayoutSpec and by the identical summary oracle.
   */
 object Sampling {
 
@@ -49,6 +49,88 @@ object Sampling {
   def stratifiedSummary(spark: SparkSession, dir: String,
       frac: Double = 0.1, seed: Int = 42): DataFrame = {
     val sampled = stratifiedSample(spark, dir, frac, seed)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    Tables.documents(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
+  /** The MEGA-STRATUM form: identical membership to [[stratifiedSample]]
+    * without ever sorting a whole stratum — the two-phase selection the
+    * header doc names, now wired (the `dsirWeights` sketch-bracket
+    * pattern, per stratum):
+    *
+    *  1. per stratum, a rank-guaranteed quantile sketch (GK,
+    *     `percentile_approx`) brackets the k-th smallest hash:
+    *     lo = quantile at frac − 2ε, hi = quantile at frac + 5ε
+    *     (ε = 1/accuracy). GK's deterministic rank bound (≤ εn) puts
+    *     rank(lo) ≤ frac·n ≤ k, and rank(hi) ≥ (frac+4ε)n ≥ k whenever
+    *     4εn ≥ 1 (n ≥ accuracy/4); smaller strata are band-dominated
+    *     anyway and covered by the shortfall check below;
+    *  2. rows with h < lo are DEFINITELY selected (no sort touches them);
+    *     only the [lo, hi] band — O(εn) rows per stratum — is rank-sorted
+    *     to fill the k − |sure| remaining seats under the same
+    *     (hash, doc_id) total order.
+    *
+    * The selected set is exactly the k smallest (hash, doc_id) per
+    * stratum — the SAME membership as the window form, which is why the
+    * registered query reuses the IDENTICAL summary oracle and LayoutSpec
+    * asserts row-for-row equality. A bracket that still comes up short
+    * (a stratum tinier than the sketch margins can cover) FAILS LOUDLY —
+    * a metadata-scale count check per call, never a silently undersized
+    * sample. At 100 TB the only per-stratum sort left is the ε-band;
+    * everything else is scans and broadcast-joined scalar brackets. */
+  def stratifiedSampleTwoPhase(spark: SparkSession, dir: String,
+      frac: Double = 0.1, seed: Int = 42, accuracy: Int = 100): DataFrame = {
+    val eps = 1.0 / accuracy
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        xxhash64(col("doc_id"), lit(seed)).as("h"))
+    val brackets = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("h"),
+          array(lit(math.max(0.0, frac - 2 * eps)),
+            lit(math.min(1.0, frac + 5 * eps))),
+          lit(accuracy)).as("pcts"))
+      .select(col("lang"),
+        ceil(col("n_docs") * frac).as("k"),
+        col("pcts").getItem(0).as("lo"), col("pcts").getItem(1).as("hi"))
+    val joined = docs.join(broadcast(brackets), "lang")
+    val sure = joined.filter(col("h") < col("lo"))
+    val nSure = sure.groupBy("lang").agg(count(lit(1)).as("n_sure"))
+    val wBand = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val fromBand = joined
+      .filter(col("h") >= col("lo") && col("h") <= col("hi"))
+      .withColumn("rk", row_number().over(wBand))
+      .join(broadcast(nSure), Seq("lang"), "left")
+      .filter(col("rk") <= col("k") - coalesce(col("n_sure"), lit(0L)))
+    val selected = sure.select("doc_id", "lang")
+      .unionAll(fromBand.select("doc_id", "lang"))
+    // loud refusal on a bracket breach: every stratum must fill its k
+    // seats exactly (the window form always does) — one tiny aggregate,
+    // the quantParams/centroid class of driver-side metadata action
+    val short = selected.groupBy("lang").agg(count(lit(1)).as("got"))
+      .join(broadcast(brackets.select(col("lang"), col("k"))), "lang")
+      .filter(col("got") =!= col("k"))
+      .collect()
+    if (short.nonEmpty)
+      throw new IllegalStateException(
+        s"two-phase bracket breach (raise accuracy): " +
+          short.map(r => s"${r.getString(0)} got=${r.getLong(1)} k=${r.getLong(2)}")
+            .mkString(", "))
+    selected
+  }
+
+  /** Per-stratum allocation of the two-phase form — by membership
+    * equality this is the SAME contract as [[stratifiedSummary]], so the
+    * registered query carries the IDENTICAL oracle (the
+    * `q_dedup_spans_salted` / `q_tail_n_heap` proof-by-same-oracle
+    * pattern). */
+  def stratifiedSummaryTwoPhase(spark: SparkSession, dir: String,
+      frac: Double = 0.1, seed: Int = 42): DataFrame = {
+    val sampled = stratifiedSampleTwoPhase(spark, dir, frac, seed)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
     Tables.documents(spark, dir).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"))

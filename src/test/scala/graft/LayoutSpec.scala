@@ -72,6 +72,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(ids1 === ids2)
   }
 
+  test("two-phase stratified sample: row-for-row equal to the exact window form") {
+    // the strongest possible pin for the mega-stratum path: same k
+    // smallest (hash, doc_id) per stratum, so membership — not just
+    // counts — must match the window form exactly
+    val exact = Sampling.stratifiedSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val twoPhase = Sampling.stratifiedSampleTwoPhase(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twoPhase == exact,
+      s"membership drift: ${twoPhase.size} vs ${exact.size}; " +
+        s"diff=${(twoPhase diff exact).take(3)} / ${(exact diff twoPhase).take(3)}")
+    // and the only per-stratum sort left is over the quantile band: the
+    // plan carries exactly ONE window (the band rank) where the exact
+    // form needs a full-stratum window
+    val plan = Sampling.stratifiedSampleTwoPhase(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"expected exactly the band-rank window:\n$plan")
+  }
+
   test("cluster-balanced sample: per-cluster cap respected, membership reproducible") {
     val budget = 40
     val s1 = Sampling.clusterBalancedSample(spark, sf, budget)
