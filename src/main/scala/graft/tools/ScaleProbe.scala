@@ -105,7 +105,13 @@ object ScaleProbe {
     // r9 addition: learned quality gate — 15 GD iterations, each one
     // linear scan; w is driver-side metadata
     ("q_quality_gate", "documents",
-      (s: SparkSession, d: String) => graft.operators.Classifier.qualityGate(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Classifier.qualityGate(s, d)),
+    // r9 additions: the two samplers — two-phase sorts only the ε-band,
+    // cluster-balance is one assignment scan + a budget-bounded rank
+    ("q_stratified_twophase", "documents",
+      (s: SparkSession, d: String) => graft.operators.Sampling.stratifiedSummaryTwoPhase(s, d)),
+    ("q_cluster_sample_summary", "documents",
+      (s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSummary(s, d)))
 
   val ExponentGate = 1.5
 
