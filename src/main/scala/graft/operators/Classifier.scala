@@ -86,6 +86,11 @@ object Classifier {
   private def qualityTrainImpl(spark: SparkSession, dir: String, tau: Double,
       iters: Int, eta: Double): (DataFrame, Seq[Double]) = {
     import spark.implicits._
+    // NOTE: do NOT coalesce this frame down for "scheduler overhead" —
+    // measured 8.2 s → 50.5 s at sf0.1 under coalesce(1): the per-pass
+    // cost is the INTERPRETED higher-order lambdas (zip_with/aggregate
+    // run outside codegen — the engine-wide staging lesson), so the
+    // 32-way scan is genuine compute parallelism, not overhead.
     val data = trainingFrame(spark, dir, tau).localCheckpoint(true)
     val n = data.count().toDouble
     val dim = data.select(size(col("x"))).head().getInt(0)
