@@ -166,15 +166,31 @@ object Sampling {
     * similarity tier's quantizer with the sampling tier's exact
     * allocator, both already oracled on their own. Membership is
     * hash-defined (engine-specific) → rows-only, gate-checked via the
-    * fully-oracled allocation summary below. */
+    * fully-oracled allocation summary below.
+    *
+    * Scale shape: the strata here are LEARNED and therefore FEW (~|lang|
+    * clusters), so a per-cluster window sort would funnel ~corpus/|lang|
+    * rows through single tasks — the exact mega-stratum bottleneck
+    * [[stratifiedSampleTwoPhase]] exists to kill, and worse, because the
+    * stratum count is tiny by construction. The budget is a small constant,
+    * so the bounded-heap top-k aggregator (the `q_tail_n_heap` machinery)
+    * is the cheaper fix: k-smallest (hash, doc_id) per cluster with
+    * map-side combine — each partition ships ≤ budget rows per cluster,
+    * no window, no per-cluster sort. Membership is IDENTICAL to the
+    * window form (the k smallest under the same total order), so the
+    * summary keeps its full oracle and LayoutSpec's reproducibility test
+    * stands; ScaleSpec pins the no-window plan. */
   def clusterBalancedSample(spark: SparkSession, dir: String,
       budget: Int = 40, seed: Int = 42): DataFrame = {
-    val w = Window.partitionBy("cluster")
-      .orderBy(xxhash64(col("doc_id"), lit(seed)), col("doc_id"))
+    val topk = udaf(new TopK.DocHTopKAgg(budget),
+      org.apache.spark.sql.Encoders.product[TopK.DocH])
     clusterAssign(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= budget)
-      .select("doc_id", "cluster")
+      .select(col("cluster"),
+        xxhash64(col("doc_id"), lit(seed)).as("h"), col("doc_id"))
+      .groupBy("cluster")
+      .agg(topk(col("h"), col("doc_id")).as("top"))
+      .select(col("cluster"), explode(col("top")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("cluster"))
   }
 
   /** Per-cluster allocation: n_sampled = least(budget, n_docs) EXACTLY —

@@ -73,6 +73,18 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[T]()
   }
 
+  /** (hash, doc_id) ascending — the deterministic sample-rank order the
+    * stratified/cluster samplers draw with: the k smallest
+    * (xxhash64(doc_id, seed), doc_id) per group IS the membership the
+    * window form `row_number().over(orderBy(h, doc_id)) <= k` selects,
+    * without ever sorting a whole group in one task. */
+  case class DocH(h: Long, doc_id: Long)
+  object DocH {
+    val ord: Ordering[DocH] = Ordering.by(d => (d.h, d.doc_id))
+  }
+
+  class DocHTopKAgg(k: Int) extends BoundedTopK[DocH](k, DocH.ord)
+
   /** (log-weight, doc_id) — DSIR's selection order: weight DESC, doc_id
     * ASC tiebreak (identical to the oracle's ROW_NUMBER ordering). */
   case class DocW(lw: Double, doc_id: Long)
