@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity over two
@@ -122,6 +122,131 @@ case class SquaredDistance(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd dot product over two `array<double>` columns — the
+  * plain inner product [[CosineSimilarity]] computes as its numerator.
+  * Motivation is the same measured ~50× interpreted-HOF penalty; this is
+  * the kernel of the learned quality gate (w·x per doc per GD pass, w
+  * folded in as an array literal) and of the PQ tier's ADC scoring
+  * (query-slice · looked-up codeword, nsub times per corpus row). The
+  * left-to-right accumulation order matches the `aggregate(zip_with(·,·,
+  * _*_), 0.0, _+_)` fold exactly, so swapping a lambda dot for this one
+  * is bit-identical, not just close. Null-intolerant; shorter length used
+  * defensively. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** The fused logistic-GD row kernel: for features `x`, weights `w`
+  * (same length) and label `y` ∈ {0, 1}, emits the length-(n+2) array
+  *
+  *   [ x₀·(p−y), …, xₙ₋₁·(p−y),  loss,  hit ]
+  *
+  * where m = w·x, p = σ(m), `hit` = 1 when sign-thresholded p agrees
+  * with y, and `loss` is the logistic loss in the numerically STABLE
+  * form `max(m,0) − m·y + log1p(exp(−|m|))` — the direct
+  * `−y·log p − (1−y)·log(1−p)` underflows to −∞ once |m| ≳ 37
+  * (1−p rounds to exactly 0), so a more separable corpus or a hotter
+  * step size would crash the monotone-loss oracle; the stable form is
+  * algebraically identical and finite for every float m.
+  *
+  * One expression replaces the pass body's three interpreted HOF
+  * subtrees (dot, per-element transform, concat) with a single fused
+  * primitive loop inside WholeStageCodegen — the per-pass cost of
+  * distributed GD at 100 TB is exactly this row kernel, and the
+  * interpreted form pays the measured ~50× lambda-dispatch penalty on
+  * every element of every row of every pass. Null-intolerant. */
+case class LogisticGradient(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType)
+  override def prettyName: String = "logistic_grad"
+
+  override def nullSafeEval(xa: Any, wa: Any, ya: Any): Any = {
+    val x = xa.asInstanceOf[ArrayData]
+    val w = wa.asInstanceOf[ArrayData]
+    val y = ya.asInstanceOf[Double]
+    val n = math.min(x.numElements(), w.numElements())
+    var m = 0.0
+    var i = 0
+    while (i < n) { m += x.getDouble(i) * w.getDouble(i); i += 1 }
+    val p = 1.0 / (1.0 + math.exp(-m))
+    val out = new Array[Double](n + 2)
+    val d = p - y
+    i = 0
+    while (i < n) { out(i) = x.getDouble(i) * d; i += 1 }
+    out(n) = math.max(m, 0.0) - m * y + math.log1p(math.exp(-math.abs(m)))
+    out(n + 1) = if ((p >= 0.5) == (y == 1.0)) 1.0 else 0.0
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, wa, ya) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $wa.numElements());
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $m += $xa.getDouble($i) * $wa.getDouble($i);
+         |}
+         |double $p = 1.0 / (1.0 + java.lang.Math.exp(-$m));
+         |double[] $out = new double[$n + 2];
+         |double $d = $p - $ya;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $xa.getDouble($i) * $d;
+         |}
+         |$out[$n] = java.lang.Math.max($m, 0.0) - $m * $ya
+         |  + java.lang.Math.log1p(java.lang.Math.exp(-java.lang.Math.abs($m)));
+         |$out[$n + 1] = (($p >= 0.5) == ($ya == 1.0)) ? 1.0 : 0.0;
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
   /** Column API for the native cosine expression. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -132,6 +257,17 @@ object VectorExpressions {
   def squared_dist(a: Column, b: Column): Column =
     GraftBridge.column(SquaredDistance(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for the native dot-product expression. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for the fused logistic-GD row kernel. */
+  def logistic_grad(x: Column, w: Column, y: Column): Column =
+    GraftBridge.column(LogisticGradient(
+      GraftBridge.expression(x), GraftBridge.expression(w),
+      GraftBridge.expression(y)))
 
   /** SQL API: after `register(spark)`, `spark.sql("SELECT cosine_sim(a,b)")`
     * resolves to the same native expression. Idempotent. */

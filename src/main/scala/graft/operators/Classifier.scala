@@ -62,9 +62,45 @@ object Classifier {
       .join(labels, "doc_id")
   }
 
+  /** w·x with the weights folded in as an array literal — the NATIVE
+    * codegen dot ([[graft.functions.DotProduct]]): bit-identical to the
+    * old `aggregate(zip_with(·,·,_*_))` fold (same left-to-right IEEE
+    * accumulation) without the ~50× interpreted-lambda dispatch the
+    * engine measured for HOFs (`functions/VectorExpressions.scala`). */
   private def dotW(x: Column, w: Seq[Double]): Column =
-    aggregate(zip_with(x, array(w.map(lit): _*), (a, b) => a * b),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot_product(x, array(w.map(lit): _*))
+
+  /** Component-wise vector sum as a typed Aggregator — the gradient
+    * reduce. The old posexplode → groupBy(pos) form materialized dim+2
+    * rows PER DOC (≈67× the corpus) just to hash-aggregate them back;
+    * this buffers ONE double[dim+2] per partition with map-side combine,
+    * so the per-pass job is scan → fused row kernel → in-place vector
+    * adds → a ≤(partitions × 67)-double merge. Empty zero: the buffer
+    * sizes itself to the first row, so the aggregator is dim-agnostic. */
+  class VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
+      if (b.isEmpty) a.toArray
+      else {
+        var i = 0
+        while (i < b.length) { b(i) += a(i); i += 1 }
+        b
+      }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      }
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 
   private val trainMemo =
     new SessionMemo[(String, Double, Int, Double), (DataFrame, Seq[Double])]
@@ -87,10 +123,12 @@ object Classifier {
       iters: Int, eta: Double): (DataFrame, Seq[Double]) = {
     import spark.implicits._
     // NOTE: do NOT coalesce this frame down for "scheduler overhead" —
-    // measured 8.2 s → 50.5 s at sf0.1 under coalesce(1): the per-pass
-    // cost is the INTERPRETED higher-order lambdas (zip_with/aggregate
-    // run outside codegen — the engine-wide staging lesson), so the
-    // 32-way scan is genuine compute parallelism, not overhead.
+    // measured 8.2 s → 50.5 s at sf0.1 under coalesce(1) back when the
+    // kernel was interpreted HOFs; the 32-way scan is genuine compute
+    // parallelism. Since r10 the row kernel is the fused codegen
+    // LogisticGradient expression (one primitive loop per row inside
+    // WholeStageCodegen), which removes the interpreted-lambda constant
+    // the r9 verdict flagged as the bench's heaviest entry.
     val data = trainingFrame(spark, dir, tau).localCheckpoint(true)
     val n = data.count().toDouble
     val dim = data.select(size(col("x"))).head().getInt(0)
@@ -104,20 +142,18 @@ object Classifier {
     // iteration — at 15 iterations that is the difference between 16 and
     // 32 scheduled passes.
     def pass(wNow: Seq[Double]): (Double, Double, Seq[Double]) = {
-      val margin = dotW(col("x"), wNow)
-      val p = lit(1.0d) / (lit(1.0d) + exp(-margin))
-      // numerically stable log-loss forms are overkill at these
-      // magnitudes; the direct form stays finite because p is bounded
-      // away from 0/1 by the exp of a dot of bounded terms
-      val loss = -(col("y") * log(p) + (lit(1.0d) - col("y")) * log(lit(1.0d) - p))
-      val hit = when((p >= 0.5d) === (col("y") === 1.0d), 1.0d).otherwise(0.0d)
+      // the whole row kernel — margin, sigmoid, per-element gradient,
+      // STABLE log-loss (max(m,0) − m·y + log1p(e^−|m|): the direct
+      // log(p)/log(1−p) form hits −∞ once |margin| ≳ 37), and the
+      // agreement bit — is ONE fused codegen expression; per-row work is
+      // a primitive loop, not n interpreted lambda dispatches
+      val vecsum = udaf(new VecSumAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
       val sums = data
-        .select(concat(
-          transform(col("x"), xi => xi * (p - col("y"))),
-          array(loss, hit)).as("g"))
-        .select(posexplode(col("g")).as(Seq("pos", "gv")))
-        .groupBy("pos").agg(sum("gv").as("s"))
-        .orderBy("pos").collect().map(_.getDouble(1))
+        .select(graft.functions.VectorExpressions.logistic_grad(
+          col("x"), array(wNow.map(lit): _*), col("y")).as("g"))
+        .agg(vecsum(col("g")).as("s"))
+        .head().getSeq[Double](0).toArray
       val (grad, tail) = sums.splitAt(dim)
       (tail(0) / n, tail(1) / n, grad.toSeq.map(_ / n))
     }

@@ -251,6 +251,66 @@ class CosineExprSpec extends AnyFunSuite {
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("native dot_product: hand values, nulls, bit-identical to the lambda fold") {
+    import graft.functions.VectorExpressions.dot_product
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0), 32.0),
+      (Array(0.0, 0.0), Array(3.0, 4.0), 0.0),
+      (Array(-1.0, 1.0), Array(1.0, -1.0), -2.0)
+    ).toDF("a", "b", "want")
+    df.select(dot_product(col("a"), col("b")).as("d"), col("want")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    val nulls = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(nulls.select(dot_product(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // BIT-identical (not just close) to aggregate(zip_with(*)): same
+    // left-to-right IEEE accumulation — the property that lets the GD/ADC
+    // kernels swap to the native dot without perturbing rounded outputs
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val paired = e.crossJoin(e.select(col("vec_id").as("v2"), col("emb").as("emb2")))
+      .filter(col("vec_id") < col("v2")).limit(200)
+    val lambda = aggregate(zip_with(col("emb"), col("emb2"),
+      (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    paired.select(dot_product(col("emb"), col("emb2")).as("n"), lambda.as("l"))
+      .collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"native ${r.getDouble(0)} != lambda ${r.getDouble(1)}"))
+  }
+
+  test("logistic_grad: fused kernel equals the unfused reference, stable at huge margins") {
+    import graft.functions.VectorExpressions.logistic_grad
+    def reference(x: Seq[Double], w: Seq[Double], y: Double): Seq[Double] = {
+      val m = x.zip(w).map { case (a, b) => a * b }.sum
+      val p = 1.0 / (1.0 + math.exp(-m))
+      val loss = math.max(m, 0.0) - m * y + math.log1p(math.exp(-math.abs(m)))
+      val hit = if ((p >= 0.5) == (y == 1.0)) 1.0 else 0.0
+      x.map(_ * (p - y)) ++ Seq(loss, hit)
+    }
+    val cases = Seq(
+      (Array(1.0, 0.5, -0.25), Array(0.2, -0.4, 1.0), 1.0),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), 0.0),
+      // |margin| = 100: the direct -y·log(p) - (1-y)·log(1-p) form is
+      // -Inf here (1-p == 0.0 exactly); the stable form must stay finite
+      (Array(1.0, 1.0), Array(50.0, 50.0), 0.0),
+      (Array(1.0, 1.0), Array(-50.0, -50.0), 1.0)
+    ).toDF("x", "w", "y")
+    val got = cases
+      .select(col("x"), col("w"), col("y"),
+        logistic_grad(col("x"), col("w"), col("y")).as("g"))
+      .collect()
+    got.foreach { r =>
+      val want = reference(r.getSeq[Double](0), r.getSeq[Double](1), r.getDouble(2))
+      val g = r.getSeq[Double](3)
+      assert(g.length == want.length)
+      g.zip(want).foreach { case (a, b) =>
+        assert(!a.isNaN && !a.isInfinite, s"non-finite kernel output $a")
+        assert(math.abs(a - b) < 1e-12, s"$a != $b") }
+    }
+    // and the huge-margin loss is the exact linear tail: loss = m·(1-y) → 100
+    val big = got.find(_.getSeq[Double](1).head == 50.0).get.getSeq[Double](3)
+    assert(math.abs(big(2) - 100.0) < 1e-9)
+  }
+
   test("agrees with the zip_with/aggregate formulation on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
