@@ -49,19 +49,37 @@ import graft.functions.TextFunctions
   *    (n_words ≤ n_tokens ≤ n_chars), hand-built merge cases, and
   *    determinism across partitionings.
   *
-  * Charset: inherits [[BpeTrain]]'s UTF-16-unit symbol contract (and its
-  * BMP caveat) — the two sides must split identically or the fixed-point
-  * invariant breaks. */
+  * Charset: both sides split words into CODE POINTS — training's
+  * `split(word, "")` (Java regex zero-width matches never split a
+  * surrogate pair) and [[encodeWord]]'s explicit code-point iteration —
+  * so the "must split identically" fixed-point contract holds off the
+  * BMP too (BpeSpec pins an emoji word through both sides). */
 object BpeEncode {
 
   /** Encode one word under rank-ordered merges. `ranks` maps the adjacent
     * pair "l r" (space-joined: symbols never contain spaces, tokens() is
     * a whitespace split) to its training rank; lower rank merges first.
     * Each round merges ALL occurrences of the chosen pair left-to-right —
-    * the same pass [[BpeTrain]] applies during training. */
+    * the same pass [[BpeTrain]] applies during training.
+    *
+    * The base split iterates CODE POINTS, matching training's
+    * `split(word, "")` exactly (Java regex zero-width matches never land
+    * inside a surrogate pair, so Spark's split is code-point aware) — a
+    * UTF-16-unit split here would break the "both sides split
+    * identically" fixed-point contract on astral characters (emoji);
+    * BpeSpec pins a non-BMP word through both sides. */
   private[graft] def encodeWord(word: String,
       ranks: Map[String, Int]): Seq[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    var syms: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + n)
+        i += n
+      }
+      b.result()
+    }
     var done = syms.length < 2
     while (!done) {
       // lowest-rank adjacent pair present in the word
@@ -130,6 +148,11 @@ object BpeEncode {
           (acc, w) => acc + size(w)).as("n_tokens"),
         aggregate(col("word_toks"), lit(0),
           (acc, w) => acc + length(concat_ws("", w))).as("n_chars"),
+        // '\\u0001' between tokens (it can never appear inside one: tokens()
+        // is a whitespace split over text) so the signature signs token
+        // BOUNDARIES — two different tokenizations of the same text hash
+        // differently, unlike the roundtrip's text_sig which deliberately
+        // erases boundaries to reproduce the raw text
         md5(concat_ws(" ",
           transform(col("word_toks"), w => concat_ws("", w)))).as("tok_sig"))
 

@@ -29,15 +29,13 @@ import graft.functions.TextFunctions
   * genuine imperative-kernel case), while everything corpus-shaped around
   * it stays relational.
   *
-  * CHARSET CONTRACT (same as `TextFunctions.polyHash`): Spark's
-  * `split(word, "")` yields UTF-16 units while DuckDB's `substr` walks
-  * code points — they agree on the Basic Multilingual Plane and diverge
-  * on astral characters (a surrogate pair counts as two symbols here, one
-  * there). The oracle corpus is pinned printable-ASCII by the
-  * MultimodalSpec precondition; a deployment training over astral text
-  * gets self-consistent merges but must not expect DuckDB parity (and
-  * should switch the symbol split to code points if half-surrogate merge
-  * symbols are unacceptable in its merge table). */
+  * CHARSET CONTRACT: Spark's `split(word, "")` walks CODE POINTS — Java
+  * regex zero-width matches never land inside a surrogate pair (JDK 8+)
+  * — and DuckDB's `substr` walks code points too, so base symbols agree
+  * on and off the BMP (an emoji is ONE symbol on both sides; BpeSpec
+  * pins this against [[BpeEncode.encodeWord]]'s explicit code-point
+  * split). The oracle corpus is pinned printable-ASCII by the
+  * MultimodalSpec precondition regardless. */
 object BpeTrain {
 
   /** (word, wc) frequency table — the ONE corpus scan. */

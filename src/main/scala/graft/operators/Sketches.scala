@@ -247,9 +247,14 @@ object Sketches {
 
   /** The count-min guarantee per exact-heavy term, oracle-checkable like
     * [[mgGuarantee]]: the estimate never undercounts (deterministic —
-    * collisions only add), and overcounts within the standard e·N/width
-    * additive bound (hash-dependent but fixed for a fixed corpus, the
-    * q_minhash_recall class of oracle; holds at every shipped SF). */
+    * collisions only add), and overcounts within 2·e·N/width. The
+    * theoretical e·N/width bound is PROBABILISTIC (failure ≈ e^-depth =
+    * 1.8% per term), deterministic only for a fixed corpus+hash — a
+    * regenerated fixture or a new SF could breach it spuriously; doubling
+    * the asserted margin drops the per-term failure odds to (2e)^-depth ≈
+    * 0.1% while still certifying the estimates are sketch-accurate, and
+    * like `q_minhash_recall` this is an empirically-pinned per-corpus
+    * property (re-checked at every shipped SF), not a theorem. */
   def cmsGuarantee(spark: SparkSession, dir: String,
       depth: Int = CmsDepth, width: Int = CmsWidth, k: Int = 30): DataFrame = {
     val terms = langTerms(spark, dir)
@@ -265,7 +270,7 @@ object Sketches {
       .select(col("lang"), col("term"),
         (col("cms_count") >= col("exact_count")).as("never_undercounts"),
         ((col("cms_count") - col("exact_count")).cast("double") <=
-          lit(math.E / width) * col("n_terms")).as("overcount_within_bound"))
+          lit(2.0 * math.E / width) * col("n_terms")).as("overcount_within_bound"))
   }
 
   def cmsGuaranteeSql(k: Int = 30): String =

@@ -67,6 +67,24 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeEncode.encodeWord("aaab", Map("a a" -> 1)) == Seq("aa", "a", "b"))
   }
 
+  test("non-BMP word: encodeWord splits code points, identically to Spark's split") {
+    // '😀' is a surrogate pair (2 UTF-16 units, 1 code point): the base
+    // split must yield ONE symbol per emoji — a UTF-16-unit split would
+    // produce half-surrogate symbols and break the "both sides split
+    // identically" fixed-point contract against training's split(word, "")
+    val w = "a😀b😀"
+    assert(BpeEncode.encodeWord(w, Map.empty) == Seq("a", "😀", "b", "😀"))
+    // and Spark's split (training's charSymbols mechanism) agrees exactly
+    import spark.implicits._
+    val sparkSide = Seq(w).toDF("word")
+      .select(filter(split(col("word"), ""), s => length(s) > 0).as("syms"))
+      .head().getSeq[String](0)
+    assert(sparkSide == Seq("a", "😀", "b", "😀"),
+      s"Spark split disagrees: $sparkSide")
+    // merges work across the emoji symbol like any other
+    assert(BpeEncode.encodeWord("a😀", Map("a 😀" -> 1)) == Seq("a😀"))
+  }
+
   test("greedy encode reproduces sequential-by-rank training application on the corpus") {
     // training applies merge r to every word at round r; greedy applies the
     // lowest applicable rank repeatedly — equivalent absent symbol-string
