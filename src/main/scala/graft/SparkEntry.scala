@@ -332,6 +332,12 @@ object SparkEntry {
     ("q_pq_recall",
       ((s: SparkSession, d: String) => Similarity.pqRecall(s, d)): Q,
       Some(Similarity.pqRecallSql())),
+    // the persisted-index form: codebooks + codes read back from TxTable,
+    // zero index-side re-encode; IDENTICAL output to q_ann_pq, so it
+    // carries the SAME oracle (the q_semantic_probe_stored pattern)
+    ("q_ann_pq_stored",
+      ((s: SparkSession, d: String) => Similarity.pqStoredQuery(s, d)): Q,
+      Some(Similarity.pqTopKSql())),
     // per-subspace Lloyd refinement of the product quantizer (the ivfTrain
     // upgrade path, run in every subspace at once): stats are rows-only,
     // the convergence invariant is oracled, the trained search shape-mirrors

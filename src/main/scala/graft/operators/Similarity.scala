@@ -450,8 +450,9 @@ object Similarity {
     *
     * At production scale the code table is an index artifact you persist
     * and maintain incrementally (the TxTable stored-index pattern the
-    * LSH/IVF tiers already ship); here it is computed inline — one
-    * expression-only projection over the scan. */
+    * LSH/IVF tiers already ship) — [[writePqIndex]]/[[pqTopKStored]] is
+    * that form, verified by the SAME oracle; here it is computed inline —
+    * one expression-only projection over the scan. */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame =
     pqTopKOf(corpus(spark, dir), nQueries, k, m, nsub)
@@ -479,43 +480,60 @@ object Similarity {
 
   /** The PQ search under an ARBITRARY codebook set (seeded or
     * Lloyd-refined by [[pqTrain]]) — cb(s)(ci), all subspaces equal
-    * width. */
+    * width. Codes are computed inline; [[pqSearchOverCodes]] is the same
+    * search over a PRE-ENCODED code table (the stored-index read path). */
   private[graft] def pqSearch(vecs: DataFrame, cb: Seq[Seq[Seq[Double]]],
-      nQueries: Int, k: Int, m: Int): DataFrame = {
+      nQueries: Int, k: Int, m: Int): DataFrame =
+    pqSearchOverCodes(vecs, pqCodes(vecs, cb), cb, nQueries, k, m)
+
+  /** (vec_id, code_0..code_{nsub-1}) — the PQ encode of every vector:
+    * per-subspace argmin over rounded L2 to each codeword slice, tiebreak
+    * lower code index (array_min over (d2, ci) structs orders
+    * lexicographically, which is exactly that). The r9 verdict's
+    * perf-weak #2 tail: the d2 used to be an interpreted
+    * zip_with/aggregate subtree — nsub × ncode of them PER ROW, each
+    * paying the measured ~50× lambda-dispatch penalty; the native codegen
+    * squared_dist fuses each into a primitive loop (bit-identical
+    * accumulation order, so the rounded argmin and the whole hash oracle
+    * are unchanged). */
+  private[graft] def pqCodes(vecs: DataFrame,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val nsub = cb.length
     val sub = cb.head.head.length
     def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
-    def sliceOf(c: Column, s: Int): Column = slice(c, s * sub + 1, sub)
-    def cwSlice(ci: Int, s: Int): Seq[Double] = cb(s)(ci)
-    val cents = cb.head // per-subspace code count (uniform across s)
-    // per-subspace code: argmin over rounded L2 to each codeword slice,
-    // tiebreak lower code index — array_min over (d2, ci) structs orders
-    // lexicographically, which is exactly that. The r9 verdict's perf-weak
-    // #2 tail: the d2 used to be an interpreted zip_with/aggregate subtree
-    // — nsub × ncode of them PER ROW, each paying the measured ~50×
-    // lambda-dispatch penalty; the native codegen squared_dist fuses each
-    // into a primitive loop (bit-identical accumulation order, so the
-    // rounded argmin and the whole hash oracle are unchanged)
     def codeExpr(emb: Column, s: Int): Column =
-      array_min(array(cents.indices.map { ci =>
+      array_min(array(cb.head.indices.map { ci =>
         val d2 = round(graft.functions.VectorExpressions.squared_dist(
-          sliceOf(emb, s), litArr(cwSlice(ci, s))), 6)
+          slice(emb, s * sub + 1, sub), litArr(cb(s)(ci))), 6)
         struct(d2.as("d"), lit(ci).as("c"))
       }: _*)).getField("c")
-    val coded = vecs.select(
-      col("vec_id") +: col("emb") +:
+    vecs.select(
+      col("vec_id") +:
         (0 until nsub).map(s => codeExpr(col("emb"), s).as(s"code_$s")): _*)
+  }
+
+  /** ADC + exact re-rank over an already-encoded code table — shared by
+    * the inline search and the stored-index search, so the two can never
+    * drift on scoring or ranking. `coded` carries (vec_id,
+    * code_0..code_{nsub-1}); queries keep their exact floats from
+    * `vecs`. */
+  private[graft] def pqSearchOverCodes(vecs: DataFrame, coded: DataFrame,
+      cb: Seq[Seq[Seq[Double]]], nQueries: Int, k: Int, m: Int): DataFrame = {
+    val nsub = cb.length
+    val sub = cb.head.head.length
+    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     // stage 1: ADC — per subspace, look the codeword up by code id
     // (array-of-array literal) and dot it with the query's exact slice;
     // the dot is the native codegen expression (was an interpreted
     // zip_with/aggregate per subspace per row — same r9 perf-weak tail
-    // as codeExpr, same bit-identical swap)
+    // as the encode, same bit-identical swap)
     val adc = (0 until nsub).map { s =>
-      val table = array(cents.indices.map(ci => litArr(cwSlice(ci, s))): _*)
+      val table = array(cb.head.indices.map(ci => litArr(cb(s)(ci))): _*)
       graft.functions.VectorExpressions.dot_product(
-        sliceOf(col("q_emb"), s), element_at(table, col(s"code_$s") + 1))
+        slice(col("q_emb"), s * sub + 1, sub),
+        element_at(table, col(s"code_$s") + 1))
     }.reduce(_ + _)
     val topm = udaf(new TopK.ScoreTopKAgg(m),
       org.apache.spark.sql.Encoders.product[TopK.Scored])
@@ -650,6 +668,76 @@ object Similarity {
       k: Int = 5, m: Int = 50, nsub: Int = 16, iters: Int = 3): DataFrame =
     pqSearch(corpus(spark, dir), pqTrainFull(spark, dir, iters, nsub)._2,
       nQueries, k, m)
+
+  // ------------------------------------------------ stored PQ index
+  /** Materialize the PQ index — codebooks and the per-vector code table —
+    * as two TxTables under `path` (`codebooks`: (s, ci, w DOUBLE[]),
+    * `codes`: (vec_id, codes INT[])), the production form the header doc
+    * names: at 100 TB the codes ARE the index (~8 B/vector), appended per
+    * ingest, and search never re-encodes the corpus. Completes the
+    * stored/inline symmetry the LSH/IVF tiers ship
+    * ([[writeIvfIndex]]/`Dedup.writeLshIndex`). */
+  def writePqIndex(spark: SparkSession, dir: String, path: String,
+      nsub: Int = 16): Unit = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val cb = seededCodebooks(c, nsub)
+    val cbDf = cb.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (w, ci) => (s, ci, w) }
+    }.toDF("s", "ci", "w")
+    graft.serve.TxTable.write(spark, cbDf, s"$path/codebooks")
+    val nsubCols = cb.length
+    val codes = pqCodes(c, cb)
+      .select(col("vec_id"),
+        array((0 until nsubCols).map(s => col(s"code_$s")): _*).as("codes"))
+    graft.serve.TxTable.write(spark, codes, s"$path/codes")
+  }
+
+  /** PQ search against the PERSISTED index: codebooks and codes read back
+    * from the TxTable snapshot, zero index-side re-encode — only the
+    * queries' exact floats come from the corpus. Ints and doubles
+    * round-trip parquet bit-exactly and the ADC/re-rank path is the
+    * SHARED [[pqSearchOverCodes]], so the output is identical to the
+    * inline [[pqTopK]] — the SAME [[pqTopKSql]] oracle verifies it (the
+    * `q_semantic_probe_stored` proof-by-same-oracle pattern). */
+  def pqTopKStored(spark: SparkSession, dir: String, indexPath: String,
+      nQueries: Int = 20, k: Int = 5, m: Int = 50): DataFrame = {
+    val cbRows = graft.serve.TxTable.read(spark, s"$indexPath/codebooks")
+      .collect() // metadata scale: nsub × ncode rows of sub-dim doubles
+    val cb: Seq[Seq[Seq[Double]]] = cbRows
+      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("ci"), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    val nsub = cb.length
+    val coded = graft.serve.TxTable.read(spark, s"$indexPath/codes")
+      .select(col("vec_id") +:
+        (0 until nsub).map(s => col("codes").getItem(s).as(s"code_$s")): _*)
+    pqSearchOverCodes(corpus(spark, dir), coded, cb, nQueries, k, m)
+  }
+
+  private val pqStoredIndexMemo = new SessionMemo[String, String]
+
+  /** Registered-query form: write the stored PQ index once per (session,
+    * sf dir) under the scratch root, then search it — the in-session
+    * stand-in for "the codes were materialized by last night's ingest"
+    * ([[semanticProbeStoredQuery]] pattern, including the stale-version
+    * cleanup). */
+  def pqStoredQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = pqStoredIndexMemo.getOrElseUpdate(spark, dir) {
+      val root = new java.io.File("/tmp/graft_pq_index")
+      val cur = s"v${graft.serve.TxTable.LogFormatVersion}"
+      Option(root.listFiles()).foreach(_.filter(_.getName != cur).foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      })
+      val p = s"$root/$cur/" + new java.io.File(dir).getName
+      writePqIndex(spark, dir, p)
+      p
+    }
+    pqTopKStored(spark, dir, path)
+  }
 
   /** The labeled default corpus source for the PQ oracle chain. */
   private val PqDefaultSource =

@@ -482,6 +482,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nlJoins <= 1, s"index-side state must come from the stored table:\n$plan")
   }
 
+  test("pq stored index: persisted codes reproduce the inline search exactly") {
+    // same stored/inline symmetry as the IVF probe: codebooks + codes
+    // written to TxTable and searched THROUGH the shared ADC/re-rank path
+    // must be bit-identical to the inline pqTopK (ints and doubles
+    // round-trip parquet exactly; the search code path is single-sourced
+    // in pqSearchOverCodes) — which is why q_ann_pq_stored carries the
+    // IDENTICAL pqTopKSql oracle
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.writePqIndex(spark, sf, path)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))
+    val stored = Similarity.pqTopKStored(spark, sf, path).collect().map(key).sorted
+    val inline = Similarity.pqTopK(spark, sf).collect().map(key).sorted
+    assert(stored.nonEmpty && stored.toSeq == inline.toSeq)
+    // and the stored search never re-encodes the corpus: no squared_dist
+    // argmin (the encode kernel) may appear in its plan — codes come from
+    // the persisted table
+    val plan = Similarity.pqTopKStored(spark, sf, path)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("squared_dist"),
+      s"stored search must not re-encode the corpus:\n$plan")
+  }
+
   test("semantic dedup plan: cell-scoped, no cartesian tile grid anywhere") {
     // the 100× criterion: the primary operator's pair generation must be
     // the one cell-keyed shuffle, never the O(N²) CartesianProduct grid
