@@ -195,6 +195,12 @@ object SparkEntry {
       Some(graft.operators.Invariants.qualityTrainMonotoneSql())),
     ("q_quality_gate",
       ((s: SparkSession, d: String) => graft.operators.Classifier.qualityGate(s, d)): Q, None),
+    // the production split: train on the oracled stratified quarter (60
+    // passes = the full-batch row-touch budget), score corpus-wide —
+    // rows-only, bracketed by ClassifierSpec's quality-parity floor
+    // against the full-batch gate
+    ("q_quality_gate_sampled",
+      ((s: SparkSession, d: String) => graft.operators.Classifier.qualityGateSampled(s, d)): Q, None),
     ("q_pack_bounds",
       ((s: SparkSession, d: String) => graft.operators.Packing.packBounds(s, d)): Q,
       Some(graft.operators.Packing.packBoundsSql)),

@@ -22,10 +22,14 @@ import graft.Tables
   * Training is full-batch gradient descent on the convex logistic loss,
   * in the classic DISTRIBUTED-GD shape: the corpus never moves — each
   * iteration broadcasts the (dim+1)-vector `w` into one scan that
-  * computes per-row `σ(w·x) − y` (pure expression work), and the gradient
-  * reduces via posexplode → per-position partial sums (the `meanVectors`
-  * shuffle: ≤ dim+1 rows per partition after map-side combine). At 100 TB
-  * an iteration is one linear pass; `w` is 65 doubles on the driver.
+  * computes per-row gradient/loss/agreement in one fused codegen kernel
+  * ([[graft.functions.LogisticGradient]]), and the gradient reduces via a
+  * component-wise vector-sum aggregate (one double[dim+2] buffer per
+  * partition, map-side combined). At 100 TB an iteration is one linear
+  * pass; `w` is 65 doubles on the driver — and the production form
+  * trains on a stratified SAMPLE and scores corpus-wide
+  * ([[qualityTrainSampledFull]]/[[qualityGateSampled]]), so the 16 passes
+  * touch frac·corpus rows, not 16 full lake scans.
   *
   * Convergence is a THEOREM here, not a hope: logistic loss is L-smooth
   * with L ≤ max‖x‖²/4 = (1+1)/4 = 0.5 on unit-normalized features with a
@@ -120,6 +124,13 @@ object Classifier {
     }
 
   private def qualityTrainImpl(spark: SparkSession, dir: String, tau: Double,
+      iters: Int, eta: Double): (DataFrame, Seq[Double]) =
+    gdLoop(spark, trainingFrame(spark, dir, tau), iters, eta)
+
+  /** The distributed-GD loop over ANY (doc_id, x, y) frame — shared by
+    * full-batch and sampled-teacher training so the two can never drift
+    * on the kernel, step rule, or stats shape. */
+  private def gdLoop(spark: SparkSession, training: DataFrame,
       iters: Int, eta: Double): (DataFrame, Seq[Double]) = {
     import spark.implicits._
     // NOTE: do NOT coalesce this frame down for "scheduler overhead" —
@@ -129,18 +140,19 @@ object Classifier {
     // LogisticGradient expression (one primitive loop per row inside
     // WholeStageCodegen), which removes the interpreted-lambda constant
     // the r9 verdict flagged as the bench's heaviest entry.
-    val data = trainingFrame(spark, dir, tau).localCheckpoint(true)
+    val data = training.localCheckpoint(true)
     val n = data.count().toDouble
     val dim = data.select(size(col("x"))).head().getInt(0)
     var w: Seq[Double] = Seq.fill(dim)(0.0)
 
     // loss, accuracy, AND the full gradient in ONE JOB per iteration:
     // each row emits its gradient vector with (loss, hit) appended as two
-    // extra trailing positions, and everything reduces through the same
-    // posexplode → per-position partial sums (map-side combined). Two
-    // scalar aggregates would otherwise cost a second full job per
-    // iteration — at 15 iterations that is the difference between 16 and
-    // 32 scheduled passes.
+    // extra trailing positions, and everything reduces through the
+    // component-wise VecSumAgg (one buffer per partition, map-side
+    // combined — the old posexplode form materialized dim+2 rows per doc
+    // first). Two scalar aggregates would otherwise cost a second full
+    // job per iteration — at 15 iterations that is the difference
+    // between 16 and 32 scheduled passes.
     def pass(wNow: Seq[Double]): (Double, Double, Seq[Double]) = {
       // the whole row kernel — margin, sigmoid, per-element gradient,
       // STABLE log-loss (max(m,0) − m·y + log1p(e^−|m|): the direct
@@ -182,6 +194,60 @@ object Classifier {
   def qualityGate(spark: SparkSession, dir: String, tau: Double = DefaultTau,
       iters: Int = DefaultIters, eta: Double = DefaultEta): DataFrame = {
     val w = qualityTrainFull(spark, dir, tau, iters, eta)._2
+    trainingFrame(spark, dir, tau)
+      .withColumn("score",
+        round(lit(1.0d) / (lit(1.0d) + exp(-dotW(col("x"), w))), 6))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= 0.5d).as("keep"),
+        (col("y") === 1.0d).as("teacher_keep"))
+  }
+
+  val DefaultSampleFrac = 0.25
+  // 60 quarter-corpus passes = the same total row-touches as the
+  // full-batch default's 15 whole-corpus passes — the sampled trainer
+  // spends its scan budget on MORE iterations over LESS data
+  val DefaultSampleIters = 60
+
+  private val sampledTrainMemo =
+    new SessionMemo[(String, Double, Double, Int, Double), (DataFrame, Seq[Double])]
+
+  /** SAMPLED-teacher training — the production split at 100 TB: full-batch
+    * GD is sound in shape (linear passes, 65-double state) but spends
+    * 16 complete lake scans fitting a 65-parameter model; the standard
+    * pipeline trains on a sample and scores corpus-wide. The sample is
+    * drawn by the engine's own EXACTLY-ALLOCATED stratified sampler
+    * ([[Sampling.stratifiedSampleTwoPhase]] — per-language ⌈frac·n⌉,
+    * deterministic hash membership, no mega-stratum sort), so the
+    * training set preserves the corpus's language mixture by construction
+    * instead of by luck, and every GD pass touches frac·corpus rows.
+    * Same GD loop, same kernel, same stats shape as the full-batch twin;
+    * ClassifierSpec pins the sampled gate's teacher-accuracy parity with
+    * the full-batch gate and its margin over the majority baseline.
+    * (On the 500-doc fixtures the quarter sample is ~n/d ≈ 2 — the
+    * worst case for the parity claim; at any production scale the sample
+    * dwarfs the 65 parameters and the gap vanishes.) */
+  private[graft] def qualityTrainSampledFull(spark: SparkSession, dir: String,
+      frac: Double = DefaultSampleFrac, tau: Double = DefaultTau,
+      iters: Int = DefaultSampleIters, eta: Double = DefaultEta): (DataFrame, Seq[Double]) =
+    sampledTrainMemo.getOrElseUpdate(spark, (dir, frac, tau, iters, eta)) {
+      val sample = Sampling.stratifiedSampleTwoPhase(spark, dir, frac)
+        .select("doc_id")
+      val training = trainingFrame(spark, dir, tau)
+        .join(sample, "doc_id") // sample ids are frac·N — lake-scale joins
+                                // would bloom-filter or broadcast by range;
+                                // at gate scale Spark broadcasts it outright
+      val r = gdLoop(spark, training, iters, eta)
+      (r._1.cache(), r._2)
+    }
+
+  /** The sampled-trained gate applied CORPUS-WIDE — train on frac·N,
+    * score N (the deployment economics the full-batch twin lacks). Output
+    * schema mirrors [[qualityGate]]; rows-only by contract, bracketed by
+    * ClassifierSpec's agreement floor against the full-batch gate. */
+  def qualityGateSampled(spark: SparkSession, dir: String,
+      frac: Double = DefaultSampleFrac, tau: Double = DefaultTau,
+      iters: Int = DefaultSampleIters, eta: Double = DefaultEta): DataFrame = {
+    val w = qualityTrainSampledFull(spark, dir, frac, tau, iters, eta)._2
     trainingFrame(spark, dir, tau)
       .withColumn("score",
         round(lit(1.0d) / (lit(1.0d) + exp(-dotW(col("x"), w))), 6))
