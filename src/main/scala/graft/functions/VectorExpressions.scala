@@ -169,6 +169,49 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd INTEGER dot product over two `array<int>` columns,
+  * accumulating in Long — the int8-quantized ANN tier's stage-1 kernel
+  * (code · code over the whole corpus per query). Exact integer
+  * arithmetic: no accumulation-order caveat at all. Null-intolerant;
+  * shorter length used defensively. */
+case class DotProductInt(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def prettyName: String = "dot_product_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** The fused logistic-GD row kernel: for features `x`, weights `w`
   * (same length) and label `y` ∈ {0, 1}, emits the length-(n+2) array
   *
@@ -261,6 +304,11 @@ object VectorExpressions {
   /** Column API for the native dot-product expression. */
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for the native integer dot-product expression. */
+  def dot_product_int(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductInt(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Column API for the fused logistic-GD row kernel. */

@@ -277,13 +277,14 @@ object Similarity {
     val q = qc.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("qemb").as("q_qemb"),
         col("emb").as("q_emb"))
-    // stage 1: integer scoring over codes; per-element casts keep the sum
-    // in Long (64 dims × 127² ≪ 2⁶³). The qscore Double is exact (integer
-    // magnitude ≪ 2⁵³), so the heap's (score DESC, vec_id ASC) order is
-    // the exact integer order.
-    val qdot = aggregate(
-      zip_with(col("qemb"), col("q_qemb"), (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // stage 1: integer scoring over codes — the native codegen Long-dot
+    // (was an interpreted zip_with/aggregate per corpus row per query;
+    // exact integer arithmetic, so the swap cannot change a single
+    // ranking). 64 dims × 127² ≪ 2⁶³; the qscore Double is exact
+    // (integer magnitude ≪ 2⁵³), so the heap's (score DESC, vec_id ASC)
+    // order is the exact integer order.
+    val qdot = graft.functions.VectorExpressions.dot_product_int(
+      col("qemb"), col("q_qemb"))
     val topm = udaf(new TopK.ScoreTopKAgg(m),
       org.apache.spark.sql.Encoders.product[TopK.Scored])
     val cands = qc.crossJoin(broadcast(q.select("q_id", "q_qemb")))

@@ -277,6 +277,27 @@ class CosineExprSpec extends AnyFunSuite {
         s"native ${r.getDouble(0)} != lambda ${r.getDouble(1)}"))
   }
 
+  test("native dot_product_int: exact integer dot, nulls, agrees with the lambda form") {
+    import graft.functions.VectorExpressions.dot_product_int
+    val df = Seq(
+      (Array(1, 2, 3), Array(4, 5, 6), 32L),
+      (Array(-128, 127), Array(-128, 127), 128L * 128 + 127L * 127),
+      (Array(0, 0), Array(7, -9), 0L)
+    ).toDF("a", "b", "want")
+    df.select(dot_product_int(col("a"), col("b")).as("d"), col("want")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val nulls = Seq((Some(Array(1)), Option.empty[Array[Int]])).toDF("a", "b")
+    assert(nulls.select(dot_product_int(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // agreement with the interpreted aggregate(zip_with) Long fold
+    val e = spark.range(64).selectExpr(
+      "id", "transform(sequence(1, 64), i -> cast((id * i) % 255 - 128 as int)) as a",
+      "transform(sequence(1, 64), i -> cast((id + i * 7) % 255 - 128 as int)) as b")
+    val lambda = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    e.select(dot_product_int(col("a"), col("b")).as("n"), lambda.as("l")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("logistic_grad: fused kernel equals the unfused reference, stable at huge margins") {
     import graft.functions.VectorExpressions.logistic_grad
     def reference(x: Seq[Double], w: Seq[Double], y: Double): Seq[Double] = {
