@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, HllAggregate, InterleaveBits, PolyHash, SquaredDistance}
+import graft.functions.{CosineSimilarity, DotProduct, DotProductInt, HllAggregate, InterleaveBits, LogisticGradient, PolyHash, SquaredDistance}
 
 /** Session-extensions entry point: a cluster admin sets
   * `spark.sql.extensions=graft.GraftExtensions` (or a notebook builder
@@ -14,8 +14,9 @@ import graft.functions.{CosineSimilarity, HllAggregate, InterleaveBits, PolyHash
   * per-session `GraftBridge.registerFunction` helpers remain for ad-hoc
   * use on sessions built without the config.
   *
-  * Injected: `cosine_sim(a, b)`, `squared_dist(a, b)` (codegen'd vector
-  * kernels), `interleave_bits(x, y)` (Morton key), `hll_distinct(x[, p])`
+  * Injected: `cosine_sim(a, b)`, `squared_dist(a, b)`, `dot_product(a,
+  * b)`, `dot_product_int(a, b)`, `logistic_grad(x, w, y)` (codegen'd
+  * vector kernels), `interleave_bits(x, y)` (Morton key), `hll_distinct(x[, p])`
   * (mergeable HLL aggregate); plus the [[graft.plans.BinnedRangeJoinRule]]
   * optimizer rule, which rewrites pure interval-containment joins (no
   * equi-key ⇒ Spark would nested-loop) into binned equi-joins.
@@ -32,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("squared_dist"),
       info("squared_dist", classOf[SquaredDistance]),
       (exprs: Seq[Expression]) => SquaredDistance(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", classOf[DotProduct]),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product_int"),
+      info("dot_product_int", classOf[DotProductInt]),
+      (exprs: Seq[Expression]) => DotProductInt(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("logistic_grad"),
+      info("logistic_grad", classOf[LogisticGradient]),
+      (exprs: Seq[Expression]) => LogisticGradient(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("interleave_bits"),
       info("interleave_bits", classOf[InterleaveBits]),
       (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))

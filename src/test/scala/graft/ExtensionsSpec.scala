@@ -15,6 +15,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) === 25.0)
     // 3 = 0b011 (even bits), 5 = 0b101 (odd bits): z = 0b100111 = 39
     assert(row.getLong(2) === 39L)
+    val row2 = s.sql(
+      """SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dp,
+        |       dot_product_int(array(2, -3), array(5, 7)) AS dpi,
+        |       logistic_grad(array(1.0d, 1.0d), array(0.0d, 0.0d), 1.0d) AS lg
+        |""".stripMargin).first()
+    assert(row2.getDouble(0) === 32.0)
+    assert(row2.getLong(1) === -11L)
+    // zero weights: p = 0.5, gradient = x·(p−y) = [-0.5, -0.5],
+    // loss = ln 2, hit = 1 (p >= 0.5 and y = 1 agree)
+    val lg = row2.getSeq[Double](2)
+    assert(lg.take(2) == Seq(-0.5, -0.5) && lg(3) === 1.0)
+    assert(math.abs(lg(2) - math.log(2.0)) < 1e-12)
     val hll = s.sql(
       "SELECT hll_distinct(x) AS d FROM (SELECT explode(sequence(1, 500)) AS x)")
       .first().getLong(0)
