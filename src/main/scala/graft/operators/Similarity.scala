@@ -679,9 +679,15 @@ object Similarity {
     * stored/inline symmetry the LSH/IVF tiers ship
     * ([[writeIvfIndex]]/`Dedup.writeLshIndex`). */
   def writePqIndex(spark: SparkSession, dir: String, path: String,
+      nsub: Int = 16): Unit =
+    writePqIndexOf(spark, corpus(spark, dir), path, nsub)
+
+  /** As [[writePqIndex]] over ANY (vec_id, label, emb) frame — the
+    * composition surface (and the seam the incremental spec builds its
+    * index-half/batch-half split on). */
+  def writePqIndexOf(spark: SparkSession, c: DataFrame, path: String,
       nsub: Int = 16): Unit = {
     import spark.implicits._
-    val c = corpus(spark, dir)
     val cb = seededCodebooks(c, nsub)
     val cbDf = cb.zipWithIndex.flatMap { case (cws, s) =>
       cws.zipWithIndex.map { case (w, ci) => (s, ci, w) }
@@ -694,6 +700,16 @@ object Similarity {
     graft.serve.TxTable.write(spark, codes, s"$path/codes")
   }
 
+  /** The persisted codebooks, reassembled to cb(s)(ci) — metadata scale
+    * (nsub × ncode rows of sub-dim doubles). */
+  private def readPqCodebooks(spark: SparkSession,
+      indexPath: String): Seq[Seq[Seq[Double]]] =
+    graft.serve.TxTable.read(spark, s"$indexPath/codebooks")
+      .collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("ci"), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+
   /** PQ search against the PERSISTED index: codebooks and codes read back
     * from the TxTable snapshot, zero index-side re-encode — only the
     * queries' exact floats come from the corpus. Ints and doubles
@@ -703,17 +719,30 @@ object Similarity {
     * `q_semantic_probe_stored` proof-by-same-oracle pattern). */
   def pqTopKStored(spark: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 20, k: Int = 5, m: Int = 50): DataFrame = {
-    val cbRows = graft.serve.TxTable.read(spark, s"$indexPath/codebooks")
-      .collect() // metadata scale: nsub × ncode rows of sub-dim doubles
-    val cb: Seq[Seq[Seq[Double]]] = cbRows
-      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("ci"), r.getSeq[Double](2)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    val cb = readPqCodebooks(spark, indexPath)
     val nsub = cb.length
     val coded = graft.serve.TxTable.read(spark, s"$indexPath/codes")
       .select(col("vec_id") +:
         (0 until nsub).map(s => col("codes").getItem(s).as(s"code_$s")): _*)
     pqSearchOverCodes(corpus(spark, dir), coded, cb, nQueries, k, m)
+  }
+
+  /** INCREMENTAL index maintenance — the per-ingest append the header doc
+    * promises: encode a (vec_id, emb) batch under the PERSISTED codebooks
+    * (the quantizer is FROZEN between retrains — retraining is a rebuild,
+    * ingest is an append; encoding under a drifted in-memory codebook
+    * would silently corrupt the ADC order) and MERGE the codes keyed by
+    * vec_id. TxTable MERGE is file-pruned (cost scales with the touched
+    * fraction, not the table) and replay-idempotent: a retried producer
+    * re-merges identical rows — SimilaritySpec pins append-then-search ≡
+    * encode-everything-then-search and double-append ≡ single. */
+  def appendPqCodes(spark: SparkSession, batch: DataFrame,
+      indexPath: String): Long = {
+    val cb = readPqCodebooks(spark, indexPath)
+    val codes = pqCodes(batch, cb)
+      .select(col("vec_id"),
+        array(cb.indices.map(s => col(s"code_$s")): _*).as("codes"))
+    graft.serve.TxTable.merge(spark, codes, s"$indexPath/codes", Seq("vec_id"))
   }
 
   private val pqStoredIndexMemo = new SessionMemo[String, String]

@@ -506,6 +506,40 @@ class SimilaritySpec extends AnyFunSuite {
       s"stored search must not re-encode the corpus:\n$plan")
   }
 
+  test("pq incremental append: merged batch codes equal a full encode; replay idempotent") {
+    // the per-ingest contract: index built over the even half (codebooks
+    // frozen from its labels), the odd half arrives later and is encoded
+    // UNDER THE PERSISTED codebooks + MERGEd keyed vec_id. Search over
+    // the assembled index must equal the inline search under the same
+    // frozen codebooks with every code computed in one shot — and a
+    // producer-retry replay of the same batch must change nothing.
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+    val evens = vecs.filter(col("vec_id") % 2 === 0)
+    val odds = vecs.filter(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("pq_inc").toString
+    Similarity.writePqIndexOf(spark, evens, path)
+    Similarity.appendPqCodes(spark, odds, path)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))
+    val assembled = Similarity.pqTopKStored(spark, sf, path).collect().map(key).sorted
+    // inline reference: same even-seeded codebooks, all codes in one shot
+    val cbEven = Similarity.seededCodebooks(evens, 16)
+    val oneShot = Similarity.pqSearch(vecs, cbEven, 20, 5, 50)
+      .collect().map(key).sorted
+    assert(assembled.nonEmpty && assembled.toSeq == oneShot.toSeq)
+    // replay: the same append again — same rows, one per vec_id
+    Similarity.appendPqCodes(spark, odds, path)
+    val replayed = Similarity.pqTopKStored(spark, sf, path).collect().map(key).sorted
+    assert(replayed.toSeq == assembled.toSeq)
+    val codes = graft.serve.TxTable.read(spark, s"$path/codes")
+    assert(codes.count() == codes.select("vec_id").distinct().count(),
+      "replayed append must not duplicate code rows")
+    assert(codes.count() == vecs.count())
+  }
+
   test("semantic dedup plan: cell-scoped, no cartesian tile grid anywhere") {
     // the 100× criterion: the primary operator's pair generation must be
     // the one cell-keyed shuffle, never the O(N²) CartesianProduct grid
