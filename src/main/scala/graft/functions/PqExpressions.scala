@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Shared kernels for the fused product-quantizer expressions. `round6`
+  * replicates Catalyst `round(x, 6)` on DoubleType EXACTLY
+  * (`RoundBase`: BigDecimal.valueOf → setScale(HALF_UP) → toDouble;
+  * NaN/Inf pass through) — the PQ chain's argmin compares ROUNDED
+  * distances so the grid stays stable across engines, and the fused
+  * encode must make the identical decisions the compositional
+  * `round(squared_dist(...), 6)` form made (PqExprSpec pins bit
+  * equality over the whole fixture corpus; the DuckDB oracle is the
+  * final arbiter). */
+object PqKernels {
+  def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
+/** Fused product-quantizer ENCODE: emb (array<double>, dim = nsub·sub) →
+  * array<int> of nsub codes, code_s = argmin over ci of
+  * round(‖emb_slice_s − cb(s)(ci)‖², 6), ties to the LOWER code index —
+  * the same decision rule as the compositional
+  * `array_min(array(struct(round(squared_dist(slice, lit-array)), ci)))`
+  * form, in ONE expression.
+  *
+  * Why fused: the compositional form folds nsub × ncode literal-array
+  * subtrees (160 at the defaults) into the projection — the generated
+  * code is huge, and the Janino compile of it was the dominant constant
+  * of every PQ bench entry (~2-5 s per distinct plan; SCALE.md r10
+  * adjudication). Here the codebooks travel as ONE reference object
+  * (`references[...]`, the standard Catalyst literal-object channel) and
+  * the generated code is a three-level primitive loop — compact to
+  * compile, and the inner accumulation order (slice-ascending) is
+  * IDENTICAL to squared_dist's, so every rounded distance is
+  * bit-identical. Null-intolerant. */
+case class PqEncode(child: Expression,
+    cb: Seq[Seq[Seq[Double]]]) extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(e: Any): Any = {
+    val emb = e.asInstanceOf[ArrayData]
+    val nsub = cbArr.length
+    val ncode = cbArr(0).length
+    val sub = cbArr(0)(0).length
+    val codes = new Array[Int](nsub)
+    var s = 0
+    while (s < nsub) {
+      var bestD = Double.PositiveInfinity
+      var bestCi = 0
+      var ci = 0
+      while (ci < ncode) {
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = emb.getDouble(s * sub + i) - cbArr(s)(ci)(i)
+          d2 += d * d
+          i += 1
+        }
+        val d2r = PqKernels.round6(d2)
+        if (d2r < bestD) { bestD = d2r; bestCi = ci }
+        ci += 1
+      }
+      codes(s) = bestCi
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val nsub = ctx.freshName("nsub")
+      val ncode = ctx.freshName("ncode")
+      val sub = ctx.freshName("sub")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val d2 = ctx.freshName("d2")
+      val d = ctx.freshName("d")
+      val d2r = ctx.freshName("d2r")
+      val bestD = ctx.freshName("bestD")
+      val bestCi = ctx.freshName("bestCi")
+      s"""
+         |int $nsub = $cbRef.length;
+         |int $ncode = $cbRef[0].length;
+         |int $sub = $cbRef[0][0].length;
+         |int[] $codes = new int[$nsub];
+         |for (int $s = 0; $s < $nsub; $s++) {
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  int $bestCi = 0;
+         |  for (int $ci = 0; $ci < $ncode; $ci++) {
+         |    double $d2 = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $d = $e.getDouble($s * $sub + $i) - $cbRef[$s][$ci][$i];
+         |      $d2 += $d * $d;
+         |    }
+         |    double $d2r = graft.functions.PqKernels.round6($d2);
+         |    if ($d2r < $bestD) { $bestD = $d2r; $bestCi = $ci; }
+         |  }
+         |  $codes[$s] = $bestCi;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused ADC (asymmetric distance computation) score: query floats ×
+  * looked-up codewords, Σ_s dot(q_slice_s, cb(s)(codes_s)) — the same
+  * per-subspace-dot-then-sum order as the compositional
+  * `dot_product(slice, element_at(lit-table, code+1)).reduce(+)` form,
+  * so scores are bit-identical; same fused-vs-160-subtree compile
+  * rationale as [[PqEncode]]. left = q_emb (array<double>), right =
+  * codes (array<int>). Null-intolerant. */
+case class PqAdc(left: Expression, right: Expression,
+    cb: Seq[Seq[Seq[Double]]]) extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def prettyName: String = "pq_adc"
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val qe = q.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val nsub = cbArr.length
+    val sub = cbArr(0)(0).length
+    var total = 0.0
+    var s = 0
+    while (s < nsub) {
+      val cw = cbArr(s)(codes.getInt(s))
+      var ds = 0.0
+      var i = 0
+      while (i < sub) { ds += qe.getDouble(s * sub + i) * cw(i); i += 1 }
+      total += ds
+      s += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val nsub = ctx.freshName("nsub")
+      val sub = ctx.freshName("sub")
+      val total = ctx.freshName("total")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val ds = ctx.freshName("ds")
+      val cw = ctx.freshName("cw")
+      s"""
+         |int $nsub = $cbRef.length;
+         |int $sub = $cbRef[0][0].length;
+         |double $total = 0.0;
+         |for (int $s = 0; $s < $nsub; $s++) {
+         |  double[] $cw = $cbRef[$s][$c.getInt($s)];
+         |  double $ds = 0.0;
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    $ds += $q.getDouble($s * $sub + $i) * $cw[$i];
+         |  }
+         |  $total += $ds;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object PqExpressions {
+  /** Column API for the fused PQ encode. */
+  def pq_encode(emb: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(emb), cb))
+
+  /** Column API for the fused ADC score. */
+  def pq_adc(qEmb: Column, codes: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(PqAdc(
+      GraftBridge.expression(qEmb), GraftBridge.expression(codes), cb))
+}

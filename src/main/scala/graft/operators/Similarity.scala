@@ -455,8 +455,11 @@ object Similarity {
     * that form, verified by the SAME oracle; here it is computed inline —
     * one expression-only projection over the scan. */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
-      k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame =
-    pqTopKOf(corpus(spark, dir), nQueries, k, m, nsub)
+      k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame = {
+    val c = corpus(spark, dir)
+    pqSearch(c, seededCodebooksKeyed(spark, s"corpus:$dir", c, nsub),
+      nQueries, k, m)
+  }
 
   /** The same PQ search over ANY (vec_id, label, emb) frame — the
     * composition surface ([[ivfTopKOf]] contract: `label` seeds the
@@ -464,6 +467,18 @@ object Similarity {
   def pqTopKOf(vecs: DataFrame, nQueries: Int = 20, k: Int = 5,
       m: Int = 50, nsub: Int = 16): DataFrame =
     pqSearch(vecs, seededCodebooks(vecs, nsub), nQueries, k, m)
+
+  private val cbMemo = new SessionMemo[(String, Int), Seq[Seq[Seq[Double]]]]
+
+  /** [[seededCodebooks]] memoized under a caller-supplied corpus key —
+    * the centroid collect is a metadata-scale driver action but costs a
+    * full posexplode-aggregate JOB per call, and every PQ query in the
+    * registry re-derived it (~2 s each at bench scale, the dominant
+    * steady-state cost once the encode/ADC kernels were fused). Same
+    * artifact-memo contract as the trained-codebook/encode memos. */
+  private[graft] def seededCodebooksKeyed(spark: SparkSession, key: String,
+      vecs: DataFrame, nsub: Int): Seq[Seq[Seq[Double]]] =
+    cbMemo.getOrElseUpdate(spark, (key, nsub))(seededCodebooks(vecs, nsub))
 
   /** The label-seeded codebooks (the oracled search default): label-ordered
     * centroids collected (labels × dim — tiny) and sliced per subspace —
@@ -487,60 +502,41 @@ object Similarity {
       nQueries: Int, k: Int, m: Int): DataFrame =
     pqSearchOverCodes(vecs, pqCodes(vecs, cb), cb, nQueries, k, m)
 
-  /** (vec_id, code_0..code_{nsub-1}) — the PQ encode of every vector:
+  /** (vec_id, codes array<int>) — the PQ encode of every vector:
     * per-subspace argmin over rounded L2 to each codeword slice, tiebreak
-    * lower code index (array_min over (d2, ci) structs orders
-    * lexicographically, which is exactly that). The r9 verdict's
-    * perf-weak #2 tail: the d2 used to be an interpreted
-    * zip_with/aggregate subtree — nsub × ncode of them PER ROW, each
-    * paying the measured ~50× lambda-dispatch penalty; the native codegen
-    * squared_dist fuses each into a primitive loop (bit-identical
-    * accumulation order, so the rounded argmin and the whole hash oracle
-    * are unchanged). */
+    * lower code index, as ONE fused codegen expression
+    * ([[graft.functions.PqEncode]], codebooks as a reference object).
+    * History of this kernel: r9 shipped it as nsub × ncode interpreted
+    * zip_with/aggregate subtrees (per-row lambda dispatch — the verdict's
+    * perf-weak); mid-r10 swapped each d2 onto the native squared_dist
+    * (killing the interpreter cost but still folding 160 literal-array
+    * subtrees whose Janino compile dominated every PQ bench entry at
+    * ~2-5 s); the fused form compiles a three-level primitive loop in
+    * milliseconds and makes bit-identical decisions (PqExprSpec pins code
+    * equality against the compositional form corpus-wide; the unchanged
+    * DuckDB oracle is the final arbiter). */
   private[graft] def pqCodes(vecs: DataFrame,
-      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val nsub = cb.length
-    val sub = cb.head.head.length
-    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
-    def codeExpr(emb: Column, s: Int): Column =
-      array_min(array(cb.head.indices.map { ci =>
-        val d2 = round(graft.functions.VectorExpressions.squared_dist(
-          slice(emb, s * sub + 1, sub), litArr(cb(s)(ci))), 6)
-        struct(d2.as("d"), lit(ci).as("c"))
-      }: _*)).getField("c")
-    vecs.select(
-      col("vec_id") +:
-        (0 until nsub).map(s => codeExpr(col("emb"), s).as(s"code_$s")): _*)
-  }
+      cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    vecs.select(col("vec_id"),
+      graft.functions.PqExpressions.pq_encode(col("emb"), cb).as("codes"))
 
   /** ADC + exact re-rank over an already-encoded code table — shared by
     * the inline search and the stored-index search, so the two can never
     * drift on scoring or ranking. `coded` carries (vec_id,
-    * code_0..code_{nsub-1}); queries keep their exact floats from
-    * `vecs`. */
+    * codes array<int>); queries keep their exact floats from `vecs`.
+    * Stage-1 scoring is the fused [[graft.functions.PqAdc]] (same
+    * per-subspace-dot-then-sum order as the compositional form — scores
+    * bit-identical, compile constant gone). */
   private[graft] def pqSearchOverCodes(vecs: DataFrame, coded: DataFrame,
       cb: Seq[Seq[Seq[Double]]], nQueries: Int, k: Int, m: Int): DataFrame = {
-    val nsub = cb.length
-    val sub = cb.head.head.length
-    def litArr(a: Seq[Double]): Column = array(a.map(lit): _*)
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    // stage 1: ADC — per subspace, look the codeword up by code id
-    // (array-of-array literal) and dot it with the query's exact slice;
-    // the dot is the native codegen expression (was an interpreted
-    // zip_with/aggregate per subspace per row — same r9 perf-weak tail
-    // as the encode, same bit-identical swap)
-    val adc = (0 until nsub).map { s =>
-      val table = array(cb.head.indices.map(ci => litArr(cb(s)(ci))): _*)
-      graft.functions.VectorExpressions.dot_product(
-        slice(col("q_emb"), s * sub + 1, sub),
-        element_at(table, col(s"code_$s") + 1))
-    }.reduce(_ + _)
     val topm = udaf(new TopK.ScoreTopKAgg(m),
       org.apache.spark.sql.Encoders.product[TopK.Scored])
     val cands = coded.crossJoin(broadcast(q.select(col("q_id"), col("q_emb"))))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("qscore", round(adc, 6))
+      .withColumn("qscore", round(
+        graft.functions.PqExpressions.pq_adc(col("q_emb"), col("codes"), cb), 6))
       .groupBy("q_id")
       .agg(topm(col("vec_id"), col("qscore")).as("top"))
       .select(col("q_id"), explode(col("top")).as("s"))
@@ -602,7 +598,7 @@ object Similarity {
       nsub: Int): (DataFrame, Seq[Seq[Seq[Double]]]) = {
     import spark.implicits._
     val c = corpus(spark, dir)
-    var cb = seededCodebooks(c, nsub)
+    var cb = seededCodebooksKeyed(spark, s"corpus:$dir", c, nsub)
     val sub = cb.head.head.length
     // the (vec_id, s, v) subvector table — ONE projection of the corpus,
     // reused by every round
@@ -693,11 +689,7 @@ object Similarity {
       cws.zipWithIndex.map { case (w, ci) => (s, ci, w) }
     }.toDF("s", "ci", "w")
     graft.serve.TxTable.write(spark, cbDf, s"$path/codebooks")
-    val nsubCols = cb.length
-    val codes = pqCodes(c, cb)
-      .select(col("vec_id"),
-        array((0 until nsubCols).map(s => col(s"code_$s")): _*).as("codes"))
-    graft.serve.TxTable.write(spark, codes, s"$path/codes")
+    graft.serve.TxTable.write(spark, pqCodes(c, cb), s"$path/codes")
   }
 
   /** The persisted codebooks, reassembled to cb(s)(ci) — metadata scale
@@ -720,10 +712,8 @@ object Similarity {
   def pqTopKStored(spark: SparkSession, dir: String, indexPath: String,
       nQueries: Int = 20, k: Int = 5, m: Int = 50): DataFrame = {
     val cb = readPqCodebooks(spark, indexPath)
-    val nsub = cb.length
     val coded = graft.serve.TxTable.read(spark, s"$indexPath/codes")
-      .select(col("vec_id") +:
-        (0 until nsub).map(s => col("codes").getItem(s).as(s"code_$s")): _*)
+      .select(col("vec_id"), col("codes"))
     pqSearchOverCodes(corpus(spark, dir), coded, cb, nQueries, k, m)
   }
 
@@ -739,10 +729,8 @@ object Similarity {
   def appendPqCodes(spark: SparkSession, batch: DataFrame,
       indexPath: String): Long = {
     val cb = readPqCodebooks(spark, indexPath)
-    val codes = pqCodes(batch, cb)
-      .select(col("vec_id"),
-        array(cb.indices.map(s => col(s"code_$s")): _*).as("codes"))
-    graft.serve.TxTable.merge(spark, codes, s"$indexPath/codes", Seq("vec_id"))
+    graft.serve.TxTable.merge(spark, pqCodes(batch, cb),
+      s"$indexPath/codes", Seq("vec_id"))
   }
 
   private val pqStoredIndexMemo = new SessionMemo[String, String]

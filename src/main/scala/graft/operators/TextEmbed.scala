@@ -206,7 +206,11 @@ object TextEmbed {
       .join(Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang").as("label")), "doc_id")
       .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
-    Similarity.pqTopKOf(vecs, nQueries, k, m, nsub)
+    // codebooks memoized per (dir, nsub): the centroid collect is one
+    // full aggregate job this query would otherwise re-run every call
+    Similarity.pqSearch(vecs,
+        Similarity.seededCodebooksKeyed(spark, s"textembed:$dir", vecs, nsub),
+        nQueries, k, m)
       .withColumnRenamed("vec_id", "doc_id")
   }
 

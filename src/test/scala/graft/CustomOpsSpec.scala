@@ -347,6 +347,76 @@ class CosineExprSpec extends AnyFunSuite {
   }
 }
 
+class PqExprSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+      col("label"))
+
+  test("fused pq_encode makes bit-identical decisions to the compositional argmin") {
+    // the fused expression replaces array_min(array(struct(round(
+    // squared_dist(slice, lit-array), 6), ci))) — rebuild that historical
+    // form here and require EQUAL codes for every vector of the corpus
+    // (same rounding: PqKernels.round6 replicates Catalyst round(x, 6)
+    // HALF_UP on doubles; same slice accumulation order; same low-ci
+    // tiebreak)
+    val cb = graft.operators.Similarity.seededCodebooks(vecs, 16)
+    val sub = cb.head.head.length
+    def litArr(a: Seq[Double]) = array(a.map(lit): _*)
+    def compositional(emb: org.apache.spark.sql.Column, s: Int) =
+      array_min(array(cb.head.indices.map { ci =>
+        val d2 = round(graft.functions.VectorExpressions.squared_dist(
+          slice(emb, s * sub + 1, sub), litArr(cb(s)(ci))), 6)
+        struct(d2.as("d"), lit(ci).as("c"))
+      }: _*)).getField("c")
+    val both = vecs.select(
+      col("vec_id"),
+      graft.functions.PqExpressions.pq_encode(col("emb"), cb).as("fused"),
+      array(cb.indices.map(s => compositional(col("emb"), s)): _*).as("compo"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"codes diverged for vec ${r.getLong(0)}: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+  }
+
+  test("fused pq_adc scores bit-identically to the compositional lookup-table dots") {
+    val cb = graft.operators.Similarity.seededCodebooks(vecs, 16)
+    val sub = cb.head.head.length
+    def litArr(a: Seq[Double]) = array(a.map(lit): _*)
+    val coded = vecs.select(col("vec_id"), col("emb"),
+      graft.functions.PqExpressions.pq_encode(col("emb"), cb).as("codes"))
+    val compositional = cb.indices.map { s =>
+      val table = array(cb.head.indices.map(ci => litArr(cb(s)(ci))): _*)
+      graft.functions.VectorExpressions.dot_product(
+        slice(col("emb"), s * sub + 1, sub),
+        element_at(table, col("codes").getItem(s) + 1))
+    }.reduce(_ + _)
+    coded.select(
+        graft.functions.PqExpressions.pq_adc(col("emb"), col("codes"), cb).as("f"),
+        compositional.as("c"))
+      .collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"ADC diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
+  test("pq_encode round6 equals Catalyst round(x, 6) on representative doubles") {
+    // the helper must track Spark's RoundBase exactly — probe boundary
+    // values through BOTH paths (codegen round and the kernel)
+    val xs = Seq(0.0000005, 0.0000015, 0.1234565, 1.9999995, 123.45678949,
+      0.9999994999, 2.0 / 3.0, 1e-12, 7.7, 0.30000000000000004)
+    import spark.implicits._
+    val got = xs.toDF("x")
+      .select(round(col("x"), 6).as("spark_round"), col("x")).collect()
+    got.foreach { r =>
+      assert(graft.functions.PqKernels.round6(r.getDouble(1)) == r.getDouble(0),
+        s"round6 drifted from Catalyst round at ${r.getDouble(1)}")
+    }
+  }
+}
+
 class PolyHashExprSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._

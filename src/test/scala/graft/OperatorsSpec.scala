@@ -497,12 +497,13 @@ class SimilaritySpec extends AnyFunSuite {
     val stored = Similarity.pqTopKStored(spark, sf, path).collect().map(key).sorted
     val inline = Similarity.pqTopK(spark, sf).collect().map(key).sorted
     assert(stored.nonEmpty && stored.toSeq == inline.toSeq)
-    // and the stored search never re-encodes the corpus: no squared_dist
-    // argmin (the encode kernel) may appear in its plan — codes come from
-    // the persisted table
+    // and the stored search never re-encodes the corpus: the encode
+    // kernel (fused pq_encode, or its historical squared_dist-argmin
+    // form) may not appear in its plan — codes come from the persisted
+    // table
     val plan = Similarity.pqTopKStored(spark, sf, path)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("squared_dist"),
+    assert(!plan.contains("pq_encode") && !plan.contains("squared_dist"),
       s"stored search must not re-encode the corpus:\n$plan")
   }
 
