@@ -600,32 +600,37 @@ object Similarity {
     val c = corpus(spark, dir)
     var cb = seededCodebooksKeyed(spark, s"corpus:$dir", c, nsub)
     val sub = cb.head.head.length
-    // the (vec_id, s, v) subvector table — ONE projection of the corpus,
-    // reused by every round
-    val sv = c.select(col("vec_id"), explode(array((0 until nsub).map { s =>
-        struct(lit(s).as("s"), slice(col("emb"), s * sub + 1, sub).as("v"))
-      }: _*)).as("x"))
-      .select(col("vec_id"), col("x.s").as("s"), col("x.v").as("v"))
-      .localCheckpoint(true)
-    def cbDf(b: Seq[Seq[Seq[Double]]]): DataFrame =
-      b.zipWithIndex.flatMap { case (cws, s) =>
-        cws.zipWithIndex.map { case (w, ci) => (s, ci, w) }
-      }.toDF("s", "ci", "w")
+    // one round = ONE projection of the corpus through the fused
+    // [[graft.functions.PqAssign]] kernel (codes + unrounded d2 per
+    // subspace, codebooks as a reference object). The historical shape —
+    // subvector table ⋈ broadcast codebook rows → groupBy-min — built
+    // corpus × nsub × ncode intermediate rows per round (160× the corpus
+    // at the defaults); this builds corpus rows, period. Assignment
+    // decisions are identical (strict < keeps the lower code index on
+    // ties, as min(struct(d2, ci)) did).
     def assignTo(b: Seq[Seq[Seq[Double]]]): DataFrame =
-      sv.join(broadcast(cbDf(b)), "s")
-        .withColumn("d2",
-          graft.functions.VectorExpressions.squared_dist(col("v"), col("w")))
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d2"), col("ci"))).as("m"))
-        .select(col("vec_id"), col("s"),
-          col("m.ci").as("ci"), col("m.d2").as("d2"))
+      c.select(col("vec_id"), col("emb"),
+          graft.functions.PqExpressions.pq_assign(col("emb"), b).as("a"))
+        .select(col("vec_id"), col("emb"),
+          transform(slice(col("a"), 1, nsub), x => x.cast("int")).as("codes"),
+          slice(col("a"), nsub + 1, nsub).as("d2s"))
         .localCheckpoint(true)
     def qe(assign: DataFrame): Double =
-      assign.agg(coalesce(sum("d2"), lit(0.0))).collect()(0).getDouble(0)
+      assign.select(aggregate(col("d2s"), lit(0.0d), (acc, x) => acc + x).as("q"))
+        .agg(coalesce(sum("q"), lit(0.0))).collect()(0).getDouble(0)
+    // mean re-estimation per (s, code): explode the assignment frame
+    // itself (codes ride with the vector — no join back to a subvector
+    // table), posexplode the assigned slice, two small aggregations.
+    // Cells left empty keep their previous codeword.
     def meansOf(assign: DataFrame,
         prev: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
-      val fitted = assign.join(sv, Seq("vec_id", "s"))
-        .select(col("s"), col("ci"), posexplode(col("v")).as(Seq("pos", "x")))
+      val fitted = assign
+        .select(explode(array((0 until nsub).map { s =>
+            struct(lit(s).as("s"), col("codes").getItem(s).as("ci"),
+              slice(col("emb"), s * sub + 1, sub).as("v"))
+          }: _*)).as("x"))
+        .select(col("x.s").as("s"), col("x.ci").as("ci"),
+          posexplode(col("x.v")).as(Seq("pos", "x")))
         .groupBy("s", "ci", "pos").agg(avg("x").as("m"))
         .groupBy("s", "ci")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
@@ -644,9 +649,15 @@ object Similarity {
     while (i <= iters) {
       cb = meansOf(assign, cb)
       val next = assignTo(cb)
-      val moved = next.select(col("vec_id"), col("s"), col("ci").as("new_ci"))
-        .join(assign.select(col("vec_id"), col("s"), col("ci")), Seq("vec_id", "s"))
-        .filter(col("new_ci") =!= col("ci")).count()
+      // moved = # (vector, subspace) assignments that changed code: one
+      // corpus-keyed join of two code ARRAYS, compared element-wise
+      val moved = next.select(col("vec_id"), col("codes").as("new_codes"))
+        .join(assign.select(col("vec_id"), col("codes")), "vec_id")
+        .select(aggregate(
+          zip_with(col("new_codes"), col("codes"),
+            (a, b) => when(a =!= b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n"))
+        .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
       assign = next
       stats += ((i, qe(assign), moved))
       i += 1

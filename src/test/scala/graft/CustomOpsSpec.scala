@@ -402,6 +402,43 @@ class PqExprSpec extends AnyFunSuite {
         s"ADC diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
   }
 
+  test("fused pq_assign equals the historical join+min Lloyd assignment") {
+    // training assigns on UNROUNDED d2 — rebuild the historical
+    // subvector-table ⋈ broadcast-codebooks → groupBy-min shape and
+    // require identical (ci, d2) per (vector, subspace)
+    import spark.implicits._
+    val cb = graft.operators.Similarity.seededCodebooks(vecs, 16)
+    val sub = cb.head.head.length
+    val nsub = cb.length
+    val fused = vecs.select(col("vec_id"),
+        graft.functions.PqExpressions.pq_assign(col("emb"), cb).as("a"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sv = vecs.select(col("vec_id"), explode(array((0 until nsub).map { s =>
+        struct(lit(s).as("s"), slice(col("emb"), s * sub + 1, sub).as("v"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.v").as("v"))
+    val cbDf = cb.zipWithIndex.flatMap { case (cws, s) =>
+      cws.zipWithIndex.map { case (w, ci) => (s, ci, w) }
+    }.toDF("s", "ci", "w")
+    val hist = sv.join(broadcast(cbDf), "s")
+      .withColumn("d2",
+        graft.functions.VectorExpressions.squared_dist(col("v"), col("w")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("ci"))).as("m"))
+      .collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val (vid, s) = (r.getLong(0), r.getInt(1))
+      val m = r.getStruct(2)
+      val a = fused(vid)
+      assert(a(s).toInt == m.getInt(1),
+        s"code diverged at ($vid, $s): fused ${a(s).toInt} vs ${m.getInt(1)}")
+      assert(a(nsub + s) == m.getDouble(0),
+        s"d2 diverged at ($vid, $s): fused ${a(nsub + s)} vs ${m.getDouble(0)}")
+    }
+  }
+
   test("pq_encode round6 equals Catalyst round(x, 6) on representative doubles") {
     // the helper must track Spark's RoundBase exactly — probe boundary
     // values through BOTH paths (codegen round and the kernel)
