@@ -55,7 +55,7 @@ object Classifier {
   /** (doc_id, x ARRAY<DOUBLE> (bias ++ emb), y DOUBLE) — the training
     * frame: embeddings joined to thresholded teacher labels. Docs with no
     * tokens have no embedding and drop out (nothing to score). */
-  private def trainingFrame(spark: SparkSession, dir: String,
+  private[graft] def trainingFrame(spark: SparkSession, dir: String,
       tau: Double): DataFrame = {
     val labels = graft.functions.TextFunctions
       .qualityMetrics(Tables.spread(spark, Tables.documents(spark, dir)), "text")
@@ -127,22 +127,99 @@ object Classifier {
       iters: Int, eta: Double): (DataFrame, Seq[Double]) =
     gdLoop(spark, trainingFrame(spark, dir, tau), iters, eta)
 
+  /** Below this row count the GD loop collects the training set and
+    * iterates on the driver: each distributed pass is a full
+    * driver-synchronized job (the Spark ML per-iteration shape — right
+    * when the training data is lake-sized, pure scheduling overhead when
+    * it is a quality-gate sample: measured ~0.1 s/job × 61 jobs on a
+    * 1250-row sample). 100k rows × 66 doubles ≈ 53 MB — comfortably
+    * driver-resident; a production-scale sample exceeds it and trains
+    * distributed. Same formulas either way, pinned ≡ by ClassifierSpec. */
+  val LocalFitRows = 100000L
+
+  /** Test seam (the TxTable `onMergeStaged` pattern): forces the
+    * distributed pass path regardless of size, so ClassifierSpec can pin
+    * local ≡ distributed on the same data. No-op in production. */
+  private[graft] var forceDistributed = false
+
+  /** The GD pass math, driver-local — the same margin/sigmoid/stable-loss
+    * /gradient formulas [[graft.functions.LogisticGradient]] generates,
+    * so the two paths cannot diverge beyond float summation order. */
+  private def gdLocal(xs: Array[Array[Double]], ys: Array[Double],
+      iters: Int, eta: Double, dim: Int): (Seq[(Int, Double, Double)], Seq[Double]) = {
+    val n = xs.length.toDouble
+    var w = new Array[Double](dim)
+    def pass(): (Double, Double, Array[Double]) = {
+      val grad = new Array[Double](dim)
+      var loss = 0.0; var hits = 0.0
+      var r = 0
+      while (r < xs.length) {
+        val x = xs(r); val y = ys(r)
+        var m = 0.0
+        var i = 0
+        while (i < dim) { m += x(i) * w(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-m))
+        val d = p - y
+        i = 0
+        while (i < dim) { grad(i) += x(i) * d; i += 1 }
+        loss += math.max(m, 0.0) - m * y + math.log1p(math.exp(-math.abs(m)))
+        if ((p >= 0.5) == (y == 1.0)) hits += 1.0
+        r += 1
+      }
+      var i = 0
+      while (i < dim) { grad(i) /= n; i += 1 }
+      (loss / n, hits / n, grad)
+    }
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    var cur = pass()
+    stats += ((0, cur._1, cur._2))
+    var it = 0
+    while (it < iters) {
+      val next = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { next(i) = w(i) - eta * cur._3(i); i += 1 }
+      w = next
+      cur = pass()
+      it += 1
+      stats += ((it, cur._1, cur._2))
+    }
+    (stats.toSeq, w.toSeq)
+  }
+
   /** The distributed-GD loop over ANY (doc_id, x, y) frame — shared by
     * full-batch and sampled-teacher training so the two can never drift
     * on the kernel, step rule, or stats shape. */
-  private def gdLoop(spark: SparkSession, training: DataFrame,
+  private[graft] def gdLoop(spark: SparkSession, training: DataFrame,
       iters: Int, eta: Double): (DataFrame, Seq[Double]) = {
     import spark.implicits._
-    // NOTE: do NOT coalesce this frame down for "scheduler overhead" —
-    // measured 8.2 s → 50.5 s at sf0.1 under coalesce(1) back when the
-    // kernel was interpreted HOFs; the 32-way scan is genuine compute
-    // parallelism. Since r10 the row kernel is the fused codegen
-    // LogisticGradient expression (one primitive loop per row inside
-    // WholeStageCodegen), which removes the interpreted-lambda constant
-    // the r9 verdict flagged as the bench's heaviest entry.
-    val data = training.localCheckpoint(true)
-    val n = data.count().toDouble
-    val dim = data.select(size(col("x"))).head().getInt(0)
+    // Partitioning is sized to the DATA, not inherited from the input:
+    // every GD pass is one job over this frame, so at iters=60 a tiny
+    // sampled training set on 32 inherited partitions schedules ~2000
+    // near-empty tasks (measured 7.7 s of pure overhead at bench scale),
+    // while a 100 TB corpus still needs full parallelism. Rule: one
+    // partition per 64k rows, capped at the cluster's parallelism —
+    // coalesce on the checkpointed frame is a narrow dependency, no
+    // shuffle. (History: when the kernel was interpreted HOFs, coalescing
+    // the FULL corpus cost 8.2 → 50.5 s — compute-bound then; the fused
+    // codegen kernel flipped the regime to scheduling-bound at small n.)
+    val ckpt = training.localCheckpoint(true)
+    val n = ckpt.count().toDouble
+    val dim = ckpt.select(size(col("x"))).head().getInt(0)
+    // sub-threshold training sets fit on the driver: collect ONCE, run
+    // the identical pass math locally — iters sequential jobs become one
+    if (n <= LocalFitRows && !forceDistributed) {
+      val rows = ckpt.select(col("x"), col("y")).collect()
+      val xs = rows.map(_.getSeq[Double](0).toArray)
+      val ys = rows.map(_.getDouble(1))
+      val (stats, w) = gdLocal(xs, ys, iters, eta, dim)
+      return (stats.toDF("iter", "loss", "accuracy")
+        .select(col("iter"), round(col("loss"), 6).as("loss"),
+          round(col("accuracy"), 6).as("accuracy")), w)
+    }
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(n / 65536.0).toInt))
+    val data =
+      if (ckpt.rdd.getNumPartitions <= parts) ckpt else ckpt.coalesce(parts)
     var w: Seq[Double] = Seq.fill(dim)(0.0)
 
     // loss, accuracy, AND the full gradient in ONE JOB per iteration:

@@ -95,6 +95,33 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-local fit equals the distributed GD path on the same data") {
+    // below LocalFitRows the loop collects once and iterates locally
+    // (iters sequential driver-synchronized jobs become one); the two
+    // paths share the same formulas and may differ only in float
+    // summation order — weights must agree to ~1e-9 and every stats row
+    // to the 6-dp rounding the frame carries
+    val frame = Classifier.trainingFrame(spark, sf, Classifier.DefaultTau)
+    val local = Classifier.gdLoop(spark, frame, Classifier.DefaultIters,
+      Classifier.DefaultEta)
+    Classifier.forceDistributed = true
+    val dist =
+      try Classifier.gdLoop(spark, frame, Classifier.DefaultIters,
+        Classifier.DefaultEta)
+      finally Classifier.forceDistributed = false
+    val wl = local._2; val wd = dist._2
+    assert(wl.length == wd.length)
+    wl.zip(wd).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"weights diverged: $a vs $b") }
+    val sl = local._1.collect().sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val sd = dist._1.collect().sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(sl.length == sd.length)
+    sl.zip(sd).foreach { case ((i1, l1, a1), (i2, l2, a2)) =>
+      assert(i1 == i2 && math.abs(l1 - l2) <= 1e-6 + 1e-12 && a1 == a2,
+        s"stats diverged at iter $i1: ($l1, $a1) vs ($l2, $a2)")
+    }
+  }
+
   test("every embedded doc is scored; scores are probabilities") {
     val gate = Classifier.qualityGate(spark, sf)
     val nEmb = graft.operators.TextEmbed.embeddings(spark, sf).count()
