@@ -221,6 +221,15 @@ object SparkEntry {
     ("q_cluster_sample_summary",
       ((s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSummary(s, d)): Q,
       Some(graft.operators.Sampling.clusterBalancedSummarySql())),
+    // budget-capped per-LANGUAGE sampling (metadata strata — eval-set
+    // draws and mixture caps): same bounded-heap kernel, fully-oracled
+    // allocation; the streaming twin (StreamSample) is pinned streamed ≡
+    // batch row-for-row against this sampler
+    ("q_budget_sample",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.budgetSample(s, d)): Q, None),
+    ("q_budget_sample_summary",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.budgetSampleSummary(s, d)): Q,
+      Some(graft.operators.Sampling.budgetSampleSummarySql())),
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),

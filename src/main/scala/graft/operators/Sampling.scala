@@ -181,17 +181,61 @@ object Sampling {
     * summary keeps its full oracle and LayoutSpec's reproducibility test
     * stands; ScaleSpec pins the no-window plan. */
   def clusterBalancedSample(spark: SparkSession, dir: String,
-      budget: Int = 40, seed: Int = 42): DataFrame = {
+      budget: Int = 40, seed: Int = 42): DataFrame =
+    budgetSampleOf(clusterAssign(spark, dir), "cluster", budget, seed)
+
+  /** The budget-capped sampler kernel over ANY (doc_id, <key>) frame:
+    * the `budget` smallest (xxhash64(doc_id, seed), doc_id) per key via
+    * the bounded-heap aggregator — map-side combined, ≤ budget rows per
+    * partition per key, no window. The selection rule is a pure function
+    * of the DOC SET (order- and partitioning-invariant, idempotent under
+    * re-delivery: the same doc contributes the same rank), which is what
+    * makes the streaming twin (`streaming/StreamSample`) carry the
+    * strongest streamed ≡ batch contract: the k-smallest of a union is
+    * the k-smallest of per-batch k-smallests. */
+  def budgetSampleOf(docs: DataFrame, keyCol: String, budget: Int,
+      seed: Int = 42): DataFrame = {
     val topk = udaf(new TopK.DocHTopKAgg(budget),
       org.apache.spark.sql.Encoders.product[TopK.DocH])
-    clusterAssign(spark, dir)
-      .select(col("cluster"),
+    docs
+      .select(col(keyCol),
         xxhash64(col("doc_id"), lit(seed)).as("h"), col("doc_id"))
-      .groupBy("cluster")
+      .groupBy(keyCol)
       .agg(topk(col("h"), col("doc_id")).as("top"))
-      .select(col("cluster"), explode(col("top")).as("d"))
-      .select(col("d.doc_id").as("doc_id"), col("cluster"))
+      .select(col(keyCol), explode(col("top")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col(keyCol))
   }
+
+  /** Budget-capped per-LANGUAGE sample of the corpus — the metadata-strata
+    * sibling of [[clusterBalancedSample]] (equal per-language budgets for
+    * eval-set drawing and mixture caps) and the batch twin the streaming
+    * ingest-time sampler is pinned against. Membership is hash-defined →
+    * rows-only; the allocation summary below is fully oracled. */
+  def budgetSample(spark: SparkSession, dir: String,
+      budget: Int = 50, seed: Int = 42): DataFrame =
+    budgetSampleOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "lang", budget, seed)
+
+  /** Per-language allocation: n_sampled = least(budget, n_docs) EXACTLY
+    * — the [[clusterBalancedSummary]] contract on metadata strata, so the
+    * oracle is pure relational arithmetic. */
+  def budgetSampleSummary(spark: SparkSession, dir: String,
+      budget: Int = 50, seed: Int = 42): DataFrame = {
+    val sampled = budgetSample(spark, dir, budget, seed)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    Tables.documents(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
+  def budgetSampleSummarySql(budget: Int = 50): String =
+    s"""SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(LEAST($budget, COUNT(*)) AS BIGINT) AS n_sampled
+       |FROM documents GROUP BY 1""".stripMargin
 
   /** Per-cluster allocation: n_sampled = least(budget, n_docs) EXACTLY —
     * and because the cluster assignment is the deterministic lang-seeded

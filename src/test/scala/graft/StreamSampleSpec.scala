@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+import graft.streaming.StreamSample
+import java.nio.file.Files
+
+/** Ingest-time budget sampling: stream replay → per-batch candidate
+  * top-ks → idempotent TxTable MERGE → assembled sample ≡ the batch
+  * sampler over every ingested doc ROW-FOR-ROW (k-smallest of a union =
+  * k-smallest of per-batch k-smallests — selection is a pure function of
+  * the doc set, so order/batching cannot matter). */
+class StreamSampleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val Budget = 37 // not a divisor of anything meaningful — an
+                          // arbitrary budget exercises both capped and
+                          // uncapped languages
+
+  private def docs = Tables.documents(spark, sf)
+    .select("doc_id", "lang", "text")
+
+  private def sampleSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+    df.select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("streamed candidates assemble to the exact batch sample; replay converges") {
+    val root = Files.createTempDirectory("stream_sample").toString
+    // three drops as three files in ONE source dir; maxFilesPerTrigger=1
+    // forces three real micro-batches (the StreamSketchSpec harness)
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    (0 to 2).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/tmp_$i")
+      val part = new java.io.File(s"$root/tmp_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/in/drop_$i.parquet"))
+    }
+    val table = s"$root/sample"
+    StreamSample.sampleStreamTx(spark, s"$root/in", table, s"$root/ckpt",
+      budget = Budget)
+    val streamed = sampleSet(StreamSample.readSample(spark, table, Budget))
+    val batch = sampleSet(Sampling.budgetSample(spark, sf, Budget))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed sample diverged: ${streamed.size} vs ${batch.size}")
+    // the candidate table is bounded: ≤ budget per language PER BATCH
+    val cands = serve.TxTable.read(spark, table)
+    val maxPerLang = cands.groupBy("lang").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerLang <= Budget * 3L,
+      s"candidate table grew past budget × batches: $maxPerLang")
+    // replay from a fresh checkpoint: candidates overwrite by
+    // (lang, doc_id) with identical content — the sample is unchanged
+    StreamSample.sampleStreamTx(spark, s"$root/in", table, s"$root/ckpt2",
+      budget = Budget)
+    val replayed = sampleSet(StreamSample.readSample(spark, table, Budget))
+    assert(replayed == streamed)
+    assert(cands.count() ==
+      cands.select("lang", "doc_id").distinct().count(),
+      "replay must not duplicate candidate rows")
+  }
+
+  test("per-language allocation of the assembled sample is least(budget, n)") {
+    val root = Files.createTempDirectory("stream_sample_alloc").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+    val table = s"$root/sample"
+    StreamSample.sampleStreamTx(spark, s"$root/in", table, s"$root/ckpt",
+      budget = Budget)
+    val got = StreamSample.readSample(spark, table, Budget)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.min(Budget.toLong, r.getLong(1))).toMap
+    assert(got == want, s"allocation drift: $got vs $want")
+  }
+}
