@@ -132,4 +132,88 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------- r10 native vector kernels
+  test("vector kernels: algebraic laws over random vectors (driver eval)") {
+    // properties of the fused expressions' shared math, checked through
+    // the Spark evaluation path on literal inputs (covers the interpreted
+    // eval; codegen equivalence is pinned separately in CosineExprSpec)
+    import graft.functions.VectorExpressions._
+    val vec = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0)).map(_.toArray)
+    def run(c: org.apache.spark.sql.Column): Double = {
+      import spark.implicits._
+      Seq(1).toDF("i").select(c.as("v")).head().getDouble(0)
+    }
+    def arr(a: Array[Double]) = array(a.map(lit).toIndexedSeq: _*)
+    forAll(vec, vec) { (a, b) =>
+      // symmetry and linearity anchor: dot(a,b) == dot(b,a); cauchy-schwarz
+      val dab = run(dot_product(arr(a), arr(b)))
+      val dba = run(dot_product(arr(b), arr(a)))
+      assert(dab == dba)
+      val naa = run(dot_product(arr(a), arr(a)))
+      val nbb = run(dot_product(arr(b), arr(b)))
+      assert(dab * dab <= naa * nbb + 1e-9)
+      // squared_dist expansion: |a-b|^2 = |a|^2 - 2ab + |b|^2
+      val sd = run(squared_dist(arr(a), arr(b)))
+      assert(math.abs(sd - (naa - 2 * dab + nbb)) < 1e-9)
+      // cosine bounded
+      val cs = run(cosine_sim(arr(a), arr(b)))
+      assert(cs >= -1.0 - 1e-12 && cs <= 1.0 + 1e-12)
+    }
+  }
+
+  test("logistic_grad: finite, bounded, and zero-gradient at the optimum direction") {
+    import graft.functions.VectorExpressions._
+    import spark.implicits._
+    val vec = Gen.listOfN(6, Gen.chooseNum(-30.0, 30.0)).map(_.toArray)
+    val y = Gen.oneOf(0.0, 1.0)
+    def arr(a: Array[Double]) = array(a.map(lit).toIndexedSeq: _*)
+    forAll(vec, vec) { (x, w) =>
+      Seq(0.0, 1.0).foreach { yy =>
+        val g = Seq(1).toDF("i")
+          .select(logistic_grad(arr(x), arr(w), lit(yy)).as("g"))
+          .head().getSeq[Double](0)
+        assert(g.length == x.length + 2)
+        // every output finite even at |margin| up to ~5400
+        g.foreach(v => assert(!v.isNaN && !v.isInfinite))
+        // loss >= 0; hit is exactly 0 or 1
+        assert(g(x.length) >= 0.0)
+        assert(g(x.length + 1) == 0.0 || g(x.length + 1) == 1.0)
+        // gradient_i = x_i * (p - y) with p in (0,1): |g_i| <= |x_i|
+        x.indices.foreach(i => assert(math.abs(g(i)) <= math.abs(x(i)) + 1e-12))
+      }
+    }
+  }
+
+  test("pq_encode: codes in range, deterministic, and invariant to extra corpus rows") {
+    import graft.functions.PqExpressions._
+    import spark.implicits._
+    // 2 subspaces x 3 codes x width 2 codebook; random vectors of dim 4
+    val cw = Gen.listOfN(2, Gen.chooseNum(-3.0, 3.0))
+    val cbGen = Gen.listOfN(2, Gen.listOfN(3, cw))
+    val vGen = Gen.listOfN(4, Gen.chooseNum(-3.0, 3.0))
+    forAll(cbGen, vGen) { (cbL, v) =>
+      val cb: Seq[Seq[Seq[Double]]] = cbL.map(_.map(_.toSeq).toSeq).toSeq
+      val codes = Seq(v).toDF("emb")
+        .select(pq_encode(col("emb"), cb).as("c")).head().getSeq[Int](0)
+      assert(codes.length == 2 && codes.forall(c => c >= 0 && c < 3))
+      // row-local: the same vector encodes identically regardless of
+      // whatever else is in the frame
+      val codes2 = Seq(v, v.map(-_), v.map(_ * 2)).toDF("emb")
+        .select(pq_encode(col("emb"), cb).as("c")).head().getSeq[Int](0)
+      assert(codes == codes2)
+      // the chosen codeword is a true argmin: no other code has strictly
+      // smaller ROUNDED distance in its subspace
+      codes.zipWithIndex.foreach { case (ci, s) =>
+        val slice = v.slice(s * 2, s * 2 + 2)
+        def d2(w: Seq[Double]) = graft.functions.PqKernels.round6(
+          slice.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum)
+        val chosen = d2(cb(s)(ci))
+        cb(s).indices.foreach { cj =>
+          assert(d2(cb(s)(cj)) >= chosen,
+            s"code $ci not argmin in subspace $s (beaten by $cj)")
+        }
+      }
+    }
+  }
 }
