@@ -111,7 +111,18 @@ object ScaleProbe {
     ("q_stratified_twophase", "documents",
       (s: SparkSession, d: String) => graft.operators.Sampling.stratifiedSummaryTwoPhase(s, d)),
     ("q_cluster_sample_summary", "documents",
-      (s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSummary(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSummary(s, d)),
+    // r10 additions: the stored-PQ search (index write + one scan of the
+    // persisted codes), the sampled-teacher gate (sample-sized training +
+    // one corpus-wide scoring scan), and the budget sampler (bounded-heap
+    // top-k per language — one scan, ≤ budget rows shuffled per partition
+    // per stratum)
+    ("q_ann_pq_stored", "embeddings",
+      (s: SparkSession, d: String) => graft.operators.Similarity.pqStoredQuery(s, d)),
+    ("q_quality_gate_sampled", "documents",
+      (s: SparkSession, d: String) => graft.operators.Classifier.qualityGateSampled(s, d)),
+    ("q_budget_sample_summary", "documents",
+      (s: SparkSession, d: String) => graft.operators.Sampling.budgetSampleSummary(s, d)))
 
   val ExponentGate = 1.5
 
