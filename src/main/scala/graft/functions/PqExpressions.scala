@@ -38,11 +38,15 @@ object PqKernels {
   * the generated code is a three-level primitive loop — compact to
   * compile, and the inner accumulation order (slice-ascending) is
   * IDENTICAL to squared_dist's, so every rounded distance is
-  * bit-identical. Null-intolerant. */
+  * bit-identical. Null-intolerant; an embedding whose length ≠ nsub·sub
+  * yields null — on UnsafeArrayData an unguarded `getDouble` past the
+  * end is an unchecked off-heap read (silent garbage codes), where the
+  * compositional slice form degraded to null. */
 case class PqEncode(child: Expression,
     cb: Seq[Seq[Seq[Double]]]) extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def prettyName: String = "pq_encode"
 
@@ -54,6 +58,7 @@ case class PqEncode(child: Expression,
     val nsub = cbArr.length
     val ncode = cbArr(0).length
     val sub = cbArr(0)(0).length
+    if (emb.numElements() != nsub * sub) return null
     val codes = new Array[Int](nsub)
     var s = 0
     while (s < nsub) {
@@ -97,23 +102,27 @@ case class PqEncode(child: Expression,
          |int $nsub = $cbRef.length;
          |int $ncode = $cbRef[0].length;
          |int $sub = $cbRef[0][0].length;
-         |int[] $codes = new int[$nsub];
-         |for (int $s = 0; $s < $nsub; $s++) {
-         |  double $bestD = Double.POSITIVE_INFINITY;
-         |  int $bestCi = 0;
-         |  for (int $ci = 0; $ci < $ncode; $ci++) {
-         |    double $d2 = 0.0;
-         |    for (int $i = 0; $i < $sub; $i++) {
-         |      double $d = $e.getDouble($s * $sub + $i) - $cbRef[$s][$ci][$i];
-         |      $d2 += $d * $d;
+         |if ($e.numElements() != $nsub * $sub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$nsub];
+         |  for (int $s = 0; $s < $nsub; $s++) {
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    int $bestCi = 0;
+         |    for (int $ci = 0; $ci < $ncode; $ci++) {
+         |      double $d2 = 0.0;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        double $d = $e.getDouble($s * $sub + $i) - $cbRef[$s][$ci][$i];
+         |        $d2 += $d * $d;
+         |      }
+         |      double $d2r = graft.functions.PqKernels.round6($d2);
+         |      if ($d2r < $bestD) { $bestD = $d2r; $bestCi = $ci; }
          |    }
-         |    double $d2r = graft.functions.PqKernels.round6($d2);
-         |    if ($d2r < $bestD) { $bestD = $d2r; $bestCi = $ci; }
+         |    $codes[$s] = $bestCi;
          |  }
-         |  $codes[$s] = $bestCi;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($codes);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($codes);
        """.stripMargin
     })
   }
@@ -128,11 +137,14 @@ case class PqEncode(child: Expression,
   * `dot_product(slice, element_at(lit-table, code+1)).reduce(+)` form,
   * so scores are bit-identical; same fused-vs-160-subtree compile
   * rationale as [[PqEncode]]. left = q_emb (array<double>), right =
-  * codes (array<int>). Null-intolerant. */
+  * codes (array<int>). Null-intolerant; null when the query's length ≠
+  * nsub·sub or the code array is shorter than nsub (unchecked off-heap
+  * reads otherwise — see [[PqEncode]]). */
 case class PqAdc(left: Expression, right: Expression,
     cb: Seq[Seq[Seq[Double]]]) extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(IntegerType))
   override def prettyName: String = "pq_adc"
@@ -145,6 +157,7 @@ case class PqAdc(left: Expression, right: Expression,
     val codes = c.asInstanceOf[ArrayData]
     val nsub = cbArr.length
     val sub = cbArr(0)(0).length
+    if (qe.numElements() != nsub * sub || codes.numElements() < nsub) return null
     var total = 0.0
     var s = 0
     while (s < nsub) {
@@ -171,16 +184,20 @@ case class PqAdc(left: Expression, right: Expression,
       s"""
          |int $nsub = $cbRef.length;
          |int $sub = $cbRef[0][0].length;
-         |double $total = 0.0;
-         |for (int $s = 0; $s < $nsub; $s++) {
-         |  double[] $cw = $cbRef[$s][$c.getInt($s)];
-         |  double $ds = 0.0;
-         |  for (int $i = 0; $i < $sub; $i++) {
-         |    $ds += $q.getDouble($s * $sub + $i) * $cw[$i];
+         |if ($q.numElements() != $nsub * $sub || $c.numElements() < $nsub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $total = 0.0;
+         |  for (int $s = 0; $s < $nsub; $s++) {
+         |    double[] $cw = $cbRef[$s][$c.getInt($s)];
+         |    double $ds = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      $ds += $q.getDouble($s * $sub + $i) * $cw[$i];
+         |    }
+         |    $total += $ds;
          |  }
-         |  $total += $ds;
+         |  ${ev.value} = $total;
          |}
-         |${ev.value} = $total;
        """.stripMargin
     })
   }
@@ -199,11 +216,13 @@ case class PqAdc(left: Expression, right: Expression,
   * lower code index on ties). Replaces the corpus × nsub × ncode
   * broadcast-join + groupBy-min round shape with one projection — 160×
   * less intermediate volume per round at the default geometry, the
-  * difference between a scan and a wide shuffle at 100 TB. */
+  * difference between a scan and a wide shuffle at 100 TB.
+  * Null-intolerant; length ≠ nsub·sub → null (see [[PqEncode]]). */
 case class PqAssign(child: Expression,
     cb: Seq[Seq[Seq[Double]]]) extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def prettyName: String = "pq_assign"
 
@@ -215,6 +234,7 @@ case class PqAssign(child: Expression,
     val nsub = cbArr.length
     val ncode = cbArr(0).length
     val sub = cbArr(0)(0).length
+    if (emb.numElements() != nsub * sub) return null
     val out = new Array[Double](2 * nsub)
     var s = 0
     while (s < nsub) {
@@ -257,23 +277,27 @@ case class PqAssign(child: Expression,
          |int $nsub = $cbRef.length;
          |int $ncode = $cbRef[0].length;
          |int $sub = $cbRef[0][0].length;
-         |double[] $out = new double[2 * $nsub];
-         |for (int $s = 0; $s < $nsub; $s++) {
-         |  double $bestD = Double.POSITIVE_INFINITY;
-         |  int $bestCi = 0;
-         |  for (int $ci = 0; $ci < $ncode; $ci++) {
-         |    double $d2 = 0.0;
-         |    for (int $i = 0; $i < $sub; $i++) {
-         |      double $d = $e.getDouble($s * $sub + $i) - $cbRef[$s][$ci][$i];
-         |      $d2 += $d * $d;
+         |if ($e.numElements() != $nsub * $sub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[2 * $nsub];
+         |  for (int $s = 0; $s < $nsub; $s++) {
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    int $bestCi = 0;
+         |    for (int $ci = 0; $ci < $ncode; $ci++) {
+         |      double $d2 = 0.0;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        double $d = $e.getDouble($s * $sub + $i) - $cbRef[$s][$ci][$i];
+         |        $d2 += $d * $d;
+         |      }
+         |      if ($d2 < $bestD) { $bestD = $d2; $bestCi = $ci; }
          |    }
-         |    if ($d2 < $bestD) { $bestD = $d2; $bestCi = $ci; }
+         |    $out[$s] = (double) $bestCi;
+         |    $out[$nsub + $s] = $bestD;
          |  }
-         |  $out[$s] = (double) $bestCi;
-         |  $out[$nsub + $s] = $bestD;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
        """.stripMargin
     })
   }

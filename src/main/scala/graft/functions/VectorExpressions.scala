@@ -17,13 +17,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * calls, no boxing, no Python/serialization boundary.
   *
   * Semantics: cosine(a, b) ∈ [-1, 1]; 0.0 when either norm is zero;
-  * null-intolerant (null in → null out); arrays must be equal length
-  * (shorter length used defensively).
+  * null-intolerant (null in → null out); a LENGTH MISMATCH yields null —
+  * the same answer the `zip_with`+`aggregate` form gives (its null
+  * padding poisons the fold), so a truncated/corrupt embedding falls out
+  * of every ranking comparison instead of scoring on a prefix.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
   // declared input types: the SQL surface would otherwise accept int
   // arrays and reinterpret their slots via getDouble (garbage results);
@@ -34,7 +37,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -57,15 +61,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
          |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 
@@ -78,11 +86,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * interpreted `zip_with`+`aggregate` form pays per-element lambda dispatch;
   * this fuses to a primitive loop inside WholeStageCodegen). Used by the
   * Lloyd k-means assignment step, where it runs corpus × centroids times per
-  * iteration. Null-intolerant; shorter length used defensively. */
+  * iteration. Null-intolerant; length mismatch → null (the zip_with
+  * form's answer — see [[CosineSimilarity]]). */
 case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def prettyName: String = "squared_dist"
@@ -90,7 +100,8 @@ case class SquaredDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -108,13 +119,17 @@ case class SquaredDistance(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -130,12 +145,15 @@ case class SquaredDistance(left: Expression, right: Expression)
   * (query-slice · looked-up codeword, nsub times per corpus row). The
   * left-to-right accumulation order matches the `aggregate(zip_with(·,·,
   * _*_), 0.0, _+_)` fold exactly, so swapping a lambda dot for this one
-  * is bit-identical, not just close. Null-intolerant; shorter length used
-  * defensively. */
+  * is bit-identical, not just close — INCLUDING on malformed input: a
+  * length mismatch yields null exactly as the zip_with null-padding
+  * does, so corrupt rows drop out of rankings rather than contributing
+  * a prefix dot. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def prettyName: String = "dot_product"
@@ -143,7 +161,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -156,12 +175,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -173,11 +196,12 @@ case class DotProduct(left: Expression, right: Expression)
   * accumulating in Long — the int8-quantized ANN tier's stage-1 kernel
   * (code · code over the whole corpus per query). Exact integer
   * arithmetic: no accumulation-order caveat at all. Null-intolerant;
-  * shorter length used defensively. */
+  * length mismatch → null (see [[CosineSimilarity]]). */
 case class DotProductInt(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
       ArrayType(org.apache.spark.sql.types.IntegerType))
@@ -186,7 +210,8 @@ case class DotProductInt(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0L
     var i = 0
     while (i < n) { dot += x.getInt(i).toLong * y.getInt(i); i += 1 }
@@ -199,12 +224,16 @@ case class DotProductInt(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $dot = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -230,11 +259,14 @@ case class DotProductInt(left: Expression, right: Expression)
   * primitive loop inside WholeStageCodegen — the per-pass cost of
   * distributed GD at 100 TB is exactly this row kernel, and the
   * interpreted form pays the measured ~50× lambda-dispatch penalty on
-  * every element of every row of every pass. Null-intolerant. */
+  * every element of every row of every pass. Null-intolerant; an x/w
+  * length mismatch yields null (a truncated feature row must drop out
+  * of the gradient sum, not contribute a prefix gradient). */
 case class LogisticGradient(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType), DoubleType)
   override def prettyName: String = "logistic_grad"
@@ -243,7 +275,8 @@ case class LogisticGradient(first: Expression, second: Expression,
     val x = xa.asInstanceOf[ArrayData]
     val w = wa.asInstanceOf[ArrayData]
     val y = ya.asInstanceOf[Double]
-    val n = math.min(x.numElements(), w.numElements())
+    val n = x.numElements()
+    if (n != w.numElements()) return null
     var m = 0.0
     var i = 0
     while (i < n) { m += x.getDouble(i) * w.getDouble(i); i += 1 }
@@ -266,22 +299,26 @@ case class LogisticGradient(first: Expression, second: Expression,
       val d = ctx.freshName("d")
       val out = ctx.freshName("out")
       s"""
-         |int $n = java.lang.Math.min($xa.numElements(), $wa.numElements());
-         |double $m = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $m += $xa.getDouble($i) * $wa.getDouble($i);
+         |int $n = $xa.numElements();
+         |if ($n != $wa.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $m = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $m += $xa.getDouble($i) * $wa.getDouble($i);
+         |  }
+         |  double $p = 1.0 / (1.0 + java.lang.Math.exp(-$m));
+         |  double[] $out = new double[$n + 2];
+         |  double $d = $p - $ya;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $xa.getDouble($i) * $d;
+         |  }
+         |  $out[$n] = java.lang.Math.max($m, 0.0) - $m * $ya
+         |    + java.lang.Math.log1p(java.lang.Math.exp(-java.lang.Math.abs($m)));
+         |  $out[$n + 1] = (($p >= 0.5) == ($ya == 1.0)) ? 1.0 : 0.0;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
          |}
-         |double $p = 1.0 / (1.0 + java.lang.Math.exp(-$m));
-         |double[] $out = new double[$n + 2];
-         |double $d = $p - $ya;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $xa.getDouble($i) * $d;
-         |}
-         |$out[$n] = java.lang.Math.max($m, 0.0) - $m * $ya
-         |  + java.lang.Math.log1p(java.lang.Math.exp(-java.lang.Math.abs($m)));
-         |$out[$n + 1] = (($p >= 0.5) == ($ya == 1.0)) ? 1.0 : 0.0;
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
        """.stripMargin
     })
 

@@ -298,6 +298,36 @@ class CosineExprSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("length mismatch → null across all five kernels, matching the lambda forms") {
+    import graft.functions.VectorExpressions._
+    // codegen path: a truncated row must DROP OUT (null), the answer the
+    // zip_with forms gave via null padding — not score on a prefix
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(cosine_sim(col("a"), col("b")),
+        squared_dist(col("a"), col("b")),
+        dot_product(col("a"), col("b")),
+        logistic_grad(col("a"), col("b"), lit(1.0)),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v))
+      .collect()(0)
+    (0 to 4).foreach(i => assert(r.isNullAt(i), s"col $i must be null"))
+    val di = Seq((Array(1, 2, 3), Array(1, 2))).toDF("a", "b")
+      .select(dot_product_int(col("a"), col("b"))).collect()(0)
+    assert(di.isNullAt(0))
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val a = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType))
+    val b = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    assert(graft.functions.CosineSimilarity(a, b).eval(null) == null)
+    assert(graft.functions.SquaredDistance(a, b).eval(null) == null)
+    assert(graft.functions.DotProduct(a, b).eval(null) == null)
+    assert(graft.functions.DotProductInt(
+      Literal.create(Seq(1, 2, 3), ArrayType(IntegerType)),
+      Literal.create(Seq(1, 2), ArrayType(IntegerType))).eval(null) == null)
+    assert(graft.functions.LogisticGradient(a, b, Literal(1.0)).eval(null) == null)
+  }
+
   test("logistic_grad: fused kernel equals the unfused reference, stable at huge margins") {
     import graft.functions.VectorExpressions.logistic_grad
     def reference(x: Seq[Double], w: Seq[Double], y: Double): Seq[Double] = {
@@ -437,6 +467,25 @@ class PqExprSpec extends AnyFunSuite {
       assert(a(nsub + s) == m.getDouble(0),
         s"d2 diverged at ($vid, $s): fused ${a(nsub + s)} vs ${m.getDouble(0)}")
     }
+  }
+
+  test("truncated embedding → null codes/assign/score, never an unchecked off-heap read") {
+    import spark.implicits._
+    val cb = graft.operators.Similarity.seededCodebooks(vecs, 16)
+    val dim = cb.length * cb.head.head.length
+    val bad = Seq(((0 until dim - 3).map(_.toDouble), (0 until cb.length).map(_ => 0)))
+      .toDF("emb", "codes")
+    val r = bad.select(
+        graft.functions.PqExpressions.pq_encode(col("emb"), cb),
+        graft.functions.PqExpressions.pq_assign(col("emb"), cb),
+        graft.functions.PqExpressions.pq_adc(col("emb"), col("codes"), cb))
+      .collect()(0)
+    (0 to 2).foreach(i => assert(r.isNullAt(i), s"col $i must be null"))
+    // a code array shorter than nsub refuses too
+    val short = Seq(((0 until dim).map(_.toDouble), Seq(0))).toDF("emb", "codes")
+    assert(short.select(
+        graft.functions.PqExpressions.pq_adc(col("emb"), col("codes"), cb))
+      .collect()(0).isNullAt(0))
   }
 
   test("pq_encode round6 equals Catalyst round(x, 6) on representative doubles") {
