@@ -744,6 +744,36 @@ object Similarity {
       s"$indexPath/codes", Seq("vec_id"))
   }
 
+  /** Session-scratch path for a stored index under `/tmp/<rootName>`:
+    * versioned by the TxTable log format (an index written by an older
+    * format must miss and rebuild rather than torn-refuse; superseded
+    * version dirs — older vN and the pre-versioning bare layout — are
+    * dead weight and are swept when the current-version path is created,
+    * r8 ADVICE), and keyed by the corpus dir's basename PLUS a hash of
+    * its ABSOLUTE path: two corpora sharing a basename (/a/corpus vs
+    * /b/corpus) must land on distinct index paths, not silently serve
+    * each other's codes (the memo keys by full dir, so without the tag
+    * the second corpus's build would overwrite the first's index while
+    * the first's memo entry kept pointing at it). `build` materializes
+    * the index on first use; shared by the PQ and IVF stored-query
+    * forms so the versioning/sweep/keying logic cannot drift. */
+  private[graft] def scratchIndexPath(rootName: String, dir: String)(
+      build: String => Unit): String = {
+    val root = new java.io.File(s"/tmp/$rootName")
+    val cur = s"v${graft.serve.TxTable.LogFormatVersion}"
+    Option(root.listFiles()).foreach(_.filter(_.getName != cur).foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(f)
+    })
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = f"${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x"
+    val p = s"$root/$cur/" + new java.io.File(dir).getName + s"-$tag"
+    build(p)
+    p
+  }
+
   private val pqStoredIndexMemo = new SessionMemo[String, String]
 
   /** Registered-query form: write the stored PQ index once per (session,
@@ -753,17 +783,7 @@ object Similarity {
     * cleanup). */
   def pqStoredQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = pqStoredIndexMemo.getOrElseUpdate(spark, dir) {
-      val root = new java.io.File("/tmp/graft_pq_index")
-      val cur = s"v${graft.serve.TxTable.LogFormatVersion}"
-      Option(root.listFiles()).foreach(_.filter(_.getName != cur).foreach { f =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        rm(f)
-      })
-      val p = s"$root/$cur/" + new java.io.File(dir).getName
-      writePqIndex(spark, dir, p)
-      p
+      scratchIndexPath("graft_pq_index", dir)(p => writePqIndex(spark, dir, p))
     }
     pqTopKStored(spark, dir, path)
   }
@@ -1700,22 +1720,7 @@ object Similarity {
     * ingest" — the probe itself reads only the TxTable. */
   def semanticProbeStoredQuery(spark: SparkSession, dir: String): DataFrame = {
     val path = storedIndexMemo.getOrElseUpdate(spark, dir) {
-      // path keyed by the TxTable log-format version: a stale index written
-      // by an older format must miss (and rebuild) rather than torn-refuse.
-      // Superseded versions (older vN dirs AND the pre-versioning layout's
-      // bare <name> dirs) are dead weight nothing will ever read again —
-      // remove them when the current-version path is created (r8 ADVICE)
-      val root = new java.io.File("/tmp/graft_ivf_index")
-      val cur = s"v${graft.serve.TxTable.LogFormatVersion}"
-      Option(root.listFiles()).foreach(_.filter(_.getName != cur).foreach { f =>
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        rm(f)
-      })
-      val p = s"$root/$cur/" + new java.io.File(dir).getName
-      writeIvfIndex(spark, dir, p)
-      p
+      scratchIndexPath("graft_ivf_index", dir)(p => writeIvfIndex(spark, dir, p))
     }
     semanticProbeStored(spark, dir, path)
   }

@@ -461,6 +461,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("scratch index paths distinguish same-basename corpora") {
+    // /a/corpus and /b/corpus share a basename; without the abs-path tag
+    // the second build overwrites the first index while the first memo
+    // entry keeps pointing at it — probe answers silently swap corpora
+    var built = List.empty[String]
+    val a = Similarity.scratchIndexPath("graft_test_scratch", "/tmp/same_base_a/corpus")(p => built ::= p)
+    val b = Similarity.scratchIndexPath("graft_test_scratch", "/tmp/same_base_b/corpus")(p => built ::= p)
+    assert(a != b, "same-basename corpora must land on distinct index paths")
+    assert(built.toSet == Set(a, b), "build must receive the returned path")
+  }
+
   test("semantic probe stored index: persisted layout reproduces the in-memory probe") {
     // the stored/in-memory symmetry contract: writing the IVF layout to a
     // TxTable and probing THAT must yield bit-identical pairs to the
