@@ -132,9 +132,11 @@ object Classifier {
     * driver-synchronized job (the Spark ML per-iteration shape — right
     * when the training data is lake-sized, pure scheduling overhead when
     * it is a quality-gate sample: measured ~0.1 s/job × 61 jobs on a
-    * 1250-row sample). 100k rows × 66 doubles ≈ 53 MB — comfortably
-    * driver-resident; a production-scale sample exceeds it and trains
-    * distributed. Same formulas either way, pinned ≡ by ClassifierSpec. */
+    * 1250-row sample). 100k rows × 66 doubles ≈ 53 MB collected as
+    * PRIMITIVE arrays (the typed-encoder collect below — a boxed Row
+    * collect would be 4-8× that) — comfortably driver-resident; a
+    * production-scale sample exceeds it and trains distributed. Same
+    * formulas either way, pinned ≡ by ClassifierSpec. */
   val LocalFitRows = 100000L
 
   /** Test seam (the TxTable `onMergeStaged` pattern): forces the
@@ -206,11 +208,15 @@ object Classifier {
     val n = ckpt.count().toDouble
     val dim = ckpt.select(size(col("x"))).head().getInt(0)
     // sub-threshold training sets fit on the driver: collect ONCE, run
-    // the identical pass math locally — iters sequential jobs become one
+    // the identical pass math locally — iters sequential jobs become one.
+    // Typed Array[Double] encoder: deserializes straight to primitive
+    // double[], so the collect footprint is the ~53 MB the threshold was
+    // sized to; a Row collect would box every element (~4-8× that)
+    // before the primitive copies were even built
     if (n <= LocalFitRows && !forceDistributed) {
-      val rows = ckpt.select(col("x"), col("y")).collect()
-      val xs = rows.map(_.getSeq[Double](0).toArray)
-      val ys = rows.map(_.getDouble(1))
+      val rows = ckpt.select(col("x"), col("y")).as[(Array[Double], Double)].collect()
+      val xs = rows.map(_._1)
+      val ys = rows.map(_._2)
       val (stats, w) = gdLocal(xs, ys, iters, eta, dim)
       return (stats.toDF("iter", "loss", "accuracy")
         .select(col("iter"), round(col("loss"), 6).as("loss"),
