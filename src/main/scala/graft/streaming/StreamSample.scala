@@ -35,13 +35,16 @@ object StreamSample {
   val DocLangTextSchemaDdl: String = StreamSketch.DocLangTextSchemaDdl
 
   /** One micro-batch's candidate rows: the batch-local budget-capped
-    * sample, with the rank hash carried so read-time assembly can re-top
-    * without recomputing it. ≤ budget rows per language per batch. */
+    * sample, ≤ budget rows per language per batch. Only (lang, doc_id)
+    * is stored — the read side recomputes the rank hash from
+    * (doc_id, seed), which is both cheap (codegen'd xxhash64 over a
+    * metadata-scale table) and safe: persisting the hash would invite a
+    * read with a different seed to trust stored ranks that no longer
+    * match the recomputed ones. */
   def sampleBatch(docs: DataFrame, budget: Int, seed: Int = 42): DataFrame =
     Sampling.budgetSampleOf(docs.select(col("doc_id"), col("lang")),
         "lang", budget, seed)
-      .select(col("lang"), col("doc_id"),
-        xxhash64(col("doc_id"), lit(seed)).as("h"))
+      .select(col("lang"), col("doc_id"))
 
   /** Streaming deployment: replay (doc_id, lang, text) parquet drops from
     * `inDir`, MERGE each micro-batch's candidate top-k into the TxTable
