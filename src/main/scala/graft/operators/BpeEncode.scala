@@ -135,6 +135,17 @@ object BpeEncode {
       .drop("words")
   }
 
+  /** Token-stream signature over a `word_toks` column (array of per-word
+    * token arrays): tokens within a word joined by '\u0001' (which can
+    * never appear inside a token — tokens() is a whitespace split over
+    * text), words joined by a space, then md5. The inner separator is
+    * what makes this sign token BOUNDARIES: two different tokenizations
+    * of the same text hash differently (BpeSpec pins this), unlike the
+    * roundtrip's text_sig which deliberately erases boundaries to
+    * reproduce the raw text. */
+  private[graft] def tokSig(wordToks: Column): Column =
+    md5(concat_ws(" ", transform(wordToks, w => concat_ws("\u0001", w))))
+
   /** Per-document encode summary on the corpus: word/char/token counts
     * and the token-stream signature. n_tokens is the REAL BPE bill (vs
     * `q_bpe_token_count`'s regex proxy) — not SQL-derivable, so this
@@ -148,13 +159,7 @@ object BpeEncode {
           (acc, w) => acc + size(w)).as("n_tokens"),
         aggregate(col("word_toks"), lit(0),
           (acc, w) => acc + length(concat_ws("", w))).as("n_chars"),
-        // '\\u0001' between tokens (it can never appear inside one: tokens()
-        // is a whitespace split over text) so the signature signs token
-        // BOUNDARIES — two different tokenizations of the same text hash
-        // differently, unlike the roundtrip's text_sig which deliberately
-        // erases boundaries to reproduce the raw text
-        md5(concat_ws(" ",
-          transform(col("word_toks"), w => concat_ws("", w)))).as("tok_sig"))
+        tokSig(col("word_toks")).as("tok_sig"))
 
   /** Hash-oracled roundtrip: re-assemble the encoded stream (concat a
     * word's tokens, join words with a space) and md5 it; DuckDB computes

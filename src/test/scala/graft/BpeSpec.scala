@@ -146,6 +146,25 @@ class BpeSpec extends AnyFunSuite {
     assert(diff == 0, "encoded stream must re-assemble to the normalized text")
   }
 
+  test("tok_sig signs token boundaries: re-segmenting without changing text changes the hash") {
+    import spark.implicits._
+    // same reassembled text, three segmentations: unsplit, [ab|c], [a|bc].
+    // text_sig (boundary-erasing) must agree across all three; tok_sig
+    // (boundary-signing, '\u0001' inner separator) must distinguish them
+    val df = Seq(
+      ("d1", Seq(Seq("abc"), Seq("xy"))),
+      ("d2", Seq(Seq("ab", "c"), Seq("xy"))),
+      ("d3", Seq(Seq("a", "bc"), Seq("x", "y")))
+    ).toDF("doc_id", "word_toks")
+    val got = df.select(col("doc_id"),
+        BpeEncode.tokSig(col("word_toks")).as("tok"),
+        md5(concat_ws(" ",
+          transform(col("word_toks"), w => concat_ws("", w)))).as("txt"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.values.map(_._2).toSet.size == 1, "text_sig must erase boundaries")
+    assert(got.values.map(_._1).toSet.size == 3, "tok_sig must sign boundaries")
+  }
+
   test("encode is invariant to input partitioning") {
     val docs = Tables.documents(spark, sf)
     val a = BpeEncode.encodeOf(spark, docs, BpeTrain.train(spark, sf))
