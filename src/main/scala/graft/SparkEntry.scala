@@ -338,6 +338,21 @@ object SparkEntry {
     ("q_quantized_recall",
       ((s: SparkSession, d: String) => Similarity.quantizedRecall(s, d)): Q,
       Some(Similarity.quantizedRecallSql())),
+    // the dimension tier: seedless md5-parity Rademacher projection
+    // (JL / Achlioptas) to 16 dims, rounded-cosine stage-1 ranking in
+    // the projected space, exact float re-rank — matrix, projection and
+    // both rankings all re-derived in DuckDB, so the chain is
+    // hash-oracled end to end; q_rp_project anchors the raw coordinates
+    ("q_rp_project",
+      ((s: SparkSession, d: String) => Similarity.rpProjectQuery(s, d)): Q,
+      Some(Similarity.rpProjectQuerySql())),
+    ("q_ann_rp",
+      ((s: SparkSession, d: String) => Similarity.rpTopK(s, d)): Q,
+      Some(Similarity.rpTopKSql())),
+    // its approximation audit: per-query hit count vs the exact top-k
+    ("q_rp_recall",
+      ((s: SparkSession, d: String) => Similarity.rpRecall(s, d)): Q,
+      Some(Similarity.rpRecallSql())),
     // product quantization (Jégou et al. 2011): label-seeded per-subspace
     // codebooks, ADC lookup-table ranking, exact re-rank — the 4-byte/vector
     // tier, hash-oracled end to end like the int8 chain

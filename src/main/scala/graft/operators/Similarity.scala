@@ -416,6 +416,204 @@ object Similarity {
        |SELECT DISTINCT b.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
        |FROM btop b LEFT JOIN hits h ON h.q_id = b.q_id""".stripMargin
 
+  // --------------------------------------- JL random projection (RP)
+  /** Johnson–Lindenstrauss random projection + two-stage search — the
+    * DIMENSION tier of the ANN family (random projection à la Achlioptas
+    * 2003 / JL lemma, in pure DataFrame ops). Where int8/PQ shrink the
+    * per-coordinate cost, RP shrinks the coordinate COUNT: a seedless
+    * Rademacher (±1/√k') matrix projects 64-dim vectors to k'=32 dims
+    * — half the multiply-adds per stage-1 comparison, and at 100 TB the
+    * projected corpus is the table that fits in cluster memory while the
+    * floats stay on disk for re-rank (the quantized-tier physics, along
+    * the other axis).
+    *
+    * The matrix is derived from md5 parity — entry (i, j) = +1 iff the
+    * first hex digit of md5("rp:i:j") is < '8' — so BOTH engines
+    * construct it bit-identically (unlike the splittable-mix LSH planes,
+    * which only need to exist Spark-side) and the whole chain —
+    * projection, stage-1 rounded-cosine ranking with vec_id tiebreak,
+    * exact float re-rank — is DuckDB-hash-oracled end to end. The
+    * projection itself is k' native `dot_product`s against literal
+    * columns (codegen'd primitive loops, zero joins/shuffles); DuckDB
+    * mirrors the left-to-right accumulation with an i-ordered
+    * list_sum, the [[cosSqlExpr]] contract. */
+  /** Default target dimension and stage-1 pool, picked by sweeping the
+    * ORACLE chain in DuckDB over (k', m) at sf0.01 (the SQL is the
+    * measurement harness): 64→16 dims at m=20 recalls 0.24 — honest but
+    * useless; 64→32 at m=100 recalls 0.81, on par with the trained PQ
+    * tier (0.85) at half the stage-1 arithmetic. Synthetic uniform
+    * embeddings are JL's worst case (pairwise distances concentrate);
+    * clustered real embeddings separate better at the same k'. The
+    * standing `q_rp_recall` audit keeps the tradeoff measured, not
+    * asserted. m is a CONSTANT: at fixture scale 100 candidates is a
+    * fifth of the corpus, at production scale it is nothing. */
+  val RpDim = 32
+  val RpPool = 100
+
+  /** Seedless Rademacher entry (i, j) ∈ {+1, −1}: the first md5 hex
+    * digit of "rp:i:j" decides the sign — stateless, identical on every
+    * executor AND in DuckDB SQL. */
+  private[graft] def rpEntry(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$i:$j".getBytes("UTF-8"))
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
+  /** Column j of the projection matrix, length [[Dim]]. */
+  private def rpCols(kOut: Int): Seq[Seq[Double]] =
+    (0 until kOut).map(j => (0 until Dim).map(i => rpEntry(i, j)))
+
+  /** emb → k'-dim projection: proj_j = dot(emb, col_j) / √k'. One
+    * native dot per output dim, matrix folded in as literals — pure
+    * projection work, no shuffle. */
+  private def rpExpr(emb: Column, kOut: Int): Column = {
+    val scale = math.sqrt(kOut.toDouble)
+    array(rpCols(kOut).map { cj =>
+      (graft.functions.VectorExpressions.dot_product(
+        emb, array(cj.map(lit): _*)) / scale).cast("double")
+    }: _*)
+  }
+
+  /** The projected coordinates of the query vectors — the oracled
+    * anchor of the tier: every projected value is recomputed by DuckDB
+    * from the md5-derived matrix, so the search twins below can be
+    * trusted to rank what they claim to rank. */
+  def rpProjectQuery(spark: SparkSession, dir: String,
+      nQueries: Int = 20, kOut: Int = RpDim): DataFrame =
+    corpus(spark, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        posexplode(rpExpr(col("emb"), kOut)).as(Seq("j", "p")))
+      .select(col("vec_id"), col("j").cast("int").as("j"),
+        round(col("p"), 6).as("proj"))
+
+  /** Two-stage RP search: stage 1 ranks the whole corpus by ROUNDED
+    * cosine in the projected space (bounded heap, top-m per query, the
+    * [[quantizedTopKOf]] shape); stage 2 re-ranks the m survivors by
+    * exact float cosine and cuts to k. */
+  def rpTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = RpPool, kOut: Int = RpDim): DataFrame =
+    rpTopKOf(corpus(spark, dir), nQueries, k, m, kOut)
+
+  def rpTopKOf(vecs: DataFrame, nQueries: Int = 20, k: Int = 5,
+      m: Int = RpPool, kOut: Int = RpDim): DataFrame = {
+    val pc = vecs.select(col("vec_id"), col("emb"))
+      .withColumn("pemb", rpExpr(col("emb"), kOut))
+    val q = pc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("pemb").as("q_pemb"),
+        col("emb").as("q_emb"))
+    val topm = udaf(new TopK.ScoreTopKAgg(m),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val cands = pc.crossJoin(broadcast(q.select("q_id", "q_pemb")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("pscore", round(cosine_sim(col("pemb"), col("q_pemb")), 6))
+      .groupBy("q_id")
+      .agg(topm(col("vec_id"), col("pscore")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.vec_id").as("vec_id"))
+    exactRerank(vecs, cands, q.select(col("q_id"), col("q_emb")), k)
+  }
+
+  /** Per-query hit count of the RP tier against the exact brute-force
+    * top-k — the standing approximation audit ([[quantizedRecall]]
+    * contract: zero-overlap queries report 0, never drop out). */
+  def rpRecall(spark: SparkSession, dir: String, nQueries: Int = 20,
+      k: Int = 5, m: Int = RpPool, kOut: Int = RpDim): DataFrame = {
+    val rp = rpTopK(spark, dir, nQueries, k, m, kOut)
+    val exact = bruteForceTopK(spark, dir, nQueries, k)
+    val hits = rp.select("q_id", "vec_id")
+      .join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** The md5-parity matrix + projection CTEs, ending in `pc(vec_id,
+    * pemb)` — the i-ordered list_sum reproduces the native dot's
+    * left-to-right accumulation exactly. `where` optionally restricts
+    * the projected vectors. */
+  private def rpMatrixCtes(kOut: Int, where: String = ""): String =
+    s"""rp AS (
+       |  SELECT i, j,
+       |    CASE WHEN substr(md5('rp:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
+       |      IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS e
+       |  FROM range(0, $Dim) t1(i) CROSS JOIN range(0, $kOut) t2(j)),
+       |pv AS (
+       |  SELECT vec_id, j,
+       |    list_sum(list(v * e ORDER BY i)) / sqrt(CAST($kOut AS DOUBLE)) AS p
+       |  FROM (SELECT c.vec_id, rp.i, rp.j, c.emb[rp.i + 1] AS v, rp.e
+       |        FROM c CROSS JOIN rp $where)
+       |  GROUP BY vec_id, j),
+       |pc AS (SELECT vec_id, list(p ORDER BY j) AS pemb FROM pv GROUP BY vec_id)""".stripMargin
+
+  /** DuckDB oracle for [[rpProjectQuery]]: matrix and projection fully
+    * re-derived. */
+  def rpProjectQuerySql(nQueries: Int = 20, kOut: Int = RpDim): String =
+    s"""WITH $QuantDefaultSource,
+       |${rpMatrixCtes(kOut, s"WHERE c.vec_id < $nQueries")}
+       |SELECT vec_id, CAST(j AS INT) AS j, ROUND(p, 6) AS proj FROM pv""".stripMargin
+
+  /** The RP search CTE chain over the default corpus, ending in
+    * `qtop(q_id, rank, vec_id, cosine)` — shared by the search and
+    * recall oracles. */
+  private def rpCtes(nQueries: Int, k: Int, m: Int, kOut: Int): String =
+    s"""$QuantDefaultSource,
+       |${rpMatrixCtes(kOut)},
+       |qq AS (SELECT pc.vec_id AS q_id, pc.pemb AS q_pemb, c.emb AS q_emb
+       |       FROM pc JOIN c USING (vec_id) WHERE vec_id < $nQueries),
+       |s1 AS (
+       |  SELECT qq.q_id, pc.vec_id,
+       |    ROUND(${cosSqlExpr("pc.pemb", "qq.q_pemb")}, 6) AS pscore
+       |  FROM pc CROSS JOIN qq WHERE pc.vec_id <> qq.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY pscore DESC NULLS LAST, vec_id ASC) AS r
+       |    FROM s1)
+       |  WHERE r <= $m),
+       |rer AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    ROUND(${cosSqlExpr("c.emb", "qq.q_emb")}, 6) AS cosine
+       |  FROM cand
+       |  JOIN c ON c.vec_id = cand.vec_id
+       |  JOIN qq ON qq.q_id = cand.q_id),
+       |qtop AS (
+       |  SELECT q_id, rank, vec_id, cosine FROM (
+       |    SELECT q_id, vec_id, cosine,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+       |    FROM rer)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** DuckDB oracle for [[rpTopK]]: matrix, projection, stage-1 rounded
+    * ranking and exact re-rank all re-derived. */
+  def rpTopKSql(nQueries: Int = 20, k: Int = 5, m: Int = RpPool,
+      kOut: Int = RpDim): String =
+    s"""WITH ${rpCtes(nQueries, k, m, kOut)}
+       |SELECT q_id, rank, vec_id, cosine FROM qtop""".stripMargin
+
+  /** DuckDB oracle for [[rpRecall]]: the RP chain joined against an
+    * independently recomputed exact brute-force top-k. */
+  def rpRecallSql(nQueries: Int = 20, k: Int = 5, m: Int = RpPool,
+      kOut: Int = RpDim): String =
+    s"""WITH ${rpCtes(nQueries, k, m, kOut)},
+       |bcos AS (
+       |  SELECT qq.q_id, c.vec_id,
+       |    ROUND(${cosSqlExpr("c.emb", "qq.q_emb")}, 6) AS cosine
+       |  FROM c CROSS JOIN qq WHERE c.vec_id <> qq.q_id),
+       |btop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS r
+       |    FROM bcos)
+       |  WHERE r <= $k),
+       |hits AS (
+       |  SELECT q.q_id, COUNT(*) AS n_hits
+       |  FROM qtop q JOIN btop b ON b.q_id = q.q_id AND b.vec_id = q.vec_id
+       |  GROUP BY 1)
+       |SELECT DISTINCT b.q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM btop b LEFT JOIN hits h ON h.q_id = b.q_id""".stripMargin
+
   // ------------------------------------------- product quantization (PQ)
   /** Product quantization + ADC search (Jégou et al. 2011, "Product
     * quantization for nearest neighbor search") — the deepest-compression

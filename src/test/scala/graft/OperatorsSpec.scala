@@ -461,6 +461,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rp matrix: deterministic, ±1, roughly balanced") {
+    val entries = for (i <- 0 until Similarity.Dim; j <- 0 until Similarity.RpDim)
+      yield Similarity.rpEntry(i, j)
+    assert(entries.forall(e => e == 1.0 || e == -1.0))
+    assert(entries == entries.map(identity), "stateless determinism")
+    val plus = entries.count(_ == 1.0).toDouble / entries.size
+    assert(plus > 0.4 && plus < 0.6, s"md5 parity should be near-balanced: $plus")
+  }
+
+  test("rp search degenerates to exact brute force when the pool covers the corpus") {
+    // with m ≥ N the stage-1 cut keeps everything, so the exact re-rank
+    // IS the brute-force ranking — the projection cannot lose anything
+    val n = Tables.embeddings(spark, sf).count().toInt
+    val rp = Similarity.rpTopK(spark, sf, m = n + 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(rp.nonEmpty && rp.toSeq == brute.toSeq)
+  }
+
+  test("rp recall audit: total coverage, bounded hits, honest under a thin pool") {
+    val got = Similarity.rpRecall(spark, sf, m = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 20, "every query reports, even at zero overlap")
+    assert(got.values.forall(h => h >= 0 && h <= 5))
+  }
+
   test("scratch index paths distinguish same-basename corpora") {
     // /a/corpus and /b/corpus share a basename; without the abs-path tag
     // the second build overwrites the first index while the first memo
