@@ -339,7 +339,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.quantizedRecall(s, d)): Q,
       Some(Similarity.quantizedRecallSql())),
     // the dimension tier: seedless md5-parity Rademacher projection
-    // (JL / Achlioptas) to 16 dims, rounded-cosine stage-1 ranking in
+    // (JL / Achlioptas) to 32 dims, rounded-cosine stage-1 ranking in
     // the projected space, exact float re-rank — matrix, projection and
     // both rankings all re-derived in DuckDB, so the chain is
     // hash-oracled end to end; q_rp_project anchors the raw coordinates

@@ -138,8 +138,12 @@ case class PqEncode(child: Expression,
   * so scores are bit-identical; same fused-vs-160-subtree compile
   * rationale as [[PqEncode]]. left = q_emb (array<double>), right =
   * codes (array<int>). Null-intolerant; null when the query's length ≠
-  * nsub·sub or the code array is shorter than nsub (unchecked off-heap
-  * reads otherwise — see [[PqEncode]]). */
+  * nsub·sub, the code array is shorter than nsub, or any code value is
+  * outside [0, ncode) (unchecked off-heap reads / AIOOBE inside
+  * generated code otherwise — a stored or streamed code table read
+  * against RETRAINED codebooks with a smaller ncode must degrade to a
+  * null score exactly like the compositional `element_at` form did,
+  * not throw mid-stage — see [[PqEncode]]). */
 case class PqAdc(left: Expression, right: Expression,
     cb: Seq[Seq[Seq[Double]]]) extends BinaryExpression with ImplicitCastInputTypes {
 
@@ -156,12 +160,15 @@ case class PqAdc(left: Expression, right: Expression,
     val qe = q.asInstanceOf[ArrayData]
     val codes = c.asInstanceOf[ArrayData]
     val nsub = cbArr.length
+    val ncode = cbArr(0).length
     val sub = cbArr(0)(0).length
     if (qe.numElements() != nsub * sub || codes.numElements() < nsub) return null
     var total = 0.0
     var s = 0
     while (s < nsub) {
-      val cw = cbArr(s)(codes.getInt(s))
+      val code = codes.getInt(s)
+      if (code < 0 || code >= ncode) return null
+      val cw = cbArr(s)(code)
       var ds = 0.0
       var i = 0
       while (i < sub) { ds += qe.getDouble(s * sub + i) * cw(i); i += 1 }
@@ -175,28 +182,35 @@ case class PqAdc(left: Expression, right: Expression,
     val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
     nullSafeCodeGen(ctx, ev, (q, c) => {
       val nsub = ctx.freshName("nsub")
+      val ncode = ctx.freshName("ncode")
       val sub = ctx.freshName("sub")
       val total = ctx.freshName("total")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       val ds = ctx.freshName("ds")
       val cw = ctx.freshName("cw")
+      val code = ctx.freshName("code")
+      val bad = ctx.freshName("bad")
       s"""
          |int $nsub = $cbRef.length;
+         |int $ncode = $cbRef[0].length;
          |int $sub = $cbRef[0][0].length;
          |if ($q.numElements() != $nsub * $sub || $c.numElements() < $nsub) {
          |  ${ev.isNull} = true;
          |} else {
+         |  boolean $bad = false;
          |  double $total = 0.0;
          |  for (int $s = 0; $s < $nsub; $s++) {
-         |    double[] $cw = $cbRef[$s][$c.getInt($s)];
+         |    int $code = $c.getInt($s);
+         |    if ($code < 0 || $code >= $ncode) { $bad = true; break; }
+         |    double[] $cw = $cbRef[$s][$code];
          |    double $ds = 0.0;
          |    for (int $i = 0; $i < $sub; $i++) {
          |      $ds += $q.getDouble($s * $sub + $i) * $cw[$i];
          |    }
          |    $total += $ds;
          |  }
-         |  ${ev.value} = $total;
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $total; }
          |}
        """.stripMargin
     })

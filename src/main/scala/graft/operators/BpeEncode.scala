@@ -136,15 +136,21 @@ object BpeEncode {
   }
 
   /** Token-stream signature over a `word_toks` column (array of per-word
-    * token arrays): tokens within a word joined by '\u0001' (which can
-    * never appear inside a token — tokens() is a whitespace split over
-    * text), words joined by a space, then md5. The inner separator is
-    * what makes this sign token BOUNDARIES: two different tokenizations
-    * of the same text hash differently (BpeSpec pins this), unlike the
-    * roundtrip's text_sig which deliberately erases boundaries to
-    * reproduce the raw text. */
+    * token arrays): each token rendered as `<length>:<token>`, tokens
+    * within a word joined by '\u0001', words joined by a space, then md5.
+    * The length prefix makes the rendering a prefix code — after
+    * consuming the declared length the next character is always a
+    * structural separator — so the signature is injective over
+    * tokenizations of ARBITRARY text, including documents that contain
+    * U+0001 itself (tokens() is a whitespace split, so a control char in
+    * the raw text lands inside a token; a bare-separator join would let
+    * token "a\u0001b" collide with tokens "a","b"). Signing boundaries
+    * is the point: two different tokenizations of the same text hash
+    * differently (BpeSpec pins this), unlike the roundtrip's text_sig
+    * which deliberately erases boundaries to reproduce the raw text. */
   private[graft] def tokSig(wordToks: Column): Column =
-    md5(concat_ws(" ", transform(wordToks, w => concat_ws("\u0001", w))))
+    md5(concat_ws(" ", transform(wordToks, w =>
+      concat_ws("\u0001", transform(w, t => concat(length(t), lit(":"), t))))))
 
   /** Per-document encode summary on the corpus: word/char/token counts
     * and the token-stream signature. n_tokens is the REAL BPE bill (vs

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -54,6 +55,7 @@ object StreamSample {
   def sampleStreamTx(spark: SparkSession, inDir: String, tablePath: String,
       checkpoint: String, budget: Int = 50, seed: Int = 42,
       maxFilesPerTrigger: Int = 1): Unit = {
+    recordParams(spark, tablePath, budget, seed)
     val stream = spark.readStream.schema(DocLangTextSchemaDdl)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
@@ -72,10 +74,79 @@ object StreamSample {
 
   /** The assembled sample: re-top the stored candidates — the same
     * bounded-heap kernel over ≤ budget × #batches rows per language, so
-    * the result equals the batch sampler run over every ingested doc. */
+    * the result equals the batch sampler run over every ingested doc.
+    *
+    * The streamed ≡ batch contract only holds under the PARAMETERS the
+    * candidates were streamed with: the stored table holds at most
+    * stream-budget rows per language per batch (a larger read budget
+    * would need candidates the stream already discarded), and the rank
+    * order is xxhash64(doc_id, STREAM seed) (a different read seed would
+    * re-rank candidates that were selected under the old order — a
+    * sample of a sample, not the batch answer). `sampleStreamTx` records
+    * (budget, seed) in a `_sample_params` sidecar at the table path;
+    * this read refuses a seed mismatch or a budget above the streamed
+    * one. Tables streamed before the sidecar existed read unguarded
+    * (nothing to check against). */
   def readSample(spark: SparkSession, tablePath: String,
-      budget: Int = 50, seed: Int = 42): DataFrame =
+      budget: Int = 50, seed: Int = 42): DataFrame = {
+    storedParams(spark, tablePath).foreach { case (sb, ss) =>
+      require(seed == ss,
+        s"readSample seed=$seed but candidates were streamed with seed=$ss: " +
+        "stored candidates were selected under the old seed's hash order, so " +
+        "re-ranking them is a sample of a sample, not the batch answer")
+      require(budget <= sb,
+        s"readSample budget=$budget exceeds the streamed budget=$sb: the " +
+        "candidate table only holds the stream-budget top rows per language " +
+        "per batch, so ranks beyond it were already discarded at ingest")
+    }
     Sampling.budgetSampleOf(
       graft.serve.TxTable.read(spark, tablePath).select("doc_id", "lang"),
       "lang", budget, seed)
+  }
+
+  private def paramsPath(tablePath: String) = new Path(tablePath, "_sample_params")
+
+  private def hfs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Pin (budget, seed) at the table path before the first commit; a
+    * re-stream into the same table with different parameters fails loudly
+    * here instead of silently mixing two selection orders. */
+  private def recordParams(spark: SparkSession, tablePath: String,
+      budget: Int, seed: Int): Unit = {
+    val fs = hfs(spark, tablePath)
+    storedParams(spark, tablePath) match {
+      case Some((sb, ss)) =>
+        require(sb == budget && ss == seed,
+          s"table at $tablePath was streamed with (budget=$sb, seed=$ss); " +
+          s"refusing to append candidates selected under (budget=$budget, " +
+          s"seed=$seed) — the mixed table would satisfy neither contract")
+      case None =>
+        val p = paramsPath(tablePath)
+        val tmp = new Path(tablePath, s"_sample_params.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
+        try out.write(s"budget=$budget\nseed=$seed\n".getBytes("UTF-8"))
+        finally out.close()
+        // rename is the atomic publish on HDFS; losing a local-FS race just
+        // means the winner's identical-or-conflicting params get re-checked
+        // on the next recordParams/readSample.
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    }
+  }
+
+  /** The streamed (budget, seed), if the sidecar exists. */
+  def storedParams(spark: SparkSession, tablePath: String): Option[(Int, Int)] = {
+    val fs = hfs(spark, tablePath)
+    val p = paramsPath(tablePath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val kv = text.linesIterator.flatMap { l =>
+        l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
+      }.toMap
+      for (b <- kv.get("budget"); s <- kv.get("seed")) yield (b.toInt, s.toInt)
+    }
+  }
 }

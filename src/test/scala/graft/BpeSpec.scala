@@ -165,6 +165,24 @@ class BpeSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size == 3, "tok_sig must sign boundaries")
   }
 
+  test("tok_sig is injective even when tokens contain the separator character") {
+    import spark.implicits._
+    // tokens() is a whitespace split, so a U+0001 in raw text lands INSIDE
+    // a token — a bare-separator join would hash "a\u0001b" and ["a","b"]
+    // identically; the length-prefixed prefix code must not. Digit/colon
+    // tokens probe the prefix-code framing itself.
+    val df = Seq(
+      ("d1", Seq(Seq("a\u0001b"))),
+      ("d2", Seq(Seq("a", "b"))),
+      ("d3", Seq(Seq("1:a"))),
+      ("d4", Seq(Seq("1", "a"))) // renders 1:1<SEP>1:a — must differ from 3:1:a
+    ).toDF("doc_id", "word_toks")
+    val sigs = df.select(BpeEncode.tokSig(col("word_toks"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(sigs.distinct.size == sigs.size,
+      s"tok_sig collided across distinct tokenizations: $sigs")
+  }
+
   test("encode is invariant to input partitioning") {
     val docs = Tables.documents(spark, sf)
     val a = BpeEncode.encodeOf(spark, docs, BpeTrain.train(spark, sf))

@@ -488,6 +488,36 @@ class PqExprSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("out-of-range code value → null ADC score, never an AIOOBE in generated code") {
+    // a stored/streamed code table read against RETRAINED codebooks with a
+    // smaller ncode must degrade to a null score (the compositional
+    // element_at behavior), not throw mid-stage
+    import spark.implicits._
+    val cb = graft.operators.Similarity.seededCodebooks(vecs, 16)
+    val dim = cb.length * cb.head.head.length
+    val ncode = cb.head.length
+    val emb = (0 until dim).map(_.toDouble)
+    val bad = Seq(
+      (emb, Seq.fill(cb.length)(ncode)),                // == ncode: one past the table
+      (emb, -1 +: Seq.fill(cb.length - 1)(0)),          // negative
+      (emb, Seq.fill(cb.length)(0)))                    // control: in range
+      .toDF("emb", "codes")
+    val rows = bad.select(
+        graft.functions.PqExpressions.pq_adc(col("emb"), col("codes"), cb))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0), "out-of-range code must null")
+    assert(!rows(2).isNullAt(0), "in-range control must score")
+    // interpreted path (direct eval, no codegen) agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val embLit = Literal.create(emb, ArrayType(DoubleType))
+    def adc(codes: Seq[Int]) = graft.functions.PqAdc(
+      embLit, Literal.create(codes, ArrayType(IntegerType)), cb)
+    assert(adc(Seq.fill(cb.length)(ncode)).eval(null) == null)
+    assert(adc(-1 +: Seq.fill(cb.length - 1)(0)).eval(null) == null)
+    assert(adc(Seq.fill(cb.length)(0)).eval(null) != null)
+  }
+
   test("pq_encode round6 equals Catalyst round(x, 6) on representative doubles") {
     // the helper must track Spark's RoundBase exactly — probe boundary
     // values through BOTH paths (codegen round and the kernel)

@@ -75,4 +75,32 @@ class StreamSampleSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> math.min(Budget.toLong, r.getLong(1))).toMap
     assert(got == want, s"allocation drift: $got vs $want")
   }
+
+  test("the (budget, seed) sidecar guards the streamed ≡ batch contract") {
+    val root = Files.createTempDirectory("stream_sample_guard").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$root/in")
+    val table = s"$root/sample"
+    StreamSample.sampleStreamTx(spark, s"$root/in", table, s"$root/ckpt",
+      budget = Budget)
+    assert(StreamSample.storedParams(spark, table).contains((Budget, 42)))
+    // a SMALLER read budget under the streamed seed stays exact (the
+    // budget'-smallest of the union is inside each batch's budget-smallest)
+    val smaller = sampleSet(StreamSample.readSample(spark, table, Budget - 5))
+    val batchSmaller = sampleSet(Sampling.budgetSample(spark, sf, Budget - 5))
+    assert(smaller == batchSmaller)
+    // a larger budget needs candidates the stream already discarded
+    intercept[IllegalArgumentException] {
+      StreamSample.readSample(spark, table, Budget + 1)
+    }
+    // a different seed would re-rank candidates selected under the old order
+    intercept[IllegalArgumentException] {
+      StreamSample.readSample(spark, table, Budget, seed = 7)
+    }
+    // a re-stream into the same table with different params refuses before
+    // any commit could mix two selection orders
+    intercept[IllegalArgumentException] {
+      StreamSample.sampleStreamTx(spark, s"$root/in", table, s"$root/ckpt3",
+        budget = Budget + 1)
+    }
+  }
 }
