@@ -233,6 +233,12 @@ object SparkEntry {
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),
+    // seeded training-order shuffle + token-budget shard assignment: the
+    // global prefix sum done as bucketed two-phase (no one-task window);
+    // the oracle recomputes the permutation and running total globally
+    ("q_corpus_shuffle",
+      ((s: SparkSession, d: String) => graft.operators.Layout.shuffleShards(s, d)): Q,
+      Some(graft.operators.Layout.shuffleShardsSql())),
     // bloom-prefiltered semi join — output is the exact semi join
     ("q_bloom_semi_join",
       ((s: SparkSession, d: String) => graft.operators.Pruning.bloomSemiJoin(s, d)): Q,

@@ -1,9 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.BitExpressions.interleave_bits
+import graft.functions.TextFunctions
 
 /** Z-order data layout: cluster a table on the Morton curve of two join/
   * filter dimensions before writing, so parquet min/max statistics prune
@@ -77,5 +79,121 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  // ------------------------------------------- training-order shuffle/shards
+
+  /** Default token budget per training shard (tokens, not docs — shard
+    * size is what the training loader cares about). */
+  val ShardTokens = 5000L
+
+  /** Hash-order buckets = the top `ShuffleTopBits` bits of the signed
+    * shuffle key (arithmetic shift preserves two's-complement order, so
+    * bucket ranges ARE contiguous key ranges). 64 here; production sets
+    * this ~log2(cluster parallelism) — the only state that ever reaches
+    * the driver is 2^topBits partial sums. */
+  val ShuffleTopBits = 6
+
+  /** The portable shuffle key: the same engine-portable polynomial hash
+    * the split assignment ranks with ([[graft.functions.HashExpressions
+    * .poly_token_hash]] over "docId:seed"), so the DuckDB oracle re-derives
+    * the full permutation bit-for-bit. */
+  private def shuffleKey(id: Column, seed: Int): Column =
+    graft.functions.HashExpressions.poly_token_hash(
+      concat(id.cast("string"), lit(s":$seed")))
+
+  /** Seeded training-order shuffle + token-budget shard assignment — the
+    * export step of the curation story: a training run wants the corpus in
+    * a deterministic pseudo-random order (decorrelated from ingest order)
+    * cut into shards of ~`shardTokens` tokens each, and it wants the SAME
+    * permutation every re-export (resumable jobs, reproducible runs — no
+    * RNG state, content-independent of row order and partitioning).
+    *
+    * Per doc: its shuffle key, real whitespace token bill, the EXACT
+    * number of corpus tokens preceding it in shuffle order (`cum_before`),
+    * and its shard = cum_before div shardTokens — greedy contiguous fill,
+    * so shard k starts at exactly k·shardTokens tokens into the stream.
+    *
+    * Scale shape — a global running total is a prefix sum, and the naive
+    * spelling (`sum().over(Window.orderBy(key))`) funnels the corpus
+    * through ONE task. This is the classic two-phase decomposition
+    * instead:
+    *   1. per-BUCKET token subtotals (buckets = top bits of the key —
+    *      contiguous key ranges by construction), one map-side-combined
+    *      groupBy producing 2^topBits rows;
+    *   2. driver prefix over those subtotals (metadata scale — the same
+    *      O(#partitions) state Spark's own range exchange collects),
+    *      broadcast back as each bucket's starting offset;
+    *   3. within-bucket exact cumulative sum, window PARTITIONED by
+    *      bucket — ~corpus/2^topBits rows per window task, and topBits
+    *      scales with the cluster.
+    * Equality with the one-task global window is pinned in LayoutSpec;
+    * the DuckDB oracle computes the global form directly. */
+  def shuffleShards(spark: SparkSession, dir: String, seed: Int = 42,
+      shardTokens: Long = ShardTokens,
+      topBits: Int = ShuffleTopBits): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shuffle_key", shuffleKey(col("doc_id"), seed))
+      .withColumn("bucket",
+        (shiftright(col("shuffle_key"), 64 - topBits) +
+          (1L << (topBits - 1))).cast("int"))
+    // phase 1+2: per-bucket subtotals → driver prefix. ≤ 2^topBits rows —
+    // the metadata-scale collect every two-phase prefix sum pays.
+    val subtotals = docs.groupBy("bucket").agg(sum("n_tokens").as("btok"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = subtotals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).collect { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("bucket", "offset")
+    // phase 3: within-bucket exact running total + the bucket's offset
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offDf), "bucket")
+      .withColumn("cum_before",
+        col("offset") + sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
+        col("cum_before"),
+        expr(s"CAST(cum_before DIV $shardTokens AS INT)").as("shard"))
+  }
+
+  /** DuckDB oracle for [[shuffleShards]]: the SAME portable hash, the
+    * global one-window spelling of the prefix sum (the oracle is allowed
+    * the single-task form the operator must avoid). */
+  def shuffleShardsSql(seed: Int = 42,
+      shardTokens: Long = ShardTokens): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    ${TextFunctions.wrapSignedSql("hu")} AS shuffle_key
+       |  FROM (SELECT doc_id, text,
+       |      ${TextFunctions.polyMixSql(s"doc_id::VARCHAR || ':$seed'")} AS hu
+       |    FROM documents)),
+       |c AS (
+       |  SELECT doc_id, n_tokens, shuffle_key,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, n_tokens, shuffle_key, cum_before,
+       |  CAST(cum_before // $shardTokens AS INT) AS shard
+       |FROM c""".stripMargin
+
+  /** Materialize the shuffled export: shard directories under `path`
+    * (`shard=k/`), each file's rows in shuffle order — what a training
+    * loader streams. One extra hash-partitioned exchange on `shard` (the
+    * write fan-out); the in-file order comes from the per-partition sort,
+    * not a global one. */
+  def shuffledWrite(spark: SparkSession, dir: String, path: String,
+      seed: Int = 42, shardTokens: Long = ShardTokens): Unit = {
+    val plan = shuffleShards(spark, dir, seed, shardTokens)
+    Tables.documents(spark, dir)
+      .join(plan.select("doc_id", "shuffle_key", "cum_before", "shard"), "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shuffle_key", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 }

@@ -128,4 +128,72 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaBloom === plain && viaBloom.nonEmpty)
   }
+
+  test("corpus shuffle: two-phase prefix sum equals the one-task global window") {
+    // the strongest pin for the decomposition: cum_before — not just
+    // shard — must match the single-window spelling row-for-row
+    val twoPhase = Layout.shuffleShards(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getInt(4))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val global = Layout.shuffleShards(spark, sf)
+      .select("doc_id", "n_tokens", "shuffle_key")
+      .withColumn("cum_before",
+        sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"CAST(cum_before DIV ${Layout.ShardTokens} AS INT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getInt(4))).toSet
+    assert(twoPhase == global && twoPhase.nonEmpty,
+      s"prefix-sum drift: ${(twoPhase diff global).take(3)} / ${(global diff twoPhase).take(3)}")
+  }
+
+  test("corpus shuffle: shards are contiguous token ranges and budget-bounded") {
+    val rows = Layout.shuffleShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    val perShard = rows.groupBy(_._4)
+    // shard k spans exactly [k·B, (k+1)·B) in cumulative-token space
+    perShard.foreach { case (k, docs) =>
+      docs.foreach { case (_, _, cum, _) =>
+        assert(cum >= k * Layout.ShardTokens && cum < (k + 1) * Layout.ShardTokens,
+          s"doc at cum=$cum landed in shard $k")
+      }
+    }
+    // shard ids are dense 0..max (greedy fill never skips a budget window
+    // unless one doc is larger than B — none are in this corpus)
+    val ids = perShard.keySet
+    assert(ids == (0 to ids.max).toSet, s"shard gaps: $ids")
+    // deterministic: content-identical under a different partitioning
+    val again = Layout.shuffleShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == rows.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("corpus shuffle: no single-partition window — the prefix sum stays bucketed") {
+    val plan = Layout.shuffleShards(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"one-task funnel in the shuffle-shard plan:\n$plan")
+    // every window is partitioned by the hash bucket, never global
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("bucket")),
+      s"expected only bucket-partitioned windows:\n$plan")
+  }
+
+  test("shuffled write: shard dirs hold exactly the planned docs in shuffle order") {
+    val out = java.nio.file.Files.createTempDirectory("shuffle_export").toString
+    Layout.shuffledWrite(spark, sf, out)
+    val plan = Layout.shuffleShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toMap
+    val written = spark.read.parquet(out)
+      .select("doc_id", "shard", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(written.length == plan.size)
+    written.foreach { case (doc, shard, _) =>
+      assert(plan(doc) == shard, s"doc $doc exported to shard $shard, planned ${plan(doc)}")
+    }
+    // text survives the round trip joined intact
+    val n = spark.read.parquet(out).filter(col("text").isNotNull).count()
+    assert(n == plan.size.toLong)
+  }
 }
