@@ -257,6 +257,12 @@ object SparkEntry {
     ("q_decontaminate",
       ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)): Q,
       Some(graft.operators.Curation.decontaminateSql())),
+    // the embedding-space twin (paraphrase leakage): train docs probed by
+    // the EVAL suite through the shared IVF layout — worst eval neighbor
+    // + hit count per flagged train doc, hash-oracled end to end
+    ("q_decontaminate_semantic",
+      ((s: SparkSession, d: String) => graft.operators.Curation.decontaminateSemantic(s, d)): Q,
+      Some(graft.operators.Curation.decontaminateSemanticSql())),
     // BPE vocabulary training (Sennrich et al. 2016): merges trained on the
     // word-frequency table; the first merge decision is independently oracled
     ("q_bpe_train",

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions
+import graft.functions.VectorExpressions.cosine_sim
 
 /** Corpus curation — the composed training-data pipeline over `documents`:
   * near-dup graph → connected components → canonical representative per
@@ -401,6 +402,113 @@ object Curation {
        |  h.doc_id IS NOT NULL AS contaminated
        |FROM s LEFT JOIN hits h USING (doc_id)
        |WHERE s.split = 'train'""".stripMargin
+
+  /** SEMANTIC decontamination — the embedding-space twin of the 13-gram
+    * [[decontaminate]]: an eval document paraphrased (not copied) into the
+    * train split shares no 13-gram but sits next to it in embedding space,
+    * so a curation run checks BOTH overlaps before training. A train doc
+    * is flagged when its embedding's rounded cosine to ANY eval-split
+    * embedding reaches `threshold`; per flagged doc we report the worst
+    * eval neighbor (max cosine, eval_id tiebreak) and the hit count.
+    *
+    * Construction mirrors [[Similarity.semanticProbe]] — the same
+    * label-seeded IVF layout and the shared [[Similarity.nearestCells]]
+    * ranking, deterministic end-to-end ⇒ full hash oracle — but the index
+    * is the TRAIN side (built once, persisted in production via
+    * [[Similarity.writeIvfIndex]]'s layout) and the probing batch is the
+    * EVAL suite. Split membership is computed from vec_id by the same
+    * portable hash as [[splitAssign]] — a pure per-row function, so no
+    * join against the split table is ever shuffled.
+    *
+    * At 100 TB: the eval suite is benchmark-sized (thousands of docs, ≪
+    * train), so probing is eval × nprobe cells and the exact-cosine
+    * verify touches only probed cells' train vectors — never train ×
+    * train, never train × eval. The per-doc argmax windows partition by
+    * train doc over its eval hits (bounded by the eval suite). Cell
+    * recall is the standing [[Similarity.semanticCellRecall]] contract of
+    * the shared layout. */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 2, seed: Int = 42): DataFrame = {
+    val vecs = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      .withColumn("bucket",
+        pmod(splitHash(col("vec_id"), seed), lit(100L)).cast("int"))
+    val train = vecs.filter(col("bucket") < 80).drop("bucket")
+    val eval_ = vecs.filter(col("bucket") >= 80).drop("bucket")
+    val cents = Similarity.meanVectors(
+        train.select(col("label"), col("emb")), "label", "emb")
+      .withColumnRenamed("label", "c_label")
+    val stored = Similarity.nearestCells(train, cents, 1)
+      .select(col("cell"), col("vec_id").as("train_id"), col("emb").as("t_emb"))
+    val probing = Similarity.nearestCells(eval_, cents, nprobe)
+      .select(col("cell"), col("vec_id").as("eval_id"), col("emb").as("e_emb"))
+    val hits = probing.join(stored, "cell")
+      .withColumn("cosine", round(cosine_sim(col("e_emb"), col("t_emb")), 6))
+      .filter(col("cosine") >= threshold)
+      // a pair reachable through two probed cells appears twice with
+      // identical bits — distinct is exact (the semanticProbe argument)
+      .select(col("train_id").as("doc_id"), col("eval_id"), col("cosine"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id")
+    hits
+      .withColumn("n_eval_hits", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("cosine").desc, col("eval_id").asc)))
+      .filter(col("rk") === 1)
+      .select("doc_id", "eval_id", "cosine", "n_eval_hits")
+  }
+
+  /** DuckDB oracle for [[decontaminateSemantic]]: split predicate from the
+    * portable hash on vec_id, train-side centroids, both cell assignments
+    * under the shared (rounded cosine, label) ranking, exact verify within
+    * probed cells, per-doc argmax. */
+  def decontaminateSemanticSql(threshold: Double = 0.4, nprobe: Int = 2,
+      seed: Int = 42): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+       |    CAST(((hb % 100) + 100) % 100 AS INT) AS bucket
+       |  FROM (SELECT vec_id, label, embedding,
+       |      ${TextFunctions.wrapSignedSql("hu")} AS hb
+       |    FROM (SELECT vec_id, label, embedding,
+       |        ${TextFunctions.polyMixSql(s"vec_id::VARCHAR || ':$seed'")} AS hu
+       |      FROM embeddings))),
+       |idx AS (SELECT vec_id, label, emb FROM c WHERE bucket < 80),
+       |bat AS (SELECT vec_id, label, emb FROM c WHERE bucket >= 80),
+       |pv AS (
+       |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM idx),
+       |cvec AS (
+       |  SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, AVG(v) AS m FROM pv GROUP BY 1, 2)
+       |  GROUP BY label),
+       |stored AS (
+       |  SELECT vec_id AS train_id, emb AS t_emb, c_label AS cell FROM (
+       |    SELECT i.vec_id, i.emb, cvec.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
+       |        ORDER BY ROUND(${Similarity.cosSqlExpr("i.emb", "cvec.centroid")}, 6) DESC NULLS LAST,
+       |                 cvec.c_label ASC) AS crk
+       |    FROM idx i CROSS JOIN cvec)
+       |  WHERE crk = 1),
+       |probing AS (
+       |  SELECT vec_id AS eval_id, emb AS e_emb, c_label AS cell FROM (
+       |    SELECT b.vec_id, b.emb, cvec.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ROUND(${Similarity.cosSqlExpr("b.emb", "cvec.centroid")}, 6) DESC NULLS LAST,
+       |                 cvec.c_label ASC) AS crk
+       |    FROM bat b CROSS JOIN cvec)
+       |  WHERE crk <= $nprobe),
+       |hits AS (
+       |  SELECT DISTINCT train_id AS doc_id, eval_id,
+       |    ROUND(${Similarity.cosSqlExpr("e_emb", "t_emb")}, 6) AS cosine
+       |  FROM probing JOIN stored USING (cell)
+       |  WHERE ROUND(${Similarity.cosSqlExpr("e_emb", "t_emb")}, 6) >= $threshold)
+       |SELECT doc_id, eval_id, cosine, n_eval_hits FROM (
+       |  SELECT doc_id, eval_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY cosine DESC, eval_id ASC) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_eval_hits
+       |  FROM hits)
+       |WHERE rk = 1""".stripMargin
 
   def splitSummary(spark: SparkSession, dir: String): DataFrame =
     splitAssign(spark, dir)

@@ -213,6 +213,37 @@ class CurationSpec extends AnyFunSuite {
       s"top-20% should be dominated by target-like docs: $keptEn/$kept en")
   }
 
+  test("semantic decontamination: train docs, eval neighbors, cosines exact, hits bounded") {
+    val got = Curation.decontaminateSemantic(spark, sf).collect()
+    assert(got.nonEmpty, "fixture corpus must produce semantic decon hits")
+    val splits = Curation.splitAssign(spark, sf, 42).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // reference cosines from a driver-side exact eval×train sweep (the
+    // corpus is spec-sized): rounded like the kernel
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      graft.functions.PqKernels.round6(if (den == 0.0) 0.0 else d / den)
+    }
+    val evalIds = splits.collect { case (id, s) if s != "train" => id }.toSet
+    got.foreach { r =>
+      val (doc, ev, c, n) = (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("n_eval_hits"))
+      assert(splits(doc) == "train", s"flagged doc $doc is ${splits(doc)}")
+      assert(evalIds.contains(ev), s"neighbor $ev is not an eval doc")
+      assert(c >= 0.4, s"reported cosine $c under threshold")
+      assert(c == cos(emb(doc), emb(ev)), s"cosine drift for ($doc, $ev)")
+      // probed hits are a subset of the exact neighbor set
+      val exactHits = evalIds.count(e => cos(emb(doc), emb(e)) >= 0.4)
+      assert(n >= 1L && n <= exactHits.toLong,
+        s"doc $doc reports $n hits, exact sweep has $exactHits")
+    }
+  }
+
   test("tfidf: k per lang, rank ordered, df consistent") {
     val t = Curation.tfidfTopTerms(spark, sf).collect()
     val byLang = t.groupBy(_.getString(0))
