@@ -239,6 +239,12 @@ object SparkEntry {
     ("q_corpus_shuffle",
       ((s: SparkSession, d: String) => graft.operators.Layout.shuffleShards(s, d)): Q,
       Some(graft.operators.Layout.shuffleShardsSql())),
+    // the growing-lake form: frozen prefix (even ids) keeps its original
+    // assignment bit-for-bit, the new batch appends at the next shard
+    // boundary — old shard files are never reopened
+    ("q_corpus_shuffle_incremental",
+      ((s: SparkSession, d: String) => graft.operators.Layout.shuffleShardsIncremental(s, d)): Q,
+      Some(graft.operators.Layout.shuffleShardsIncrementalSql())),
     // bloom-prefiltered semi join — output is the exact semi join
     ("q_bloom_semi_join",
       ((s: SparkSession, d: String) => graft.operators.Pruning.bloomSemiJoin(s, d)): Q,

@@ -131,8 +131,19 @@ object Layout {
     * the DuckDB oracle computes the global form directly. */
   def shuffleShards(spark: SparkSession, dir: String, seed: Int = 42,
       shardTokens: Long = ShardTokens,
-      topBits: Int = ShuffleTopBits): DataFrame = {
-    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      topBits: Int = ShuffleTopBits): DataFrame =
+    shuffleShardsOf(spark,
+      Tables.spread(spark, Tables.documents(spark, dir)),
+      seed, shardTokens, topBits)
+
+  /** [[shuffleShards]] over any (doc_id, text) frame, with the export's
+    * token stream starting at `startTokens` (0 for a fresh export; the
+    * next shard boundary past the frozen prefix for the incremental
+    * form). */
+  def shuffleShardsOf(spark: SparkSession, input: DataFrame, seed: Int = 42,
+      shardTokens: Long = ShardTokens, topBits: Int = ShuffleTopBits,
+      startTokens: Long = 0L): DataFrame = {
+    val docs = input
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("shuffle_key", shuffleKey(col("doc_id"), seed))
@@ -153,7 +164,7 @@ object Layout {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.join(broadcast(offDf), "bucket")
       .withColumn("cum_before",
-        col("offset") + sum("n_tokens").over(w) - col("n_tokens"))
+        lit(startTokens) + col("offset") + sum("n_tokens").over(w) - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
         col("cum_before"),
         expr(s"CAST(cum_before DIV $shardTokens AS INT)").as("shard"))
@@ -181,6 +192,76 @@ object Layout {
        |SELECT doc_id, n_tokens, shuffle_key, cum_before,
        |  CAST(cum_before // $shardTokens AS INT) AS shard
        |FROM c""".stripMargin
+
+  /** INCREMENTAL export — the production form of [[shuffleShards]] for a
+    * growing lake: a training export is frozen once written (shard files
+    * are immutable, loaders may already have streamed them), so newly
+    * landed documents must never re-deal the existing permutation. The
+    * frozen prefix (even doc_ids — the repo's incremental convention)
+    * keeps its original assignment BIT-FOR-BIT; the new batch (odd ids)
+    * is shuffled among itself and appended starting at the next shard
+    * boundary past the frozen token total — old shards are never
+    * reopened, and the new generation's shards are fresh ids.
+    *
+    * The only cross-generation state is ONE number: the frozen export's
+    * token high-water mark (in production a manifest read — here
+    * recomputed as a scalar aggregate). Per-generation work is the same
+    * two-phase prefix sum as the full export. LayoutSpec pins the frozen
+    * prefix, the fresh-boundary start, and generation-disjoint shards. */
+  def shuffleShardsIncremental(spark: SparkSession, dir: String,
+      seed: Int = 42, shardTokens: Long = ShardTokens,
+      topBits: Int = ShuffleTopBits): DataFrame = {
+    val all = Tables.spread(spark, Tables.documents(spark, dir))
+    val oldDocs = all.filter(col("doc_id") % 2 === 0)
+    val newDocs = all.filter(col("doc_id") % 2 === 1)
+    val frozen = shuffleShardsOf(spark, oldDocs, seed, shardTokens, topBits)
+    val oldTotal = frozen.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .first().getLong(0)
+    val base = ((oldTotal + shardTokens - 1) / shardTokens) * shardTokens
+    val appended =
+      shuffleShardsOf(spark, newDocs, seed, shardTokens, topBits, base)
+    frozen.withColumn("generation", lit(0))
+      .unionByName(appended.withColumn("generation", lit(1)))
+  }
+
+  /** DuckDB oracle for [[shuffleShardsIncremental]]: both halves' global
+    * prefix sums, the new half offset by the frozen total rounded up to
+    * the next shard boundary. */
+  def shuffleShardsIncrementalSql(seed: Int = 42,
+      shardTokens: Long = ShardTokens): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    ${TextFunctions.wrapSignedSql("hu")} AS shuffle_key
+       |  FROM (SELECT doc_id, text,
+       |      ${TextFunctions.polyMixSql(s"doc_id::VARCHAR || ':$seed'")} AS hu
+       |    FROM documents)),
+       |base AS (
+       |  SELECT CAST(((COALESCE(SUM(n_tokens), 0) + $shardTokens - 1)
+       |    // $shardTokens) * $shardTokens AS BIGINT) AS b0
+       |  FROM t WHERE doc_id % 2 = 0),
+       |oldc AS (
+       |  SELECT doc_id, n_tokens, shuffle_key,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS BIGINT) AS cum_before
+       |  FROM t WHERE doc_id % 2 = 0),
+       |newc AS (
+       |  SELECT doc_id, n_tokens, shuffle_key,
+       |    CAST(base.b0 + SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS BIGINT) AS cum_before
+       |  FROM t CROSS JOIN base WHERE doc_id % 2 = 1)
+       |SELECT doc_id, n_tokens, shuffle_key, cum_before,
+       |  CAST(cum_before // $shardTokens AS INT) AS shard,
+       |  CAST(0 AS INT) AS generation
+       |FROM oldc
+       |UNION ALL
+       |SELECT doc_id, n_tokens, shuffle_key, cum_before,
+       |  CAST(cum_before // $shardTokens AS INT) AS shard,
+       |  CAST(1 AS INT) AS generation
+       |FROM newc""".stripMargin
 
   /** Materialize the shuffled export: shard directories under `path`
     * (`shard=k/`), each file's rows in shuffle order — what a training

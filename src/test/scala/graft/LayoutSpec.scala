@@ -180,6 +180,32 @@ class LayoutSpec extends AnyFunSuite {
       s"expected only bucket-partitioned windows:\n$plan")
   }
 
+  test("incremental shuffle: frozen prefix bit-identical, fresh boundary, disjoint generations") {
+    val inc = Layout.shuffleShardsIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    val (gen0, gen1) = inc.partition(_._6 == 0)
+    assert(gen0.nonEmpty && gen1.nonEmpty)
+    // the frozen prefix equals the standalone export of the old half —
+    // appending new data must never re-deal an already-written doc
+    val standalone = Layout.shuffleShardsOf(spark,
+        Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(gen0.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet == standalone,
+      "frozen prefix drifted from its original assignment")
+    // the new generation starts at a fresh shard boundary past the prefix
+    val oldTotal = gen0.map(_._2).sum
+    val b = Layout.ShardTokens
+    val base = ((oldTotal + b - 1) / b) * b
+    assert(gen1.map(_._4).min == base, "first appended doc must sit on the boundary")
+    assert(gen1.map(_._5).min > gen0.map(_._5).max,
+      "appended shards must be fresh ids")
+    // no shard holds both generations (old files are never reopened)
+    assert(gen0.map(_._5).toSet.intersect(gen1.map(_._5).toSet).isEmpty)
+  }
+
   test("shuffled write: shard dirs hold exactly the planned docs in shuffle order") {
     val out = java.nio.file.Files.createTempDirectory("shuffle_export").toString
     Layout.shuffledWrite(spark, sf, out)
