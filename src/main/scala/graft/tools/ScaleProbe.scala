@@ -122,7 +122,16 @@ object ScaleProbe {
     ("q_quality_gate_sampled", "documents",
       (s: SparkSession, d: String) => graft.operators.Classifier.qualityGateSampled(s, d)),
     ("q_budget_sample_summary", "documents",
-      (s: SparkSession, d: String) => graft.operators.Sampling.budgetSampleSummary(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Sampling.budgetSampleSummary(s, d)),
+    // r11 additions: the two-phase prefix-sum export (bucketed windows,
+    // metadata-scale driver prefix), its incremental append form, and the
+    // semantic decon probe (eval×cell work via the shared IVF layout)
+    ("q_corpus_shuffle", "documents",
+      (s: SparkSession, d: String) => graft.operators.Layout.shuffleShards(s, d)),
+    ("q_corpus_shuffle_incremental", "documents",
+      (s: SparkSession, d: String) => graft.operators.Layout.shuffleShardsIncremental(s, d)),
+    ("q_decontaminate_semantic", "embeddings",
+      (s: SparkSession, d: String) => graft.operators.Curation.decontaminateSemantic(s, d)))
 
   val ExponentGate = 1.5
 
