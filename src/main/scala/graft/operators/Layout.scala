@@ -139,13 +139,25 @@ object Layout {
   /** [[shuffleShards]] over any (doc_id, text) frame, with the export's
     * token stream starting at `startTokens` (0 for a fresh export; the
     * next shard boundary past the frozen prefix for the incremental
-    * form). */
+    * form).
+    *
+    * Zero-token (whitespace-only) docs are EXCLUDED from assignment: they
+    * contribute nothing to a training shard, and — because a zero-token
+    * doc's `cum_before` can land EXACTLY on the export's final token total
+    * — one sorting last in a frozen generation whose total is an exact
+    * multiple of `shardTokens` would take shard id total/shardTokens, the
+    * very id the next generation's ceil(hw/B)·B boundary start hands to
+    * ITS first doc, gluing two generations into one shard and reopening a
+    * frozen shard file. With every assigned doc ≥ 1 token, each doc's
+    * `cum_before` is strictly below the generation's token total, so
+    * max(shard) < base/B and generations stay disjoint by arithmetic. */
   def shuffleShardsOf(spark: SparkSession, input: DataFrame, seed: Int = 42,
       shardTokens: Long = ShardTokens, topBits: Int = ShuffleTopBits,
       startTokens: Long = 0L): DataFrame = {
     val docs = input
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
       .withColumn("shuffle_key", shuffleKey(col("doc_id"), seed))
       .withColumn("bucket",
         (shiftright(col("shuffle_key"), 64 - topBits) +
@@ -172,7 +184,8 @@ object Layout {
 
   /** DuckDB oracle for [[shuffleShards]]: the SAME portable hash, the
     * global one-window spelling of the prefix sum (the oracle is allowed
-    * the single-task form the operator must avoid). */
+    * the single-task form the operator must avoid), and the SAME
+    * zero-token exclusion. */
   def shuffleShardsSql(seed: Int = 42,
       shardTokens: Long = ShardTokens): String =
     s"""WITH t AS (
@@ -188,7 +201,7 @@ object Layout {
        |    CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
        |      AS BIGINT) AS cum_before
-       |  FROM t)
+       |  FROM t WHERE n_tokens > 0)
        |SELECT doc_id, n_tokens, shuffle_key, cum_before,
        |  CAST(cum_before // $shardTokens AS INT) AS shard
        |FROM c""".stripMargin
@@ -246,13 +259,13 @@ object Layout {
        |    CAST(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
        |      AS BIGINT) AS cum_before
-       |  FROM t WHERE doc_id % 2 = 0),
+       |  FROM t WHERE doc_id % 2 = 0 AND n_tokens > 0),
        |newc AS (
        |  SELECT doc_id, n_tokens, shuffle_key,
        |    CAST(base.b0 + SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
        |      AS BIGINT) AS cum_before
-       |  FROM t CROSS JOIN base WHERE doc_id % 2 = 1)
+       |  FROM t CROSS JOIN base WHERE doc_id % 2 = 1 AND n_tokens > 0)
        |SELECT doc_id, n_tokens, shuffle_key, cum_before,
        |  CAST(cum_before // $shardTokens AS INT) AS shard,
        |  CAST(0 AS INT) AS generation

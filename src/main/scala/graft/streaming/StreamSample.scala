@@ -111,26 +111,50 @@ object StreamSample {
 
   /** Pin (budget, seed) at the table path before the first commit; a
     * re-stream into the same table with different parameters fails loudly
-    * here instead of silently mixing two selection orders. */
-  private def recordParams(spark: SparkSession, tablePath: String,
-      budget: Int, seed: Int): Unit = {
+    * here instead of silently mixing two selection orders.
+    *
+    * Rename is the atomic publish (HDFS refuses an existing target). When
+    * it FAILS, a concurrent first-stream won the race — and this stream
+    * must re-check the WINNER'S params against its own BEFORE proceeding:
+    * deferring the check to the next recordParams/readSample would let two
+    * concurrent first-streams with different (budget, seed) interleave
+    * commits into the very mixed table this guard exists to prevent. The
+    * re-check is a bounded retry of the whole read-or-publish step (the
+    * pathological lose-then-find-nothing case — winner's sidecar vanished
+    * between the rename and the re-read — re-attempts the publish).
+    *
+    * `publish` is injectable so the lost-race path is spec-testable: the
+    * test's publish plants a winner's sidecar and returns false, exactly
+    * the interleaving a real race produces. */
+  private[graft] def recordParams(spark: SparkSession, tablePath: String,
+      budget: Int, seed: Int,
+      publish: (FileSystem, Path, Path) => Boolean = _.rename(_, _)): Unit = {
     val fs = hfs(spark, tablePath)
-    storedParams(spark, tablePath) match {
-      case Some((sb, ss)) =>
-        require(sb == budget && ss == seed,
-          s"table at $tablePath was streamed with (budget=$sb, seed=$ss); " +
-          s"refusing to append candidates selected under (budget=$budget, " +
-          s"seed=$seed) — the mixed table would satisfy neither contract")
-      case None =>
-        val p = paramsPath(tablePath)
-        val tmp = new Path(tablePath, s"_sample_params.tmp-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, false)
-        try out.write(s"budget=$budget\nseed=$seed\n".getBytes("UTF-8"))
-        finally out.close()
-        // rename is the atomic publish on HDFS; losing a local-FS race just
-        // means the winner's identical-or-conflicting params get re-checked
-        // on the next recordParams/readSample.
-        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    var attempts = 3
+    var done = false
+    while (!done) {
+      storedParams(spark, tablePath) match {
+        case Some((sb, ss)) =>
+          require(sb == budget && ss == seed,
+            s"table at $tablePath was streamed with (budget=$sb, seed=$ss); " +
+            s"refusing to append candidates selected under (budget=$budget, " +
+            s"seed=$seed) — the mixed table would satisfy neither contract")
+          done = true
+        case None =>
+          val p = paramsPath(tablePath)
+          val tmp = new Path(tablePath, s"_sample_params.tmp-${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
+          try out.write(s"budget=$budget\nseed=$seed\n".getBytes("UTF-8"))
+          finally out.close()
+          if (publish(fs, tmp, p)) done = true
+          else {
+            fs.delete(tmp, false)
+            attempts -= 1
+            require(attempts > 0,
+              s"could not publish or read _sample_params at $tablePath " +
+              "after repeated attempts — refusing to stream unpinned")
+          }
+      }
     }
   }
 

@@ -37,7 +37,12 @@ object StreamShards {
   val DocTextSchemaDdl: String = "doc_id LONG, text STRING"
 
   /** Assign one micro-batch: docs not yet exported, shuffled among
-    * themselves, offset to the next boundary past `highWater` tokens. */
+    * themselves, offset to the next boundary past `highWater` tokens.
+    * Zero-token docs are excluded inside [[Layout.shuffleShardsOf]] —
+    * with every stored doc ≥ 1 token, max stored `cum_before` + tokens =
+    * `highWater` is reached only by a doc whose shard sits strictly BELOW
+    * ceil(highWater/B)·B / B, so batch generations stay shard-disjoint
+    * even when the high-water mark is an exact shard multiple. */
   def shardBatch(spark: SparkSession, fresh: DataFrame, highWater: Long,
       seed: Int = 42, shardTokens: Long = Layout.ShardTokens,
       topBits: Int = Layout.ShuffleTopBits): DataFrame = {
@@ -73,12 +78,12 @@ object StreamShards {
               .first().getLong(0)
             (f, mark)
           }
-        // an all-replayed batch assigns nothing: committing an empty MERGE
-        // would only burn a table version
-        if (!fresh.isEmpty) {
-          graft.serve.TxTable.merge(s,
-            shardBatch(s, fresh, hw, seed, shardTokens, topBits),
-            tablePath, Seq("doc_id"))
+        // an all-replayed (or all-whitespace — zero-token docs are never
+        // assigned) batch assigns nothing: committing an empty MERGE would
+        // only burn a table version, so the guard checks the ASSIGNMENT
+        val assigned = shardBatch(s, fresh, hw, seed, shardTokens, topBits)
+        if (!assigned.isEmpty) {
+          graft.serve.TxTable.merge(s, assigned, tablePath, Seq("doc_id"))
         }
         ()
       }

@@ -206,6 +206,51 @@ class LayoutSpec extends AnyFunSuite {
     assert(gen0.map(_._5).toSet.intersect(gen1.map(_._5).toSet).isEmpty)
   }
 
+  test("zero-token docs are excluded; an exact-multiple frozen total cannot glue generations") {
+    val b = 10L
+    // Pre-fix failure shape: a whitespace-only doc sorting LAST in a frozen
+    // generation whose token total is an exact multiple of B lands at
+    // cum_before == total → shard total/B — the id the boundary start
+    // hands the next generation's first doc. Pick the even id whose
+    // shuffle key is max (keys depend on doc_id+seed only, not text) and
+    // make THAT doc whitespace-only.
+    val evenIds = (0L until 20L by 2).toSeq
+    val keyed = Layout.shuffleShardsOf(spark,
+        evenIds.map(id => (id, "w")).toDF("doc_id", "text"), shardTokens = b)
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wsId = keyed.maxBy(t => (t._2, t._1))._1
+    // remaining 9 even docs total exactly 2B = 20 tokens
+    val counts = Seq(2, 2, 2, 2, 2, 2, 2, 2, 4)
+    val evens = evenIds.filterNot(_ == wsId).sorted.zip(counts)
+      .map { case (id, c) => (id, Seq.fill(c)("tok").mkString(" ")) } :+
+      ((wsId, "   \t  "))
+    val odds = Seq((1L, "a b c"), (3L, "d e f"), (5L, "g h i"))
+    val frozen = Layout.shuffleShardsOf(spark,
+      evens.toDF("doc_id", "text"), shardTokens = b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    // the whitespace doc is not assigned at all
+    assert(!frozen.exists(_._1 == wsId), "zero-token doc must be excluded")
+    val total = frozen.map(_._2).sum
+    assert(total == 2 * b, "test setup: frozen total must be an exact shard multiple")
+    // every assigned doc sits strictly below the total → max shard < total/B
+    assert(frozen.map(_._3).max < total)
+    assert(frozen.map(_._4).max < (total / b).toInt)
+    // the appended generation starts at shard total/B — disjoint from frozen
+    val base = ((total + b - 1) / b) * b
+    val appended = Layout.shuffleShardsOf(spark,
+      odds.toDF("doc_id", "text"), shardTokens = b, startTokens = base)
+      .collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(appended.map(_._2).min == (base / b).toInt)
+    assert(frozen.map(_._4).toSet.intersect(appended.map(_._2).toSet).isEmpty,
+      "generations must never share a shard id")
+    // the streaming twin's boundary arithmetic inherits the same guarantee
+    val streamed = graft.streaming.StreamShards.shardBatch(spark,
+      odds.toDF("doc_id", "text"), highWater = total, shardTokens = b)
+      .collect().map(r => r.getInt(4))
+    assert(streamed.min == (base / b).toInt)
+  }
+
   test("shuffled write: shard dirs hold exactly the planned docs in shuffle order") {
     val out = java.nio.file.Files.createTempDirectory("shuffle_export").toString
     Layout.shuffledWrite(spark, sf, out)

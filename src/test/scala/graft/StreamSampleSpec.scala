@@ -103,4 +103,33 @@ class StreamSampleSpec extends AnyFunSuite {
         budget = Budget + 1)
     }
   }
+
+  test("losing the sidecar publish race re-checks the winner's params immediately") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    def planting(budget: Int, seed: Int): (FileSystem, Path, Path) => Boolean =
+      (fs, _, p) => {
+        // simulate the exact race interleaving: a concurrent first-stream
+        // published its sidecar between our existence check and our rename
+        val out = fs.create(p, true)
+        try out.write(s"budget=$budget\nseed=$seed\n".getBytes("UTF-8"))
+        finally out.close()
+        false
+      }
+    // conflicting winner: the loser must refuse NOW, not on the next call
+    val dir1 = Files.createTempDirectory("sample_race1").toString
+    val e = intercept[IllegalArgumentException] {
+      StreamSample.recordParams(spark, dir1, 50, 42, planting(7, 9))
+    }
+    assert(e.getMessage.contains("budget=7"))
+    // identical winner: the lost race is benign — proceed without error
+    val dir2 = Files.createTempDirectory("sample_race2").toString
+    StreamSample.recordParams(spark, dir2, 50, 42, planting(50, 42))
+    assert(StreamSample.storedParams(spark, dir2).contains((50, 42)))
+    // publish that keeps failing with nothing readable: bounded loud refusal
+    val dir3 = Files.createTempDirectory("sample_race3").toString
+    val e3 = intercept[IllegalArgumentException] {
+      StreamSample.recordParams(spark, dir3, 50, 42, (_, _, _) => false)
+    }
+    assert(e3.getMessage.contains("unpinned"))
+  }
 }
