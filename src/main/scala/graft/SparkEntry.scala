@@ -299,6 +299,9 @@ object SparkEntry {
     ("q_pack_nextfit",
       ((s: SparkSession, d: String) => graft.operators.Packing.packNextFit(s, d)): Q,
       Some(graft.operators.Packing.packNextFitSql())),
+    // quartile length bucketing + per-bucket padding-waste audit
+    ("q_length_buckets", graft.operators.Packing.lengthBuckets _,
+      Some(graft.operators.Packing.lengthBucketsSql)),
     ("q_heavy_hitters",
       ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsPerLang(s, d)): Q, None),
     ("q_heavy_hitters_exact",
@@ -324,6 +327,15 @@ object SparkEntry {
     ("q_ngram_cap_exposure",
       ((s: SparkSession, d: String) => Dedup.ngramCapExposure(s, d)): Q,
       Some(Dedup.ngramCapExposureSql())),
+    // CC over the EXACT Jaccard pair graph: the hash-oracled pin of the
+    // label-propagation kernel q_dedup_clusters runs on the LSH graph
+    // (recursive-CTE transitive closure on the oracle side)
+    ("q_dedup_components", graft.operators.Curation.jaccardComponents _,
+      Some(graft.operators.Curation.jaccardComponentsSql)),
+    // soft dedup: weight 1/|component| instead of dropping — inherits the
+    // oracled component assignment
+    ("q_dedup_soft_weights", graft.operators.Curation.softDedupWeights _,
+      Some(graft.operators.Curation.softDedupWeightsSql)),
     // exact duplicated-span detection (substring-level dedup primitive)
     ("q_dedup_spans",
       ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,
@@ -341,6 +353,13 @@ object SparkEntry {
     ("q_ann_bruteforce",
       ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)): Q,
       Some(Similarity.bruteForceTopKSql)),
+    // embedding-space training-set audits: hard negatives + kNN label noise
+    ("q_hard_negatives",
+      ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)): Q,
+      Some(Similarity.hardNegativesSql())),
+    ("q_label_noise",
+      ((s: SparkSession, d: String) => Similarity.labelNoiseKnn(s, d)): Q,
+      Some(Similarity.labelNoiseKnnSql())),
     ("q_ann_lsh",
       ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)): Q,
       Some(Similarity.lshTopKSql())),

@@ -128,6 +128,82 @@ object Curation {
         .cache()
     }
 
+  /** Connected components over the EXACT n-gram-Jaccard pair graph — the
+    * hash-oracled twin of [[dupClusters]]. dupClusters runs the CC kernel
+    * on the MinHash-LSH pair graph, which no SQL oracle can re-derive
+    * (banding is probabilistic-by-construction), so the kernel itself has
+    * only spec evidence there. The Jaccard pair list IS SQL-expressible
+    * (q_dedup_ngram_jaccard's own oracle), and DuckDB's recursive CTE
+    * computes the transitive closure — so this query pins the SAME
+    * [[connectedComponents]] label-propagation kernel (pointer-jumping,
+    * fixpoint detection, singleton fill) against a full hash oracle: the
+    * proof-by-same-kernel pattern q_semantic_probe_stored uses.
+    *
+    * MEMOIZED per (session, dir) like [[dupClusters]]: the CC loop ends in
+    * localCheckpoint blocks, invisible to plan-identity caching, and the
+    * soft-weight query below shares the component table. */
+  private val jaccardCompMemo = new SessionMemo[String, DataFrame]
+
+  def jaccardComponents(spark: SparkSession, dir: String): DataFrame =
+    jaccardCompMemo.getOrElseUpdate(spark, dir) {
+      val pairs = Dedup.ngramJaccardPairs(spark, dir).select("doc_a", "doc_b")
+      val comp = connectedComponents(pairs)
+      Tables.documents(spark, dir).select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .cache()
+    }
+
+  /** DuckDB oracle for [[jaccardComponents]]: the full Jaccard pair
+    * pipeline as a CTE, closed transitively by a recursive reachability
+    * walk (UNION dedups, so the recursion terminates at the closure;
+    * per-vertex reach is bounded by its component size — dup clusters are
+    * tiny). component = min reachable doc_id, singletons reach only
+    * themselves. */
+  val jaccardComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${Dedup.ngramJaccardPairsSql}
+       |),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component,
+       |  id = MIN(r) AS is_canonical
+       |FROM reach GROUP BY id""".stripMargin
+
+  /** Soft dedup — downweight instead of drop (the SlimPajama/data-mixing
+    * alternative to hard canonical-only dedup): every member of a near-dup
+    * component carries weight 1/|component|, so the cluster contributes ONE
+    * document's worth of expected training mass while keeping all surface
+    * variants available to the sampler. Built on [[jaccardComponents]] so
+    * the weights inherit the hash-oracled component assignment.
+    *
+    * Scale shape: one count window PARTITIONED by component — near-dup
+    * components are small by construction (the pair graph is threshold-
+    * pruned), so no partition concentrates the corpus. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("component")
+    jaccardComponents(spark, dir)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("component"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH comp AS (
+       |${jaccardComponentsSql.replace("\n", "\n  ")}
+       |)
+       |SELECT doc_id, component,
+       |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       |  ROUND(1.0 / COUNT(*) OVER (PARTITION BY component), 6) AS weight
+       |FROM comp""".stripMargin
+
   /** The end-to-end curation decision: dedup keep-list ∧ quality gate ∧
     * length gate, with a drop reason (first failing rule wins). The final
     * shape a data pipeline materializes before tokenization. */

@@ -266,4 +266,75 @@ object Packing {
        |SELECT doc_id, lang, n_tokens,
        |       COALESCE(lang, 'null') || '_' || seq AS pack_key
        |FROM packed""".stripMargin
+
+  // ------------------------------------------------------ length bucketing
+  /** Quartile length bucketing + padding-waste audit — the "bucketed
+    * batching" decision a padded-batch training loader makes: group docs
+    * of similar token length so a batch's padding overhead (pad-to-max)
+    * stays small, and REPORT that overhead per bucket so the bucket count
+    * is a measured decision, not a guess. padding_waste = what pad-to-max
+    * costs inside the bucket (max·n − Σtokens); waste_frac is that as a
+    * share of the padded volume. Compare bucket 3's waste under 4 buckets
+    * vs one global bucket to see what the bucketing bought.
+    *
+    * Scale shape: boundaries are ONE scalar aggregate (exact `percentile`
+    * here, swap for `approx_percentile`'s fixed-size mergeable sketch at
+    * 100 TB — the audit tolerates approximate cuts), bucketing is a
+    * map-side CASE against three broadcast literals, and the per-bucket
+    * stats are a 4-group map-combinable aggregate. No shuffle touches
+    * doc-level rows beyond the one 4-key hash exchange. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val b = toks.agg(
+      expr("percentile(n_tokens, 0.25)"),
+      expr("percentile(n_tokens, 0.5)"),
+      expr("percentile(n_tokens, 0.75)")).first()
+    val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+    toks
+      .withColumn("bucket",
+        when(col("n_tokens") <= b1, 0)
+          .when(col("n_tokens") <= b2, 1)
+          .when(col("n_tokens") <= b3, 2)
+          .otherwise(3).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_frac",
+        when(col("max_tokens") * col("n_docs") === 0, lit(0.0))
+          .otherwise(round(col("padding_waste").cast("double")
+            / (col("max_tokens") * col("n_docs")).cast("double"), 6)))
+  }
+
+  /** DuckDB oracle for [[lengthBuckets]] — `quantile_cont` is the same
+    * linear-interpolated exact percentile as Spark's `percentile` (parity
+    * already pinned by q_percentiles). */
+  val lengthBucketsSql: String =
+    raw"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT quantile_cont(n_tokens, 0.25) AS b1,
+       |             quantile_cont(n_tokens, 0.5)  AS b2,
+       |             quantile_cont(n_tokens, 0.75) AS b3 FROM t),
+       |g AS (
+       |  SELECT CASE WHEN n_tokens <= b1 THEN 0
+       |              WHEN n_tokens <= b2 THEN 1
+       |              WHEN n_tokens <= b3 THEN 2 ELSE 3 END AS bucket,
+       |         n_tokens
+       |  FROM t CROSS JOIN b)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_waste,
+       |  CASE WHEN MAX(n_tokens) * COUNT(*) = 0 THEN 0.0
+       |       ELSE ROUND((MAX(n_tokens) * COUNT(*) - SUM(n_tokens))
+       |              / CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE), 6) END AS waste_frac
+       |FROM g GROUP BY 1""".stripMargin
 }

@@ -127,6 +127,134 @@ object Similarity {
        |  FROM cos)
        |WHERE rank <= $k""".stripMargin
 
+  // ------------------------------------------------- embedding-space audits
+  /** Hard-negative mining for contrastive/embedding training: per anchor
+    * (the bounded query set, vec_id < nQueries), the k most-similar vectors
+    * carrying a DIFFERENT label — the highest-value negatives a contrastive
+    * batch builder wants. Same physics as [[bruteForceTopKOf]] (broadcast
+    * anchors, one corpus scan, bounded-heap top-k — never a per-anchor
+    * window sort); the label-mismatch filter runs BEFORE scoring feeds the
+    * heap, and it also excludes self (same vec ⇒ same label). At 100 TB
+    * the anchor set is the bounded side by contract; mining for EVERY
+    * vector goes through the IVF/PQ tiers like any all-corpus search. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    val topk = udaf(new TopK.ScoreTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
+      .groupBy("q_id", "q_label")
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), col("q_label"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("q_label"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
+  }
+
+  /** DuckDB oracle for [[hardNegatives]] — the brute-force window spelling
+    * with the label-mismatch predicate. */
+  def hardNegativesSql(nQueries: Int = 20, k: Int = 5): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+       |      FROM c WHERE vec_id < $nQueries),
+       |cos AS (
+       |  SELECT q.q_id, q.q_label, c.vec_id,
+       |    ROUND(${cosSqlExpr("c.emb", "q.q_emb")}, 6) AS cosine
+       |  FROM c CROSS JOIN q WHERE c.label <> q.q_label)
+       |SELECT q_id, q_label, rank, vec_id, cosine FROM (
+       |  SELECT q_id, q_label, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+       |  FROM cos)
+       |WHERE rank <= $k""".stripMargin
+
+  /** kNN label-noise audit (the confident-learning screen a labeled
+    * training set runs before fitting anything): per anchor, the k nearest
+    * neighbors vote; an anchor whose own label disagrees with the
+    * neighborhood majority is flagged `suspect` — the shortlist a labeling
+    * pass re-examines. Majority ties break deterministically (max count,
+    * then smallest label). n_agree counts neighbors sharing the anchor's
+    * own label, so the report carries the vote margin, not just the flag.
+    *
+    * Scale shape: scoring/heap as [[bruteForceTopKOf]]; the vote is a
+    * (anchor, label)-keyed count of nQueries·k rows, and both windows run
+    * over ≤|labels| rows per anchor — metadata-scale partitions. */
+  def labelNoiseKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 50, k: Int = 10): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    val topk = udaf(new TopK.ScoreTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val nbrIds = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
+      .groupBy("q_id", "q_label")
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), col("q_label"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("q_label"), col("s.vec_id").as("vec_id"))
+    // neighbor labels: one more corpus scan joined against the broadcast
+    // nQueries·k id list — never a corpus-side shuffle
+    val voted = c.select(col("vec_id"), col("label").as("nbr_label"))
+      .join(broadcast(nbrIds), "vec_id")
+      .groupBy("q_id", "q_label", "nbr_label").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("q_id")
+      .orderBy(col("cnt").desc, col("nbr_label").asc)
+    val wAll = Window.partitionBy("q_id")
+    voted
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("n_agree",
+        sum(when(col("nbr_label") === col("q_label"), col("cnt"))
+          .otherwise(0L)).over(wAll))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("q_label"),
+        col("nbr_label").as("majority_label"),
+        col("cnt").cast("long").as("majority_count"),
+        col("n_agree").cast("long").as("n_agree"),
+        (col("nbr_label") =!= col("q_label")).as("suspect"))
+  }
+
+  /** DuckDB oracle for [[labelNoiseKnn]] — window-ranked kNN, then the
+    * same deterministic majority vote. */
+  def labelNoiseKnnSql(nQueries: Int = 50, k: Int = 10): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+       |      FROM c WHERE vec_id < $nQueries),
+       |cos AS (
+       |  SELECT q.q_id, q.q_label, c.vec_id, c.label AS nbr_label,
+       |    ROUND(${cosSqlExpr("c.emb", "q.q_emb")}, 6) AS cosine
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+       |top AS (
+       |  SELECT q_id, q_label, nbr_label FROM (
+       |    SELECT q_id, q_label, nbr_label,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk
+       |    FROM cos) WHERE rk <= $k),
+       |cnts AS (
+       |  SELECT q_id, q_label, nbr_label, COUNT(*) AS cnt
+       |  FROM top GROUP BY 1, 2, 3)
+       |SELECT q_id, q_label, nbr_label AS majority_label,
+       |  CAST(cnt AS BIGINT) AS majority_count,
+       |  CAST(n_agree AS BIGINT) AS n_agree,
+       |  nbr_label <> q_label AS suspect
+       |FROM (
+       |  SELECT q_id, q_label, nbr_label, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cnt DESC, nbr_label ASC) AS rk2,
+       |    SUM(CASE WHEN nbr_label = q_label THEN cnt ELSE 0 END)
+       |      OVER (PARTITION BY q_id) AS n_agree
+       |  FROM cnts)
+       |WHERE rk2 = 1""".stripMargin
+
   // ------------------------------------------------------------ LSH
   val NumPlanes = 8
 

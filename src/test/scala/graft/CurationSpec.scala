@@ -95,6 +95,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard components: closure over the pair graph, canonical = min, soft weights sum to 1") {
+    val c = Curation.jaccardComponents(spark, sf)
+    assert(c.count() == Tables.documents(spark, sf).count())
+    val comp = c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every Jaccard pair shares a component; component = min over members
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    val members = comp.toSeq.groupBy(_._2)
+    members.foreach { case (label, ms) =>
+      assert(ms.map(_._1).min == label, s"component $label is not its min member")
+    }
+    // canonical flag marks exactly the label-bearing member
+    c.collect().foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+    }
+    // soft weights: each component contributes exactly 1.0 expected mass
+    val w = Curation.softDedupWeights(spark, sf)
+      .groupBy("component").agg(sum("weight").as("mass"), count(lit(1)).as("n"))
+      .collect()
+    w.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+        s"component ${r.getLong(0)} mass ${r.getDouble(1)}")
+    }
+    // non-trivial clusters exist at this SF, so the closure is exercised
+    assert(w.exists(_.getLong(2) >= 2))
+  }
+
   test("curation: keep iff no drop reason; near-dup losers dropped") {
     val cur = Curation.curate(spark, sf).collect()
     cur.foreach { r =>

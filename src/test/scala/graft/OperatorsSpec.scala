@@ -235,6 +235,66 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: label-mismatched only, exact top-k vs driver recomputation") {
+    val got = Similarity.hardNegatives(spark, sf, nQueries = 3, k = 3).collect()
+    val rows = Tables.embeddings(spark, sf).collect().map(r =>
+      (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Number]("label").intValue))
+    val byId = rows.map(t => t._1 -> t).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(if (den == 0.0) 0.0 else d / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { r =>
+      assert(byId(r.getAs[Long]("vec_id"))._3 != r.getAs[Number]("q_label").intValue,
+        "a hard negative must carry a different label")
+    }
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    for (q <- Seq(0L, 1L, 2L)) {
+      val (_, qe, ql) = byId(q)
+      val expected = rows.filter(_._3 != ql)
+        .map { case (id, v, _) => (id, cos6(qe, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+      val gotIds = byQ(q).sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("vec_id")).toSeq
+      assert(gotIds == expected, s"query $q: $gotIds vs $expected")
+    }
+  }
+
+  test("label-noise audit: deterministic majority vote, suspect iff majority differs") {
+    val k = 7
+    val got = Similarity.labelNoiseKnn(spark, sf, nQueries = 5, k = k).collect()
+    assert(got.length == 5)
+    val rows = Tables.embeddings(spark, sf).collect().map(r =>
+      (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Number]("label").intValue))
+    val byId = rows.map(t => t._1 -> t).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(if (den == 0.0) 0.0 else d / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val (_, qe, ql) = byId(q)
+      val nbrs = rows.filter(_._1 != q)
+        .map { case (id, v, l) => (id, cos6(qe, v), l) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(k)
+      val counts = nbrs.groupBy(_._3).map { case (l, xs) => (l, xs.length) }
+      val (majLabel, majCnt) = counts.toSeq.minBy { case (l, c) => (-c, l) }
+      assert(r.getAs[Number]("q_label").intValue == ql)
+      assert(r.getAs[Number]("majority_label").intValue == majLabel, s"q=$q")
+      assert(r.getAs[Long]("majority_count") == majCnt.toLong)
+      assert(r.getAs[Long]("n_agree") == counts.getOrElse(ql, 0).toLong)
+      assert(r.getAs[Boolean]("suspect") == (majLabel != ql))
+    }
+  }
+
   test("brute-force re-rank plan: bounded heap, no single-partition window sort") {
     // the 100× criterion for the brute tier: the per-query re-rank must be
     // the map-side-combinable top-k Aggregator (partial + final

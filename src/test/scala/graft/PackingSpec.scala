@@ -23,6 +23,35 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("length buckets: quartile partition covers the corpus, waste arithmetic holds") {
+    val b = Packing.lengthBuckets(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(b.map(_.getAs[Int]("bucket")).toSeq == (0 until b.length))
+    assert(b.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    // quartile cuts: no bucket hoards the corpus (each ≤ just over 1/4 + ties)
+    val total = b.map(_.getAs[Long]("n_docs")).sum.toDouble
+    b.foreach(r => assert(r.getAs[Long]("n_docs") <= total * 0.5))
+    // buckets are ordered, non-overlapping token ranges
+    b.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("max_tokens") <= hi.getAs[Long]("min_tokens"))
+      case _ =>
+    }
+    // waste identity per bucket, and bucketing beats one global bucket
+    var globalMax = b.map(_.getAs[Long]("max_tokens")).max
+    val sumAll = b.map(_.getAs[Long]("sum_tokens")).sum
+    val bucketedPadded = b.map(r =>
+      r.getAs[Long]("max_tokens") * r.getAs[Long]("n_docs")).sum
+    b.foreach { r =>
+      assert(r.getAs[Long]("padding_waste") ==
+        r.getAs[Long]("max_tokens") * r.getAs[Long]("n_docs") -
+          r.getAs[Long]("sum_tokens"))
+    }
+    assert(bucketedPadded - sumAll < globalMax * total - sumAll,
+      "4-bucket padding must waste less than pad-to-global-max")
+  }
+
   test("next-fit packing respects the budget (single-oversize-doc exception)") {
     val p = Packing.packNextFit(spark, sf).collect()
     assert(p.length == Tables.documents(spark, sf).count())
