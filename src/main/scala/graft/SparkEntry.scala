@@ -102,6 +102,14 @@ object SparkEntry {
     // forward direction — DuckDB ASOF on negated time is the oracle
     ("q_asof_forward", AsOfJoin.asofQueryForward _, Some(AsOfJoin.asofQueryForwardSql)),
     ("q_sessionize", Sessionize.sessions _, Some(Sessionize.sessionsSql)),
+    // sessions → autoregressive (input, target) next-event training pairs
+    ("q_session_pairs", Sessionize.trainingPairs _, Some(Sessionize.trainingPairsSql)),
+    // ANALYZE-style one-pass column profiler (exact distincts; Scaladoc
+    // documents the approx_count_distinct swap that kills the Expand at
+    // 100 TB)
+    ("q_profile_table",
+      ((s: SparkSession, d: String) => graft.operators.Profile.profileLineitem(s, d)): Q,
+      Some(graft.operators.Profile.profileLineitemSql)),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
     ("q_redact_pii", TextFunctions.redactQuery _, Some(TextFunctions.redactQuerySql)),

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One-pass table profiler — the `ANALYZE TABLE`-style statistics sweep a
+  * lake engine runs before planning: per-column non-null count, exact
+  * distinct count, min/max, and mean, emitted as one row per column.
+  *
+  * The reference's ES index mappings serve this role implicitly (every
+  * field carries doc_count / cardinality via ES aggregations,
+  * `docs/DOCUMENTATION_TECHNIQUE.md` index sections); here it is a single
+  * declarative aggregate the optimizer can fuse.
+  *
+  * Scale shape: ONE wide aggregate pass — all per-column aggregates ride
+  * the same scan, partial-aggregated map-side, merged in a single-group
+  * reduce (bytes proportional to #columns, not rows). The one deliberate
+  * cost: exact `countDistinct` over k columns makes Catalyst plan an
+  * Expand (k+1 projections of every row — k× the shuffle volume of a
+  * plain agg). That is the price of EXACT distincts and it is the
+  * documented swap point: at 100 TB replace `countDistinct` with
+  * `approx_count_distinct` and the Expand collapses back to one mergeable
+  * HLL sketch per column in a single pass — the exact/approx trade this
+  * repo already quantifies in q_cardinality_bounds. The unpivot to
+  * one-row-per-column happens AFTER aggregation on a 1-row frame (free).
+  *
+  * Output schema is engine-neutral: numeric min/max/avg as rounded
+  * doubles, string min/max as strings, so no double→string formatting has
+  * to match across engines.
+  */
+object Profile {
+
+  private val numericCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val stringCols  = Seq("l_returnflag", "l_linestatus")
+
+  def profileLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        (numericCols ++ stringCols).flatMap { c =>
+          Seq(count(col(c)).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd"))
+        } ++
+        numericCols.flatMap { c =>
+          Seq(round(min(col(c)), 6).as(s"${c}__min"),
+            round(max(col(c)), 6).as(s"${c}__max"),
+            round(avg(col(c)), 6).as(s"${c}__avg"))
+        } ++
+        stringCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__smin"),
+            max(col(c)).as(s"${c}__smax"))
+        }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows: Seq[Column] =
+      numericCols.map { c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_num"), col(s"${c}__max").as("max_num"),
+          col(s"${c}__avg").as("avg_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+      } ++ stringCols.map { c =>
+        struct(lit(c).as("column_name"), col("n_rows"),
+          col(s"${c}__nn").as("n_nonnull"), col(s"${c}__nd").as("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          lit(null).cast("double").as("avg_num"),
+          col(s"${c}__smin").as("min_str"), col(s"${c}__smax").as("max_str"))
+      }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** DuckDB oracle for [[profileLineitem]] — one SELECT per column,
+    * UNION ALL'd (the oracle optimizes for clarity, not passes). */
+  val profileLineitemSql: String = {
+    val num = numericCols.map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+         |  ROUND(MIN($c), 6) AS min_num, ROUND(MAX($c), 6) AS max_num,
+         |  ROUND(AVG($c), 6) AS avg_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    val str = stringCols.map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  CAST(NULL AS DOUBLE) AS avg_num,
+         |  MIN($c) AS min_str, MAX($c) AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    (num ++ str).mkString("\nUNION ALL\n")
+  }
+}

@@ -23,7 +23,10 @@ object Sessionize {
   val GapMinutes = 30
 
   // ---------------------------------------------------------------- batch
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  /** Events with their session number attached — the shared front half of
+    * [[sessions]] and [[trainingPairs]]: one shuffle by user, two
+    * in-partition window passes (lag to mark gaps, running sum to number). */
+  private def numbered(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     Tables.events(spark, dir)
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
@@ -33,6 +36,10 @@ object Sessionize {
           .otherwise(0L))
       .withColumn("session_idx",
         sum("is_new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    numbered(spark, dir)
       .groupBy("user_id", "session_idx")
       .agg(
         count(lit(1)).as("n_events"),
@@ -61,6 +68,56 @@ object Sessionize {
        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        |       ROUND(SUM(value), 6) AS session_value
        |FROM numbered GROUP BY user_id, session_idx""".stripMargin
+
+  // ------------------------------------------- next-event training pairs
+  /** Autoregressive (input → target) pairs from sessionized behavior — the
+    * step that turns raw event logs into a next-event-prediction training
+    * set (the sequential-recommendation data shape: each session becomes
+    * |session|−1 supervised examples of "after seeing X, the user did Y").
+    *
+    * Scale shape: the pair window partitions by (user_id, session_idx),
+    * which the session-numbering exchange on user_id already satisfies
+    * (HashPartitioning(user) co-locates every (user, session) group), so
+    * Catalyst plans ONE shuffle for numbering + pairing; per-partition
+    * work is two ordered window passes. Sessions are gap-bounded, so no
+    * window partition can concentrate the corpus the way a mega-stratum
+    * would. */
+  def trainingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bySession = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    numbered(spark, dir)
+      .withColumn("step", row_number().over(bySession).cast("long"))
+      .withColumn("target_event", lead("event_type", 1).over(bySession))
+      .filter(col("target_event").isNotNull)
+      .select(col("user_id"), col("session_idx"), col("step"),
+        col("event_type").as("input_event"), col("target_event"))
+  }
+
+  /** DuckDB oracle for [[trainingPairs]] — same marked/numbered CTEs as
+    * [[sessionsSql]] with event_type carried through, then LEAD over the
+    * (user, session) window; the trailing event of each session has no
+    * target and is dropped on both sides. */
+  val trainingPairsSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         CASE WHEN LAG(ts) OVER w IS NULL
+       |                OR date_diff('second', LAG(ts) OVER w, ts) > ${GapMinutes * 60} THEN 1
+       |              ELSE 0 END AS is_new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       |numbered AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+       |           ORDER BY ts ASC, event_id ASC
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM marked)
+       |SELECT user_id, session_idx,
+       |       CAST(ROW_NUMBER() OVER ws AS BIGINT) AS step,
+       |       event_type AS input_event,
+       |       LEAD(event_type) OVER ws AS target_event
+       |FROM numbered
+       |WINDOW ws AS (PARTITION BY user_id, session_idx ORDER BY ts ASC, event_id ASC)
+       |QUALIFY target_event IS NOT NULL""".stripMargin
 
   // ------------------------------------------------------------- streaming
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -98,6 +98,22 @@ class SessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("training pairs: count and chain structure follow from sessions") {
+    val pairs = Sessionize.trainingPairs(spark, sf).cache()
+    val sess = Sessionize.sessions(spark, sf)
+    // each session of n events yields exactly n-1 (input, target) pairs
+    val expected = sess.agg(sum(col("n_events") - 1)).collect()(0).getLong(0)
+    assert(pairs.count() == expected)
+    // chain consistency: step k's target is step k+1's input
+    val broken = pairs.as("a").join(pairs.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_idx") === col("b.session_idx") &&
+        col("a.step") + 1 === col("b.step"))
+      .filter(col("a.target_event") =!= col("b.input_event")).count()
+    assert(broken == 0, "adjacent pairs must chain input/target")
+    pairs.unpersist()
+  }
+
   test("streaming sessionization matches batch on a replayed slice") {
     // batch expectation on a small deterministic frame
     val raw = Seq(

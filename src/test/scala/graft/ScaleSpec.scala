@@ -64,6 +64,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), "conditional sums must combine map-side")
   }
 
+  test("session pairs: numbering and pairing share one exchange") {
+    // Window.partitionBy(user) then Window.partitionBy(user, session_idx):
+    // HashPartitioning(user) satisfies the (user, session) clustering, so
+    // Catalyst must plan exactly ONE shuffle for both window families
+    val plan = physicalPlan(operators.Sessionize.trainingPairs(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+  }
+
   test("hll aggregate runs partial/final through ObjectHashAggregate") {
     val plan = physicalPlan(serve.LensQueries.cardinalityHll(spark, sf))
     assert(plan.contains("partial_hll_distinct"),
