@@ -499,6 +499,10 @@ object SparkEntry {
     // proves delta-apply ≡ full rebuild (decimal-exact sums)
     ("q_view_maintenance", graft.serve.ChangeFeed.viewMaintenanceQuery _,
       Some(graft.serve.ChangeFeed.viewMaintenanceSql)),
+    // explicit time-travel reads: the same aggregate at both pinned
+    // versions, each snapshot exactly derivable from orders
+    ("q_time_travel", graft.serve.ChangeFeed.timeTravelQuery _,
+      Some(graft.serve.ChangeFeed.timeTravelSql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

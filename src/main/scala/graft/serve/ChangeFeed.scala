@@ -102,6 +102,47 @@ object ChangeFeed {
         round(col("s").cast("double"), 6).as("sum_price"))
   }
 
+  // ------------------------------------------------------------ time travel
+  /** Explicit time-travel read: the same aggregate computed at BOTH pinned
+    * versions of the fixture table — the snapshot-isolation primitive a
+    * reproducible training run needs (pin the exact data version a job
+    * read; re-reads at that version are immutable no matter how many
+    * merges land after). [[TxTable.read]] resolves the file list at the
+    * pinned version from the log (nearest checkpoint + delta chain), so a
+    * version read never scans files committed later — cost is the pinned
+    * snapshot's size, not the table's history. The v0/v1 contents are
+    * exactly derivable from `orders` (the [[fixturePath]] contract), which
+    * is what makes a table-format feature hash-oracle-able. Decimal sums
+    * for order-free exactness (the [[viewOf]] rule). */
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = fixturePath(spark, dir)
+    def at(v: Long): DataFrame =
+      TxTable.read(spark, path, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(round(col("price"), 6).cast(Dec)).cast("double"), 6)
+            .as("sum_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+    at(0L).unionAll(at(1L))
+  }
+
+  /** DuckDB oracle: both version snapshots recomputed straight from
+    * `orders` under the fixture predicates. */
+  val timeTravelSql: String =
+    """WITH v0 AS (
+      |  SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 3 <> 0),
+      |v1 AS (
+      |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0)
+      |SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |  ROUND(CAST(SUM(CAST(ROUND(price, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |    AS sum_price
+      |FROM v0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), COUNT(*),
+      |  ROUND(CAST(SUM(CAST(ROUND(price, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |FROM v1""".stripMargin
+
   /** DuckDB oracle: the v1 snapshot aggregate, straight from orders. */
   val viewMaintenanceSql: String =
     """WITH snap AS (
