@@ -344,6 +344,12 @@ object SparkEntry {
     // oracled component assignment
     ("q_dedup_soft_weights", graft.operators.Curation.softDedupWeights _,
       Some(graft.operators.Curation.softDedupWeightsSql)),
+    // RefinedWeb-style per-source quota: ≤ cap docs per source, best
+    // quality first, via the bounded-heap top-k (sources are the classic
+    // mega-stratum — never a per-source window sort)
+    ("q_domain_cap",
+      ((s: SparkSession, d: String) => graft.operators.Curation.domainCap(s, d)): Q,
+      Some(graft.operators.Curation.domainCapSql())),
     // exact duplicated-span detection (substring-level dedup primitive)
     ("q_dedup_spans",
       ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,

@@ -1128,4 +1128,61 @@ object Curation {
       |       rk <= CEIL(n * $keepFrac) AS selected
       |FROM ranked""".stripMargin
   }
+
+  // ------------------------------------------------------- per-source quota
+  /** Per-source document quota — the RefinedWeb/CCNet domain cap: keep at
+    * most `cap` documents per source, best-quality first, so no single
+    * domain dominates the training mixture no matter how many pages it
+    * contributes. Complements [[sourceReputation]] (which gates WHOLE
+    * sources): reputation decides who participates, the cap bounds how
+    * much.
+    *
+    * Scale shape: the selection is the bounded-heap top-k Aggregator keyed
+    * (rounded quality desc, doc_id asc) — map-side combined, ≤ cap rows
+    * shuffled per partition per source — NOT a per-source window sort.
+    * Sources are the classic mega-stratum (20 sources at any corpus size:
+    * a `row_number` window would funnel corpus/20 rows through one task),
+    * exactly the shape the cluster/budget samplers already banish; the
+    * heap feeds on the ROUNDED score so the ordering is grid-stable
+    * across engines. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val scored = TextFunctions
+      .qualityMetrics(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val topk = udaf(new TopK.ScoreTopKAgg(cap),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    scored.groupBy("source")
+      .agg(topk(col("doc_id"), col("quality_score")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("doc_id"),
+        col("s.cosine").as("quality_score"))
+  }
+
+  /** DuckDB oracle for [[domainCap]] — the window spelling of the same
+    * selection: quality formula as in the q_quality_metrics oracle,
+    * ROW_NUMBER per source on (rounded score desc, doc_id asc). */
+  def domainCapSql(cap: Int = 10): String =
+    raw"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    LENGTH(text) AS n_chars_m,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+       |         x -> x <> '')) AS INT) AS n_tokens,
+       |    LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       |    LENGTH(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nonspace
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    ROUND(LEAST(1.0, GREATEST(0.0,
+       |      (n_alpha / NULLIF(CAST(n_chars_m AS DOUBLE), 0.0)) * 0.5
+       |      + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + LEAST((n_nonspace / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)) / 10.0, 1.0) * 0.2)), 6)
+       |      AS quality_score
+       |  FROM base)
+       |SELECT source, rank, doc_id, quality_score FROM (
+       |  SELECT source, doc_id, quality_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id ASC) AS INT) AS rank
+       |  FROM q)
+       |WHERE rank <= $cap""".stripMargin
 }

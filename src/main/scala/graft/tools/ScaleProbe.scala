@@ -131,7 +131,23 @@ object ScaleProbe {
     ("q_corpus_shuffle_incremental", "documents",
       (s: SparkSession, d: String) => graft.operators.Layout.shuffleShardsIncremental(s, d)),
     ("q_decontaminate_semantic", "embeddings",
-      (s: SparkSession, d: String) => graft.operators.Curation.decontaminateSemantic(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Curation.decontaminateSemantic(s, d)),
+    // r12 additions: CC over the exact Jaccard pair graph (pair pipeline +
+    // pointer-jumping on the tiny pair set), session pairs (one user-hash
+    // exchange, two window passes), the one-pass profiler (single wide
+    // aggregate + one Expand), quartile length-bucketing (scalar boundary
+    // agg + 4-key hash agg), and hard-negative mining (broadcast anchors,
+    // one corpus scan, bounded heap)
+    ("q_dedup_components", "documents",
+      (s: SparkSession, d: String) => graft.operators.Curation.jaccardComponents(s, d)),
+    ("q_session_pairs", "events",
+      (s: SparkSession, d: String) => graft.operators.Sessionize.trainingPairs(s, d)),
+    ("q_profile_table", "lineitem",
+      (s: SparkSession, d: String) => graft.operators.Profile.profileLineitem(s, d)),
+    ("q_length_buckets", "documents",
+      (s: SparkSession, d: String) => graft.operators.Packing.lengthBuckets(s, d)),
+    ("q_hard_negatives", "embeddings",
+      (s: SparkSession, d: String) => graft.operators.Similarity.hardNegatives(s, d)))
 
   val ExponentGate = 1.5
 
