@@ -350,6 +350,11 @@ object SparkEntry {
     ("q_domain_cap",
       ((s: SparkSession, d: String) => graft.operators.Curation.domainCap(s, d)): Q,
       Some(graft.operators.Curation.domainCapSql())),
+    // PSI drift audit between the train/val splits: train-quartile cuts,
+    // per-bucket (p_t − p_v)·ln(p_t/p_v)
+    ("q_split_drift",
+      ((s: SparkSession, d: String) => graft.operators.Curation.splitDrift(s, d)): Q,
+      Some(graft.operators.Curation.splitDriftSql())),
     // exact duplicated-span detection (substring-level dedup primitive)
     ("q_dedup_spans",
       ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,

@@ -1129,6 +1129,118 @@ object Curation {
       |FROM ranked""".stripMargin
   }
 
+  // ---------------------------------------------------- split drift (PSI)
+  /** Population-stability audit between the train and val splits: quartile
+    * boundaries of the quality score computed on TRAIN ONLY, both splits
+    * bucketed by those cuts, and the per-bucket PSI term
+    * (p_train − p_val)·ln(p_train/p_val) — the standing drift check a
+    * training pipeline runs to catch a split whose distributions diverged
+    * (a biased split hash, a curation rule applied to one side, upstream
+    * corpus shift between refreshes). PSI < 0.1 is the conventional
+    * "stable" band; the per-bucket terms localize any breach. An empty
+    * bucket yields a NULL term (ln is undefined — surfaced, not smoothed
+    * over, on both engines).
+    *
+    * Scale shape: the split label and quality score are row-local; the
+    * boundaries are ONE scalar aggregate over train (exact `percentile`,
+    * same approx_percentile swap as [[graft.operators.Packing.lengthBuckets]]);
+    * bucketing is a map-side CASE against three broadcast literals and the
+    * audit is a 4-key map-combinable aggregate joined against its own
+    * 1-row total — nothing touches doc-level rows beyond the one 4-key
+    * exchange. */
+  def splitDrift(spark: SparkSession, dir: String, seed: Int = 42): DataFrame = {
+    val d = TextFunctions
+      .qualityMetrics(Tables.documents(spark, dir), "text")
+      .withColumn("bucket100",
+        pmod(splitHash(col("doc_id"), seed), lit(100L)).cast("int"))
+      .withColumn("split",
+        when(col("bucket100") < 80, "train")
+          .when(col("bucket100") < 90, "val")
+          .otherwise("test"))
+      .filter(col("split") =!= "test")
+      .select(col("split"), col("quality_score"))
+    val b = d.filter(col("split") === "train").agg(
+      expr("percentile(quality_score, 0.25)"),
+      expr("percentile(quality_score, 0.5)"),
+      expr("percentile(quality_score, 0.75)")).first()
+    val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+    val counts = d
+      .withColumn("bucket",
+        when(col("quality_score") <= b1, 0)
+          .when(col("quality_score") <= b2, 1)
+          .when(col("quality_score") <= b3, 2)
+          .otherwise(3).cast("int"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val totals = counts.agg(
+      sum("n_train").as("t_train"), sum("n_val").as("t_val"))
+    val ft = col("n_train").cast("double") / col("t_train").cast("double")
+    val fv = col("n_val").cast("double") / col("t_val").cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_train"), col("n_val"),
+        round(ft, 6).as("frac_train"), round(fv, 6).as("frac_val"),
+        when(col("n_train") === 0L || col("n_val") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round((ft - fv) * log(ft / fv), 6)).as("psi_term"))
+  }
+
+  /** DuckDB oracle for [[splitDrift]] — quality formula and portable split
+    * hash as in their own oracles, `quantile_cont` ≡ Spark exact
+    * `percentile` (the q_percentiles parity). */
+  def splitDriftSql(seed: Int = 42): String =
+    raw"""WITH base AS (
+       |  SELECT doc_id,
+       |    LENGTH(text) AS n_chars_m,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+       |         x -> x <> '')) AS INT) AS n_tokens,
+       |    LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       |    LENGTH(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nonspace
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ROUND(LEAST(1.0, GREATEST(0.0,
+       |      (n_alpha / NULLIF(CAST(n_chars_m AS DOUBLE), 0.0)) * 0.5
+       |      + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + LEAST((n_nonspace / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)) / 10.0, 1.0) * 0.2)), 6)
+       |      AS quality_score
+       |  FROM base),
+       |d AS (
+       |  SELECT CASE WHEN bkt < 80 THEN 'train'
+       |              WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+       |         quality_score
+       |  FROM (SELECT s.quality_score,
+       |          CAST(((hb % 100) + 100) % 100 AS INT) AS bkt
+       |        FROM (SELECT doc_id, ${TextFunctions.wrapSignedSql("hu")} AS hb
+       |              FROM (SELECT doc_id,
+       |                  ${TextFunctions.polyMixSql(s"doc_id::VARCHAR || ':$seed'")} AS hu
+       |                FROM documents)) h
+       |        JOIN scored s USING (doc_id))
+       |  WHERE bkt < 90),
+       |b AS (SELECT quantile_cont(quality_score, 0.25) AS b1,
+       |             quantile_cont(quality_score, 0.5)  AS b2,
+       |             quantile_cont(quality_score, 0.75) AS b3
+       |      FROM d WHERE split = 'train'),
+       |c AS (
+       |  SELECT CASE WHEN quality_score <= b1 THEN 0
+       |              WHEN quality_score <= b2 THEN 1
+       |              WHEN quality_score <= b3 THEN 2 ELSE 3 END AS bucket,
+       |         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+       |         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val
+       |  FROM d CROSS JOIN b GROUP BY 1),
+       |t AS (SELECT SUM(n_train) AS t_train, SUM(n_val) AS t_val FROM c)
+       |SELECT bucket, CAST(n_train AS BIGINT) AS n_train,
+       |  CAST(n_val AS BIGINT) AS n_val,
+       |  ROUND(n_train / CAST(t_train AS DOUBLE), 6) AS frac_train,
+       |  ROUND(n_val / CAST(t_val AS DOUBLE), 6) AS frac_val,
+       |  CASE WHEN n_train = 0 OR n_val = 0 THEN NULL
+       |       ELSE ROUND((n_train / CAST(t_train AS DOUBLE)
+       |                   - n_val / CAST(t_val AS DOUBLE))
+       |         * ln((n_train / CAST(t_train AS DOUBLE))
+       |              / (n_val / CAST(t_val AS DOUBLE))), 6) END AS psi_term
+       |FROM c CROSS JOIN t""".stripMargin
+
   // ------------------------------------------------------- per-source quota
   /** Per-source document quota — the RefinedWeb/CCNet domain cap: keep at
     * most `cap` documents per source, best-quality first, so no single

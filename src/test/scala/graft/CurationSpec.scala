@@ -285,4 +285,24 @@ class CurationSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("split drift: PSI terms non-negative, counts conserve splits, hash split stable") {
+    val rows = operators.Curation.splitDrift(spark, sf).collect()
+    assert(rows.length == 4)
+    // PSI terms are (p−q)·ln(p/q) ≥ 0 by construction; NULL only for an
+    // empty bucket
+    val terms = rows.flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("psi_term"))) None
+      else Some(r.getAs[Double]("psi_term")))
+    assert(terms.forall(_ >= 0.0))
+    // an unbiased hash split must read as stable (PSI well under the 0.25
+    // "significant shift" convention at any shipped SF)
+    assert(terms.sum < 0.25, s"PSI ${terms.sum} should be stable")
+    // bucket counts conserve the split populations
+    val split = operators.Curation.splitAssign(spark, sf)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("n_train")).sum == split("train"))
+    assert(rows.map(_.getAs[Long]("n_val")).sum == split("val"))
+  }
 }
