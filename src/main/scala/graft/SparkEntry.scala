@@ -130,6 +130,15 @@ object SparkEntry {
     // perplexity-proxy LM filter (char-bigram model, decimal-exact sums)
     ("q_lm_score", graft.operators.LmScore.bigramScores _,
       Some(graft.operators.LmScore.bigramScoresSql)),
+    // token-trigram stupid-backoff LM (Brants et al. 2007) — the KenLM-shaped
+    // quality filter: count-cutoff pruned model, backoff chain, decimal-exact
+    // per-doc means; all three legs fully hash-oracled
+    ("q_ngram_lm_score", graft.operators.NgramLm.scoreQuery _,
+      Some(graft.operators.NgramLm.scoreQuerySql)),
+    ("q_ngram_lm_model", graft.operators.NgramLm.modelQuery _,
+      Some(graft.operators.NgramLm.modelQuerySql)),
+    ("q_ngram_lm_gate", graft.operators.NgramLm.gateQuery _,
+      Some(graft.operators.NgramLm.gateQuerySql)),
     ("q_fingerprint", TextFunctions.fingerprintQuery _,
       Some(TextFunctions.fingerprintQuerySql)),
     ("q_winnow_fingerprint", TextFunctions.winnowQuery _,

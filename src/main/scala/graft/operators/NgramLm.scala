@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Token-trigram language model with STUPID BACKOFF (Brants et al. 2007,
+  * "Large Language Models in Machine Translation" — the distributed
+  * count-based LM built exactly for this MapReduce/Spark shape), applied as
+  * the CCNet/KenLM-style perplexity quality filter. This is the token-level
+  * big sibling of [[LmScore]]'s character-bigram model: the reference's
+  * quality path stops at rule scores (`scripts/indexing/to_elasticsearch.py`
+  * ships rows to ES with no LM), so this is the training-data-pipeline
+  * extension the brief asks for, built relationally end to end.
+  *
+  * Model: raw counts with a count-cutoff (n-grams seen once are dropped —
+  * the standard pruning that (a) bounds the model and (b) makes backoff
+  * actually fire on a self-trained corpus). Scores:
+  *
+  *   S(w | u v) = c(uvw)/c(uv)        if c(uvw) ≥ 2       (no penalty)
+  *              = 0.4 · S(w | v)      otherwise
+  *   S(w | v)   = c(vw)/c(v)          if c(vw) ≥ 2
+  *              = 0.4 · S(w)          otherwise
+  *   S(w)       = c(w)/N
+  *
+  * Denominators are RAW counts (pruning decides presence, not mass — the
+  * Brants et al. formulation); c(uvw) ≥ 2 implies the context bigram has
+  * raw count ≥ 2, so the trigram score's denominator always exists.
+  *
+  * Cross-engine determinism (the [[LmScore]] recipe): every per-token
+  * log2 term is ln/ln2 rounded to 9 dp and cast to DECIMAL before summing —
+  * decimal addition is exact and order-free — then the per-doc mean is
+  * rounded to 6 dp. All score ratios are single IEEE divisions of
+  * integer-derived doubles (deterministic); only libm's ln ulp variance
+  * remains, the accepted exposure.
+  *
+  * At 100 TB: the three count jobs are plain map-side-combined groupBys
+  * over the exploded token stream; the count-cutoff keeps the model tables
+  * orders of magnitude below the corpus (raise the cutoff / add entropy
+  * pruning to shrink further — the knob is `minCount`). Scoring is
+  * broadcast left joins (the model is the small side by construction; if a
+  * web-scale vocabulary outgrows broadcast, the same plan shuffle-joins on
+  * the n-gram key) plus ONE shuffle keyed by doc_id for the per-doc mean.
+  * Training re-reads the corpus once per order; at scale the token arrays
+  * would be persisted once (the corpus-shuffle shard layout in
+  * [[Layout]] is exactly that materialization).
+  */
+object NgramLm {
+
+  private val Alpha = 0.4
+  private val MinCount = 2
+
+  /** Token stream with 0-based position and the two preceding tokens:
+    * (doc_id, lang, source, p, wpp, wp, w). `when` guards keep
+    * `element_at` unevaluated at p<1/p<2 (CaseWhen short-circuits), so the
+    * ANSI zero-index error cannot fire. */
+  private def tokenStream(docs: DataFrame): DataFrame = {
+    val tk = TextFunctions.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("lang"), col("source"), tk.as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("tk"),
+        posexplode(col("tk")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("lang"), col("source"), col("p"), col("w"),
+        when(col("p") >= 1, element_at(col("tk"), col("p"))).as("wp"),
+        when(col("p") >= 2, element_at(col("tk"), col("p") - 1)).as("wpp"))
+  }
+
+  /** The four model tables, all tiny aggregates of the token stream:
+    * (uni with s1 and N folded in, pruned bigrams with s2, pruned trigrams
+    * with s3). Cached: they are the MODEL (KBs–MBs at any corpus size),
+    * re-used by every scoring branch. */
+  private def model(st: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val uni = st.groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
+    val n = uni.agg(sum("c1").as("n_tokens_total"))
+    // s1 rides on the unigram table: one scalar broadcast, no per-row agg
+    val uniS = uni.crossJoin(broadcast(n))
+      .select(col("w"), col("c1"), (col("c1") / col("n_tokens_total")).as("s1"))
+      .cache()
+    val bigRaw = st.filter(col("p") >= 1)
+      .groupBy(col("wp").as("b1"), col("w").as("b2"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+      .cache()
+    val bigS = bigRaw.filter(col("c2") >= MinCount)
+      .join(broadcast(uniS.select(col("w").as("b1"), col("c1"))), "b1")
+      .select(col("b1"), col("b2"), col("c2"), (col("c2") / col("c1")).as("s2"))
+      .cache()
+    val triS = st.filter(col("p") >= 2)
+      .groupBy(col("wpp").as("t1"), col("wp").as("t2"), col("w").as("t3"))
+      .agg(count(lit(1)).cast("double").as("c3"))
+      .filter(col("c3") >= MinCount)
+      // raw-count denominator: c3 ≥ 2 ⇒ the context bigram exists in bigRaw
+      .join(broadcast(bigRaw.select(col("b1").as("t1"), col("b2").as("t2"),
+        col("c2").as("c2ctx"))), Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("t3"), col("c3"),
+        (col("c3") / col("c2ctx")).as("s3"))
+      .cache()
+    (uniS, bigS, triS)
+  }
+
+  /** Per-document stupid-backoff score: (doc_id, lang, n_tokens,
+    * avg_log2sb, sb_ppl). Self-trained on the scored corpus (the CCNet
+    * production shape trains on a reference corpus — swap the `st` the
+    * model is built from to change that). */
+  def scoreDocs(docs: DataFrame): DataFrame = {
+    val st = tokenStream(docs)
+    val (uniS, bigS, triS) = model(st)
+    val s: Column =
+      when(col("p") >= 2 && col("s3").isNotNull, col("s3"))
+        .when(col("p") >= 2 && col("s2").isNotNull, lit(Alpha) * col("s2"))
+        .when(col("p") >= 2, lit(Alpha * Alpha) * col("s1"))
+        .when(col("p") === 1 && col("s2").isNotNull, col("s2"))
+        .when(col("p") === 1, lit(Alpha) * col("s1"))
+        .otherwise(col("s1"))
+    st
+      .join(broadcast(triS), col("wpp") === col("t1") &&
+        col("wp") === col("t2") && col("w") === col("t3"), "left")
+      .join(broadcast(bigS), col("wp") === col("b1") && col("w") === col("b2"), "left")
+      .join(broadcast(uniS.select(col("w"), col("s1"))), "w")
+      .withColumn("t",
+        round(log(s) / log(lit(2.0)), 9).cast("decimal(20,9)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(sum(col("t")).cast("double") / count(lit(1)), 6).as("avg_log2sb"))
+      .withColumn("sb_ppl", round(pow(lit(2.0), -col("avg_log2sb")), 4))
+  }
+
+  // no ORDER BY: the result is corpus-sized (one row per doc) and the
+  // driver's compare sorts rows — a global sort here would be pure cost
+  def scoreQuery(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(Tables.spread(spark, Tables.documents(spark, dir)))
+
+  /** The model artifact itself: top pruned trigrams by count with their
+    * backoff score — the inspectable head of what `writeModel` would
+    * persist. Total-order tiebreak (c3 desc, t1, t2, t3). */
+  def modelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val st = tokenStream(Tables.spread(spark, Tables.documents(spark, dir)))
+    val (_, _, triS) = model(st)
+    triS.select(col("t1"), col("t2"), col("t3"),
+      col("c3").cast("long").as("c3"), round(col("s3"), 6).as("s3"))
+      .orderBy(col("c3").desc, col("t1"), col("t2"), col("t3"))
+      .limit(40)
+  }
+
+  /** The filter in use: per-source keep rate at the self-calibrating
+    * threshold (corpus mean of the per-doc scores — decimal-exact mean, so
+    * both engines compute the identical cut). */
+  def gateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoreDocs(Tables.spread(spark, Tables.documents(spark, dir)))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+    val thr = scored.agg(
+      round(sum(col("avg_log2sb").cast("decimal(20,6)")).cast("double")
+        / count(lit(1)), 6).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("avg_log2sb") >= col("thr"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate", round(col("n_keep") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  /** Shared DuckDB token-stream fragment — mirrors [[tokenStream]]:
+    * `tk` is the Spark `TextFunctions.tokens` split; DuckDB lists are
+    * 1-based, so prev = tk[p], prevprev = tk[p-1] for 0-based p. */
+  private val tokenStreamSql: String =
+    raw"""toks AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(str_split(lower(trim(regexp_replace(text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, lang, source, tk,
+      |    unnest(range(0, len(tk))) AS p, unnest(tk) AS w
+      |  FROM toks WHERE len(tk) >= 1),
+      |st2 AS (
+      |  SELECT doc_id, lang, source, p, w,
+      |    CASE WHEN p >= 1 THEN tk[p] END AS wp,
+      |    CASE WHEN p >= 2 THEN tk[p-1] END AS wpp
+      |  FROM st),
+      |uni AS (SELECT w, count(*)::DOUBLE AS c1 FROM st2 GROUP BY 1),
+      |unis AS (SELECT w, c1, c1 / (SELECT sum(c1) FROM uni) AS s1 FROM uni),
+      |bigraw AS (SELECT wp AS b1, w AS b2, count(*)::DOUBLE AS c2
+      |           FROM st2 WHERE p >= 1 GROUP BY 1, 2),
+      |bigs AS (SELECT b.b1, b.b2, b.c2, b.c2 / u.c1 AS s2
+      |         FROM bigraw b JOIN uni u ON u.w = b.b1 WHERE b.c2 >= 2),
+      |tris AS (
+      |  SELECT t.t1, t.t2, t.t3, t.c3, t.c3 / b.c2 AS s3
+      |  FROM (SELECT wpp AS t1, wp AS t2, w AS t3, count(*)::DOUBLE AS c3
+      |        FROM st2 WHERE p >= 2 GROUP BY 1, 2, 3) t
+      |  JOIN bigraw b ON b.b1 = t.t1 AND b.b2 = t.t2
+      |  WHERE t.c3 >= 2)""".stripMargin
+
+  private val scoredSql: String =
+    raw"""scored AS (
+      |  SELECT s.doc_id, s.lang, CAST(count(*) AS INT) AS n_tokens,
+      |    round(CAST(sum(CAST(round(ln(
+      |      CASE WHEN s.p >= 2 AND t.s3 IS NOT NULL THEN t.s3
+      |           WHEN s.p >= 2 AND b.s2 IS NOT NULL THEN 0.4 * b.s2
+      |           WHEN s.p >= 2 THEN 0.16000000000000003 * u.s1
+      |           WHEN s.p = 1 AND b.s2 IS NOT NULL THEN b.s2
+      |           WHEN s.p = 1 THEN 0.4 * u.s1
+      |           ELSE u.s1 END) / ln(2.0), 9) AS DECIMAL(20,9))) AS DOUBLE)
+      |      / count(*), 6) AS avg_log2sb
+      |  FROM st2 s
+      |  LEFT JOIN tris t ON t.t1 = s.wpp AND t.t2 = s.wp AND t.t3 = s.w
+      |  LEFT JOIN bigs b ON b.b1 = s.wp AND b.b2 = s.w
+      |  JOIN unis u ON u.w = s.w
+      |  GROUP BY s.doc_id, s.lang)""".stripMargin
+
+  val scoreQuerySql: String =
+    raw"""WITH $tokenStreamSql,
+      |$scoredSql
+      |SELECT doc_id, lang, n_tokens, avg_log2sb,
+      |  round(pow(2.0, -avg_log2sb), 4) AS sb_ppl
+      |FROM scored""".stripMargin
+
+  val modelQuerySql: String =
+    raw"""WITH $tokenStreamSql
+      |SELECT t1, t2, t3, CAST(c3 AS BIGINT) AS c3, round(s3, 6) AS s3
+      |FROM tris ORDER BY c3 DESC, t1, t2, t3 LIMIT 40""".stripMargin
+
+  val gateQuerySql: String =
+    raw"""WITH $tokenStreamSql,
+      |$scoredSql,
+      |thr AS (SELECT round(CAST(sum(CAST(avg_log2sb AS DECIMAL(20,6)))
+      |                    AS DOUBLE) / count(*), 6) AS thr FROM scored)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN s.avg_log2sb >= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  round(sum(CASE WHEN s.avg_log2sb >= thr.thr THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*), 6) AS keep_rate
+      |FROM scored s JOIN documents d ON d.doc_id = s.doc_id, thr
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+}
