@@ -202,6 +202,15 @@ object SparkEntry {
     ("q_cms_guarantee",
       ((s: SparkSession, d: String) => graft.operators.Sketches.cmsGuarantee(s, d)): Q,
       Some(graft.operators.Sketches.cmsGuaranteeSql())),
+    // AMS sign-sketch join-size estimation (the fourth sketch: how big is
+    // this JOIN) — estimates rows-only next to their exact twin; the
+    // guarantee leg (exact size SQL-re-derived, CMS never-undercount, AMS
+    // 8σ/√width band) hash-oracled
+    ("q_join_estimate",
+      ((s: SparkSession, d: String) => graft.operators.Sketches.joinEstimates(s, d)): Q, None),
+    ("q_join_estimate_guarantee",
+      ((s: SparkSession, d: String) => graft.operators.Sketches.joinEstimateGuarantee(s, d)): Q,
+      Some(graft.operators.Sketches.joinEstimateGuaranteeSql)),
     // model-based quality gate (CCNet/LLaMA/DCLM-style learned filter):
     // distributed logistic GD over the oracled hashed-text embeddings with
     // teacher labels from the oracled quality rule — stats and the scored

@@ -298,4 +298,198 @@ object Sketches {
        |       CAST(cnt.exact_count AS BIGINT) AS exact_count
        |FROM cnt JOIN tot USING (lang)
        |WHERE cnt.exact_count > tot.n_terms / ${k + 1}.0""".stripMargin
+
+  // ------------------------------------------------ AMS join-size sketch
+  /** AMS sign sketch (Alon-Matias-Szegedy 1996; join-size form
+    * Alon-Gibbons-Matias-Szegedy 1999, "fast" Count-Sketch layout per
+    * Charikar-Chen-Farach-Colton) — the FOURTH sketch family member: HLL
+    * answers "how many distinct", MG "which are heavy", CMS "how often is
+    * this one", AMS "how big is this JOIN". Each of `depth` rows hashes
+    * every key to one of `width` buckets with a ±1 sign; the per-row
+    * estimate of |A ⋈_k B| is the bucket-wise inner product Σ_w A[w]·B[w]
+    * (unbiased — cross-key collision terms carry independent random signs
+    * and cancel in expectation), and the sketch estimate is the MEDIAN
+    * over rows. Std-dev per row ≲ ‖a‖₂‖b‖₂/√width, so the estimate is
+    * tight exactly where the CMS inner product (min over rows — a
+    * deterministic UPPER bound, collisions only add) is noise-dominated.
+    *
+    * Why it matters at 100 TB: the join-size question gates physical
+    * strategy (broadcast vs shuffle vs salt) and a wrong guess is a spilled
+    * stage; the sketch answers it with one map-side-combined fixed grid per
+    * side (depth×width longs — KBs), one broadcast, zero shuffles of data
+    * rows. The exact answer costs a full co-shuffle of both sides — the
+    * very thing being sized. Mergeable by pointwise sum like CMS/MG, so it
+    * maintains incrementally under appends. */
+  class AmsAgg(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], key: String): Array[Long] = {
+      var d = 0
+      while (d < depth) {
+        b(d * width + Sketches.cmsSlot(key, d, width)) += Sketches.amsSign(key, d)
+        d += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** ±1 sign for row `d` — a DIFFERENT seed space than the slot hash
+    * (seed d+1000003) so sign and slot are independent; shared by ingest
+    * and any future point-query so they can never drift. */
+  private[graft] def amsSign(key: String, d: Int): Int =
+    if ((scala.util.hashing.MurmurHash3.stringHash(key, d + 1000003) & 1) == 0) 1 else -1
+
+  /** Median-of-rows inner product of two AMS grids. */
+  private[graft] def amsJoinEstimate(a: Seq[Long], b: Seq[Long],
+      depth: Int, width: Int): Long = {
+    val per = Array.tabulate(depth) { d =>
+      var s = 0L
+      var w = 0
+      while (w < width) { s += a(d * width + w) * b(d * width + w); w += 1 }
+      s
+    }.sorted
+    per(depth / 2)
+  }
+
+  /** Min-of-rows inner product of two CMS grids — the deterministic upper
+    * bound on the join size (every bucket product is a sum of the true
+    * key products plus nonnegative collision cross-terms). */
+  private[graft] def cmsJoinUpper(a: Seq[Long], b: Seq[Long],
+      depth: Int, width: Int): Long = {
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      var s = 0L
+      var w = 0
+      while (w < width) { s += a(d * width + w) * b(d * width + w); w += 1 }
+      if (s < best) best = s
+      d += 1
+    }
+    best
+  }
+
+  val AmsDepth = 5 // odd — the median is a real row, no averaging
+
+  /** The three audit scenarios: a filtered FK join (plan-sizing), a
+    * self-join on a skewed low-cardinality key (the salting decision), and
+    * a filtered behavioral self-join (funnel sizing). Each side is
+    * (join_name, key) with keys rendered as strings for hashing. */
+  private def joinScenarios(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame, DataFrame)] = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val ev = Tables.events(spark, dir)
+    Seq(
+      ("lineitem_r_orders_urgent",
+        li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").cast("string").as("k")),
+        ord.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").cast("string").as("k"))),
+      ("documents_lang_self",
+        docs.select(col("lang").as("k")),
+        docs.select(col("lang").as("k"))),
+      ("events_click_purchase",
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").cast("string").as("k")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").cast("string").as("k"))))
+  }
+
+  /** Per scenario: both sketch estimates next to the exact join size and
+    * the input cardinalities. Rows-only by contract (the estimates are
+    * hash-layout-specific); the guarantee twin below is the oracle. The
+    * exact column exists to certify the sketch — production sizing runs
+    * the two grid aggregates only. */
+  def joinEstimates(spark: SparkSession, dir: String,
+      depth: Int = AmsDepth, width: Int = CmsWidth): DataFrame = {
+    val ams = udaf(new AmsAgg(depth, width), Encoders.STRING)
+    val cms = udaf(new CountMinAgg(CmsDepth, width), Encoders.STRING)
+    val amsEst = udf((a: Seq[Long], b: Seq[Long]) =>
+      amsJoinEstimate(a, b, depth, width))
+    val cmsUp = udf((a: Seq[Long], b: Seq[Long]) =>
+      cmsJoinUpper(a, b, CmsDepth, width))
+    joinScenarios(spark, dir).map { case (name, a, b) =>
+      val sa = a.agg(ams(col("k")).as("ams_a"), cms(col("k")).as("cms_a"),
+        count(lit(1)).as("n_a"))
+      val sb = b.agg(ams(col("k")).as("ams_b"), cms(col("k")).as("cms_b"),
+        count(lit(1)).as("n_b"))
+      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
+      sa.crossJoin(sb).crossJoin(exact)
+        .select(lit(name).as("join_name"), col("n_a"), col("n_b"),
+          col("exact_join_rows"),
+          amsEst(col("ams_a"), col("ams_b")).as("ams_estimate"),
+          cmsUp(col("cms_a"), col("cms_b")).as("cms_upper_bound"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Oracle-checkable guarantee twin: the exact join size (re-derived by
+    * DuckDB), the deterministic CMS never-undercount, and the AMS error
+    * within 8·‖a‖₂‖b‖₂/√width — per-row Chebyshev gives ≤ 1/64 at 8σ,
+    * the median of 5 rows needs 3 simultaneous misses (≲ 10⁻⁴); like
+    * `cmsGuarantee` this is an empirically-pinned per-corpus property,
+    * re-checked at every shipped SF, not a theorem. ‖·‖₂ are computed
+    * exactly on both engines from per-key counts (integer arithmetic). */
+  def joinEstimateGuarantee(spark: SparkSession, dir: String,
+      depth: Int = AmsDepth, width: Int = CmsWidth): DataFrame = {
+    val ams = udaf(new AmsAgg(depth, width), Encoders.STRING)
+    val cms = udaf(new CountMinAgg(CmsDepth, width), Encoders.STRING)
+    val amsEst = udf((a: Seq[Long], b: Seq[Long]) =>
+      amsJoinEstimate(a, b, depth, width))
+    val cmsUp = udf((a: Seq[Long], b: Seq[Long]) =>
+      cmsJoinUpper(a, b, CmsDepth, width))
+    joinScenarios(spark, dir).map { case (name, a, b) =>
+      val sa = a.agg(ams(col("k")).as("ams_a"), cms(col("k")).as("cms_a"))
+      val sb = b.agg(ams(col("k")).as("ams_b"), cms(col("k")).as("cms_b"))
+      val ca = a.groupBy("k").agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy("k").agg(count(lit(1)).as("cb"))
+      val exact = ca.join(cb, "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
+      val norms = ca.agg(sum(col("ca") * col("ca")).as("f2a"))
+        .crossJoin(cb.agg(sum(col("cb") * col("cb")).as("f2b")))
+      sa.crossJoin(sb).crossJoin(exact).crossJoin(norms)
+        .select(lit(name).as("join_name"), col("exact_join_rows"),
+          (cmsUp(col("cms_a"), col("cms_b")) >= col("exact_join_rows"))
+            .as("cms_never_undercounts"),
+          (abs(amsEst(col("ams_a"), col("ams_b")) - col("exact_join_rows"))
+            .cast("double") <=
+            lit(8.0 / math.sqrt(width.toDouble)) *
+              sqrt(col("f2a").cast("double") * col("f2b").cast("double")))
+            .as("ams_within_bound"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** DuckDB mirror: exact join sizes per scenario; the sketch booleans are
+    * pinned true (the Spark side computes them genuinely). */
+  val joinEstimateGuaranteeSql: String =
+    """WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |lb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |da AS (SELECT lang AS k FROM documents),
+      |ea AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'),
+      |eb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
+      |j1 AS (SELECT COALESCE(SUM(a.ca * b.cb), 0) AS n FROM
+      |  (SELECT k, COUNT(*) AS ca FROM la GROUP BY 1) a JOIN
+      |  (SELECT k, COUNT(*) AS cb FROM lb GROUP BY 1) b USING (k)),
+      |j2 AS (SELECT COALESCE(SUM(a.ca * b.cb), 0) AS n FROM
+      |  (SELECT k, COUNT(*) AS ca FROM da GROUP BY 1) a JOIN
+      |  (SELECT k, COUNT(*) AS cb FROM da GROUP BY 1) b USING (k)),
+      |j3 AS (SELECT COALESCE(SUM(a.ca * b.cb), 0) AS n FROM
+      |  (SELECT k, COUNT(*) AS ca FROM ea GROUP BY 1) a JOIN
+      |  (SELECT k, COUNT(*) AS cb FROM eb GROUP BY 1) b USING (k))
+      |SELECT 'lineitem_r_orders_urgent' AS join_name, CAST(j1.n AS BIGINT) AS exact_join_rows,
+      |       true AS cms_never_undercounts, true AS ams_within_bound FROM j1
+      |UNION ALL SELECT 'documents_lang_self', CAST(j2.n AS BIGINT), true, true FROM j2
+      |UNION ALL SELECT 'events_click_purchase', CAST(j3.n AS BIGINT), true, true FROM j3""".stripMargin
 }
