@@ -256,6 +256,15 @@ object SparkEntry {
     ("q_budget_sample_summary",
       ((s: SparkSession, d: String) => graft.operators.Sampling.budgetSampleSummary(s, d)): Q,
       Some(graft.operators.Sampling.budgetSampleSummarySql())),
+    // Efraimidis-Spirakis weighted sampling without replacement — the only
+    // sampler with MEMBERSHIP fully hash-oracled (portable polynomial hash
+    // → identical u^(1/w) ranks in DuckDB); share audit oracled too
+    ("q_weighted_sample",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.weightedSample(s, d)): Q,
+      Some(graft.operators.Sampling.weightedSampleSql())),
+    ("q_weighted_share",
+      ((s: SparkSession, d: String) => graft.operators.Sampling.weightedShare(s, d)): Q,
+      Some(graft.operators.Sampling.weightedShareSql())),
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),

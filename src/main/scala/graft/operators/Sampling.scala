@@ -269,4 +269,102 @@ object Sampling {
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(CEIL(COUNT(*) * CAST($frac AS DOUBLE)) AS BIGINT) AS n_sampled
        |FROM documents GROUP BY lang""".stripMargin
+
+  // ------------------------------------------- weighted (A-ES) sampling
+  /** Efraimidis–Spirakis (2006) weighted sampling WITHOUT replacement:
+    * every doc draws u = uniform(0,1) from a deterministic hash and is
+    * ranked by u^(1/w) — the budget LARGEST ranks are the sample, and the
+    * inclusion law is exactly sequential weighted draws without
+    * replacement. This is the sampler the uniform family can't replace:
+    * quality-weighted eval draws, length-proportional token audits,
+    * importance-weighted distillation sets.
+    *
+    * Unlike the xxhash64 samplers (membership rows-only, allocation
+    * oracled), membership here is FULLY hash-oracled: u comes from the
+    * portable polynomial hash ([[graft.functions.HashExpressions]] ↔ the
+    * HUGEINT fold in SQL), the signed→double→(0,1) map is the identical
+    * IEEE op sequence on both engines, and the only cross-engine exposure
+    * left is libm's ln ulp on the ORDER of two ranks straddling the budget
+    * boundary — the accepted `q_minhash_recall`-class empirical pin.
+    *
+    * Scale shape: rank is a per-row projection (codegen'd hash, one ln);
+    * selection is a global top-k — `TakeOrderedAndProject`, per-partition
+    * heaps merged on the driver, never a global sort. The rank is
+    * row-intrinsic (no state), so the k-largest of a union is the
+    * k-largest of per-batch k-largests — the same streamed ≡ batch
+    * contract as [[budgetSampleOf]]. */
+  def weightedSampleOf(docs: DataFrame, weightCol: String, budget: Int,
+      seed: Int = 42): DataFrame = {
+    val h = graft.functions.HashExpressions.poly_token_hash(
+      concat(lit(s"ws$seed:"), col("doc_id").cast("string")))
+    // signed/2^64 + 0.5 ∈ [0,1): exact scaling + one rounding, identical
+    // on both engines; the 1e-300 floor keeps ln finite at the 2^-64 nub
+    val u = greatest(h.cast("double") / lit(1.8446744073709552e19) + lit(0.5),
+      lit(1e-300))
+    docs
+      .withColumn("rnk", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("rnk").desc, col("doc_id"))
+      .limit(budget)
+      .drop("rnk")
+  }
+
+  /** Length-weighted corpus sample: P(doc) ∝ n_chars+1 — the draw that
+    * makes a fixed-doc-count audit see a token-mass-proportional picture.
+    * Output is integers/strings only (the FP rank stays internal). */
+  def weightedSample(spark: SparkSession, dir: String,
+      budget: Int = 60, seed: Int = 42): DataFrame =
+    weightedSampleOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") + 1L).as("weight")),
+      "weight", budget, seed)
+
+  /** Why weighted ≠ uniform, in one oracled table: each source's share of
+    * the weighted sample next to its doc share and its weight-mass share —
+    * the sample share tracks MASS, not doc count. */
+  def weightedShare(spark: SparkSession, dir: String,
+      budget: Int = 60, seed: Int = 42): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tot = docs.agg(count(lit(1)).cast("double").as("n_all"),
+      sum(col("n_chars") + 1L).cast("double").as("w_all"))
+    val kept = weightedSample(spark, dir, budget, seed)
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars") + 1L).as("w_mass"))
+      .join(kept, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(col("n_docs") / col("n_all"), 6).as("doc_share"),
+        round(col("w_mass") / col("w_all"), 6).as("mass_share"))
+  }
+
+  private def wsRankSql(seed: Int): String = {
+    import graft.functions.TextFunctions.{polyMixSql, wrapSignedSql}
+    val h = wrapSignedSql(polyMixSql(s"'ws$seed:' || CAST(doc_id AS VARCHAR)"))
+    s"""ln(greatest(CAST($h AS DOUBLE)
+       |      / CAST(18446744073709551616 AS DOUBLE) + 0.5, 1e-300))
+       |    / CAST(n_chars + 1 AS DOUBLE)""".stripMargin
+  }
+
+  def weightedSampleSql(budget: Int = 60, seed: Int = 42): String =
+    s"""SELECT doc_id, lang, source, CAST(n_chars + 1 AS BIGINT) AS weight
+       |FROM (SELECT doc_id, lang, source, n_chars, ${wsRankSql(seed)} AS rnk
+       |      FROM documents)
+       |ORDER BY rnk DESC, doc_id LIMIT $budget""".stripMargin
+
+  def weightedShareSql(budget: Int = 60, seed: Int = 42): String =
+    s"""WITH kept AS (
+       |  SELECT source FROM
+       |    (SELECT doc_id, source, ${wsRankSql(seed)} AS rnk FROM documents)
+       |  ORDER BY rnk DESC, doc_id LIMIT $budget),
+       |tot AS (SELECT COUNT(*)::DOUBLE AS n_all,
+       |               SUM(n_chars + 1)::DOUBLE AS w_all FROM documents),
+       |ks AS (SELECT source, COUNT(*) AS n_sampled FROM kept GROUP BY 1)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(ANY_VALUE(ks.n_sampled), 0) AS BIGINT) AS n_sampled,
+       |  round(COUNT(*) / ANY_VALUE(tot.n_all), 6) AS doc_share,
+       |  round(SUM(d.n_chars + 1) / ANY_VALUE(tot.w_all), 6) AS mass_share
+       |FROM documents d LEFT JOIN ks ON ks.source = d.source, tot
+       |GROUP BY d.source""".stripMargin
 }

@@ -267,4 +267,41 @@ class LayoutSpec extends AnyFunSuite {
     val n = spark.read.parquet(out).filter(col("text").isNotNull).count()
     assert(n == plan.size.toLong)
   }
+
+  test("weighted sample: inclusion frequency tracks weights across seeds (A-ES law)") {
+    // two heavy docs (w=400) among 18 light ones (w=1); k=2 per seed.
+    // P(a heavy doc wins a slot) ≈ 400/818 per draw — across 60 seeds the
+    // heavy pair must dominate selections by an order of magnitude.
+    val docs = ((1L to 18L).map(i => (i, 0L)) ++ Seq((100L, 399L), (101L, 399L)))
+      .toDF("doc_id", "nc")
+      .select(col("doc_id"), (col("nc") + 1L).as("weight"))
+    var heavy = 0; var light = 0
+    (1 to 60).foreach { seed =>
+      Sampling.weightedSampleOf(docs, "weight", 2, seed)
+        .collect().map(_.getLong(0)).foreach { id =>
+          if (id >= 100L) heavy += 1 else light += 1
+        }
+    }
+    assert(heavy > 8 * math.max(light, 1),
+      s"weighted draw not weight-proportional: heavy=$heavy light=$light")
+  }
+
+  test("weighted sample: budget >= n keeps everything; membership partitioning-invariant") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), (col("n_chars") + 1L).as("weight"))
+    val all = Sampling.weightedSampleOf(docs, "weight", 100000).count()
+    assert(all == docs.count())
+    val a = Sampling.weightedSampleOf(docs, "weight", 60).collect()
+      .map(_.getLong(0)).toSet
+    val b = Sampling.weightedSampleOf(docs.repartition(7), "weight", 60).collect()
+      .map(_.getLong(0)).toSet
+    assert(a == b && a.size == 60)
+  }
+
+  test("weighted sample plan: TakeOrderedAndProject, never a global sort") {
+    val plan = Sampling.weightedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k merge, got:\n$plan")
+  }
 }
