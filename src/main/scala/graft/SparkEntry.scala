@@ -265,6 +265,14 @@ object SparkEntry {
     ("q_weighted_share",
       ((s: SparkSession, d: String) => graft.operators.Sampling.weightedShare(s, d)): Q,
       Some(graft.operators.Sampling.weightedShareSql())),
+    // one-pass embedding QA: z-scored cosine to own label centroid —
+    // decimal-exact moments, so mean/sd/z hash-oracle exactly
+    ("q_embed_outliers",
+      ((s: SparkSession, d: String) => Similarity.centroidOutliers(s, d)): Q,
+      Some(Similarity.centroidOutliersSql())),
+    ("q_embed_outlier_stats",
+      ((s: SparkSession, d: String) => Similarity.centroidOutlierStats(s, d)): Q,
+      Some(Similarity.centroidOutlierStatsSql())),
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),

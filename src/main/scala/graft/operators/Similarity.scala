@@ -255,6 +255,100 @@ object Similarity {
        |  FROM cnts)
        |WHERE rk2 = 1""".stripMargin
 
+  /** Centroid-distance outlier audit — the ONE-PASS embedding-space QA
+    * screen (vs [[labelNoiseKnn]]'s O(anchors × N) confident-learning
+    * sweep): each vector's cosine to its OWN label centroid, z-scored
+    * against its label's distribution; a strongly-negative z flags a
+    * mislabeled / corrupt / off-manifold vector. At 100 TB: centroids are
+    * labels × dim (broadcast), the cosine is one codegen'd projection per
+    * row, and the per-label moments are a tiny aggregate — the whole audit
+    * is two corpus passes and zero corpus shuffles (the moment aggregate
+    * ships 3 numbers per label per partition).
+    *
+    * Determinism: moments are computed on the ROUNDED cosine cast to
+    * decimal — Σx and Σx² are exact order-free decimal sums — and every
+    * double op downstream (mean, variance, √, z) is the identical IEEE
+    * sequence on both engines, so mean/sd/z hash-oracle EXACTLY (no
+    * stddev_samp accumulation-order exposure). */
+  private[graft] def ownCentroidScored(spark: SparkSession, dir: String): DataFrame = {
+    val scored = corpus(spark, dir)
+      .join(broadcast(centroids(spark, dir)), col("label") === col("c_label"))
+      .withColumn("cos_own", round(cosine_sim(col("emb"), col("centroid")), 6))
+    val stats = scored.groupBy(col("label").as("s_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos_own").cast("decimal(16,6)")).as("s1"),
+        sum((col("cos_own").cast("decimal(16,6)") *
+          col("cos_own").cast("decimal(16,6)"))).as("s2"))
+      .select(col("s_label"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        when(col("n") > 1,
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1))).as("sd"))
+    scored.join(broadcast(stats), col("label") === col("s_label"))
+      .withColumn("z",
+        when(col("sd").isNull || col("sd") === 0.0, lit(0.0))
+          .otherwise(round((col("cos_own") - col("mu")) / col("sd"), 6)))
+  }
+
+  /** Flagged outliers: z ≤ −zThr (far from own centroid). Fully oracled. */
+  def centroidOutliers(spark: SparkSession, dir: String,
+      zThr: Double = 2.0): DataFrame =
+    ownCentroidScored(spark, dir)
+      .filter(col("z") <= -zThr)
+      .select(col("vec_id"), col("label"), col("cos_own"), col("z"))
+
+  /** Per-label audit summary: moments + outlier count. Fully oracled. */
+  def centroidOutlierStats(spark: SparkSession, dir: String,
+      zThr: Double = 2.0): DataFrame =
+    ownCentroidScored(spark, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(first(col("mu")), 6).as("mean_cos"),
+        round(first(col("sd")), 6).as("sd_cos"),
+        sum(when(col("z") <= -zThr, 1L).otherwise(0L)).as("n_outliers"))
+
+  /** Shared DuckDB CTE chain mirroring [[ownCentroidScored]]: label-mean
+    * centroids (the pqCtes spelling), rounded own-centroid cosine,
+    * decimal-exact moments, identical IEEE mean/var/z sequence. */
+  private def ownCentroidSqlCtes: String =
+    s"""c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pv AS (
+       |  SELECT label, UNNEST(range(1, len(emb) + 1)) AS pos, UNNEST(emb) AS v FROM c),
+       |cvec AS (
+       |  SELECT label, list(m ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, AVG(v) AS m FROM pv GROUP BY 1, 2)
+       |  GROUP BY label),
+       |scored AS (
+       |  SELECT c.vec_id, c.label,
+       |    ROUND(${cosSqlExpr("c.emb", "cv.centroid")}, 6) AS cos_own
+       |  FROM c JOIN cvec cv ON cv.label = c.label),
+       |stats AS (
+       |  SELECT label, n, CAST(s1 AS DOUBLE) / n AS mu,
+       |    CASE WHEN n > 1 THEN sqrt((CAST(s2 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) END AS sd
+       |  FROM (SELECT label, COUNT(*) AS n,
+       |          SUM(CAST(cos_own AS DECIMAL(16,6))) AS s1,
+       |          SUM(CAST(cos_own AS DECIMAL(16,6))
+       |            * CAST(cos_own AS DECIMAL(16,6))) AS s2
+       |        FROM scored GROUP BY 1)),
+       |zd AS (
+       |  SELECT s.vec_id, s.label, s.cos_own, st.mu, st.sd,
+       |    CASE WHEN st.sd IS NULL OR st.sd = 0.0 THEN 0.0
+       |         ELSE ROUND((s.cos_own - st.mu) / st.sd, 6) END AS z
+       |  FROM scored s JOIN stats st ON st.label = s.label)""".stripMargin
+
+  def centroidOutliersSql(zThr: Double = 2.0): String =
+    s"""WITH $ownCentroidSqlCtes
+       |SELECT vec_id, label, cos_own, z FROM zd WHERE z <= -$zThr""".stripMargin
+
+  def centroidOutlierStatsSql(zThr: Double = 2.0): String =
+    s"""WITH $ownCentroidSqlCtes
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  ROUND(ANY_VALUE(mu), 6) AS mean_cos, ROUND(ANY_VALUE(sd), 6) AS sd_cos,
+       |  CAST(SUM(CASE WHEN z <= -$zThr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM zd GROUP BY label""".stripMargin
+
   // ------------------------------------------------------------ LSH
   val NumPlanes = 8
 

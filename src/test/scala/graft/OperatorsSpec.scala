@@ -714,6 +714,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"corpus broadcast reintroduced the driver wall:\n$p")
   }
+
+  test("centroid outliers: moments match a hand recompute; flags consistent") {
+    val scored = Similarity.ownCentroidScored(spark, sf)
+      .select("label", "cos_own", "z").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(scored.nonEmpty)
+    // recompute one label's moments from the per-vector cosines (exact
+    // decimal sums, same IEEE sequence as the operator)
+    val lbl = scored.head._1
+    val xs = scored.filter(_._1 == lbl).map(_._2)
+    val s1 = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    val s2 = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).pow(2)).sum
+    val n = xs.length
+    val mu = s1.toDouble / n
+    val sd = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1))
+    val stats = Similarity.centroidOutlierStats(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    val (gn, gmu, gsd, _) = stats(lbl)
+    assert(gn == n.toLong)
+    assert(gmu == BigDecimal(mu).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(gsd == BigDecimal(sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every flagged row is ≥2 sd BELOW its label mean, and counts agree
+    val flagged = Similarity.centroidOutliers(spark, sf).collect()
+    flagged.foreach { r =>
+      assert(r.getAs[Double]("z") <= -2.0)
+      val (_, m, s, _) = stats(r.getAs[Int]("label"))
+      assert(r.getAs[Double]("cos_own") < m - 1.9 * s)
+    }
+    val perLabel = flagged.groupBy(_.getAs[Int]("label")).view.mapValues(_.length.toLong)
+    stats.foreach { case (l, (_, _, _, nOut)) =>
+      assert(perLabel.getOrElse(l, 0L) == nOut, s"label $l outlier count drift")
+    }
+  }
+
+  test("centroid outliers: z-scores standardized (mean ~0, unit-ish spread) per label") {
+    val scored = Similarity.ownCentroidScored(spark, sf)
+      .groupBy("label")
+      .agg(avg("z").as("mz"), stddev_samp("z").as("sz"))
+      .collect()
+    scored.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mz")) < 0.01, s"z mean off: $r")
+      assert(math.abs(r.getAs[Double]("sz") - 1.0) < 0.05, s"z spread off: $r")
+    }
+  }
 }
 
 class LmScoreSpec extends AnyFunSuite {
@@ -1123,4 +1168,5 @@ class MultimodalSpec extends AnyFunSuite {
       assert(idx.toSeq == (0 until rows.length), "frame indices contiguous from 0")
     }
   }
+
 }
