@@ -139,6 +139,11 @@ object SparkEntry {
       Some(graft.operators.NgramLm.modelQuerySql)),
     ("q_ngram_lm_gate", graft.operators.NgramLm.gateQuery _,
       Some(graft.operators.NgramLm.gateQuerySql)),
+    // curriculum-learning prep composed on the LM scores: exact type-1
+    // quartile cuts from a bounded distinct-score CDF (never a per-doc
+    // window), easy→hard bucket plan fully oracled
+    ("q_curriculum_plan", graft.operators.Curation.curriculumPlan _,
+      Some(graft.operators.Curation.curriculumPlanSql)),
     ("q_fingerprint", TextFunctions.fingerprintQuery _,
       Some(TextFunctions.fingerprintQuerySql)),
     ("q_winnow_fingerprint", TextFunctions.winnowQuery _,

@@ -1297,4 +1297,78 @@ object Curation {
        |      ORDER BY quality_score DESC, doc_id ASC) AS INT) AS rank
        |  FROM q)
        |WHERE rank <= $cap""".stripMargin
+
+  // ------------------------------------------------------- curriculum plan
+  /** Curriculum bucketing by LM difficulty (the curriculum-learning prep:
+    * order training data easy → hard by model surprise): per-doc
+    * stupid-backoff scores ([[NgramLm.scoreDocs]]) cut at exact quartile
+    * boundaries, bucket 1 = easiest (highest mean log-likelihood) … 4 =
+    * hardest.
+    *
+    * Boundaries are TYPE-1 quantiles over the ROUNDED score distribution:
+    * q_p = smallest score with cumulative count ≥ ⌈p·N⌉ — pure integer
+    * logic on exact counts, no interpolation, so both engines compute the
+    * identical cut. Scale shape: the CDF is built on the DISTINCT-score
+    * table, whose cardinality is bounded by the score RANGE × 10⁶ (6-dp
+    * grid), not by the corpus — the one ordered window runs over that
+    * bounded table, never over docs (the `percentile(...)` exact aggregate
+    * would buffer every per-doc value; approx_percentile is the sketch
+    * alternative when even the grid is too wide). Assignment is a
+    * broadcast of 3 numbers + one CASE per row; the summary is one
+    * shuffle keyed by the 4 buckets. */
+  def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val scored = NgramLm.scoreDocs(
+      Tables.spread(spark, Tables.documents(spark, dir)))
+    val dist = scored.groupBy("avg_log2sb").agg(count(lit(1)).as("c"))
+    val cum = dist
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("avg_log2sb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = scored.agg(count(lit(1)).as("n_all"))
+    val bounds = cum.crossJoin(broadcast(n)).agg(
+      min(when(col("cum") >= ceil(col("n_all") * 0.25), col("avg_log2sb"))).as("q1"),
+      min(when(col("cum") >= ceil(col("n_all") * 0.50), col("avg_log2sb"))).as("q2"),
+      min(when(col("cum") >= ceil(col("n_all") * 0.75), col("avg_log2sb"))).as("q3"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("avg_log2sb") > col("q3"), 1)
+          .when(col("avg_log2sb") > col("q2"), 2)
+          .when(col("avg_log2sb") > col("q1"), 3)
+          .otherwise(4))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_total"),
+        min(col("avg_log2sb")).as("min_score"),
+        max(col("avg_log2sb")).as("max_score"))
+  }
+
+  def curriculumPlanSql: String = {
+    // per-doc scores: the NgramLm CTE chain verbatim
+    val scoredCtes = NgramLm.scoreQuerySql
+      .stripPrefix("WITH ").split("\nSELECT ")(0)
+    s"""WITH $scoredCtes,
+       |dist AS (SELECT avg_log2sb, COUNT(*) AS c FROM scored GROUP BY 1),
+       |cum AS (SELECT avg_log2sb,
+       |          SUM(c) OVER (ORDER BY avg_log2sb
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM dist),
+       |nall AS (SELECT COUNT(*) AS n_all FROM scored),
+       |bounds AS (
+       |  SELECT
+       |    MIN(CASE WHEN cum >= CEIL(n_all * 0.25) THEN avg_log2sb END) AS q1,
+       |    MIN(CASE WHEN cum >= CEIL(n_all * 0.50) THEN avg_log2sb END) AS q2,
+       |    MIN(CASE WHEN cum >= CEIL(n_all * 0.75) THEN avg_log2sb END) AS q3
+       |  FROM cum, nall)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  MIN(avg_log2sb) AS min_score, MAX(avg_log2sb) AS max_score
+       |FROM (
+       |  SELECT s.n_tokens, s.avg_log2sb,
+       |    CASE WHEN s.avg_log2sb > b.q3 THEN 1
+       |         WHEN s.avg_log2sb > b.q2 THEN 2
+       |         WHEN s.avg_log2sb > b.q1 THEN 3
+       |         ELSE 4 END AS bucket
+       |  FROM scored s, bounds b)
+       |GROUP BY bucket""".stripMargin
+  }
 }

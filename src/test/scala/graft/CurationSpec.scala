@@ -36,6 +36,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rounds >= 2, s"fixpoint needs a confirming round, got $rounds")
   }
 
+  test("curriculum plan: quartile allocation exact, buckets ordered and disjoint") {
+    val rows = Curation.curriculumPlan(spark, sf).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("min_score"),
+          r.getAs[Double]("max_score"))).toMap
+    assert(rows.keySet == Set(1, 2, 3, 4))
+    val n = rows.values.map(_._1).sum
+    // type-1 quantile cuts: each bucket holds between ⌊N/4⌋−ties and
+    // ⌈N/4⌉+ties docs; with distinct-heavy scores the split is near-exact
+    rows.values.foreach { case (c, _, _) =>
+      assert(math.abs(c - n / 4.0) <= math.max(4, n / 20.0), s"allocation skew: $rows")
+    }
+    // easy→hard: bucket i's score range sits strictly above bucket i+1's
+    (1 to 3).foreach { b =>
+      assert(rows(b)._2 > rows(b + 1)._3,
+        s"bucket $b overlaps ${b + 1}: ${rows(b)} vs ${rows(b + 1)}")
+    }
+  }
+
   test("split contamination: exactly the cross-split near-dup pairs") {
     val pairs = Dedup.minhashNearDups(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
