@@ -137,6 +137,10 @@ object SparkEntry {
       Some(graft.operators.NgramLm.scoreQuerySql)),
     ("q_ngram_lm_model", graft.operators.NgramLm.modelQuery _,
       Some(graft.operators.NgramLm.modelQuerySql)),
+    // scoring against the PERSISTED count tables (TxTable) — stored ≡
+    // inline proven by carrying the IDENTICAL oracle
+    ("q_ngram_lm_stored", graft.operators.NgramLm.scoreStoredQuery _,
+      Some(graft.operators.NgramLm.scoreQuerySql)),
     ("q_ngram_lm_gate", graft.operators.NgramLm.gateQuery _,
       Some(graft.operators.NgramLm.gateQuerySql)),
     // curriculum-learning prep composed on the LM scores: exact type-1

@@ -67,28 +67,40 @@ object NgramLm {
         when(col("p") >= 2, element_at(col("tk"), col("p") - 1)).as("wpp"))
   }
 
-  /** The four model tables, all tiny aggregates of the token stream:
-    * (uni with s1 and N folded in, pruned bigrams with s2, pruned trigrams
-    * with s3). Cached: they are the MODEL (KBs–MBs at any corpus size),
-    * re-used by every scoring branch. */
-  private def model(st: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val uni = st.groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
+  /** RAW n-gram count tables — the model's sufficient statistic (what the
+    * production LM pipeline keeps on disk; pruning and score derivation
+    * happen at model-BUILD time, so counts stay mergeable under appends):
+    * uni(w, c1), big(b1, b2, c2), tri(t1, t2, t3, c3), all exact longs. */
+  private def rawCounts(st: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    st.groupBy("w").agg(count(lit(1)).as("c1")),
+    st.filter(col("p") >= 1)
+      .groupBy(col("wp").as("b1"), col("w").as("b2"))
+      .agg(count(lit(1)).as("c2")),
+    st.filter(col("p") >= 2)
+      .groupBy(col("wpp").as("t1"), col("wp").as("t2"), col("w").as("t3"))
+      .agg(count(lit(1)).as("c3")))
+
+  /** Score tables derived from raw counts: (uni with s1 and N folded in,
+    * pruned bigrams with s2, pruned trigrams with s3). Cached: they are
+    * the MODEL (KBs–MBs at any corpus size), re-used by every scoring
+    * branch — and the ONE derivation both the inline and the stored paths
+    * go through, so they cannot drift. */
+  private def modelFromCounts(uni0: DataFrame, bigRaw0: DataFrame,
+      tri0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val uni = uni0.select(col("w"), col("c1").cast("double").as("c1"))
     val n = uni.agg(sum("c1").as("n_tokens_total"))
     // s1 rides on the unigram table: one scalar broadcast, no per-row agg
     val uniS = uni.crossJoin(broadcast(n))
       .select(col("w"), col("c1"), (col("c1") / col("n_tokens_total")).as("s1"))
       .cache()
-    val bigRaw = st.filter(col("p") >= 1)
-      .groupBy(col("wp").as("b1"), col("w").as("b2"))
-      .agg(count(lit(1)).cast("double").as("c2"))
-      .cache()
+    val bigRaw = bigRaw0
+      .select(col("b1"), col("b2"), col("c2").cast("double").as("c2")).cache()
     val bigS = bigRaw.filter(col("c2") >= MinCount)
       .join(broadcast(uniS.select(col("w").as("b1"), col("c1"))), "b1")
       .select(col("b1"), col("b2"), col("c2"), (col("c2") / col("c1")).as("s2"))
       .cache()
-    val triS = st.filter(col("p") >= 2)
-      .groupBy(col("wpp").as("t1"), col("wp").as("t2"), col("w").as("t3"))
-      .agg(count(lit(1)).cast("double").as("c3"))
+    val triS = tri0
+      .select(col("t1"), col("t2"), col("t3"), col("c3").cast("double").as("c3"))
       .filter(col("c3") >= MinCount)
       // raw-count denominator: c3 ≥ 2 ⇒ the context bigram exists in bigRaw
       .join(broadcast(bigRaw.select(col("b1").as("t1"), col("b2").as("t2"),
@@ -99,6 +111,11 @@ object NgramLm {
     (uniS, bigS, triS)
   }
 
+  private def model(st: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (u, b, t) = rawCounts(st)
+    modelFromCounts(u, b, t)
+  }
+
   /** Per-document stupid-backoff score: (doc_id, lang, n_tokens,
     * avg_log2sb, sb_ppl). Self-trained on the scored corpus (the CCNet
     * production shape trains on a reference corpus — swap the `st` the
@@ -106,6 +123,13 @@ object NgramLm {
   def scoreDocs(docs: DataFrame): DataFrame = {
     val st = tokenStream(docs)
     val (uniS, bigS, triS) = model(st)
+    scoreStream(st, uniS, bigS, triS)
+  }
+
+  /** The scoring join+backoff+aggregate over a token stream, shared by the
+    * inline (self-trained) and stored-model paths. */
+  private def scoreStream(st: DataFrame, uniS: DataFrame, bigS: DataFrame,
+      triS: DataFrame): DataFrame = {
     val s: Column =
       when(col("p") >= 2 && col("s3").isNotNull, col("s3"))
         .when(col("p") >= 2 && col("s2").isNotNull, lit(Alpha) * col("s2"))
@@ -158,6 +182,81 @@ object NgramLm {
         sum(when(col("avg_log2sb") >= col("thr"), 1L).otherwise(0L)).as("n_keep"))
       .withColumn("keep_rate", round(col("n_keep") / col("n_docs"), 6))
       .orderBy("source")
+  }
+
+  // ------------------------------------------------ stored model (TxTable)
+  /** Materialize the RAW count tables as three TxTables under `path` —
+    * the production form the sketch/ANN indexes already ship
+    * ([[Similarity.writePqIndex]] / `writeIvfIndex` / `writeLshIndex`):
+    * at 100 TB the counts are computed once per ingest window and the
+    * nightly model build derives scores from the stored statistic instead
+    * of re-reading the corpus. Counts are exact longs → parquet
+    * round-trips bit-exactly. */
+  def writeLmModel(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val (uni, big, tri) = rawCounts(tokenStream(docs))
+    graft.serve.TxTable.write(spark, uni, s"$path/uni")
+    graft.serve.TxTable.write(spark, big, s"$path/big")
+    graft.serve.TxTable.write(spark, tri, s"$path/tri")
+    ()
+  }
+
+  /** INCREMENTAL count maintenance: count the new batch, add the stored
+    * counts for the touched grams, MERGE keyed by gram — file-pruned by
+    * the TxTable key stats, so the rewrite cost scales with the touched
+    * gram range, not the model. Each table's merge is one atomic commit.
+    * NOT replay-idempotent (counts are additive — a redelivered batch
+    * double-counts): producers must dedupe batches upstream, e.g. keying
+    * deliveries by batch id — the honest contract of any count-based
+    * statistic, unlike the overwrite-style code/index merges. */
+  def appendLmCounts(spark: SparkSession, batch: DataFrame, path: String): Unit = {
+    val (uni, big, tri) = rawCounts(tokenStream(batch))
+    def bump(cnts: DataFrame, table: String, keys: Seq[String], ccol: String): Unit = {
+      val stored = graft.serve.TxTable.read(spark, s"$path/$table")
+        .select((keys.map(col) :+ col(ccol).as("c_old")): _*)
+      val updated = cnts.join(stored, keys, "left")
+        .select((keys.map(col) :+
+          (col(ccol) + coalesce(col("c_old"), lit(0L))).as(ccol)): _*)
+      graft.serve.TxTable.merge(spark, updated, s"$path/$table", keys)
+      ()
+    }
+    bump(uni, "uni", Seq("w"), "c1")
+    bump(big, "big", Seq("b1", "b2"), "c2")
+    bump(tri, "tri", Seq("t1", "t2", "t3"), "c3")
+  }
+
+  /** Score a corpus against the PERSISTED model: counts read back from
+    * the TxTable snapshot, scores derived through the SHARED
+    * [[modelFromCounts]] — so when the stored counts equal the inline
+    * counts the output is IDENTICAL to [[scoreDocs]] and the SAME DuckDB
+    * oracle verifies it (the `q_ann_pq_stored` proof-by-same-oracle
+    * pattern). This is also the CCNet production shape: the model may be
+    * trained on a DIFFERENT (reference) corpus than the one scored — with
+    * the caveat that tokens the model never saw drop out of the mean (the
+    * unigram join is inner); a production foreign-corpus deployment would
+    * add an OOV floor before the join. The registered twin trains on the
+    * scored corpus, where the join is total. */
+  def scoreDocsStored(docs: DataFrame, spark: SparkSession, path: String): DataFrame = {
+    val (uniS, bigS, triS) = modelFromCounts(
+      graft.serve.TxTable.read(spark, s"$path/uni"),
+      graft.serve.TxTable.read(spark, s"$path/big"),
+      graft.serve.TxTable.read(spark, s"$path/tri"))
+    scoreStream(tokenStream(docs), uniS, bigS, triS)
+  }
+
+  private val storedModelMemo = new SessionMemo[String, String]
+
+  /** Registered-query form: write the stored model once per (session, sf
+    * dir) under the scratch root, then score against it — the in-session
+    * stand-in for "the counts were materialized by last night's ingest"
+    * ([[Similarity.pqStoredQuery]] pattern). Same oracle as
+    * `q_ngram_lm_score`. */
+  def scoreStoredQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val path = storedModelMemo.getOrElseUpdate(spark, dir) {
+      Similarity.scratchIndexPath("graft_lm_model", dir)(p =>
+        writeLmModel(spark, docs, p))
+    }
+    scoreDocsStored(docs, spark, path)
   }
 
   /** Shared DuckDB token-stream fragment — mirrors [[tokenStream]]:

@@ -1,6 +1,7 @@
 package graft
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.NgramLm
 
@@ -64,6 +65,35 @@ class NgramLmSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"),
       "model tables are broadcast by construction — a SMJ means the corpus shuffled on n-gram keys")
+  }
+
+  test("stored model scoring ≡ inline scoring row-for-row") {
+    val docs = Tables.spread(spark, Tables.documents(spark, sf))
+    val dir = java.nio.file.Files.createTempDirectory("lm_model_").toString
+    NgramLm.writeLmModel(spark, docs, dir)
+    val inline = NgramLm.scoreDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    val stored = NgramLm.scoreDocsStored(docs, spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(stored == inline)
+  }
+
+  test("incremental count append: two half-ingests equal one full build") {
+    val docs = Tables.spread(spark, Tables.documents(spark, sf))
+    val h1 = docs.filter(col("doc_id") % 2 === 0)
+    val h2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val full = java.nio.file.Files.createTempDirectory("lm_full_").toString
+    val inc = java.nio.file.Files.createTempDirectory("lm_inc_").toString
+    NgramLm.writeLmModel(spark, docs, full)
+    NgramLm.writeLmModel(spark, h1, inc)
+    NgramLm.appendLmCounts(spark, h2, inc)
+    Seq(("uni", Seq("w")), ("big", Seq("b1", "b2")), ("tri", Seq("t1", "t2", "t3")))
+      .foreach { case (t, keys) =>
+        val a = graft.serve.TxTable.read(spark, s"$full/$t")
+        val b = graft.serve.TxTable.read(spark, s"$inc/$t")
+        assert(a.count() == b.count(), s"$t cardinality drift")
+        assert(a.except(b).isEmpty && b.except(a).isEmpty, s"$t count drift")
+      }
   }
 
   test("gate: keep counts consistent and bounded on the test corpus") {
