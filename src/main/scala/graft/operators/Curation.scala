@@ -1317,8 +1317,7 @@ object Curation {
     * broadcast of 3 numbers + one CASE per row; the summary is one
     * shuffle keyed by the 4 buckets. */
   def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
-    val scored = NgramLm.scoreDocs(
-      Tables.spread(spark, Tables.documents(spark, dir)))
+    val scored = NgramLm.scoreQuery(spark, dir)
     val dist = scored.groupBy("avg_log2sb").agg(count(lit(1)).as("c"))
     val cum = dist
       .withColumn("cum", sum("c").over(
