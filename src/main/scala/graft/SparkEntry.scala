@@ -282,6 +282,11 @@ object SparkEntry {
     ("q_embed_outlier_stats",
       ((s: SparkSession, d: String) => Similarity.centroidOutlierStats(s, d)): Q,
       Some(Similarity.centroidOutlierStatsSql())),
+    // RAG passage retrieval composed end-to-end (chunk → embed → cosine
+    // top-k → provenance), every stage re-derived by the oracle
+    ("q_rag_retrieve",
+      ((s: SparkSession, d: String) => graft.operators.Rag.ragRetrieve(s, d)): Q,
+      Some(graft.operators.Rag.ragRetrieveSql())),
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),

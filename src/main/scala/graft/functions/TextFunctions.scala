@@ -210,14 +210,17 @@ object TextFunctions {
   // bit-equivalent to (parity findings: four sites used to carry private
   // copies of the fold / tokenizer).
 
-  /** The whitespace tokenizer as a `documents` CTE: one (doc_id, tok) row
-    * per non-empty token — mirrors [[tokens]]. */
-  val tokedCteSql: String =
+  /** The whitespace tokenizer as a CTE over any (doc_id, text) relation:
+    * one (doc_id, tok) row per non-empty token — mirrors [[tokens]]. */
+  def tokedCteSqlOver(rel: String): String =
     raw"""toked AS (
       |  SELECT doc_id,
       |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text,
       |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS tok
-      |  FROM documents)""".stripMargin
+      |  FROM $rel)""".stripMargin
+
+  /** [[tokedCteSqlOver]] instantiated on `documents`. */
+  val tokedCteSql: String = tokedCteSqlOver("documents")
 
   /** The whitespace tokenizer kept as a token LIST per document — the
     * n-gram/window consumers' shape of [[tokedCteSql]], same normalization. */

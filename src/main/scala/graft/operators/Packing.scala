@@ -178,6 +178,17 @@ object Packing {
     * real-BPE-token twin [[chunkDocumentsBpe]], so the two differ ONLY in
     * the tokenizer feeding them. */
   private[graft] def chunkTokens(toked: DataFrame,
+      window: Int, stride: Int): DataFrame =
+    chunkRows(toked, window, stride)
+      .select(col("doc_id"), col("chunk_pos"),
+        col("start_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_sig"))
+
+  /** The kernel one projection earlier — (doc_id, chunk_pos, start_idx,
+    * chunk ARRAY<STRING>) — for consumers that need the chunk CONTENT
+    * (the RAG retrieval chain embeds it), not just its digest. */
+  private[graft] def chunkRows(toked: DataFrame,
       window: Int, stride: Int): DataFrame = {
     require(stride <= window, "stride > window would strand tokens between chunks")
     val anchor = greatest(lit(1), col("n") - (window - 1))
@@ -188,10 +199,8 @@ object Packing {
       .select(col("doc_id"), col("t"), col("n"),
         posexplode(col("starts")).as(Seq("chunk_pos", "s")))
       .withColumn("chunk", slice(col("t"), col("s"), lit(window)))
-      .select(col("doc_id"), col("chunk_pos"),
-        col("s").as("start_idx"),
-        size(col("chunk")).as("n_chunk_tokens"),
-        md5(concat_ws(" ", col("chunk"))).as("chunk_sig"))
+      .select(col("doc_id"), col("chunk_pos"), col("s").as("start_idx"),
+        col("chunk"))
   }
 
   /** Chunking on the REAL token bill: the same window/stride/anchor

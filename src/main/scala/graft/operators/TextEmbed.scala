@@ -85,8 +85,8 @@ object TextEmbed {
     * → signed bucket votes → dense coordinates → L2 norm. `h % 64` on the
     * unsigned HUGEINT equals Spark's `pmod` on the signed long because 64
     * divides 2^64; bit 32 is sign-representation-invariant. */
-  private val embedSqlCtes: String =
-    s"""${graft.functions.TextFunctions.tokedCteSql},
+  private[graft] def embedSqlCtesOver(srcRel: String): String =
+    s"""${graft.functions.TextFunctions.tokedCteSqlOver(srcRel)},
       |th AS (
       |  SELECT doc_id,
       |    ${graft.functions.TextFunctions.polyMixSql("tok")} AS h
@@ -107,6 +107,9 @@ object TextEmbed {
       |  SELECT d.doc_id, d.pos,
       |    CASE WHEN n.nrm = 0.0 THEN d.raw ELSE d.raw / n.nrm END AS val
       |  FROM dense d JOIN nrms n USING (doc_id))""".stripMargin
+
+  /** [[embedSqlCtesOver]] instantiated on `documents`. */
+  private val embedSqlCtes: String = embedSqlCtesOver("documents")
 
   /** DuckDB oracle for [[embedQuery]]. */
   val embedQuerySql: String =
