@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Combine, Format}
-import graft.serve.{LensQueries, MoreQueries}
+import graft.serve.{FinanceQueries, LensQueries, MoreQueries}
 import graft.functions.{Sentiment, TextFunctions}
 import graft.operators.{AsOfJoin, Dedup, Forecast, Multimodal, Sessionize, Similarity}
 
@@ -563,6 +563,16 @@ object SparkEntry {
     // versions, each snapshot exactly derivable from orders
     ("q_time_travel", graft.serve.ChangeFeed.timeTravelQuery _,
       Some(graft.serve.ChangeFeed.timeTravelSql)),
+    // market-analytics battery: the indicator set over the daily close
+    // series (rolling vol, index beta/alpha, drawdown, Bollinger, SMA
+    // crossover, RSI) — all window arithmetic on the day-level aggregate,
+    // fully hash-oracled
+    ("q_fin_volatility", FinanceQueries.volatility _, Some(FinanceQueries.volatilitySql)),
+    ("q_fin_beta", FinanceQueries.betaMarket _, Some(FinanceQueries.betaMarketSql)),
+    ("q_fin_drawdown", FinanceQueries.maxDrawdown _, Some(FinanceQueries.maxDrawdownSql)),
+    ("q_fin_bollinger", FinanceQueries.bollingerBreach _, Some(FinanceQueries.bollingerBreachSql)),
+    ("q_fin_sma_cross", FinanceQueries.smaCrossover _, Some(FinanceQueries.smaCrossoverSql)),
+    ("q_fin_rsi", FinanceQueries.rsi _, Some(FinanceQueries.rsiSql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.FinanceQueries
+
+/** Invariants of the market-analytics battery (the DuckDB hash oracle is
+  * the value arbiter; these pin the mathematical contracts the oracle
+  * can't name). */
+class FinanceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("volatility: positive, full windows only (20 rows per instrument)") {
+    val rows = FinanceQueries.volatility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 0.0))
+    val perType = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    // 30 days, first return null, 10-ret windows complete from day 11
+    assert(perType.values.forall(_ == 20), perType.toMap.toString)
+  }
+
+  test("beta: equal-weight identity — betas average to 1") {
+    val rows = FinanceQueries.betaMarket(spark, sf).collect()
+    assert(rows.length == 5)
+    // every instrument trades every day, so the equal-weight market return
+    // is the cross-sectional mean and Σβ/n = cov(mean, mkt)/var(mkt) = 1
+    val meanBeta = rows.map(_.getDouble(1)).sum / rows.length
+    assert(math.abs(meanBeta - 1.0) < 1e-5, s"mean beta $meanBeta")
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
+  test("drawdown: in [-100, 0), peak equals the series max") {
+    val rows = FinanceQueries.maxDrawdown(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val dd = r.getDouble(1)
+      assert(dd < 0.0 && dd >= -100.0, s"${r.getString(0)}: $dd")
+    }
+  }
+
+  test("bollinger: label agrees with the side of the band") {
+    val rows = FinanceQueries.bollingerBreach(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (close, sma, band) = (r.getDouble(2), r.getDouble(3), r.getString(4))
+      if (band == "above") assert(close > sma) else assert(close < sma)
+    }
+  }
+
+  test("sma crossover: signals alternate per instrument, in day order") {
+    val rows = FinanceQueries.smaCrossover(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val sigs = rs.sortBy(_._2).map(_._3)
+      sigs.sliding(2).foreach {
+        case Array(a, b) => assert(a != b, s"$t: consecutive $a,$b")
+        case _           =>
+      }
+    }
+  }
+
+  test("rsi: bounded in [0, 100], full windows only") {
+    val rows = FinanceQueries.rsi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val v = r.getDouble(2); v >= 0.0 && v <= 100.0
+    })
+  }
+}
