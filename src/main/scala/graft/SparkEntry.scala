@@ -116,6 +116,11 @@ object SparkEntry {
     ("q_repetition_metrics", TextFunctions.repetitionQuery _, Some(TextFunctions.repetitionQuerySql)),
     ("q_mixture_weights", graft.operators.Curation.mixtureWeights _,
       Some(graft.operators.Curation.mixtureWeightsSql)),
+    // temperature-scaled (τ=0.5) char-mass mixture — the tail-upsampling
+    // rebalance rule; boost = per-source duplication factor
+    ("q_mixture_temperature",
+      ((s: SparkSession, d: String) => graft.operators.Curation.mixtureTemperature(s, d)): Q,
+      Some(graft.operators.Curation.mixtureTemperatureSql())),
     // DSIR importance resampling (Xie et al. 2023): hashed-n-gram LM ratio
     // weights against a target corpus, deterministic top-fraction selection
     ("q_dsir_weights",
@@ -287,6 +292,12 @@ object SparkEntry {
     ("q_rag_retrieve",
       ((s: SparkSession, d: String) => graft.operators.Rag.ragRetrieve(s, d)): Q,
       Some(graft.operators.Rag.ragRetrieveSql())),
+    // MMR diversity re-rank over the same retrieval: greedy λ·rel −
+    // (1−λ)·max-sim-to-chosen on the top-20 pool, oracled by unrolling
+    // the greedy as chained CTE steps
+    ("q_rag_mmr",
+      ((s: SparkSession, d: String) => graft.operators.Rag.mmrRetrieve(s, d)): Q,
+      Some(graft.operators.Rag.mmrRetrieveSql())),
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),

@@ -623,6 +623,51 @@ object Curation {
       |  ROUND(CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE), 6) AS weight
       |FROM per CROSS JOIN tot""".stripMargin
 
+  // ------------------------------------------- temperature-scaled mixture
+  /** Temperature-scaled sampling mixture (the multilingual/multi-source
+    * rebalancing rule: p_i ∝ p_i^τ, τ=0.5 — upsample the tail, damp the
+    * head, τ=1 recovers proportional, τ=0 uniform). Mass is character
+    * volume (`n_chars`), not doc count — the budget that actually bounds a
+    * token-metered training run; [[mixtureWeights]] is the doc-count twin.
+    * `boost = p_temp/p_raw` is the per-source duplication factor an epoch
+    * sampler applies.
+    *
+    * Shape at 100 TB: one map-side-combined per-source aggregate (sources
+    * are metadata-scale); the two normalizers are single-row broadcasts.
+    * Fully hash-oracled (POWER arithmetic re-derived by DuckDB). */
+  def mixtureTemperature(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame = {
+    val per = Tables.documents(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("char_mass"))
+      .cache() // feeds the totals, the Z normalizer and the output
+    val tot = per.agg(sum("char_mass").as("tot_mass"))
+    val p = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("char_mass") / col("tot_mass"))
+    val z = p.agg(sum(pow(col("p"), tau)).as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("char_mass"),
+        round(col("p"), 6).as("p_raw"),
+        round(pow(col("p"), tau) / col("z"), 6).as("p_temp"),
+        round(pow(col("p"), tau) / col("z") / col("p"), 6).as("boost"))
+  }
+
+  def mixtureTemperatureSql(tau: Double = 0.5): String =
+    s"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS char_mass
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(char_mass) AS BIGINT) AS tot_mass FROM per),
+       |p AS (
+       |  SELECT source, n_docs, char_mass,
+       |         CAST(char_mass AS DOUBLE) / tot_mass AS p
+       |  FROM per CROSS JOIN tot),
+       |z AS (SELECT SUM(POWER(p, $tau)) AS z FROM p)
+       |SELECT source, n_docs, char_mass,
+       |       ROUND(p, 6) AS p_raw,
+       |       ROUND(POWER(p, $tau) / z, 6) AS p_temp,
+       |       ROUND(POWER(p, $tau) / z / p, 6) AS boost
+       |FROM p CROSS JOIN z""".stripMargin
+
   // ------------------------------------------------------ source reputation
   /** Source-level gating (the RefinedWeb/CCNet "domain filtering" stage):
     * aggregate per-source reputation — document count, exact-duplicate rate

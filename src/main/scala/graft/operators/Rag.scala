@@ -80,7 +80,17 @@ object Rag {
     * and the provenance join. */
   def ragRetrieveSql(nQueries: Int = 5, k: Int = 3, window: Int = 32,
       stride: Int = 16): String =
-    raw"""WITH tk AS (
+    s"""WITH ${retrievalCtes(nQueries, window, stride)}
+      |SELECT w.q_doc, w.rank, ch.src_doc, ch.chunk_pos, w.cosine, ch.chunk_sig
+      |FROM win w JOIN ch ON ch.chunk_id = w.vec_id
+      |WHERE w.rank <= $k""".stripMargin
+
+  /** The shared retrieval CTE chain (chunks `ch` → embeddings `c` →
+    * queries `q` → scored `cos` → ranked `win`) — the prefix both the
+    * plain top-k mirror and the MMR mirror build on. */
+  private def retrievalCtes(nQueries: Int, window: Int,
+      stride: Int): String =
+    raw"""tk AS (
       |  SELECT doc_id,
       |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
       |                x -> x <> '') AS t
@@ -122,8 +132,155 @@ object Rag {
       |  SELECT q_doc, vec_id, cosine,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
       |      ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INT) AS rank
-      |  FROM cos)
-      |SELECT w.q_doc, w.rank, ch.src_doc, ch.chunk_pos, w.cosine, ch.chunk_sig
-      |FROM win w JOIN ch ON ch.chunk_id = w.vec_id
-      |WHERE w.rank <= $k""".stripMargin
+      |  FROM cos)""".stripMargin
+
+  // --------------------------------------------------------------- MMR
+  /** MMR weights as SHARED literals: the Scala kernel and the generated
+    * SQL must multiply by the SAME doubles — `1 - 0.7` in IEEE is
+    * 0.30000000000000004, not the literal 0.3, so the complement is
+    * pinned, never derived. */
+  val Lambda = 0.7
+  val Mu = 0.3
+
+  case class MmrCand(q_doc: Long, vec_id: Long, rel: Double, emb: Seq[Double])
+
+  private def localCos(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  /** Maximal-marginal-relevance retrieval: the top-`pool` passages per
+    * query (the [[ragRetrieve]] contract) re-ranked greedily by
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * diversity-aware reading list a RAG prompt actually wants (k near-
+    * duplicate passages waste the context window; MMR forces coverage).
+    * Rank 1 is the relevance winner; each later pick maximizes the MMR
+    * score against everything already chosen, vec_id tiebreak.
+    *
+    * Determinism: relevance and pairwise sims are round-6 BEFORE any
+    * comparison (the [[graft.functions.PqKernels.round6]] Catalyst
+    * replica), so both engines order identical doubles; λ/μ are shared
+    * literals. Fully hash-oracled — the DuckDB mirror unrolls the greedy
+    * as k chained CTE steps over the same rounded inputs.
+    *
+    * At 100 TB: the corpus-scale work is the candidate retrieval, which
+    * reuses the bounded-heap top-k (map-side combined, ≤ pool rows per
+    * partition per query). The MMR stage itself is metadata-scale BY
+    * CONSTRUCTION — nQueries × pool rows, grouped per query (≤ pool
+    * candidates × 64 doubles of state), never a corpus pass. */
+  def mmrRetrieve(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, pool: Int = 20, window: Int = 32,
+      stride: Int = 16): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PqKernels.round6
+    val chunks = chunkTable(spark, dir, window, stride)
+    val vecs = TextEmbed.embedDocs(
+        chunks.select(col("chunk_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("vec_id"), col("emb"))
+    val q = vecs
+      .filter(col("vec_id") % ChunkShift === 0 &&
+        col("vec_id") < nQueries * ChunkShift)
+      .select((col("vec_id") / ChunkShift).cast("long").as("q_doc"),
+        col("emb").as("q_emb"))
+    val topk = udaf(new TopK.ScoreTopKAgg(pool),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val cands = vecs.crossJoin(broadcast(q))
+      .filter((col("vec_id") / ChunkShift).cast("long") =!= col("q_doc"))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
+      .groupBy("q_doc")
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_doc"), explode(col("top")).as("s"))
+      .select(col("q_doc"), col("s.vec_id").as("vec_id"), col("s.cosine").as("rel"))
+    val withEmb = broadcast(cands).join(vecs, "vec_id")
+      .select(col("q_doc"), col("vec_id"), col("rel"), col("emb"))
+      .as[MmrCand]
+    val lam = Lambda; val mu = Mu; val kk = k
+    val selected = withEmb.groupByKey(_.q_doc).flatMapGroups { (qd, it) =>
+      val cs = it.toArray.sortBy(c => (-c.rel, c.vec_id))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Double, Double)]
+      if (cs.nonEmpty) {
+        val chosen = scala.collection.mutable.ArrayBuffer(cs.head)
+        val remaining = scala.collection.mutable.ArrayBuffer(cs.tail: _*)
+        out += ((qd, 1, cs.head.vec_id, cs.head.rel, cs.head.rel))
+        var rank = 2
+        while (rank <= kk && remaining.nonEmpty) {
+          var best: MmrCand = null
+          var bestScore = Double.NegativeInfinity
+          remaining.foreach { c =>
+            var m = Double.NegativeInfinity
+            chosen.foreach { s =>
+              val sim = round6(localCos(c.emb, s.emb))
+              if (sim > m) m = sim
+            }
+            val score = lam * c.rel - mu * m
+            if (score > bestScore ||
+                (score == bestScore && (best == null || c.vec_id < best.vec_id))) {
+              best = c; bestScore = score
+            }
+          }
+          chosen += best
+          remaining -= best
+          out += ((qd, rank, best.vec_id, best.rel, round6(bestScore)))
+          rank += 1
+        }
+      }
+      out.iterator
+    }.toDF("q_doc", "rank", "chunk_id", "rel", "mmr")
+    chunks.join(broadcast(selected), "chunk_id")
+      .select(col("q_doc"), col("rank"), col("src_doc"), col("chunk_pos"),
+        col("rel"), col("mmr"))
+  }
+
+  /** DuckDB mirror of [[mmrRetrieve]]: the shared retrieval prefix, the
+    * candidate pool, the pairwise rounded-sim relation, and the greedy
+    * unrolled as k chained CTE steps (argmax per step via ROW_NUMBER,
+    * chosen-set accumulated by UNION ALL). */
+  def mmrRetrieveSql(nQueries: Int = 5, k: Int = 5, pool: Int = 20,
+      window: Int = 32, stride: Int = 16): String = {
+    val steps = (2 to k).map { t =>
+      val prevC = s"c${t - 1}"
+      s"""s$t AS MATERIALIZED (
+         |  SELECT q_doc, vec_id, rel, mmr, $t AS rank FROM (
+         |    SELECT e.q_doc, e.vec_id, e.rel, $Lambda * e.rel - $Mu * ms.m AS mmr,
+         |           ROW_NUMBER() OVER (PARTITION BY e.q_doc
+         |             ORDER BY ($Lambda * e.rel - $Mu * ms.m) DESC, e.vec_id) AS rn
+         |    FROM ce e
+         |    JOIN (SELECT p.q_doc, p.i AS vec_id, MAX(p.sim) AS m
+         |          FROM pair p JOIN $prevC ch2 ON p.q_doc = ch2.q_doc
+         |                                     AND p.j = ch2.vec_id
+         |          GROUP BY 1, 2) ms
+         |      ON ms.q_doc = e.q_doc AND ms.vec_id = e.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM $prevC ch2
+         |                      WHERE ch2.q_doc = e.q_doc
+         |                        AND ch2.vec_id = e.vec_id))
+         |  WHERE rn = 1),
+         |c$t AS MATERIALIZED (SELECT * FROM $prevC
+         |  UNION ALL SELECT q_doc, vec_id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    s"""WITH ${retrievalCtes(nQueries, window, stride)},
+       |cand AS MATERIALIZED (SELECT q_doc, vec_id, cosine AS rel FROM win
+       |         WHERE rank <= $pool),
+       |ce AS MATERIALIZED (SELECT cd.q_doc, cd.vec_id, cd.rel, c.emb
+       |       FROM cand cd JOIN c ON c.vec_id = cd.vec_id),
+       |pair AS MATERIALIZED (
+       |  SELECT a.q_doc, a.vec_id AS i, b.vec_id AS j,
+       |         ROUND(${Similarity.cosSqlExpr("a.emb", "b.emb")}, 6) AS sim
+       |  FROM ce a JOIN ce b ON a.q_doc = b.q_doc AND a.vec_id <> b.vec_id),
+       |s1 AS MATERIALIZED (SELECT q_doc, vec_id, rel, rel AS mmr, 1 AS rank FROM (
+       |  SELECT q_doc, vec_id, rel,
+       |         ROW_NUMBER() OVER (PARTITION BY q_doc
+       |           ORDER BY rel DESC, vec_id) AS rn
+       |  FROM ce) WHERE rn = 1),
+       |c1 AS MATERIALIZED (SELECT q_doc, vec_id FROM s1),
+       |$steps,
+       |sel AS ($union)
+       |SELECT sel.q_doc, CAST(sel.rank AS INT) AS rank, ch.src_doc,
+       |       ch.chunk_pos, sel.rel, ROUND(sel.mmr, 6) AS mmr
+       |FROM sel JOIN ch ON ch.chunk_id = sel.vec_id""".stripMargin
+  }
 }

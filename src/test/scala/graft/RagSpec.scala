@@ -21,6 +21,31 @@ class RagSpec extends AnyFunSuite {
     }
   }
 
+  test("mmr: rank-1 is the relevance winner; later picks trade relevance for diversity") {
+    val mmr = Rag.mmrRetrieve(spark, sf).collect()
+    val ret = Rag.ragRetrieve(spark, sf, k = 1).collect()
+      .map(r => r.getAs[Long]("q_doc") ->
+        (r.getAs[Long]("src_doc"), r.getAs[Int]("chunk_pos"))).toMap
+    assert(mmr.nonEmpty)
+    val byQ = mmr.groupBy(_.getAs[Long]("q_doc"))
+    assert(byQ.keySet == ret.keySet)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      // rank 1 ≡ the plain retrieval's top passage (MMR starts greedy)
+      val r1 = sorted.head
+      assert((r1.getAs[Long]("src_doc"), r1.getAs[Int]("chunk_pos")) == ret(q))
+      // mmr score of every later pick can't exceed λ·its relevance
+      sorted.tail.foreach { r =>
+        assert(r.getAs[Double]("mmr") <=
+          Rag.Lambda * r.getAs[Double]("rel") + 1e-9)
+      }
+      // the selected set is duplicate-free
+      val ids = rs.map(r => (r.getAs[Long]("src_doc"), r.getAs[Int]("chunk_pos")))
+      assert(ids.distinct.length == ids.length)
+    }
+  }
+
   test("rag plan: broadcast queries + bounded-heap top-k, no per-query window sort") {
     val plan = Rag.ragRetrieve(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
