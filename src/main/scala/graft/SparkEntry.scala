@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{Combine, Format}
-import graft.serve.{FinanceQueries, LensQueries, MoreQueries}
+import graft.serve.{CohortQueries, FinanceQueries, LensQueries, MoreQueries}
 import graft.functions.{Sentiment, TextFunctions}
 import graft.operators.{AsOfJoin, Dedup, Forecast, Multimodal, Sessionize, Similarity}
 
@@ -578,12 +578,19 @@ object SparkEntry {
     // series (rolling vol, index beta/alpha, drawdown, Bollinger, SMA
     // crossover, RSI) — all window arithmetic on the day-level aggregate,
     // fully hash-oracled
+    ("q_ohlc_bars", FinanceQueries.ohlcBars _, Some(FinanceQueries.ohlcBarsSql)),
     ("q_fin_volatility", FinanceQueries.volatility _, Some(FinanceQueries.volatilitySql)),
     ("q_fin_beta", FinanceQueries.betaMarket _, Some(FinanceQueries.betaMarketSql)),
     ("q_fin_drawdown", FinanceQueries.maxDrawdown _, Some(FinanceQueries.maxDrawdownSql)),
     ("q_fin_bollinger", FinanceQueries.bollingerBreach _, Some(FinanceQueries.bollingerBreachSql)),
     ("q_fin_sma_cross", FinanceQueries.smaCrossover _, Some(FinanceQueries.smaCrossoverSql)),
     ("q_fin_rsi", FinanceQueries.rsi _, Some(FinanceQueries.rsiSql)),
+    // behavior analytics: cohort retention grid + ordered conversion
+    // funnel — aggregate/join plans, no window over raw events
+    ("q_cohort_retention", CohortQueries.cohortRetention _,
+      Some(CohortQueries.cohortRetentionSql)),
+    ("q_event_funnel", CohortQueries.eventFunnel _,
+      Some(CohortQueries.eventFunnelSql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

@@ -66,6 +66,49 @@ object FinanceQueries {
 
   private def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd").as("day")
 
+  // ------------------------------------------------------------ OHLC bars
+  /** Daily OHLC bars: open/close via `min_by`/`max_by` over the total
+    * (ts, event_id) order — ONE map-side-combinable aggregate, no window
+    * sort anywhere (the naive first/last-value window would sort every
+    * (symbol, day) partition; min_by keeps a single candidate per partial
+    * buffer). The DuckDB mirror proves the same bars with deterministic
+    * ROW_NUMBER windows — same result, different physics, which is the
+    * point: the oracle checks semantics, the plan is ours. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        round(min_by(col("value"), ord), 6).as("open"),
+        round(max("value"), 6).as("high"),
+        round(min("value"), 6).as("low"),
+        round(max_by(col("value"), ord), 6).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("turnover"))
+      .select(col("event_type"), dayStr(col("day")), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"), col("turnover"))
+  }
+
+  val ohlcBarsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |                       ORDER BY ts ASC, event_id ASC) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |                       ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM e)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+      |       ROUND(MAX(CASE WHEN ra = 1 THEN value END), 6) AS open,
+      |       ROUND(MAX(value), 6) AS high,
+      |       ROUND(MIN(value), 6) AS low,
+      |       ROUND(MAX(CASE WHEN rd = 1 THEN value END), 6) AS close,
+      |       COUNT(*) AS n_events,
+      |       ROUND(SUM(value), 6) AS turnover
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ volatility
   /** Rolling 10-day sample stddev of daily returns, annualized (×√252,
     * in percent). Emitted only where the window is complete. */

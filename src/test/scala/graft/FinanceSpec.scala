@@ -9,6 +9,21 @@ import graft.serve.FinanceQueries
 class FinanceSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("ohlc: low <= open,close <= high; no window sort in the plan") {
+    val df = FinanceQueries.ohlcBars(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 150) // 5 instruments x 30 days
+    rows.foreach { r =>
+      val (o, h, l, c) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"),
+      s"min_by/max_by bars must not plan a window sort:\n$plan")
+  }
+
   test("volatility: positive, full windows only (20 rows per instrument)") {
     val rows = FinanceQueries.volatility(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -56,6 +71,27 @@ class FinanceSpec extends AnyFunSuite {
         case Array(a, b) => assert(a != b, s"$t: consecutive $a,$b")
         case _           =>
       }
+    }
+  }
+
+  test("funnel: stage counts are monotone non-increasing") {
+    val rows = graft.serve.CohortQueries.eventFunnel(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.toSeq.toString)
+    assert(rows(0).isNullAt(3))
+    rows.tail.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("cohort retention: offset-0 rate is 1.0, rates bounded") {
+    val rows = graft.serve.CohortQueries.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, rate) = (r.getInt(1), r.getDouble(3))
+      assert(rate > 0.0 && rate <= 1.0, r.toString)
+      if (off == 0) assert(rate == 1.0, r.toString)
+      assert(off >= 0, r.toString)
     }
   }
 
