@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Live OHLC bar maintenance — the streaming twin of the batch
+  * `q_ohlc_bars` ([[graft.serve.FinanceQueries.ohlcBars]]). Each trigger
+  * folds the new ticks into per-(symbol, day) bars; state is one row per
+  * instrument-day (calendar-bounded, not volume-bounded), so complete
+  * mode cannot blow up and the sink always holds the whole refreshed bar
+  * table — exactly what a live price chart reads.
+  *
+  * The open/close contract is the associative form of the batch side's
+  * `min_by`/`max_by` over the (ts, event_id) total order:
+  * min/max(struct(ts, event_id, value)) compares ts, then event_id — the
+  * same decision — and a struct min/max is a mergeable aggregate, so the
+  * incremental fold across triggers reaches the identical bar the batch
+  * aggregate computes in one pass. StreamBarsSpec pins streamed ≡ batch
+  * bit-for-bit and the idempotent-refresh contract. */
+object StreamBars {
+
+  /** Per-(symbol, day) live bars to a memory sink, refreshed per trigger. */
+  def barsToMemory(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery =
+    StreamLens.eventsStream(spark, eventsDir)
+      // window() drops null event-times silently; the explicit filter
+      // keeps the streamed/batch row sets provably identical
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("first"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("turnover_raw"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Read-time rendering to the exact batch output contract
+    * (column names, rounding, day format). */
+  def barsFinish(series: DataFrame): DataFrame =
+    series.select(
+      col("event_type"),
+      date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+      round(col("first.value"), 6).as("open"),
+      round(col("high"), 6).as("high"),
+      round(col("low"), 6).as("low"),
+      round(col("last.value"), 6).as("close"),
+      col("n_events"),
+      round(col("turnover_raw"), 6).as("turnover"))
+}
