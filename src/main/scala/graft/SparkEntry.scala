@@ -585,6 +585,8 @@ object SparkEntry {
     ("q_fin_bollinger", FinanceQueries.bollingerBreach _, Some(FinanceQueries.bollingerBreachSql)),
     ("q_fin_sma_cross", FinanceQueries.smaCrossover _, Some(FinanceQueries.smaCrossoverSql)),
     ("q_fin_rsi", FinanceQueries.rsi _, Some(FinanceQueries.rsiSql)),
+    ("q_fin_corr_matrix", FinanceQueries.corrMatrix _, Some(FinanceQueries.corrMatrixSql)),
+    ("q_value_histogram", FinanceQueries.valueHistogram _, Some(FinanceQueries.valueHistogramSql)),
     // behavior analytics: cohort retention grid + ordered conversion
     // funnel — aggregate/join plans, no window over raw events
     ("q_cohort_retention", CohortQueries.cohortRetention _,

@@ -275,6 +275,53 @@ object FinanceQueries {
        |FROM lg WHERE state IS NOT NULL AND prev IS NOT NULL AND state <> prev
        |""".stripMargin
 
+  // ------------------------------------------------------- corr matrix
+  /** Pairwise return-correlation matrix (upper triangle, sym_a < sym_b)
+    * over aligned trading days. The pair relation is quadratic in
+    * |instruments| BY CONTRACT (a correlation matrix is), but linear in
+    * ticks: it self-joins the DAY-LEVEL return frame, never raw events —
+    * at lake scale that is (watchlist² × days) metadata rows downstream
+    * of the one corpus-scale daily aggregate. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val rr = withRet(dailyClose(spark, dir)).filter(col("ret").isNotNull)
+      .select(col("event_type"), col("day"), col("ret"))
+    val a = rr.toDF("sym_a", "day", "ret_a")
+    val b = rr.toDF("sym_b", "day", "ret_b")
+    a.join(b, Seq("day")).filter(col("sym_a") < col("sym_b"))
+      .groupBy("sym_a", "sym_b")
+      .agg(round(corr(col("ret_a"), col("ret_b")), 6).as("ret_corr"),
+        count(lit(1)).as("n_days"))
+  }
+
+  val corrMatrixSql: String =
+    s"""WITH $dailySql, $retsSql,
+       |rr AS (SELECT * FROM rets WHERE ret IS NOT NULL)
+       |SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+       |       ROUND(CORR(a.ret, b.ret), 6) AS ret_corr, COUNT(*) AS n_days
+       |FROM rr a JOIN rr b ON a.day = b.day AND a.event_type < b.event_type
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- histogram
+  /** Equal-width value histogram per instrument: bucket = ⌊value/50⌋
+    * capped at 7 (the open-ended tail bucket). Pure map-side arithmetic
+    * + one combinable count — the distribution panel next to the bars.
+    * FLOOR before the int cast on both sides (DuckDB CAST rounds,
+    * Spark truncates — floor-first makes the cast exact). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        least(floor(col("value") / 50.0).cast("int"), lit(7)).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+
+  val valueHistogramSql: String =
+    """WITH b AS (
+      |  SELECT event_type, LEAST(CAST(FLOOR(value / 50.0) AS INT), 7) AS bucket
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, bucket, COUNT(*) AS n
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ RSI
   /** RSI(7), simple-average form: 100·ḡ/(ḡ+l̄) over the trailing 7 price
     * deltas (algebraically 100 − 100/(1+RS), finite when l̄=0; both-zero

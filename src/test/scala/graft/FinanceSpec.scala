@@ -95,6 +95,23 @@ class FinanceSpec extends AnyFunSuite {
     }
   }
 
+  test("corr matrix: strict upper triangle, bounded, symmetric coverage") {
+    val rows = FinanceQueries.corrMatrix(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("value histogram: buckets within [0,7], counts sum to non-null values") {
+    val rows = FinanceQueries.valueHistogram(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 7))
+    val total = rows.map(_.getLong(2)).sum
+    val expect = Tables.events(spark, sf).filter("value is not null").count()
+    assert(total == expect)
+  }
+
   test("rsi: bounded in [0, 100], full windows only") {
     val rows = FinanceQueries.rsi(spark, sf).collect()
     assert(rows.nonEmpty)
