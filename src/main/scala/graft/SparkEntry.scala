@@ -104,6 +104,10 @@ object SparkEntry {
     ("q_sessionize", Sessionize.sessions _, Some(Sessionize.sessionsSql)),
     // sessions → autoregressive (input, target) next-event training pairs
     ("q_session_pairs", Sessionize.trainingPairs _, Some(Sessionize.trainingPairsSql)),
+    // first-order Markov P(next|prev) over the within-session pairs —
+    // the baseline model the training pairs feed
+    ("q_transition_matrix", Sessionize.transitionMatrix _,
+      Some(Sessionize.transitionMatrixSql)),
     // ANALYZE-style one-pass column profiler (exact distincts; Scaladoc
     // documents the approx_count_distinct swap that kills the Expand at
     // 100 TB)
@@ -586,6 +590,8 @@ object SparkEntry {
     ("q_fin_sma_cross", FinanceQueries.smaCrossover _, Some(FinanceQueries.smaCrossoverSql)),
     ("q_fin_rsi", FinanceQueries.rsi _, Some(FinanceQueries.rsiSql)),
     ("q_fin_corr_matrix", FinanceQueries.corrMatrix _, Some(FinanceQueries.corrMatrixSql)),
+    ("q_fin_anomaly", FinanceQueries.madAnomalies _, Some(FinanceQueries.madAnomaliesSql)),
+    ("q_dow_seasonality", FinanceQueries.dowSeasonality _, Some(FinanceQueries.dowSeasonalitySql)),
     ("q_value_histogram", FinanceQueries.valueHistogram _, Some(FinanceQueries.valueHistogramSql)),
     // behavior analytics: cohort retention grid + ordered conversion
     // funnel — aggregate/join plans, no window over raw events

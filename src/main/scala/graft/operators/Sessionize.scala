@@ -119,6 +119,33 @@ object Sessionize {
        |WINDOW ws AS (PARTITION BY user_id, session_idx ORDER BY ts ASC, event_id ASC)
        |QUALIFY target_event IS NOT NULL""".stripMargin
 
+  // --------------------------------------------------- transition matrix
+  /** First-order Markov transition matrix over within-session event
+    * pairs: P(next | prev) row-normalized, with the support count. The
+    * model the next-event training pairs ([[trainingPairs]]) fit — and
+    * the baseline any sequence model must beat. Counts are one combinable
+    * aggregate over the pair stream; the normalizer joins back a
+    * |event-type|-row broadcast. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = trainingPairs(spark, dir)
+      .groupBy("input_event", "target_event")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("input_event").agg(sum("n").as("n_total"))
+    cnt.join(broadcast(tot), "input_event")
+      .select(col("input_event"), col("target_event"), col("n"),
+        round(col("n") / col("n_total"), 6).as("p"))
+  }
+
+  val transitionMatrixSql: String =
+    s"""WITH pairs AS ($trainingPairsSql),
+       |cnt AS (SELECT input_event, target_event, COUNT(*) AS n
+       |        FROM pairs GROUP BY 1, 2),
+       |tot AS (SELECT input_event, CAST(SUM(n) AS BIGINT) AS n_total
+       |        FROM cnt GROUP BY 1)
+       |SELECT c.input_event, c.target_event, c.n,
+       |       ROUND(c.n / t.n_total, 6) AS p
+       |FROM cnt c JOIN tot t ON c.input_event = t.input_event""".stripMargin
+
   // ------------------------------------------------------------- streaming
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -322,6 +322,71 @@ object FinanceQueries {
       |SELECT event_type, bucket, COUNT(*) AS n
       |FROM b GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- MAD anomalies
+  /** Robust outlier days: |ret − median| > 2.5 × MAD (median absolute
+    * deviation) per instrument — the estimator a fat-tailed return series
+    * wants (mean/σ get dragged by the very outliers they're hunting).
+    * Medians run on the day-level return frame (exact `percentile`, ~29
+    * values per instrument here; the approx_percentile swap is the
+    * documented 100 TB path, cf. `q_percentiles_approx`). */
+  def madAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val rr = withRet(dailyClose(spark, dir)).filter(col("ret").isNotNull)
+    val med = rr.groupBy("event_type")
+      .agg(expr("percentile(ret, 0.5)").as("med"))
+    val dev = rr.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("ret") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(d, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("d") > lit(2.5) * col("mad") + lit(1e-9))
+      .select(col("event_type"), dayStr(col("day")),
+        round(col("ret"), 6).as("ret"),
+        round(col("d") / nullif(col("mad"), lit(0.0)), 6).as("mad_z"))
+  }
+
+  val madAnomaliesSql: String =
+    s"""WITH $dailySql, $retsSql,
+       |rr AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+       |med AS (SELECT event_type, quantile_cont(ret, 0.5) AS med
+       |        FROM rr GROUP BY 1),
+       |dev AS (SELECT r.event_type, r.day, r.ret, ABS(r.ret - m.med) AS d
+       |        FROM rr r JOIN med m ON r.event_type = m.event_type),
+       |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+       |        FROM dev GROUP BY 1)
+       |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       |       ROUND(d.ret, 6) AS ret,
+       |       ROUND(d.d / NULLIF(m.mad, 0.0), 6) AS mad_z
+       |FROM dev d JOIN mad m ON d.event_type = m.event_type
+       |WHERE d.d > 2.5 * m.mad + 1e-9""".stripMargin
+
+  // ------------------------------------------------- weekday seasonality
+  /** Day-of-week return seasonality: mean return per (instrument,
+    * weekday) with the deviation from the instrument's overall mean.
+    * Weekday is ISO Monday=0 on both sides (Spark `weekday` ↔ DuckDB
+    * `isodow − 1` — the engines' default `dayofweek` origins differ). */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val rr = withRet(dailyClose(spark, dir)).filter(col("ret").isNotNull)
+    val byd = rr.groupBy(col("event_type"), expr("weekday(day)").as("wd"))
+      .agg(count(lit(1)).as("n_days"), avg("ret").as("avg_ret"))
+    val tot = rr.groupBy("event_type").agg(avg("ret").as("mean_ret"))
+    byd.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("wd"), col("n_days"),
+        round(col("avg_ret"), 6).as("avg_ret"),
+        round(col("avg_ret") - col("mean_ret"), 6).as("dev_from_mean"))
+  }
+
+  val dowSeasonalitySql: String =
+    s"""WITH $dailySql, $retsSql,
+       |rr AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+       |byd AS (SELECT event_type, isodow(day) - 1 AS wd, COUNT(*) AS n_days,
+       |               AVG(ret) AS avg_ret
+       |        FROM rr GROUP BY 1, 2),
+       |tot AS (SELECT event_type, AVG(ret) AS mean_ret FROM rr GROUP BY 1)
+       |SELECT b.event_type, CAST(b.wd AS INT) AS wd, b.n_days,
+       |       ROUND(b.avg_ret, 6) AS avg_ret,
+       |       ROUND(b.avg_ret - t.mean_ret, 6) AS dev_from_mean
+       |FROM byd b JOIN tot t ON b.event_type = t.event_type""".stripMargin
+
   // ------------------------------------------------------------------ RSI
   /** RSI(7), simple-average form: 100·ḡ/(ḡ+l̄) over the trailing 7 price
     * deltas (algebraically 100 − 100/(1+RS), finite when l̄=0; both-zero

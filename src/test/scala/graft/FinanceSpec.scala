@@ -112,6 +112,32 @@ class FinanceSpec extends AnyFunSuite {
     assert(total == expect)
   }
 
+  test("mad anomalies: every flagged day exceeds 2.5 MAD-z") {
+    val rows = FinanceQueries.madAnomalies(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 2.5, r.toString))
+  }
+
+  test("dow seasonality: deviations sum to ~0 weighted by day counts") {
+    val rows = FinanceQueries.dowSeasonality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.map(_.getInt(1)).forall(wd => wd >= 0 && wd <= 6))
+      // Σ n_d·(avg_d − mean) = 0 exactly before rounding
+      val s = rs.map(r => r.getLong(2) * r.getDouble(4)).sum
+      assert(math.abs(s) < 1e-3, s"$t weighted deviation $s")
+    }
+  }
+
+  test("transition matrix: rows normalize to 1") {
+    val rows = graft.operators.Sessionize.transitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (in, rs) =>
+      val tot = rs.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$in sums to $tot")
+    }
+  }
+
   test("rsi: bounded in [0, 100], full windows only") {
     val rows = FinanceQueries.rsi(spark, sf).collect()
     assert(rows.nonEmpty)
