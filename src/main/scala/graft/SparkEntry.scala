@@ -591,6 +591,9 @@ object SparkEntry {
     ("q_fin_rsi", FinanceQueries.rsi _, Some(FinanceQueries.rsiSql)),
     ("q_fin_corr_matrix", FinanceQueries.corrMatrix _, Some(FinanceQueries.corrMatrixSql)),
     ("q_fin_anomaly", FinanceQueries.madAnomalies _, Some(FinanceQueries.madAnomaliesSql)),
+    ("q_fin_underwater", FinanceQueries.underwaterStreaks _,
+      Some(FinanceQueries.underwaterStreaksSql)),
+    ("q_turnover_hhi", FinanceQueries.turnoverHhi _, Some(FinanceQueries.turnoverHhiSql)),
     ("q_dow_seasonality", FinanceQueries.dowSeasonality _, Some(FinanceQueries.dowSeasonalitySql)),
     ("q_value_histogram", FinanceQueries.valueHistogram _, Some(FinanceQueries.valueHistogramSql)),
     // behavior analytics: cohort retention grid + ordered conversion

@@ -322,6 +322,83 @@ object FinanceQueries {
       |SELECT event_type, bucket, COUNT(*) AS n
       |FROM b GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------ underwater streaks
+  /** Longest underwater spell per instrument (consecutive days below the
+    * running peak) — the drawdown-DURATION companion to
+    * [[maxDrawdown]]'s depth. Gaps-and-islands: island id = (row number
+    * over all days) − (row number over underwater days), constant within
+    * each consecutive run. Underwater compares close < runmax on
+    * bit-identical doubles (runmax is the max of the same values), so
+    * the flag cannot drift between engines. All windows run on the
+    * day-level frame. */
+  def underwaterStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val wc = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    val marked = dailyClose(spark, dir)
+      .withColumn("runmax", max("close").over(wc))
+      .withColumn("rn_all", row_number().over(wDay))
+      .filter(col("close") < col("runmax"))
+      .withColumn("rn_under", row_number().over(wDay))
+      .withColumn("island", col("rn_all") - col("rn_under"))
+    val spells = marked.groupBy("event_type", "island")
+      .agg(count(lit(1)).as("len"))
+    spells.groupBy("event_type")
+      .agg(max("len").as("max_underwater_days"),
+        sum("len").as("n_underwater_days"),
+        count(lit(1)).as("n_spells"))
+  }
+
+  val underwaterStreaksSql: String =
+    s"""WITH $dailySql,
+       |r AS (
+       |  SELECT event_type, day, close,
+       |         MAX(close) OVER (PARTITION BY event_type ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn_all
+       |  FROM daily),
+       |u AS (
+       |  SELECT event_type, day, rn_all,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn_under
+       |  FROM r WHERE close < runmax),
+       |spells AS (
+       |  SELECT event_type, rn_all - rn_under AS island, COUNT(*) AS len
+       |  FROM u GROUP BY 1, 2)
+       |SELECT event_type, MAX(len) AS max_underwater_days,
+       |       CAST(SUM(len) AS BIGINT) AS n_underwater_days,
+       |       COUNT(*) AS n_spells
+       |FROM spells GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- HHI concentration
+  /** Daily turnover concentration: Herfindahl–Hirschman index of the
+    * per-instrument turnover shares each day (1/|instruments| = even,
+    * 1 = single-name day). One (symbol, day) aggregate; the per-day
+    * normalizer is a |days|-row broadcast. */
+  def turnoverHhi(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(sum("value").as("turnover"))
+    val tot = per.groupBy("day").agg(sum("turnover").as("day_total"),
+      count(lit(1)).as("n_types"))
+    per.join(broadcast(tot), "day")
+      .withColumn("share", col("turnover") / col("day_total"))
+      .groupBy("day")
+      .agg(round(sum(col("share") * col("share")), 6).as("hhi"),
+        max("n_types").as("n_types"))
+      .select(dayStr(col("day")), col("hhi"), col("n_types"))
+  }
+
+  val turnoverHhiSql: String =
+    """WITH per AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type,
+      |         SUM(value) AS turnover
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT day, SUM(turnover) AS day_total, COUNT(*) AS n_types
+      |        FROM per GROUP BY 1)
+      |SELECT strftime(p.day, '%Y-%m-%d') AS day,
+      |       ROUND(SUM((p.turnover / t.day_total) * (p.turnover / t.day_total)), 6) AS hhi,
+      |       MAX(t.n_types) AS n_types
+      |FROM per p JOIN tot t ON p.day = t.day
+      |GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------- MAD anomalies
   /** Robust outlier days: |ret − median| > 2.5 × MAD (median absolute
     * deviation) per instrument — the estimator a fat-tailed return series

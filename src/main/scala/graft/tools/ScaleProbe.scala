@@ -147,7 +147,23 @@ object ScaleProbe {
     ("q_length_buckets", "documents",
       (s: SparkSession, d: String) => graft.operators.Packing.lengthBuckets(s, d)),
     ("q_hard_negatives", "embeddings",
-      (s: SparkSession, d: String) => graft.operators.Similarity.hardNegatives(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Similarity.hardNegatives(s, d)),
+    // late-r12 additions: the events-scale analytics — OHLC bars (one
+    // min_by/max_by combinable aggregate), cohort retention (user-keyed
+    // aggregates + joins), funnel (three chained user-hash aggregates),
+    // histogram (map-side floor + count), and the MMR retrieval (chunk +
+    // embed + bounded-heap pool; the greedy itself is nQueries×pool
+    // metadata work)
+    ("q_ohlc_bars", "events",
+      (s: SparkSession, d: String) => graft.serve.FinanceQueries.ohlcBars(s, d)),
+    ("q_cohort_retention", "events",
+      (s: SparkSession, d: String) => graft.serve.CohortQueries.cohortRetention(s, d)),
+    ("q_event_funnel", "events",
+      (s: SparkSession, d: String) => graft.serve.CohortQueries.eventFunnel(s, d)),
+    ("q_value_histogram", "events",
+      (s: SparkSession, d: String) => graft.serve.FinanceQueries.valueHistogram(s, d)),
+    ("q_rag_mmr", "documents",
+      (s: SparkSession, d: String) => graft.operators.Rag.mmrRetrieve(s, d)))
 
   val ExponentGate = 1.5
 

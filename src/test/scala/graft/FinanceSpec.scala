@@ -138,6 +138,25 @@ class FinanceSpec extends AnyFunSuite {
     }
   }
 
+  test("underwater: max streak <= total underwater days <= 29") {
+    val rows = FinanceQueries.underwaterStreaks(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (mx, tot, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mx >= 1 && mx <= tot && tot <= 29, r.toString)
+      assert(n >= 1 && mx * n >= tot, r.toString) // max*spells bounds total
+    }
+  }
+
+  test("hhi: within [1/n_types, 1]") {
+    val rows = FinanceQueries.turnoverHhi(spark, sf).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val (hhi, n) = (r.getDouble(1), r.getLong(2))
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
   test("rsi: bounded in [0, 100], full windows only") {
     val rows = FinanceQueries.rsi(spark, sf).collect()
     assert(rows.nonEmpty)
