@@ -131,6 +131,9 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Curation.dsirWeights(s, d)): Q,
       Some(graft.operators.Curation.dsirWeightsSql())),
     ("q_token_stats", TextFunctions.tokenStatsQuery _, Some(TextFunctions.tokenStatsQuerySql)),
+    // per-source type-token ratio + Guiraud index — the boilerplate signal
+    ("q_lex_diversity", TextFunctions.lexicalDiversity _,
+      Some(TextFunctions.lexicalDiversitySql)),
     // RefinedWeb-style source/domain gating: rank sources by quality − dup rate
     ("q_source_reputation",
       ((s: SparkSession, d: String) => graft.operators.Curation.sourceReputation(s, d)): Q,
@@ -593,6 +596,7 @@ object SparkEntry {
     ("q_fin_anomaly", FinanceQueries.madAnomalies _, Some(FinanceQueries.madAnomaliesSql)),
     ("q_fin_underwater", FinanceQueries.underwaterStreaks _,
       Some(FinanceQueries.underwaterStreaksSql)),
+    ("q_fin_var", FinanceQueries.valueAtRisk _, Some(FinanceQueries.valueAtRiskSql)),
     ("q_turnover_hhi", FinanceQueries.turnoverHhi _, Some(FinanceQueries.turnoverHhiSql)),
     ("q_dow_seasonality", FinanceQueries.dowSeasonality _, Some(FinanceQueries.dowSeasonalitySql)),
     ("q_value_histogram", FinanceQueries.valueHistogram _, Some(FinanceQueries.valueHistogramSql)),

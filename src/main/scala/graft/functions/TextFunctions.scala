@@ -658,4 +658,35 @@ object TextFunctions {
       |  MIN(n_chars) AS min_chars,
       |  MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang""".stripMargin
+
+  // ------------------------------------------------- lexical diversity
+  /** Per-source lexical diversity: type-token ratio and the Guiraud index
+    * (types/√tokens — the length-robust form; raw TTR collapses as the
+    * corpus grows, which is why both are reported). A low-diversity
+    * source is boilerplate/template text — a standing curation signal
+    * next to [[qualityQuery]] and the repetition metrics. One explode +
+    * one (source)-keyed aggregate; COUNT(DISTINCT) shuffles (source,
+    * term) pairs — at lake scale that is the vocabulary per source, Zipf-
+    * bounded far below token volume. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_types") / sqrt(col("n_tokens")), 6).as("guiraud"))
+
+  val lexicalDiversitySql: String =
+    s"""WITH ${tokedCteSqlOver("documents")},
+       |t2 AS (SELECT d.source, tk.tok
+       |       FROM toked tk JOIN documents d ON d.doc_id = tk.doc_id),
+       |agg AS (SELECT source, COUNT(*) AS n_tokens,
+       |               COUNT(DISTINCT tok) AS n_types
+       |        FROM t2 GROUP BY 1)
+       |SELECT source, n_tokens, n_types,
+       |       ROUND(n_types / n_tokens, 6) AS ttr,
+       |       ROUND(n_types / SQRT(n_tokens), 6) AS guiraud
+       |FROM agg""".stripMargin
 }

@@ -322,6 +322,38 @@ object FinanceQueries {
       |SELECT event_type, bucket, COUNT(*) AS n
       |FROM b GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ VaR/ES
+  /** Historical 95% value-at-risk and expected shortfall per instrument:
+    * VaR = the 5th percentile of daily returns, ES = mean return in the
+    * tail at-or-below it. Exact `percentile` on the day-level frame (the
+    * `approx_percentile` swap is the 100 TB path); the tail membership
+    * compares raw returns against the engine-shared interpolated cut. */
+  def valueAtRisk(spark: SparkSession, dir: String): DataFrame = {
+    val rr = withRet(dailyClose(spark, dir)).filter(col("ret").isNotNull)
+    val v = rr.groupBy("event_type")
+      .agg(expr("percentile(ret, 0.05)").as("var_raw"))
+    rr.join(broadcast(v), "event_type")
+      .groupBy("event_type")
+      .agg(round(min("var_raw") * 100, 6).as("var95_pct"),
+        round(avg(when(col("ret") <= col("var_raw"), col("ret"))) * 100, 6)
+          .as("es95_pct"),
+        sum(when(col("ret") <= col("var_raw"), 1L).otherwise(0L)).as("n_tail"))
+  }
+
+  val valueAtRiskSql: String =
+    s"""WITH $dailySql, $retsSql,
+       |rr AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+       |v AS (SELECT event_type, quantile_cont(ret, 0.05) AS var_raw
+       |      FROM rr GROUP BY 1)
+       |SELECT r.event_type,
+       |       ROUND(MIN(v.var_raw) * 100, 6) AS var95_pct,
+       |       ROUND(AVG(CASE WHEN r.ret <= v.var_raw THEN r.ret END) * 100, 6)
+       |         AS es95_pct,
+       |       CAST(SUM(CASE WHEN r.ret <= v.var_raw THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_tail
+       |FROM rr r JOIN v ON r.event_type = v.event_type
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ underwater streaks
   /** Longest underwater spell per instrument (consecutive days below the
     * running peak) — the drawdown-DURATION companion to

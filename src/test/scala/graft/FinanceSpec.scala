@@ -157,6 +157,27 @@ class FinanceSpec extends AnyFunSuite {
     }
   }
 
+  test("var/es: expected shortfall at or below VaR, non-empty tail") {
+    val rows = FinanceQueries.valueAtRisk(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (v, es, n) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+      assert(es <= v + 1e-9, s"ES must be at or below VaR: $r")
+      assert(n >= 1, r.toString)
+    }
+  }
+
+  test("lexical diversity: ttr in (0,1], guiraud positive") {
+    val rows = graft.functions.TextFunctions.lexicalDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // types <= tokens
+      val ttr = r.getDouble(3)
+      assert(ttr > 0.0 && ttr <= 1.0, r.toString)
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
   test("rsi: bounded in [0, 100], full windows only") {
     val rows = FinanceQueries.rsi(spark, sf).collect()
     assert(rows.nonEmpty)
