@@ -597,6 +597,8 @@ object SparkEntry {
     ("q_fin_underwater", FinanceQueries.underwaterStreaks _,
       Some(FinanceQueries.underwaterStreaksSql)),
     ("q_fin_var", FinanceQueries.valueAtRisk _, Some(FinanceQueries.valueAtRiskSql)),
+    ("q_fin_autocorr", FinanceQueries.autocorr _, Some(FinanceQueries.autocorrSql)),
+    ("q_fin_moments", FinanceQueries.momentsBattery _, Some(FinanceQueries.momentsBatterySql)),
     ("q_turnover_hhi", FinanceQueries.turnoverHhi _, Some(FinanceQueries.turnoverHhiSql)),
     ("q_dow_seasonality", FinanceQueries.dowSeasonality _, Some(FinanceQueries.dowSeasonalitySql)),
     ("q_value_histogram", FinanceQueries.valueHistogram _, Some(FinanceQueries.valueHistogramSql)),

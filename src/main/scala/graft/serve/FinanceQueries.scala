@@ -322,6 +322,68 @@ object FinanceQueries {
       |SELECT event_type, bucket, COUNT(*) AS n
       |FROM b GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- autocorr
+  /** Lag-1 autocorrelation of daily returns per instrument (the
+    * mean-reversion/momentum diagnostic): Pearson corr of (ret, prev
+    * ret) over the aligned day pairs. Both engines share the same corr
+    * definition, so the oracle compares directly. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame =
+    withRet(dailyClose(spark, dir))
+      .withColumn("prev_ret", lag("ret", 1).over(wDay))
+      .filter(col("ret").isNotNull && col("prev_ret").isNotNull)
+      .groupBy("event_type")
+      .agg(round(corr(col("ret"), col("prev_ret")), 6).as("acf1"),
+        count(lit(1)).as("n_pairs"))
+
+  val autocorrSql: String =
+    s"""WITH $dailySql, $retsSql,
+       |lagged AS (
+       |  SELECT event_type, ret,
+       |         LAG(ret) OVER (PARTITION BY event_type ORDER BY day) AS prev_ret
+       |  FROM rets)
+       |SELECT event_type, ROUND(CORR(ret, prev_ret), 6) AS acf1,
+       |       COUNT(*) AS n_pairs
+       |FROM lagged WHERE ret IS NOT NULL AND prev_ret IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- moments battery
+  /** Return-distribution shape per instrument: population skewness g1 =
+    * m3/m2^1.5 and excess kurtosis g2 = m4/m2² − 3 from EXPLICIT central
+    * moments (mean broadcast back, then Σ(ret−μ)^k) — the engines'
+    * built-in skewness/kurtosis disagree on bias correction, so the
+    * oracle re-derives the same estimator instead of trusting either. */
+  def momentsBattery(spark: SparkSession, dir: String): DataFrame = {
+    val rr = withRet(dailyClose(spark, dir)).filter(col("ret").isNotNull)
+    val mu = rr.groupBy("event_type").agg(avg("ret").as("mu"))
+    val d = col("ret") - col("mu")
+    rr.join(broadcast(mu), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        avg(d * d).as("m2"), avg(d * d * d).as("m3"),
+        avg(d * d * d * d).as("m4"))
+      .select(col("event_type"), col("n"),
+        round(sqrt(col("m2")) * 100, 6).as("sd_pct"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skew_g1"),
+        round(col("m4") / (col("m2") * col("m2")) - 3.0, 6).as("kurt_g2"))
+  }
+
+  val momentsBatterySql: String =
+    s"""WITH $dailySql, $retsSql,
+       |rr AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+       |mu AS (SELECT event_type, AVG(ret) AS mu FROM rr GROUP BY 1),
+       |m AS (
+       |  SELECT r.event_type, COUNT(*) AS n,
+       |         AVG((r.ret - u.mu) * (r.ret - u.mu)) AS m2,
+       |         AVG((r.ret - u.mu) * (r.ret - u.mu) * (r.ret - u.mu)) AS m3,
+       |         AVG((r.ret - u.mu) * (r.ret - u.mu) * (r.ret - u.mu) * (r.ret - u.mu)) AS m4
+       |  FROM rr r JOIN mu u ON r.event_type = u.event_type
+       |  GROUP BY 1)
+       |SELECT event_type, n,
+       |       ROUND(SQRT(m2) * 100, 6) AS sd_pct,
+       |       ROUND(m3 / POWER(m2, 1.5), 6) AS skew_g1,
+       |       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurt_g2
+       |FROM m""".stripMargin
+
   // ------------------------------------------------------------ VaR/ES
   /** Historical 95% value-at-risk and expected shortfall per instrument:
     * VaR = the 5th percentile of daily returns, ES = mean return in the

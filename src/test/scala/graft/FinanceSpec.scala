@@ -178,6 +178,26 @@ class FinanceSpec extends AnyFunSuite {
     }
   }
 
+  test("autocorr: |acf1| <= 1, 28 aligned pairs per instrument") {
+    val rows = FinanceQueries.autocorr(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+      assert(r.getLong(2) == 28) // 30 days -> 29 rets -> 28 lag pairs
+    }
+  }
+
+  test("moments: kurtosis respects the skewness lower bound") {
+    val rows = FinanceQueries.momentsBattery(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (sd, g1, g2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(sd > 0.0)
+      // g2 >= g1^2 - 2 holds for any distribution (Pearson inequality)
+      assert(g2 >= g1 * g1 - 2.0 - 1e-6, r.toString)
+    }
+  }
+
   test("rsi: bounded in [0, 100], full windows only") {
     val rows = FinanceQueries.rsi(spark, sf).collect()
     assert(rows.nonEmpty)
