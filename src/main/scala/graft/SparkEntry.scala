@@ -586,6 +586,7 @@ object SparkEntry {
     // crossover, RSI) — all window arithmetic on the day-level aggregate,
     // fully hash-oracled
     ("q_ohlc_bars", FinanceQueries.ohlcBars _, Some(FinanceQueries.ohlcBarsSql)),
+    ("q_ohlc_weekly", FinanceQueries.ohlcWeekly _, Some(FinanceQueries.ohlcWeeklySql)),
     ("q_fin_volatility", FinanceQueries.volatility _, Some(FinanceQueries.volatilitySql)),
     ("q_fin_beta", FinanceQueries.betaMarket _, Some(FinanceQueries.betaMarketSql)),
     ("q_fin_drawdown", FinanceQueries.maxDrawdown _, Some(FinanceQueries.maxDrawdownSql)),

@@ -109,6 +109,45 @@ object FinanceQueries {
       |       ROUND(SUM(value), 6) AS turnover
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- weekly bars
+  /** The same bar aggregate resampled to the week grain (both engines
+    * truncate weeks to Monday) — one grouping-key swap re-targets the
+    * whole min_by/max_by plan, which is the point of keeping open/close
+    * as ordinary aggregates: resampling never adds a window. */
+  def ohlcWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(
+        round(min_by(col("value"), ord), 6).as("open"),
+        round(max("value"), 6).as("high"),
+        round(min("value"), 6).as("low"),
+        round(max_by(col("value"), ord), 6).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
+  val ohlcWeeklySql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('week', ts) AS wk, ts, event_id, value
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, wk
+      |                       ORDER BY ts ASC, event_id ASC) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, wk
+      |                       ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM e)
+      |SELECT event_type, strftime(wk, '%Y-%m-%d') AS week,
+      |       ROUND(MAX(CASE WHEN ra = 1 THEN value END), 6) AS open,
+      |       ROUND(MAX(value), 6) AS high,
+      |       ROUND(MIN(value), 6) AS low,
+      |       ROUND(MAX(CASE WHEN rd = 1 THEN value END), 6) AS close,
+      |       COUNT(*) AS n_events
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ volatility
   /** Rolling 10-day sample stddev of daily returns, annualized (×√252,
     * in percent). Emitted only where the window is complete. */
