@@ -45,15 +45,30 @@ object Rag {
         md5(concat_ws(" ", col("chunk"))).as("chunk_sig"))
   }
 
+  /** The chunk-embedding index, memoized per (session, dir, window,
+    * stride) — consumed by BOTH the plain retrieval and the MMR re-rank
+    * (and at lake scale a materialized per-ingest table, like the stored
+    * IVF/PQ indexes; the memo is its in-session form — the established
+    * multi-consumer-artifact policy, cf. `Curation.sourceReputation`). */
+  private val vecsMemo = new SessionMemo[(String, Int, Int), DataFrame]
+
+  private def chunkVecs(spark: SparkSession, dir: String, window: Int,
+      stride: Int): DataFrame =
+    vecsMemo.getOrElseUpdate(spark, (dir, window, stride)) {
+      TextEmbed.embedDocs(
+          chunkTable(spark, dir, window, stride)
+            .select(col("chunk_id").as("doc_id"), col("text")))
+        .select(col("doc_id").as("vec_id"), col("emb"))
+        .cache()
+    }
+
   /** (q_doc, rank, src_doc, chunk_pos, cosine, chunk_sig): the k best
     * passages outside each query doc, ranked by rounded cosine with the
     * chunk-id tiebreak. Fully hash-oracled end to end. */
   def ragRetrieve(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 3, window: Int = 32, stride: Int = 16): DataFrame = {
     val chunks = chunkTable(spark, dir, window, stride)
-    val vecs = TextEmbed.embedDocs(
-        chunks.select(col("chunk_id").as("doc_id"), col("text")))
-      .select(col("doc_id").as("vec_id"), col("emb"))
+    val vecs = chunkVecs(spark, dir, window, stride)
     val q = vecs
       .filter(col("vec_id") % ChunkShift === 0 &&
         col("vec_id") < nQueries * ChunkShift)
@@ -177,9 +192,7 @@ object Rag {
     import spark.implicits._
     import graft.functions.PqKernels.round6
     val chunks = chunkTable(spark, dir, window, stride)
-    val vecs = TextEmbed.embedDocs(
-        chunks.select(col("chunk_id").as("doc_id"), col("text")))
-      .select(col("doc_id").as("vec_id"), col("emb"))
+    val vecs = chunkVecs(spark, dir, window, stride)
     val q = vecs
       .filter(col("vec_id") % ChunkShift === 0 &&
         col("vec_id") < nQueries * ChunkShift)

@@ -64,6 +64,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), "conditional sums must combine map-side")
   }
 
+  test("finance chain: corpus ticks shuffle once; windows run on the day grain") {
+    // The whole indicator battery hangs off ONE corpus-scale exchange (the
+    // map-side-combined daily-close aggregate on (event_type, day)); the
+    // per-symbol indicator window adds a second exchange that carries only
+    // day-level rows. Anything beyond 2 means a window or join leaked down
+    // to raw ticks.
+    val plan = physicalPlan(serve.FinanceQueries.volatility(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 shuffles (tick agg + day window), got $exchanges:\n$plan")
+    assert(plan.contains("partial_avg") || plan.contains("partial_average"),
+      s"daily close must combine map-side:\n$plan")
+  }
+
   test("session pairs: numbering and pairing share one exchange") {
     // Window.partitionBy(user) then Window.partitionBy(user, session_idx):
     // HashPartitioning(user) satisfies the (user, session) clustering, so
