@@ -305,6 +305,11 @@ object SparkEntry {
     ("q_rag_mmr",
       ((s: SparkSession, d: String) => graft.operators.Rag.mmrRetrieve(s, d)): Q,
       Some(graft.operators.Rag.mmrRetrieveSql())),
+    // standing pool-cap exposure audit: a negative bound_gap names the
+    // query where the top-20 pool could have cost MMR quality
+    ("q_mmr_pool_exposure",
+      ((s: SparkSession, d: String) => graft.operators.Rag.mmrPoolExposure(s, d)): Q,
+      Some(graft.operators.Rag.mmrPoolExposureSql())),
     // codegen'd Morton key, recomputed bit-by-bit by the oracle
     ("q_zorder_values", graft.operators.Layout.zorderValues _,
       Some(graft.operators.Layout.zorderValuesSql)),

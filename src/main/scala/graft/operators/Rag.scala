@@ -167,6 +167,41 @@ object Rag {
     if (den == 0.0) 0.0 else dot / den
   }
 
+  /** Greedy MMR over ≤ pool candidates; (candidate, RAW mmr score) in
+    * selection order — rank 1 scores its relevance. Scores compare raw
+    * doubles computed from round-6 inputs with the vec_id tiebreak: the
+    * bit-identical contract the SQL mirror replays. */
+  private def greedySelect(cands: Array[MmrCand],
+      k: Int): Seq[(MmrCand, Double)] = {
+    import graft.functions.PqKernels.round6
+    val out = scala.collection.mutable.ArrayBuffer.empty[(MmrCand, Double)]
+    if (cands.isEmpty) return out.toSeq
+    val sorted = cands.sortBy(c => (-c.rel, c.vec_id))
+    val chosen = scala.collection.mutable.ArrayBuffer(sorted.head)
+    val remaining = scala.collection.mutable.ArrayBuffer(sorted.tail: _*)
+    out += ((sorted.head, sorted.head.rel))
+    while (out.length < k && remaining.nonEmpty) {
+      var best: MmrCand = null
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { c =>
+        var m = Double.NegativeInfinity
+        chosen.foreach { s =>
+          val sim = round6(localCos(c.emb, s.emb))
+          if (sim > m) m = sim
+        }
+        val score = Lambda * c.rel - Mu * m
+        if (score > bestScore ||
+            (score == bestScore && (best == null || c.vec_id < best.vec_id))) {
+          best = c; bestScore = score
+        }
+      }
+      chosen += best
+      remaining -= best
+      out += ((best, bestScore))
+    }
+    out.toSeq
+  }
+
   /** Maximal-marginal-relevance retrieval: the top-`pool` passages per
     * query (the [[ragRetrieve]] contract) re-ranked greedily by
     * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
@@ -210,38 +245,11 @@ object Rag {
     val withEmb = broadcast(cands).join(vecs, "vec_id")
       .select(col("q_doc"), col("vec_id"), col("rel"), col("emb"))
       .as[MmrCand]
-    val lam = Lambda; val mu = Mu; val kk = k
+    val kk = k
     val selected = withEmb.groupByKey(_.q_doc).flatMapGroups { (qd, it) =>
-      val cs = it.toArray.sortBy(c => (-c.rel, c.vec_id))
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Int, Long, Double, Double)]
-      if (cs.nonEmpty) {
-        val chosen = scala.collection.mutable.ArrayBuffer(cs.head)
-        val remaining = scala.collection.mutable.ArrayBuffer(cs.tail: _*)
-        out += ((qd, 1, cs.head.vec_id, cs.head.rel, cs.head.rel))
-        var rank = 2
-        while (rank <= kk && remaining.nonEmpty) {
-          var best: MmrCand = null
-          var bestScore = Double.NegativeInfinity
-          remaining.foreach { c =>
-            var m = Double.NegativeInfinity
-            chosen.foreach { s =>
-              val sim = round6(localCos(c.emb, s.emb))
-              if (sim > m) m = sim
-            }
-            val score = lam * c.rel - mu * m
-            if (score > bestScore ||
-                (score == bestScore && (best == null || c.vec_id < best.vec_id))) {
-              best = c; bestScore = score
-            }
-          }
-          chosen += best
-          remaining -= best
-          out += ((qd, rank, best.vec_id, best.rel, round6(bestScore)))
-          rank += 1
-        }
+      greedySelect(it.toArray, kk).zipWithIndex.iterator.map {
+        case ((c, score), i) => (qd, i + 1, c.vec_id, c.rel, round6(score))
       }
-      out.iterator
     }.toDF("q_doc", "rank", "chunk_id", "rel", "mmr")
     chunks.join(broadcast(selected), "chunk_id")
       .select(col("q_doc"), col("rank"), col("src_doc"), col("chunk_pos"),
@@ -253,7 +261,16 @@ object Rag {
     * unrolled as k chained CTE steps (argmax per step via ROW_NUMBER,
     * chosen-set accumulated by UNION ALL). */
   def mmrRetrieveSql(nQueries: Int = 5, k: Int = 5, pool: Int = 20,
-      window: Int = 32, stride: Int = 16): String = {
+      window: Int = 32, stride: Int = 16): String =
+    s"""WITH ${mmrSelCtes(nQueries, k, pool, window, stride)}
+       |SELECT sel.q_doc, CAST(sel.rank AS INT) AS rank, ch.src_doc,
+       |       ch.chunk_pos, sel.rel, ROUND(sel.mmr, 6) AS mmr
+       |FROM sel JOIN ch ON ch.chunk_id = sel.vec_id""".stripMargin
+
+  /** Everything through the selected set `sel` — shared by the MMR mirror
+    * and the pool-cap exposure audit. */
+  private def mmrSelCtes(nQueries: Int, k: Int, pool: Int,
+      window: Int, stride: Int): String = {
     val steps = (2 to k).map { t =>
       val prevC = s"c${t - 1}"
       s"""s$t AS MATERIALIZED (
@@ -275,7 +292,7 @@ object Rag {
          |  UNION ALL SELECT q_doc, vec_id FROM s$t)""".stripMargin
     }.mkString(",\n")
     val union = (1 to k).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
-    s"""WITH ${retrievalCtes(nQueries, window, stride)},
+    s"""${retrievalCtes(nQueries, window, stride)},
        |cand AS MATERIALIZED (SELECT q_doc, vec_id, cosine AS rel FROM win
        |         WHERE rank <= $pool),
        |ce AS MATERIALIZED (SELECT cd.q_doc, cd.vec_id, cd.rel, c.emb
@@ -291,9 +308,70 @@ object Rag {
        |  FROM ce) WHERE rn = 1),
        |c1 AS MATERIALIZED (SELECT q_doc, vec_id FROM s1),
        |$steps,
-       |sel AS ($union)
-       |SELECT sel.q_doc, CAST(sel.rank AS INT) AS rank, ch.src_doc,
-       |       ch.chunk_pos, sel.rel, ROUND(sel.mmr, 6) AS mmr
-       |FROM sel JOIN ch ON ch.chunk_id = sel.vec_id""".stripMargin
+       |sel AS ($union)""".stripMargin
   }
+
+  /** Standing pool-cap exposure audit (the `q_ngram_cap_exposure`
+    * pattern: a bounded index owes a standing measure of what its cap
+    * hides). An excluded candidate's MMR score is at most
+    * λ·(best excluded relevance) — no similarity penalty can HELP it —
+    * so `excl_mmr_ceiling = λ·max_excl_rel` is the hard ceiling on what
+    * any pool-invisible passage could have scored, and
+    * `bound_gap = min(selected mmr) − ceiling`: a positive gap CERTIFIES
+    * the top-`pool` cap lost nothing for that query; a negative gap is
+    * the exposure — conservative by construction, since the ceiling
+    * ignores the similarity penalty a high-relevance excluded candidate
+    * (by construction a near-dup of what IS selected) would actually
+    * pay. On this corpus the gap runs ≈ −0.2: the honest reading is
+    * "pool=20 trades a bounded slice of diversity headroom for the
+    * bounded-heap plan", exactly the trade the df-cap audit reports for
+    * n-gram dedup. Fully hash-oracled: the mirror re-derives the greedy
+    * AND the exclusion bound. */
+  def mmrPoolExposure(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, pool: Int = 20, window: Int = 32,
+      stride: Int = 16): DataFrame = {
+    import spark.implicits._
+    val vecs = chunkVecs(spark, dir, window, stride)
+    val q = vecs
+      .filter(col("vec_id") % ChunkShift === 0 &&
+        col("vec_id") < nQueries * ChunkShift)
+      .select((col("vec_id") / ChunkShift).cast("long").as("q_doc"),
+        col("emb").as("q_emb"))
+    // heap of pool+1: the (pool+1)-th best relevance IS the exclusion bound
+    val topk = udaf(new TopK.ScoreTopKAgg(pool + 1),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    val cands = vecs.crossJoin(broadcast(q))
+      .filter((col("vec_id") / ChunkShift).cast("long") =!= col("q_doc"))
+      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
+      .groupBy("q_doc")
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_doc"), explode(col("top")).as("s"))
+      .select(col("q_doc"), col("s.vec_id").as("vec_id"), col("s.cosine").as("rel"))
+    val withEmb = broadcast(cands).join(vecs, "vec_id")
+      .select(col("q_doc"), col("vec_id"), col("rel"), col("emb"))
+      .as[MmrCand]
+    val kk = k; val pl = pool; val lam = Lambda
+    withEmb.groupByKey(_.q_doc).mapGroups { (qd, it) =>
+      import graft.functions.PqKernels.round6
+      val cs = it.toArray.sortBy(c => (-c.rel, c.vec_id))
+      val maxExcl: Option[Double] = if (cs.length > pl) Some(cs(pl).rel) else None
+      val minSel = greedySelect(cs.take(pl), kk).map(_._2).min
+      (qd, round6(minSel), maxExcl,
+        maxExcl.map(m => round6(lam * m)),
+        maxExcl.map(m => round6(minSel - lam * m)))
+    }.toDF("q_doc", "min_sel_mmr", "max_excl_rel", "excl_mmr_ceiling",
+      "bound_gap")
+  }
+
+  def mmrPoolExposureSql(nQueries: Int = 5, k: Int = 5, pool: Int = 20,
+      window: Int = 32, stride: Int = 16): String =
+    s"""WITH ${mmrSelCtes(nQueries, k, pool, window, stride)},
+       |excl AS (SELECT q_doc, MAX(cosine) AS max_excl_rel
+       |         FROM win WHERE rank > $pool GROUP BY 1),
+       |smin AS (SELECT q_doc, MIN(mmr) AS min_sel_mmr FROM sel GROUP BY 1)
+       |SELECT s.q_doc, ROUND(s.min_sel_mmr, 6) AS min_sel_mmr,
+       |       e.max_excl_rel,
+       |       ROUND($Lambda * e.max_excl_rel, 6) AS excl_mmr_ceiling,
+       |       ROUND(s.min_sel_mmr - $Lambda * e.max_excl_rel, 6) AS bound_gap
+       |FROM smin s LEFT JOIN excl e ON s.q_doc = e.q_doc""".stripMargin
 }

@@ -46,6 +46,17 @@ class RagSpec extends AnyFunSuite {
     }
   }
 
+  test("pool exposure audit: gap is exactly min_sel − ceiling; every query reported") {
+    val rows = Rag.mmrPoolExposure(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (minSel, ceil, gap) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(gap - (minSel - ceil)) < 2e-6, r.toString)
+      // ceiling must dominate every selected-but-not-first score's rel share
+      assert(ceil > 0.0)
+    }
+  }
+
   test("rag plan: broadcast queries + bounded-heap top-k, no per-query window sort") {
     val plan = Rag.ragRetrieve(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
