@@ -614,6 +614,16 @@ object SparkEntry {
       Some(CohortQueries.cohortRetentionSql)),
     ("q_event_funnel", CohortQueries.eventFunnel _,
       Some(CohortQueries.eventFunnelSql)),
+    // query-time JSON path extraction over the semi-structured props col
+    ("q_json_extract", CohortQueries.jsonExtract _,
+      Some(CohortQueries.jsonExtractSql)),
+    // the full ranking-function family (rank/dense/percent/cume/ntile)
+    ("q_rank_battery", CohortQueries.rankBattery _,
+      Some(CohortQueries.rankBatterySql)),
+    // GROUPING SETS + GROUPING() — completes the ROLLUP/CUBE trio; the
+    // SAME SQL text runs on both engines
+    ("q_grouping_sets", CohortQueries.groupingSets _,
+      Some(CohortQueries.groupingSetsSql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

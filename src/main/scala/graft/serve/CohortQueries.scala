@@ -1,6 +1,7 @@
 package graft.serve
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -53,6 +54,91 @@ object CohortQueries {
       |SELECT strftime(g.cohort_day, '%Y-%m-%d') AS cohort_day, g."offset",
       |       g.n_users, ROUND(g.n_users / b.cohort_size, 6) AS retention
       |FROM grid g JOIN base b ON g.cohort_day = b.cohort_day""".stripMargin
+
+  // ------------------------------------------------------ JSON functions
+  /** JSON property extraction over the `props` column (the reference's
+    * raw layer is JSON — `scripts/formatting/format_to_parquet.py` parses
+    * it at the edge; this is the query-time form for properties that
+    * STAY semi-structured): path-extract → cast → aggregate. Spark
+    * `get_json_object` ↔ DuckDB `json_extract_string`, both SQL-standard
+    * `$.k` paths. Extraction is row-local; the aggregate map-side
+    * combines. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  val jsonExtractSql: String =
+    """WITH j AS (
+      |  SELECT event_type,
+      |         CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(k) AS n_with_k,
+      |       ROUND(AVG(k), 6) AS avg_k,
+      |       MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM j GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- rank battery
+  /** The ranking-function family in one query: rank/dense_rank/
+    * percent_rank/cume_dist over a COARSE key (⌊value⌋ — ties are the
+    * point; the tie-group values are deterministic per row on both
+    * engines) and ntile(4) over the unique (value, event_id) order
+    * (ntile splits by row POSITION, so determinism requires a total
+    * order). Output bounded to 8 rows per key by the same total order. */
+  def rankBattery(spark: SparkSession, dir: String): DataFrame = {
+    val coarse = Window.partitionBy("event_type").orderBy(floor(col("value")))
+    val total = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rnk", rank().over(coarse))
+      .withColumn("drnk", dense_rank().over(coarse))
+      .withColumn("prnk", round(percent_rank().over(coarse), 6))
+      .withColumn("cume", round(cume_dist().over(coarse), 6))
+      .withColumn("quartile", ntile(4).over(total))
+      .withColumn("rn", row_number().over(total))
+      .filter(col("rn") <= 8)
+      .select(col("event_type"), col("event_id"), col("rnk"), col("drnk"),
+        col("prnk"), col("cume"), col("quartile"), col("rn"))
+  }
+
+  val rankBatterySql: String =
+    """SELECT event_type, event_id, rnk, drnk, prnk, cume, quartile, rn
+      |FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(RANK() OVER wc AS INT) AS rnk,
+      |    CAST(DENSE_RANK() OVER wc AS INT) AS drnk,
+      |    ROUND(PERCENT_RANK() OVER wc, 6) AS prnk,
+      |    ROUND(CUME_DIST() OVER wc, 6) AS cume,
+      |    CAST(NTILE(4) OVER wt AS INT) AS quartile,
+      |    CAST(ROW_NUMBER() OVER wt AS INT) AS rn
+      |  FROM events
+      |  WINDOW wc AS (PARTITION BY event_type ORDER BY FLOOR(value)),
+      |         wt AS (PARTITION BY event_type ORDER BY value, event_id))
+      |WHERE rn <= 8""".stripMargin
+
+  // ----------------------------------------------------- grouping sets
+  /** The same SQL text runs on BOTH engines (the q_sql_api pattern):
+    * GROUPING SETS with GROUPING() null-disambiguation — the third leg
+    * of the ROLLUP/CUBE/GROUPING SETS trio. */
+  private def groupingSetsSqlOver(rel: String): String =
+    s"""SELECT event_type, CAST(user_id % 3 AS INT) AS ub,
+       |       CAST(GROUPING(event_type) AS INT) AS g_et,
+       |       CAST(GROUPING(user_id % 3) AS INT) AS g_ub,
+       |       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+       |FROM $rel
+       |GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
+       |""".stripMargin
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_gsets")
+    spark.sql(groupingSetsSqlOver("events_gsets"))
+  }
+
+  val groupingSetsSql: String = groupingSetsSqlOver("events")
 
   /** Ordered conversion funnel: first view → first click strictly after
     * it → first purchase strictly after that. Stage counts with the

@@ -198,6 +198,31 @@ class FinanceSpec extends AnyFunSuite {
     }
   }
 
+  test("json extract: every event carries an int k") {
+    val rows = graft.serve.CohortQueries.jsonExtract(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getLong(1) > 0 && r.getInt(3) >= 0))
+  }
+
+  test("rank battery: rank >= dense_rank, percent/cume in [0,1], ntile in 1..4") {
+    val rows = graft.serve.CohortQueries.rankBattery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= r.getInt(3)) // rank >= dense_rank
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getInt(6) >= 1 && r.getInt(6) <= 4)
+    }
+  }
+
+  test("grouping sets: grand total row equals the sum of per-type rows") {
+    val rows = graft.serve.CohortQueries.groupingSets(spark, sf).collect()
+    val grand = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(grand.length == 1)
+    val perType = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    assert(perType.map(_.getLong(4)).sum == grand.head.getLong(4))
+  }
+
   test("rsi: bounded in [0, 100], full windows only") {
     val rows = FinanceQueries.rsi(spark, sf).collect()
     assert(rows.nonEmpty)
