@@ -614,6 +614,9 @@ object SparkEntry {
       Some(CohortQueries.cohortRetentionSql)),
     ("q_event_funnel", CohortQueries.eventFunnel _,
       Some(CohortQueries.eventFunnelSql)),
+    // INTERSECT/EXCEPT distinct set semantics (completes §2.7 set ops)
+    ("q_intersect_except", CohortQueries.intersectExcept _,
+      Some(CohortQueries.intersectExceptSql)),
     // query-time JSON path extraction over the semi-structured props col
     ("q_json_extract", CohortQueries.jsonExtract _,
       Some(CohortQueries.jsonExtractSql)),

@@ -55,6 +55,34 @@ object CohortQueries {
       |       g.n_users, ROUND(g.n_users / b.cohort_size, 6) AS retention
       |FROM grid g JOIN base b ON g.cohort_day = b.cohort_day""".stripMargin
 
+  // ------------------------------------------------- intersect / except
+  /** INTERSECT / EXCEPT set semantics (distinct on both engines): users
+    * who both viewed and purchased, and users who viewed but never
+    * errored — labeled into one frame. Both plans are user-keyed
+    * aggregates/joins under the hood (Catalyst rewrites intersect to a
+    * left-semi over distinct, except to left-anti). */
+  def intersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select("user_id")
+    users("view").intersect(users("purchase"))
+      .select(lit("both_view_purchase").as("cohort"), col("user_id"))
+      .unionByName(
+        users("view").except(users("error"))
+          .select(lit("view_never_error").as("cohort"), col("user_id")))
+  }
+
+  val intersectExceptSql: String =
+    """SELECT 'both_view_purchase' AS cohort, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'view_never_error' AS cohort, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin
+
   // ------------------------------------------------------ JSON functions
   /** JSON property extraction over the `props` column (the reference's
     * raw layer is JSON — `scripts/formatting/format_to_parquet.py` parses
