@@ -627,6 +627,9 @@ object SparkEntry {
     // SAME SQL text runs on both engines
     ("q_grouping_sets", CohortQueries.groupingSets _,
       Some(CohortQueries.groupingSetsSql)),
+    // correlated LATERAL top-k — the same SQL text on both engines
+    ("q_lateral_topk", CohortQueries.lateralTopK _,
+      Some(CohortQueries.lateralTopKSql)),
     // multimodal plumbing
     ("q_media_features", Multimodal.featuresQuery _, Some(Multimodal.featuresQuerySql)),
     ("q_media_frames",

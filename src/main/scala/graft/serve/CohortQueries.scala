@@ -148,6 +148,25 @@ object CohortQueries {
       |         wt AS (PARTITION BY event_type ORDER BY value, event_id))
       |WHERE rn <= 8""".stripMargin
 
+  // ------------------------------------------------------ lateral join
+  /** Correlated LATERAL subquery — per-type top-2 by value expressed as
+    * the SQL-standard lateral shape (the same text runs on both
+    * engines). Catalyst plans the correlated limit as a per-key
+    * aggregation, not a cross-product. */
+  private def lateralTopKSqlOver(rel: String): String =
+    s"""SELECT t.event_type, l.event_id, l.value
+       |FROM (SELECT DISTINCT event_type FROM $rel) t,
+       |LATERAL (SELECT event_id, value FROM $rel e
+       |         WHERE e.event_type = t.event_type
+       |         ORDER BY value DESC, event_id LIMIT 2) l""".stripMargin
+
+  def lateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_lat")
+    spark.sql(lateralTopKSqlOver("events_lat"))
+  }
+
+  val lateralTopKSql: String = lateralTopKSqlOver("events")
+
   // ----------------------------------------------------- grouping sets
   /** The same SQL text runs on BOTH engines (the q_sql_api pattern):
     * GROUPING SETS with GROUPING() null-disambiguation — the third leg
