@@ -42,6 +42,37 @@ object StreamBars {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Append-mode twin with a 1-day watermark: a bar is emitted exactly
+    * ONCE, when the event-time watermark passes its window end — the
+    * finalized-bar contract a downstream TxTable/archive sink wants
+    * (append never retracts, so only closed bars may flow). The cost of
+    * finality is the tail: bars whose window end the watermark never
+    * passes (the last day of a drained static source) stay in state,
+    * unemitted — StreamBarsSpec pins emitted ≡ batch EXACTLY on the
+    * watermark-closed prefix and names the open tail. State is again one
+    * row per instrument-day, and the watermark lets Spark EVICT closed
+    * windows instead of keeping the whole history (the complete-mode
+    * twin's trade in reverse). */
+  def barsAppend(spark: SparkSession, eventsDir: String,
+      queryName: String): StreamingQuery =
+    StreamLens.eventsStream(spark, eventsDir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .withWatermark("ts", "1 day")
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("first"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("turnover_raw"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Read-time rendering to the exact batch output contract
     * (column names, rounding, day format). */
   def barsFinish(series: DataFrame): DataFrame =
