@@ -592,6 +592,10 @@ object SparkEntry {
     // fully hash-oracled
     ("q_ohlc_bars", FinanceQueries.ohlcBars _, Some(FinanceQueries.ohlcBarsSql)),
     ("q_ohlc_weekly", FinanceQueries.ohlcWeekly _, Some(FinanceQueries.ohlcWeeklySql)),
+    ("q_ohlc_unpivot", FinanceQueries.ohlcUnpivot _, Some(FinanceQueries.ohlcUnpivotSql)),
+    // the composed end-of-day report: every indicator on one daily frame
+    ("q_fin_daily_report", FinanceQueries.dailyReport _,
+      Some(FinanceQueries.dailyReportSql)),
     ("q_fin_volatility", FinanceQueries.volatility _, Some(FinanceQueries.volatilitySql)),
     ("q_fin_beta", FinanceQueries.betaMarket _, Some(FinanceQueries.betaMarketSql)),
     ("q_fin_drawdown", FinanceQueries.maxDrawdown _, Some(FinanceQueries.maxDrawdownSql)),

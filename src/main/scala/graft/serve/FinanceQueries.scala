@@ -109,6 +109,23 @@ object FinanceQueries {
       |       ROUND(SUM(value), 6) AS turnover
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------- unpivot
+  /** The bars melted to long format (event_type, day, field, v) — the
+    * reshape inverse of `q_pivot_daily`. Spark's native `unpivot`
+    * (codegen Expand, no shuffle beyond the bar aggregate) ↔ DuckDB
+    * UNPIVOT. */
+  def ohlcUnpivot(spark: SparkSession, dir: String): DataFrame =
+    ohlcBars(spark, dir)
+      .unpivot(
+        Array(col("event_type"), col("day")),
+        Array(col("open"), col("high"), col("low"), col("close")),
+        "field", "v")
+
+  val ohlcUnpivotSql: String =
+    s"""WITH bars AS ($ohlcBarsSql)
+       |SELECT event_type, day, field, v
+       |FROM bars UNPIVOT (v FOR field IN (open, high, low, close))""".stripMargin
+
   // ------------------------------------------------------- weekly bars
   /** The same bar aggregate resampled to the week grain (both engines
     * truncate weeks to Monday) — one grouping-key swap re-targets the
@@ -422,6 +439,91 @@ object FinanceQueries {
        |       ROUND(m3 / POWER(m2, 1.5), 6) AS skew_g1,
        |       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurt_g2
        |FROM m""".stripMargin
+
+  // ------------------------------------------------------ daily report
+  /** The composed end-of-day report — the battery's `q_lens_dashboard`:
+    * close, return, SMA(10), annualized vol, RSI(7), Bollinger z-score
+    * and the MAD regime flag in ONE frame per (instrument, day). One
+    * corpus-scale aggregate, one window chain over the day grain, two
+    * broadcast percentile joins — composing the indicators does not add
+    * shuffles, which is the point of keeping them on a shared daily
+    * frame. Full-window days only; fully hash-oracled. */
+  def dailyReport(spark: SparkSession, dir: String): DataFrame = {
+    val w10 = wDay.rowsBetween(-9, 0)
+    val w7 = wDay.rowsBetween(-6, 0)
+    val base = withRet(dailyClose(spark, dir))
+      .withColumn("sma10", avg("close").over(w10))
+      .withColumn("sd10", stddev_samp("close").over(w10))
+      .withColumn("n10", count("close").over(w10))
+      .withColumn("nret", count("ret").over(w10))
+      .withColumn("vol", stddev_samp("ret").over(w10))
+      .withColumn("delta", col("close") - lag("close", 1).over(wDay))
+      .withColumn("avg_gain", avg(greatest(col("delta"), lit(0.0))).over(w7))
+      .withColumn("avg_loss", avg(greatest(-col("delta"), lit(0.0))).over(w7))
+      .withColumn("n7", count("delta").over(w7))
+      .filter(col("ret").isNotNull)
+    val med = base.groupBy("event_type")
+      .agg(expr("percentile(ret, 0.5)").as("med"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("ret") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(d, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("n10") === 10 && col("nret") === 10 && col("n7") === 7)
+      .select(col("event_type"), dayStr(col("day")),
+        round(col("close"), 6).as("close"),
+        round(col("ret") * 100, 6).as("ret_pct"),
+        round(col("sma10"), 6).as("sma10"),
+        round(col("vol") * sqrt(lit(252.0)) * 100, 6).as("ann_vol_pct"),
+        round(lit(100.0) * col("avg_gain") /
+          nullif(col("avg_gain") + col("avg_loss"), lit(0.0)), 6).as("rsi7"),
+        round((col("close") - col("sma10")) /
+          nullif(lit(2.0) * col("sd10"), lit(0.0)), 6).as("bb_z"),
+        when(col("d") > lit(2.5) * col("mad") + lit(1e-9), "anomaly")
+          .otherwise("normal").as("regime"))
+  }
+
+  val dailyReportSql: String =
+    s"""WITH $dailySql, $retsSql,
+       |d0 AS (
+       |  SELECT event_type, day, close, ret,
+       |         close - LAG(close) OVER (PARTITION BY event_type
+       |                                  ORDER BY day) AS delta
+       |  FROM rets),
+       |base AS (
+       |  SELECT event_type, day, close, ret,
+       |         AVG(close) OVER w10 AS sma10,
+       |         STDDEV_SAMP(close) OVER w10 AS sd10,
+       |         COUNT(close) OVER w10 AS n10,
+       |         COUNT(ret) OVER w10 AS nret,
+       |         STDDEV_SAMP(ret) OVER w10 AS vol,
+       |         AVG(GREATEST(delta, 0.0)) OVER w7 AS avg_gain,
+       |         AVG(GREATEST(-delta, 0.0)) OVER w7 AS avg_loss,
+       |         COUNT(delta) OVER w7 AS n7
+       |  FROM d0
+       |  WINDOW w10 AS (PARTITION BY event_type ORDER BY day
+       |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       |         w7 AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       |b2 AS (SELECT * FROM base WHERE ret IS NOT NULL),
+       |med AS (SELECT event_type, quantile_cont(ret, 0.5) AS med
+       |        FROM b2 GROUP BY 1),
+       |dev AS (SELECT b.*, ABS(b.ret - m.med) AS d
+       |        FROM b2 b JOIN med m ON b.event_type = m.event_type),
+       |mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+       |        FROM dev GROUP BY 1)
+       |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       |       ROUND(d.close, 6) AS close,
+       |       ROUND(d.ret * 100, 6) AS ret_pct,
+       |       ROUND(d.sma10, 6) AS sma10,
+       |       ROUND(d.vol * SQRT(252) * 100, 6) AS ann_vol_pct,
+       |       ROUND(100.0 * d.avg_gain
+       |             / NULLIF(d.avg_gain + d.avg_loss, 0.0), 6) AS rsi7,
+       |       ROUND((d.close - d.sma10) / NULLIF(2.0 * d.sd10, 0.0), 6) AS bb_z,
+       |       CASE WHEN d.d > 2.5 * m.mad + 1e-9
+       |            THEN 'anomaly' ELSE 'normal' END AS regime
+       |FROM dev d JOIN mad m ON d.event_type = m.event_type
+       |WHERE d.n10 = 10 AND d.nret = 10 AND d.n7 = 7""".stripMargin
 
   // ------------------------------------------------------------ VaR/ES
   /** Historical 95% value-at-risk and expected shortfall per instrument:
