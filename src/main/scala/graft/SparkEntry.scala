@@ -618,6 +618,8 @@ object SparkEntry {
       Some(CohortQueries.cohortRetentionSql)),
     ("q_event_funnel", CohortQueries.eventFunnel _,
       Some(CohortQueries.eventFunnelSql)),
+    // TPC-H Q3 shape: broadcast segment filter + grouped revenue + top-k
+    ("q_ship_priority", MoreQueries.shipPriority _, Some(MoreQueries.shipPrioritySql)),
     // INTERSECT/EXCEPT distinct set semantics (completes §2.7 set ops)
     ("q_intersect_except", CohortQueries.intersectExcept _,
       Some(CohortQueries.intersectExceptSql)),

@@ -372,4 +372,47 @@ object MoreQueries {
       |       CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
       |       strftime(to_timestamp(FLOOR(epoch(ts))), '%Y-%m-%d %H:%M:%S') AS rebuilt_ts
       |FROM events""".stripMargin
+
+  // ------------------------------------------------------- ship priority
+  /** The TPC-H Q3 shape — segment-filtered customers x open orders x
+    * shipped-late lineitems, top-10 orders by revenue: a selective dim
+    * filter that BROADCASTS into the fact join, one grouped sum, and a
+    * TakeOrderedAndProject top-k (never a global sort). The classic
+    * "does the optimizer push the segment filter below the join" probe
+    * next to the Q5-shaped `revenuePerNation`. */
+  def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey").as("orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority").as("priority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey"))
+      .limit(10)
+      .select("orderkey", "revenue", "orderdate", "priority")
+  }
+
+  val shipPrioritySql: String =
+    """SELECT l.l_orderkey AS orderkey,
+      |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o.o_orderpriority AS priority
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY 1, 3, 4
+      |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin
 }

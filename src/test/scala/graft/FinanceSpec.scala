@@ -223,6 +223,50 @@ class FinanceSpec extends AnyFunSuite {
     assert(perType.map(_.getLong(4)).sum == grand.head.getLong(4))
   }
 
+  test("unpivot: 4 long rows per bar, values match the wide frame") {
+    val bars = FinanceQueries.ohlcBars(spark, sf).collect()
+    val long = FinanceQueries.ohlcUnpivot(spark, sf).collect()
+    assert(long.length == bars.length * 4)
+    val wide = bars.map(r => (r.getString(0), r.getString(1)) ->
+      Map("open" -> r.getDouble(2), "high" -> r.getDouble(3),
+        "low" -> r.getDouble(4), "close" -> r.getDouble(5))).toMap
+    long.foreach { r =>
+      val exp = wide((r.getString(0), r.getString(1)))(r.getString(2))
+      assert(r.getDouble(3) == exp, r.toString)
+    }
+  }
+
+  test("daily report: composed columns agree with the standalone batteries") {
+    val rep = FinanceQueries.dailyReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rep.nonEmpty)
+    val rsi = FinanceQueries.rsi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val vol = FinanceQueries.volatility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    rep.foreach { case (k, r) =>
+      assert(math.abs(r.getDouble(6) - rsi(k)) < 1e-9, s"rsi drift at $k")
+      assert(math.abs(r.getDouble(5) - vol(k)) < 1e-9, s"vol drift at $k")
+    }
+    val anomalies = FinanceQueries.madAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    rep.foreach { case (k, r) =>
+      if (anomalies.contains(k)) assert(r.getString(8) == "anomaly", k.toString)
+    }
+  }
+
+  test("ship priority: descending revenue, 10 rows, plan broadcasts the segment dim") {
+    val df = graft.serve.MoreQueries.shipPriority(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getDouble(1)).toSeq
+    assert(revs == revs.sorted.reverse)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"segment dim must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("rsi: bounded in [0, 100], full windows only") {
     val rows = FinanceQueries.rsi(spark, sf).collect()
     assert(rows.nonEmpty)
