@@ -134,6 +134,12 @@ object SparkEntry {
     // per-source type-token ratio + Guiraud index — the boilerplate signal
     ("q_lex_diversity", TextFunctions.lexicalDiversity _,
       Some(TextFunctions.lexicalDiversitySql)),
+    // Flesch reading-ease gate per language (vowel-group syllable proxy)
+    ("q_readability", TextFunctions.readability _,
+      Some(TextFunctions.readabilitySql)),
+    // shuffle-key skew pre-flight audit (max share, p99, skew factor)
+    ("q_key_skew", graft.operators.Profile.keySkew _,
+      Some(graft.operators.Profile.keySkewSql)),
     // RefinedWeb-style source/domain gating: rank sources by quality − dup rate
     ("q_source_reputation",
       ((s: SparkSession, d: String) => graft.operators.Curation.sourceReputation(s, d)): Q,

@@ -659,6 +659,45 @@ object TextFunctions {
       |  MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  // ----------------------------------------------------- readability
+  /** Flesch reading-ease per language — the classic readability gate
+    * (word/sentence length + vowel-group syllable proxy, the same
+    * approximation both engines compute identically: zero-vowel words
+    * count 0 syllables, sentence count floors at 1). All three counts
+    * are single regexp passes over the doc — row-local, then one
+    * combinable aggregate. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(tokens(col("text"))).as("words"),
+        greatest(lit(1), expr("regexp_count(text, '[.!?]+')")).as("sentences"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").as("syllables"))
+      .filter(col("words") > 0)
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("words").cast("double") / col("sentences")) -
+          lit(84.6) * (col("syllables").cast("double") / nullif(col("words"), lit(0))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("flesch"), 6).as("avg_flesch"),
+        sum(when(col("flesch") >= 60.0, 1L).otherwise(0L)).as("n_easy"))
+
+  val readabilitySql: String =
+    raw"""WITH d AS (
+      |  SELECT lang,
+      |    len(list_filter(str_split(lower(trim(regexp_replace(text,
+      |      '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '), t -> len(t) > 0)) AS words,
+      |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang, 206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+      |         - 84.6 * (CAST(syllables AS DOUBLE) / NULLIF(words, 0)) AS flesch
+      |  FROM d WHERE words > 0)
+      |SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(flesch), 6) AS avg_flesch,
+      |       CAST(SUM(CASE WHEN flesch >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
+      |FROM f GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- lexical diversity
   /** Per-source lexical diversity: type-token ratio and the Guiraud index
     * (types/√tokens — the length-robust form; raw TTR collapses as the

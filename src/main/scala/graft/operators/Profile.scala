@@ -92,4 +92,34 @@ object Profile {
     }
     (num ++ str).mkString("\nUNION ALL\n")
   }
+
+  // ---------------------------------------------------------- key skew
+  /** Join/shuffle-key skew audit over the event stream's user key: key
+    * count, heaviest-key share, p99 per-key volume and the skew factor
+    * (max/mean). THE pre-flight check before keying a corpus-scale join
+    * or window on a column — a skew_factor in the tens says "salt this
+    * key" (operators/Skew) before the shuffle, not after it stalls. One
+    * map-side-combined count + a single-row summary. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    per.agg(
+        sum("n").as("total"), count(lit(1)).as("n_keys"),
+        max("n").as("max_n"), expr("percentile(n, 0.99)").as("p99_n"))
+      .select(col("n_keys"),
+        round(col("max_n").cast("double") / col("total"), 6).as("max_share"),
+        round(col("p99_n"), 6).as("p99_n"),
+        round(col("max_n").cast("double")
+          / (col("total").cast("double") / col("n_keys")), 6).as("skew_factor"))
+  }
+
+  val keySkewSql: String =
+    """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys,
+      |               MAX(n) AS max_n, quantile_cont(n, 0.99) AS p99_n FROM per)
+      |SELECT n_keys, ROUND(CAST(max_n AS DOUBLE) / total, 6) AS max_share,
+      |       ROUND(p99_n, 6) AS p99_n,
+      |       ROUND(CAST(max_n AS DOUBLE)
+      |             / (CAST(total AS DOUBLE) / n_keys), 6) AS skew_factor
+      |FROM tot""".stripMargin
 }
