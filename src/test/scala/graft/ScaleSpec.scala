@@ -77,6 +77,24 @@ class ScaleSpec extends AnyFunSuite {
       s"daily close must combine map-side:\n$plan")
   }
 
+  test("cohort retention: no window over raw events, joins stay key-hashed") {
+    val plan = physicalPlan(serve.CohortQueries.cohortRetention(spark, sf))
+    assert(!plan.contains("WindowExec"),
+      s"cohort grid must be aggregate/join-only:\n$plan")
+  }
+
+  test("daily report: composing the indicators adds no tick-level shuffle") {
+    // the report = ONE corpus-scale aggregate + day-grain windows + two
+    // broadcast percentile joins; every hashpartitioning exchange beyond
+    // the first carries day-level rows only (the med/mad aggregates and
+    // the window all key on event_type over the daily frame)
+    val plan = physicalPlan(serve.FinanceQueries.dailyReport(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"med/mad must broadcast back, got $broadcasts:\n$plan")
+    assert(plan.contains("partial_avg") || plan.contains("partial_average"),
+      s"daily close must combine map-side:\n$plan")
+  }
+
   test("session pairs: numbering and pairing share one exchange") {
     // Window.partitionBy(user) then Window.partitionBy(user, session_idx):
     // HashPartitioning(user) satisfies the (user, session) clustering, so
