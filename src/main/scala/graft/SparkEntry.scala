@@ -614,6 +614,7 @@ object SparkEntry {
       Some(FinanceQueries.underwaterStreaksSql)),
     ("q_fin_var", FinanceQueries.valueAtRisk _, Some(FinanceQueries.valueAtRiskSql)),
     ("q_fin_autocorr", FinanceQueries.autocorr _, Some(FinanceQueries.autocorrSql)),
+    ("q_fin_winsorized", FinanceQueries.winsorized _, Some(FinanceQueries.winsorizedSql)),
     ("q_fin_moments", FinanceQueries.momentsBattery _, Some(FinanceQueries.momentsBatterySql)),
     ("q_turnover_hhi", FinanceQueries.turnoverHhi _, Some(FinanceQueries.turnoverHhiSql)),
     ("q_dow_seasonality", FinanceQueries.dowSeasonality _, Some(FinanceQueries.dowSeasonalitySql)),

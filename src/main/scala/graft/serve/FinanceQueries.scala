@@ -557,6 +557,44 @@ object FinanceQueries {
        |FROM rr r JOIN v ON r.event_type = v.event_type
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- winsorize
+  /** Winsorized return statistics: clip at the exact p05/p95 cuts, then
+    * compare the robust mean/stddev against the raw ones — the outlier-
+    * damped estimator pair an allocation model actually feeds on. Cuts
+    * are per-instrument broadcasts over the day-level frame. */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val rr = withRet(dailyClose(spark, dir)).filter(col("ret").isNotNull)
+    val cuts = rr.groupBy("event_type")
+      .agg(expr("percentile(ret, 0.05)").as("lo"),
+        expr("percentile(ret, 0.95)").as("hi"))
+    rr.join(broadcast(cuts), "event_type")
+      .withColumn("w", least(greatest(col("ret"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(round(avg("ret") * 100, 6).as("raw_mean_pct"),
+        round(avg("w") * 100, 6).as("wins_mean_pct"),
+        round(stddev_samp("ret") * 100, 6).as("raw_sd_pct"),
+        round(stddev_samp("w") * 100, 6).as("wins_sd_pct"),
+        sum(when(col("ret") =!= col("w"), 1L).otherwise(0L)).as("n_clipped"))
+  }
+
+  val winsorizedSql: String =
+    s"""WITH $dailySql, $retsSql,
+       |rr AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+       |cuts AS (SELECT event_type, quantile_cont(ret, 0.05) AS lo,
+       |                quantile_cont(ret, 0.95) AS hi
+       |         FROM rr GROUP BY 1),
+       |w AS (SELECT r.event_type, r.ret,
+       |             LEAST(GREATEST(r.ret, c.lo), c.hi) AS w
+       |      FROM rr r JOIN cuts c ON r.event_type = c.event_type)
+       |SELECT event_type,
+       |       ROUND(AVG(ret) * 100, 6) AS raw_mean_pct,
+       |       ROUND(AVG(w) * 100, 6) AS wins_mean_pct,
+       |       ROUND(STDDEV_SAMP(ret) * 100, 6) AS raw_sd_pct,
+       |       ROUND(STDDEV_SAMP(w) * 100, 6) AS wins_sd_pct,
+       |       CAST(SUM(CASE WHEN ret <> w THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_clipped
+       |FROM w GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ underwater streaks
   /** Longest underwater spell per instrument (consecutive days below the
     * running peak) — the drawdown-DURATION companion to
