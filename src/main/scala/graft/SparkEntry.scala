@@ -615,6 +615,10 @@ object SparkEntry {
     ("q_fin_var", FinanceQueries.valueAtRisk _, Some(FinanceQueries.valueAtRiskSql)),
     ("q_fin_autocorr", FinanceQueries.autocorr _, Some(FinanceQueries.autocorrSql)),
     ("q_fin_winsorized", FinanceQueries.winsorized _, Some(FinanceQueries.winsorizedSql)),
+    ("q_fin_sharpe", FinanceQueries.sharpeSortino _, Some(FinanceQueries.sharpeSortinoSql)),
+    // per-user activity power-law histogram (log2 bands) — key_skew's twin
+    ("q_activity_histogram", CohortQueries.activityHistogram _,
+      Some(CohortQueries.activityHistogramSql)),
     ("q_fin_moments", FinanceQueries.momentsBattery _, Some(FinanceQueries.momentsBatterySql)),
     ("q_turnover_hhi", FinanceQueries.turnoverHhi _, Some(FinanceQueries.turnoverHhiSql)),
     ("q_dow_seasonality", FinanceQueries.dowSeasonality _, Some(FinanceQueries.dowSeasonalitySql)),

@@ -55,6 +55,24 @@ object CohortQueries {
       |       g.n_users, ROUND(g.n_users / b.cohort_size, 6) AS retention
       |FROM grid g JOIN base b ON g.cohort_day = b.cohort_day""".stripMargin
 
+  // -------------------------------------------- activity distribution
+  /** Per-user activity histogram on log2 buckets — the power-law audit
+    * that pairs with the key-skew summary (`Profile.keySkew`): how many
+    * users sit in each 2^b..2^{b+1} activity band. log2 of counts is
+    * exact on both engines at powers of two (IEEE), so the floor cannot
+    * straddle. */
+  def activityHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(floor(log2(col("n"))).cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"))
+
+  val activityHistogramSql: String =
+    """WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT CAST(FLOOR(LOG2(n)) AS INT) AS bucket, COUNT(*) AS n_users
+      |FROM per GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- intersect / except
   /** INTERSECT / EXCEPT set semantics (distinct on both engines): users
     * who both viewed and purchased, and users who viewed but never

@@ -557,6 +557,35 @@ object FinanceQueries {
        |FROM rr r JOIN v ON r.event_type = v.event_type
        |GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------- sharpe/sortino
+  /** Risk-adjusted return pair: annualized Sharpe (mean/σ·√252) and
+    * Sortino (mean over DOWNSIDE deviation — √(mean of min(ret,0)²),
+    * the zero-target form). Grouped aggregates on the day-level frame. */
+  def sharpeSortino(spark: SparkSession, dir: String): DataFrame = {
+    val rr = withRet(dailyClose(spark, dir)).filter(col("ret").isNotNull)
+    val down = least(col("ret"), lit(0.0))
+    rr.groupBy("event_type")
+      .agg(
+        round(avg("ret") / nullif(stddev_samp("ret"), lit(0.0))
+          * sqrt(lit(252.0)), 6).as("sharpe_ann"),
+        round(avg("ret") / nullif(sqrt(avg(down * down)), lit(0.0))
+          * sqrt(lit(252.0)), 6).as("sortino_ann"),
+        sum(when(col("ret") < 0, 1L).otherwise(0L)).as("n_down"),
+        count(lit(1)).as("n_days"))
+  }
+
+  val sharpeSortinoSql: String =
+    s"""WITH $dailySql, $retsSql,
+       |rr AS (SELECT * FROM rets WHERE ret IS NOT NULL)
+       |SELECT event_type,
+       |  ROUND(AVG(ret) / NULLIF(STDDEV_SAMP(ret), 0.0) * SQRT(252), 6)
+       |    AS sharpe_ann,
+       |  ROUND(AVG(ret) / NULLIF(SQRT(AVG(LEAST(ret, 0.0) * LEAST(ret, 0.0))), 0.0)
+       |        * SQRT(252), 6) AS sortino_ann,
+       |  CAST(SUM(CASE WHEN ret < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       |  COUNT(*) AS n_days
+       |FROM rr GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------- winsorize
   /** Winsorized return statistics: clip at the exact p05/p95 cuts, then
     * compare the robust mean/stddev against the raw ones — the outlier-
