@@ -114,6 +114,13 @@ object SparkEntry {
     ("q_profile_table",
       ((s: SparkSession, d: String) => graft.operators.Profile.profileLineitem(s, d)): Q,
       Some(graft.operators.Profile.profileLineitemSql)),
+    // the 100 TB swap made executable: HLL++ distincts, Expand-free plan
+    // (ProfileSpec pins no-Expand + per-column 3σ bracket vs the exact
+    // profiler — the q_cardinality_bounds pattern); rows-only by contract
+    // (DuckDB's approx_distinct is a different sketch)
+    ("q_profile_table_approx",
+      ((s: SparkSession, d: String) => graft.operators.Profile.profileLineitemApprox(s, d)): Q,
+      None),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
     ("q_redact_pii", TextFunctions.redactQuery _, Some(TextFunctions.redactQuerySql)),

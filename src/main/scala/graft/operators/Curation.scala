@@ -20,14 +20,29 @@ object Curation {
     * Each round is one join + one min-aggregate; this is the standard
     * large-graph CC under Pregel semantics, expressed on DataFrames.
     */
+  /** Driver fast-path cutoff: a pair graph at or below this many directed
+    * edges is solved by union-find on the driver (16 B/edge ⇒ ≤ 16 MB
+    * collected — metadata scale, the PQ-codebook precedent). The
+    * threshold-pruned near-dup graph is orders of magnitude smaller than
+    * the corpus, so at test SFs (hundreds of edges) the distributed loop's
+    * per-round job overhead (localCheckpoint + fixpoint aggregate × 2
+    * joins) dwarfs the actual work; past the cutoff — a 100 TB corpus
+    * whose dup graph genuinely outgrows one machine — the label-
+    * propagation loop below is the path. */
+  private[graft] val DriverCcMaxEdges: Long = 1L << 20
+
   def connectedComponents(pairs: DataFrame, rounds: Int = 10,
-      ccShufflePartitions: Int = 8): DataFrame =
-    connectedComponentsRounds(pairs, rounds, ccShufflePartitions)._1
+      ccShufflePartitions: Int = 8,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame =
+    connectedComponentsRounds(pairs, rounds, ccShufflePartitions, driverMaxEdges)._1
 
   /** As [[connectedComponents]], also returning how many label-propagation
-    * rounds actually executed before the fixpoint (for tests/telemetry). */
+    * rounds actually executed before the fixpoint (for tests/telemetry;
+    * the driver union-find path reports 0 rounds — CurationSpec pins the
+    * two paths label-identical on the same graph). */
   def connectedComponentsRounds(pairs: DataFrame, rounds: Int = 10,
-      ccShufflePartitions: Int = 8): (DataFrame, Int) = {
+      ccShufflePartitions: Int = 8,
+      driverMaxEdges: Long = DriverCcMaxEdges): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // undirected edge list, both directions — MATERIALIZED AT FULL WIDTH:
     // this checkpoint executes the whole upstream pair pipeline, which must
@@ -36,6 +51,10 @@ object Curation {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
     val checkpointedEdges = edges.localCheckpoint(true)
+    // count() on the already-materialized blocks is one cheap job — the
+    // size gate every adaptive strategy needs anyway
+    if (checkpointedEdges.count() <= driverMaxEdges)
+      return (driverUnionFind(spark, checkpointedEdges), 0)
     // The dup-pair graph is orders of magnitude smaller than the corpus, so
     // the label loop's ~15 shuffles should not each spawn a full-width task
     // wave; narrow the shuffle width for the (eagerly-planned) rounds only.
@@ -43,6 +62,41 @@ object Curation {
     spark.conf.set("spark.sql.shuffle.partitions", ccShufflePartitions.toString)
     try connectedComponentsImpl(checkpointedEdges, rounds)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Exact union-find (path-halving; unions always point the larger root
+    * at the smaller, so every root is its component's min id) over a
+    * collected metadata-scale edge list — the identical fixpoint the
+    * label-propagation loop converges to, computed in one pass with zero
+    * shuffles. Deterministic: the relabel to per-component min id is
+    * order-independent of edge iteration. */
+  private def driverUnionFind(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+    }
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, minOfRoot(find(id))))
+      .toDF("id", "comp")
   }
 
   private def connectedComponentsImpl(checkpointedEdges: DataFrame,

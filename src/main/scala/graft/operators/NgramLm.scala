@@ -93,15 +93,22 @@ object NgramLm {
     val uniS = uni.crossJoin(broadcast(n))
       .select(col("w"), col("c1"), (col("c1") / col("n_tokens_total")).as("s1"))
       .cache()
-    val bigRaw = bigRaw0
+    // Count-cutoff BEFORE the cast and BEFORE caching/broadcasting: on the
+    // stored path the `c2 >= 2` / `c3 >= 2` predicates land on the raw long
+    // column and push down to the parquet scan (PushedFilters — a filter on
+    // the cast-to-double column would not), so the singleton-dominated tail
+    // of the persisted count tables is never read back. Pruning bigrams
+    // here is lossless for the trigram denominator too: every surviving
+    // trigram has c3 ≥ 2, and c(uv) ≥ c(uvw), so its context bigram always
+    // clears the same cutoff.
+    val bigRaw = bigRaw0.filter(col("c2") >= MinCount)
       .select(col("b1"), col("b2"), col("c2").cast("double").as("c2")).cache()
-    val bigS = bigRaw.filter(col("c2") >= MinCount)
+    val bigS = bigRaw
       .join(broadcast(uniS.select(col("w").as("b1"), col("c1"))), "b1")
       .select(col("b1"), col("b2"), col("c2"), (col("c2") / col("c1")).as("s2"))
       .cache()
-    val triS = tri0
+    val triS = tri0.filter(col("c3") >= MinCount)
       .select(col("t1"), col("t2"), col("t3"), col("c3").cast("double").as("c3"))
-      .filter(col("c3") >= MinCount)
       // raw-count denominator: c3 ≥ 2 ⇒ the context bigram exists in bigRaw
       .join(broadcast(bigRaw.select(col("b1").as("t1"), col("b2").as("t2"),
         col("c2").as("c2ctx"))), Seq("t1", "t2"))
@@ -164,14 +171,22 @@ object NgramLm {
       .withColumn("sb_ppl", round(pow(lit(2.0), -col("avg_log2sb")), 4))
   }
 
+  private val scoredMemo = new SessionMemo[String, DataFrame]
+
   // no ORDER BY: the result is corpus-sized (one row per doc) and the
-  // driver's compare sorts rows — a global sort here would be pure cost
-  def scoreQuery(spark: SparkSession, dir: String): DataFrame = {
-    val (uniS, bigS, triS) = corpusModel(spark, dir)
-    scoreStream(
-      tokenStream(Tables.spread(spark, Tables.documents(spark, dir))),
-      uniS, bigS, triS)
-  }
+  // driver's compare sorts rows — a global sort here would be pure cost.
+  // MEMOIZED per (session, dir): the per-doc score table is metadata-scale
+  // (one row per doc) and in production it is a MATERIALIZED quality
+  // column written once per ingest — gate, curriculum and the score query
+  // itself all read that artifact, they never re-run the token explode +
+  // three model joins per consumer (the dupClusters memo contract).
+  def scoreQuery(spark: SparkSession, dir: String): DataFrame =
+    scoredMemo.getOrElseUpdate(spark, dir) {
+      val (uniS, bigS, triS) = corpusModel(spark, dir)
+      scoreStream(
+        tokenStream(Tables.spread(spark, Tables.documents(spark, dir))),
+        uniS, bigS, triS).cache()
+    }
 
   /** The model artifact itself: top pruned trigrams by count with their
     * backoff score — the inspectable head of what `writeModel` would

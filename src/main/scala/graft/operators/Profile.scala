@@ -36,7 +36,16 @@ object Profile {
 
   def profileLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val aggs: Seq[Column] =
+    // The wide pass carries ONLY fixed-width aggregate buffers (longs /
+    // doubles). min/max over STRING columns have variable-width buffers,
+    // which HashAggregateExec cannot hold in its UnsafeRow hash map — one
+    // string min in this list demotes the WHOLE mixed-distinct aggregate
+    // to SortAggregate, fully sorting the (k+1)-way Expand output twice
+    // (measured 11 s vs 0.1 s warm at sf0.1). The two string min/max ride
+    // a second, Expand-free aggregate over just the pruned string columns
+    // (SortAggregate with no grouping key = one sequential pass, no sort),
+    // and the two 1-row frames meet in a free 1×1 cross join.
+    val aggsHash: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
         (numericCols ++ stringCols).flatMap { c =>
           Seq(count(col(c)).as(s"${c}__nn"),
@@ -46,12 +55,20 @@ object Profile {
           Seq(round(min(col(c)), 6).as(s"${c}__min"),
             round(max(col(c)), 6).as(s"${c}__max"),
             round(avg(col(c)), 6).as(s"${c}__avg"))
-        } ++
-        stringCols.flatMap { c =>
-          Seq(min(col(c)).as(s"${c}__smin"),
-            max(col(c)).as(s"${c}__smax"))
         }
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    val aggsStr: Seq[Column] = stringCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__smin"),
+        max(col(c)).as(s"${c}__smax"))
+    }
+    val one = li.agg(aggsHash.head, aggsHash.tail: _*)
+      .crossJoin(li.agg(aggsStr.head, aggsStr.tail: _*))
+    unpivot(one)
+  }
+
+  /** The post-aggregate unpivot to one-row-per-column, on a 1-row frame
+    * (free) — shared by the exact and approx profilers so the output
+    * schema cannot fork. */
+  private def unpivot(one: DataFrame): DataFrame = {
     val rows: Seq[Column] =
       numericCols.map { c =>
         struct(lit(c).as("column_name"), col("n_rows"),
@@ -69,6 +86,40 @@ object Profile {
           col(s"${c}__smin").as("min_str"), col(s"${c}__smax").as("max_str"))
       }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** The 100 TB form of [[profileLineitem]] — `approx_count_distinct`
+    * (HyperLogLog++, Heule et al. 2013) in place of exact distincts. The
+    * exact profiler's one deliberate cost is the (k+1)-way Expand the
+    * distinct rewrite plans (k× the shuffle volume); the HLL sketch is a
+    * fixed-width mergeable buffer, so ALL aggregates — including the six
+    * n_distinct — ride ONE map-side-combined HashAggregate pass with no
+    * Expand at all (ProfileSpec pins the plan). rsd = 0.05 default ⇒
+    * ±3σ ≈ 15% of exact, the bound the spec asserts per column against
+    * [[profileLineitem]] — the same exact/approx bracketing contract as
+    * q_cardinality_bounds. Registered rows-only: DuckDB's approx_distinct
+    * uses a different sketch, so no cross-engine hash oracle exists by
+    * construction; correctness is the bracket. */
+  def profileLineitemApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val aggsHash: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        (numericCols ++ stringCols).flatMap { c =>
+          Seq(count(col(c)).as(s"${c}__nn"),
+            approx_count_distinct(col(c)).as(s"${c}__nd"))
+        } ++
+        numericCols.flatMap { c =>
+          Seq(round(min(col(c)), 6).as(s"${c}__min"),
+            round(max(col(c)), 6).as(s"${c}__max"),
+            round(avg(col(c)), 6).as(s"${c}__avg"))
+        }
+    val aggsStr: Seq[Column] = stringCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__smin"),
+        max(col(c)).as(s"${c}__smax"))
+    }
+    val one = li.agg(aggsHash.head, aggsHash.tail: _*)
+      .crossJoin(li.agg(aggsStr.head, aggsStr.tail: _*))
+    unpivot(one)
   }
 
   /** DuckDB oracle for [[profileLineitem]] — one SELECT per column,

@@ -8,7 +8,7 @@ class CurationSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  test("connected components: chains collapse to min label") {
+  test("connected components: chains collapse to min label (driver fast path)") {
     // graph: 1-2, 2-3 (chain), 10-11, isolated vertices absent from edges
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val comp = Curation.connectedComponents(pairs).collect()
@@ -20,7 +20,8 @@ class CurationSpec extends AnyFunSuite {
   test("connected components: long chain (radius 12) fully converges via pointer jumps") {
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("doc_a", "doc_b")
-    val comp = Curation.connectedComponents(chain).collect()
+    // driverMaxEdges = -1 forces the distributed label-propagation loop
+    val comp = Curation.connectedComponents(chain, driverMaxEdges = -1L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1L to 12L).foreach(id => assert(comp(id) == 1L, s"node $id -> ${comp(id)}"))
   }
@@ -29,11 +30,30 @@ class CurationSpec extends AnyFunSuite {
     // pairs/triangles converge in ~2 rounds + 1 fixpoint-confirming round;
     // the cap (10) must NOT all execute
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val (comp, rounds) = Curation.connectedComponentsRounds(pairs)
+    val (comp, rounds) =
+      Curation.connectedComponentsRounds(pairs, driverMaxEdges = -1L)
     val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(3L) == 1L && m(11L) == 10L)
     assert(rounds < 10, s"expected early termination, ran $rounds rounds")
     assert(rounds >= 2, s"fixpoint needs a confirming round, got $rounds")
+  }
+
+  test("connected components: driver union-find ≡ distributed loop") {
+    // mixed fixture: chain, triangle, pair, singleton-by-absence, and a
+    // diamond (cycle) — every label identical across the two paths
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain
+      (7L, 8L), (8L, 9L), (7L, 9L),               // triangle
+      (20L, 21L),                                  // pair
+      (30L, 31L), (31L, 32L), (30L, 33L), (32L, 33L)) // diamond cycle
+      .toDF("doc_a", "doc_b")
+    val fast = Curation.connectedComponentsRounds(pairs)
+    val slow = Curation.connectedComponentsRounds(pairs, driverMaxEdges = -1L)
+    assert(fast._2 == 0, "small graph must take the driver fast path")
+    assert(slow._2 > 0, "forced path must be the distributed loop")
+    val fm = fast._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sm = slow._1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fm == sm, s"paths diverged: driver=$fm loop=$sm")
+    assert(fm(4L) == 1L && fm(9L) == 7L && fm(21L) == 20L && fm(33L) == 30L)
   }
 
   test("curriculum plan: quartile allocation exact, buckets ordered and disjoint") {

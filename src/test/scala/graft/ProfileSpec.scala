@@ -31,18 +31,52 @@ class ProfileSpec extends AnyFunSuite {
     assert(rf.isNullAt(rf.fieldIndex("min_num")) && rf.getAs[String]("min_str") != null)
   }
 
-  test("profiler plan: one scan, map-side partial aggregation") {
+  test("profiler plan: hash-aggregated Expand pass + pruned string pass") {
     val qe = Profile.profileLineitem(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
-    // all aggregates ride a single lineitem scan
-    val scans = qe.executedPlan.collectLeaves()
-      .count(_.toString.contains("lineitem"))
-    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$plan")
+    // two scans by design: the wide fixed-width-buffer pass and the
+    // Expand-free string min/max pass (string buffers would demote the
+    // whole mixed-distinct aggregate to SortAggregate over the Expand)
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 2, s"expected two lineitem scans, got $scans:\n$plan")
     // partial aggregation before the single-group merge (map-side combine)
     assert(plan.contains("partial_count"),
       s"counts must combine map-side before the merge:\n$plan")
     // exact distincts cost one Expand — the documented trade; anything
-    // beyond it (a second scan, a join) would be a plan regression
+    // beyond it (a third scan, a join) would be a plan regression
     assert("Expand".r.findAllIn(plan).length <= 1)
+    // THE r13 pin: the Expand output must be hash-aggregated, never sorted
+    // — SortAggregate over the (k+1)-way Expand was the measured 11 s
+    // regression the string/numeric split exists to prevent
+    assert(plan.contains("HashAggregate"),
+      s"the wide pass must stay a HashAggregate:\n$plan")
+    assert(!plan.contains("Expand") || {
+      // no Sort may feed the Expand's aggregate chain
+      val expandIdx = plan.indexOf("Expand")
+      !plan.substring(0, expandIdx).contains("SortAggregate(key=[l_")
+    }, s"Expand output must not be sort-aggregated:\n$plan")
+  }
+
+  test("approx profiler: Expand-free plan, HLL within 3-sigma of exact") {
+    val qe = Profile.profileLineitemApprox(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx_count_distinct must collapse the Expand:\n$plan")
+    assert(plan.contains("HashAggregate"))
+    val exact = Profile.profileLineitem(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    val approx = Profile.profileLineitemApprox(spark, sf).collect()
+    assert(approx.length == 6)
+    approx.foreach { r =>
+      val c = r.getAs[String]("column_name")
+      val nd = r.getAs[Long]("n_distinct").toDouble
+      val ex = exact(c).toDouble
+      // default rsd 0.05 ⇒ 3σ = 15%
+      assert(math.abs(nd - ex) <= math.max(3.0, 0.15 * ex),
+        s"$c: approx $nd vs exact $ex outside 3-sigma")
+      // every non-sketch column is IDENTICAL to the exact profiler
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
   }
 }
