@@ -312,6 +312,12 @@ object SparkEntry {
     ("q_rag_retrieve",
       ((s: SparkSession, d: String) => graft.operators.Rag.ragRetrieve(s, d)): Q,
       Some(graft.operators.Rag.ragRetrieveSql())),
+    // retrieval against the TxTable-PERSISTED chunk index (writeChunkIndex,
+    // incremental appendChunkIndex keyed chunk_id) — stored ≡ inline proven
+    // by carrying the IDENTICAL oracle
+    ("q_rag_retrieve_stored",
+      ((s: SparkSession, d: String) => graft.operators.Rag.ragRetrieveStored(s, d)): Q,
+      Some(graft.operators.Rag.ragRetrieveSql())),
     // MMR diversity re-rank over the same retrieval: greedy λ·rel −
     // (1−λ)·max-sim-to-chosen on the top-20 pool, oracled by unrolling
     // the greedy as chained CTE steps

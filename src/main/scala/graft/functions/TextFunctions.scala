@@ -80,10 +80,22 @@ object TextFunctions {
             + least(avgTokLen / 10.0, lit(1.0)) * 0.2)), 6))
   }
 
+  private val qualityMemo =
+    new graft.operators.SessionMemo[String, DataFrame]
+
+  /** MEMOIZED per (session, dir): five-plus registered queries (metrics,
+    * curate, reputation, epoch plan, the curation funnel) consume these
+    * per-doc quality columns, and each call re-runs four full-text regex
+    * passes. In production they are MATERIALIZED metadata columns written
+    * once per ingest (the scored-docs memo contract); the cached frame —
+    * seven numbers per doc, metadata-scale — is the in-session form. */
   def qualityQuery(spark: SparkSession, dir: String): DataFrame =
-    qualityMetrics(Tables.documents(spark, dir), "text")
-      .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio", "digit_ratio",
-        "avg_token_len", "quality_score")
+    qualityMemo.getOrElseUpdate(spark, dir) {
+      qualityMetrics(Tables.documents(spark, dir), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio", "digit_ratio",
+          "avg_token_len", "quality_score")
+        .cache()
+    }
 
   /** DuckDB oracle for the quality metrics. regexp_replace carries the 'g'
     * flag (DuckDB replaces only the first match by default; Spark replaces

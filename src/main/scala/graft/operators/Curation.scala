@@ -463,14 +463,35 @@ object Curation {
       .distinct()
   }
 
+  /** The full-corpus distinct (doc_id, gram) table, MEMOIZED per (session,
+    * dir, n): both contamination consumers — [[decontaminate]] over the
+    * whole corpus and [[curationPipeline]] over its stage-4 survivors —
+    * restrict the SAME gram table by a doc_id join (exactly how the SQL
+    * oracle is written: `grams JOIN s3 USING (doc_id)`), so the expensive
+    * tokenize + window + distinct runs once per ingest, not once per
+    * consumer. In production this is the persisted n-gram index a
+    * decontamination service maintains; the cache is its session form. */
+  private val corpusGramsMemo = new SessionMemo[(String, Int), DataFrame]
+
+  private def corpusGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
+    corpusGramsMemo.getOrElseUpdate(spark, (dir, n)) {
+      docNgrams(Tables.documents(spark, dir).select("doc_id", "text"), n)
+        .cache()
+    }
+
   /** THE 13-gram contamination core, over any (doc_id, text, split) frame:
     * one row per contaminated TRAIN doc with its distinct offending-gram
     * count. Shared by [[decontaminate]] (full corpus) and
     * [[curationPipeline]] (stage-4 survivors) so the construction — the
     * gram window, the eval-side distinct, the train×eval join — cannot
     * fork between the two consumers. */
-  private def contaminationHits(docsSplit: DataFrame, n: Int): DataFrame = {
-    val grams = docNgrams(docsSplit.select("doc_id", "text"), n)
+  private def contaminationHits(spark: SparkSession, dir: String,
+      docsSplit: DataFrame, n: Int): DataFrame = {
+    // membership by doc_id join against the memoized corpus gram table —
+    // identical to building grams from docsSplit's own text (both callers
+    // pass documents' text verbatim), and the same restriction shape the
+    // SQL oracle uses (`grams JOIN s3 USING (doc_id)`)
+    val grams = corpusGrams(spark, dir, n)
       .join(docsSplit.select("doc_id", "split"), "doc_id")
     val evalGrams = grams.filter(col("split") =!= "train")
       .select("gram").distinct()
@@ -497,8 +518,7 @@ object Curation {
   def decontaminate(spark: SparkSession, dir: String,
       n: Int = 13, seed: Int = 42): DataFrame = {
     val splits = splitAssign(spark, dir, seed).select("doc_id", "split")
-    val hits = contaminationHits(
-      Tables.documents(spark, dir).select("doc_id", "text").join(splits, "doc_id"), n)
+    val hits = contaminationHits(spark, dir, splits, n)
     splits.filter(col("split") === "train")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -845,7 +865,7 @@ object Curation {
       && col("n_tokens") >= minTokens)
     val sp = splitAssign(spark, dir, seed).select("doc_id", "split")
     val s3s = s3.join(sp, "doc_id")
-    val s4 = s3s.join(contaminationHits(s3s, n).select("doc_id"),
+    val s4 = s3s.join(contaminationHits(spark, dir, s3s, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
     def stage(df: DataFrame, id: Int, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),

@@ -151,9 +151,15 @@ object Profile {
     * or window on a column — a skew_factor in the tens says "salt this
     * key" (operators/Skew) before the shuffle, not after it stalls. One
     * map-side-combined count + a single-row summary. */
-  def keySkew(spark: SparkSession, dir: String): DataFrame = {
-    val per = graft.Tables.events(spark, dir)
-      .groupBy("user_id").agg(count(lit(1)).as("n"))
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkewOf(graft.Tables.events(spark, dir), "user_id")
+
+  /** The same audit over ANY frame/key — the form [[graft.operators.Skew
+    * .saltIfSkewed]] consults before keying a join (one source of truth
+    * for the skew statistic; the registered query is its events/user_id
+    * instance). */
+  def keySkewOf(df: DataFrame, key: String): DataFrame = {
+    val per = df.groupBy(key).agg(count(lit(1)).as("n"))
     per.agg(
         sum("n").as("total"), count(lit(1)).as("n_keys"),
         max("n").as("max_n"), expr("percentile(n, 0.99)").as("p99_n"))

@@ -66,9 +66,16 @@ object Rag {
     * passages outside each query doc, ranked by rounded cosine with the
     * chunk-id tiebreak. Fully hash-oracled end to end. */
   def ragRetrieve(spark: SparkSession, dir: String, nQueries: Int = 5,
-      k: Int = 3, window: Int = 32, stride: Int = 16): DataFrame = {
-    val chunks = chunkTable(spark, dir, window, stride)
-    val vecs = chunkVecs(spark, dir, window, stride)
+      k: Int = 3, window: Int = 32, stride: Int = 16): DataFrame =
+    retrieveFrom(chunkTable(spark, dir, window, stride),
+      chunkVecs(spark, dir, window, stride), nQueries, k)
+
+  /** The scoring/rank/provenance body over ANY (vec_id, emb) chunk-vector
+    * frame — ONE implementation for the in-session index ([[chunkVecs]])
+    * and the TxTable-persisted one ([[ragRetrieveStored]]), so the two
+    * paths cannot drift (the `modelFromCounts` sharing rule). */
+  private def retrieveFrom(chunks: DataFrame, vecs: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val q = vecs
       .filter(col("vec_id") % ChunkShift === 0 &&
         col("vec_id") < nQueries * ChunkShift)
@@ -87,6 +94,56 @@ object Rag {
     chunks.join(broadcast(winners), "chunk_id")
       .select(col("q_doc"), col("rank"), col("src_doc"), col("chunk_pos"),
         col("cosine"), col("chunk_sig"))
+  }
+
+  // ------------------------------------------------ stored chunk index
+  /** Persist the chunk-embedding index as a TxTable at `path` — the
+    * production form of [[chunkVecs]] (the `writeLshIndex`/`writeIvfIndex`
+    * /`writePqIndex` family): at 100 TB the chunk vectors are materialized
+    * once per ingest window and every retrieval reads the stored artifact.
+    * Doubles round-trip parquet bit-exactly, so stored ≡ inline is
+    * hash-provable. Returns the committed version. */
+  def writeChunkIndex(spark: SparkSession, dir: String, path: String,
+      window: Int = 32, stride: Int = 16): Long =
+    graft.serve.TxTable.write(spark,
+      chunkVecs(spark, dir, window, stride), path)
+
+  /** INCREMENTAL index maintenance: embed one ingest batch of documents
+    * and MERGE keyed by chunk_id (vec_id). Chunk vectors are a pure
+    * function of chunk content, so the merge is overwrite-style and
+    * replay-IDEMPOTENT (a redelivered batch rewrites identical rows) —
+    * unlike the additive LM counts. Cost: O(batch chunks) embed + a
+    * key-stats-pruned rewrite of the touched chunk-id range (chunk_id =
+    * doc_id·4096 + pos, so a batch of new docs lands in fresh, contiguous
+    * key ranges and never rewrites old files). */
+  def appendChunkIndex(spark: SparkSession, batch: DataFrame, path: String,
+      window: Int = 32, stride: Int = 16): Unit = {
+    val toked = batch.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+    val vecs = TextEmbed.embedDocs(
+        Packing.chunkRows(toked, window, stride)
+          .select((col("doc_id") * ChunkShift + col("chunk_pos")).as("doc_id"),
+            concat_ws(" ", col("chunk")).as("text")))
+      .select(col("doc_id").as("vec_id"), col("emb"))
+    graft.serve.TxTable.merge(spark, vecs, path, Seq("vec_id"))
+    ()
+  }
+
+  private val chunkIndexMemo = new SessionMemo[String, String]
+
+  /** Registered-query form: write the chunk index once per (session, sf
+    * dir) under the scratch root, then retrieve against the PERSISTED
+    * vectors through the SHARED [[retrieveFrom]] body — same result,
+    * same DuckDB oracle as `q_rag_retrieve` (the `q_ann_pq_stored` /
+    * `q_ngram_lm_stored` proof-by-same-oracle pattern). */
+  def ragRetrieveStored(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 3, window: Int = 32, stride: Int = 16): DataFrame = {
+    val path = chunkIndexMemo.getOrElseUpdate(spark, dir) {
+      Similarity.scratchIndexPath("graft_chunk_index", dir)(p =>
+        writeChunkIndex(spark, dir, p, window, stride))
+    }
+    retrieveFrom(chunkTable(spark, dir, window, stride),
+      graft.serve.TxTable.read(spark, path).select("vec_id", "emb"),
+      nQueries, k)
   }
 
   /** DuckDB mirror: the chunk chain (the [[Packing.chunkDocumentsSql]]

@@ -30,6 +30,27 @@ object Skew {
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Audit-driven salting — closes the loop between the [[Profile.keySkewOf]]
+    * pre-flight check and [[saltedJoin]]: measure the left side's key skew
+    * (one metadata-scale aggregate, the ANALYZE a planner runs before
+    * keying a corpus-scale join), salt only when `skew_factor` — max
+    * per-key volume over the mean — reaches `threshold`. Below it, the
+    * plain join's plan is strictly better (salting explodes the right side
+    * `factor`×); above it, one hot key would otherwise funnel its whole
+    * volume through a single task. Returns the decision alongside the
+    * frame so callers (and the ScaleSpec equivalence pin) can assert which
+    * path ran. Result rows are identical either way — the [[saltedJoin]]
+    * contract. */
+  def saltIfSkewed(left: DataFrame, right: DataFrame, key: String,
+      entropyCol: String, factor: Int,
+      threshold: Double = 8.0): (DataFrame, Boolean) = {
+    val skewFactor = Profile.keySkewOf(left, key)
+      .collect()(0).getAs[Double]("skew_factor")
+    if (skewFactor >= threshold)
+      (saltedJoin(left, right, key, entropyCol, factor), true)
+    else (left.join(right, Seq(key)), false)
+  }
+
   /** Two-phase (salted partial + final) aggregation for skewed group keys:
     * phase 1 aggregates (key, salt) — spreading a hot key across `factor`
     * tasks — phase 2 merges the partials per key. Only works for

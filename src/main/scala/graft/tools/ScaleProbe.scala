@@ -144,6 +144,14 @@ object ScaleProbe {
       (s: SparkSession, d: String) => graft.operators.Sessionize.trainingPairs(s, d)),
     ("q_profile_table", "lineitem",
       (s: SparkSession, d: String) => graft.operators.Profile.profileLineitem(s, d)),
+    // r13: the Expand-free HLL profiler — the executable 100 TB swap; must
+    // probe at least as flat as the exact profiler it brackets
+    ("q_profile_table_approx", "lineitem",
+      (s: SparkSession, d: String) => graft.operators.Profile.profileLineitemApprox(s, d)),
+    // r13: retrieval against the persisted chunk index (index write is
+    // memoized; the probed steady state is the stored-read + scoring scan)
+    ("q_rag_retrieve_stored", "documents",
+      (s: SparkSession, d: String) => graft.operators.Rag.ragRetrieveStored(s, d)),
     ("q_length_buckets", "documents",
       (s: SparkSession, d: String) => graft.operators.Packing.lengthBuckets(s, d)),
     ("q_hard_negatives", "embeddings",

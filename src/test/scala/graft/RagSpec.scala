@@ -57,6 +57,50 @@ class RagSpec extends AnyFunSuite {
     }
   }
 
+  test("stored chunk index: retrieval over the TxTable == inline, bit for bit") {
+    val inline = Rag.ragRetrieve(spark, sf).collect().map(_.toString).sorted
+    val stored = Rag.ragRetrieveStored(spark, sf).collect().map(_.toString).sorted
+    assert(stored.nonEmpty && stored.sameElements(inline),
+      s"stored path diverged: ${stored.length} vs ${inline.length} rows")
+  }
+
+  test("incremental chunk-index append: base + batch == full index") {
+    import org.apache.spark.sql.functions._
+    val path = s"/tmp/graft_chunk_append/${new java.io.File(sf).getName}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val docs = Tables.spread(spark, Tables.documents(spark, sf))
+      .select("doc_id", "text")
+    // base ingest = even docs, later batch = odd docs
+    graft.serve.TxTable.write(spark,
+      graft.operators.TextEmbed.embedDocs(
+          graft.operators.Packing.chunkRows(
+              docs.filter(col("doc_id") % 2 === 0)
+                .select(col("doc_id"),
+                  graft.functions.TextFunctions.tokens(col("text")).as("t")), 32, 16)
+            .select((col("doc_id") * Rag.ChunkShift + col("chunk_pos")).as("doc_id"),
+              concat_ws(" ", col("chunk")).as("text")))
+        .select(col("doc_id").as("vec_id"), col("emb")),
+      path)
+    Rag.appendChunkIndex(spark, docs.filter(col("doc_id") % 2 === 1), path)
+    // replay the same batch: idempotent (pure function of content)
+    Rag.appendChunkIndex(spark, docs.filter(col("doc_id") % 2 === 1), path)
+    val merged = graft.serve.TxTable.read(spark, path)
+      .select("vec_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val full = graft.operators.TextEmbed.embedDocs(
+        graft.operators.Packing.chunkRows(
+            docs.select(col("doc_id"),
+              graft.functions.TextFunctions.tokens(col("text")).as("t")), 32, 16)
+          .select((col("doc_id") * Rag.ChunkShift + col("chunk_pos")).as("doc_id"),
+            concat_ws(" ", col("chunk")).as("text")))
+      .select(col("doc_id").as("vec_id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(merged == full,
+      s"append diverged from rebuild: ${merged.size} vs ${full.size} chunk vectors")
+  }
+
   test("rag plan: broadcast queries + bounded-heap top-k, no per-query window sort") {
     val plan = Rag.ragRetrieve(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),

@@ -64,15 +64,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), "conditional sums must combine map-side")
   }
 
-  test("finance chain: corpus ticks shuffle once; windows run on the day grain") {
-    // The whole indicator battery hangs off ONE corpus-scale exchange (the
-    // map-side-combined daily-close aggregate on (event_type, day)); the
-    // per-symbol indicator window adds a second exchange that carries only
-    // day-level rows. Anything beyond 2 means a window or join leaked down
-    // to raw ticks.
+  test("finance chain: battery reads the day-grain MV; windows run on the day grain") {
+    // Since r13 the daily-close aggregate is the memoized day-grain MV
+    // (FinanceQueries.dailyClose): every indicator must READ the cached
+    // frame — the consumer side of the plan (above the InMemoryRelation)
+    // may shuffle only day-level rows (exactly the one per-symbol window
+    // exchange); the single tick-scale exchange lives inside the cached
+    // build and is paid once per session/ingest, which is the whole point.
     val plan = physicalPlan(serve.FinanceQueries.volatility(spark, sf))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 2, s"expected 2 shuffles (tick agg + day window), got $exchanges:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"indicators must read the memoized day-grain frame:\n$plan")
+    val cacheAt = plan.indexOf("InMemoryRelation")
+    assert(cacheAt >= 0)
+    val consumer = plan.substring(0, cacheAt)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(consumer).length
+    assert(exchanges <= 1,
+      s"day-grain consumer side must shuffle at most once (the window), got $exchanges:\n$plan")
+    // the cached build itself: ONE map-side-combined tick aggregate
     assert(plan.contains("partial_avg") || plan.contains("partial_average"),
       s"daily close must combine map-side:\n$plan")
   }
@@ -250,6 +258,34 @@ class ScaleSpec extends AnyFunSuite {
     val salted = Skew.saltedJoin(left, right, "k", "l_linenumber", 4)
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltIfSkewed: audit picks salting on the hot key, passthrough on balanced — rows identical") {
+    // skewed fixture: collapse 60% of lineitem keys onto ONE hot key
+    val left = Tables.lineitem(spark, sf)
+      .select(when(pmod(col("l_orderkey"), lit(5)) < 3, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"), col("l_linenumber"))
+    val right = left.select("k").distinct()
+      .withColumn("tag", col("k") * 2)
+    val (salted, saltedDecision) =
+      Skew.saltIfSkewed(left, right, "k", "l_linenumber", 4)
+    assert(saltedDecision, "hot-key fixture must trigger salting")
+    assert(salted.queryExecution.analyzed.toString.contains("__salt"),
+      "salted path must actually plan the salted join")
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // balanced fixture: orderkey join — audit must decline to salt
+    val bleft = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_quantity"), col("l_linenumber"))
+    val bright = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val (passthrough, balancedDecision) =
+      Skew.saltIfSkewed(bleft, bright, "k", "l_linenumber", 4)
+    assert(!balancedDecision, "balanced keys must not pay the explode")
+    assert(!passthrough.queryExecution.analyzed.toString.contains("__salt"))
+    assert(passthrough.count() == bleft.join(bright, Seq("k")).count())
   }
 
   test("salted agg matches direct aggregation") {
