@@ -123,6 +123,22 @@ object NgramLm {
     modelFromCounts(u, b, t)
   }
 
+  private val rawCountsMemo =
+    new SessionMemo[String, (DataFrame, DataFrame, DataFrame)]
+
+  /** The corpus RAW count tables, once per (session, sf dir) — the ONE
+    * sufficient statistic both the in-session model derivation and the
+    * stored-model write consume (each used to re-run the token explode +
+    * three count aggregates). Cached: they are what an ingest pipeline
+    * materializes; everything else derives from them. */
+  private def corpusRawCounts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    rawCountsMemo.getOrElseUpdate(spark, dir) {
+      val (u, b, t) = rawCounts(
+        tokenStream(Tables.spread(spark, Tables.documents(spark, dir))))
+      (u.cache(), b.cache(), t.cache())
+    }
+
   private val corpusModelMemo =
     new SessionMemo[String, (DataFrame, DataFrame, DataFrame)]
 
@@ -134,7 +150,8 @@ object NgramLm {
   private def corpusModel(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
     corpusModelMemo.getOrElseUpdate(spark, dir) {
-      model(tokenStream(Tables.spread(spark, Tables.documents(spark, dir))))
+      val (u, b, t) = corpusRawCounts(spark, dir)
+      modelFromCounts(u, b, t)
     }
 
   /** Per-document stupid-backoff score: (doc_id, lang, n_tokens,
@@ -224,11 +241,14 @@ object NgramLm {
     * nightly model build derives scores from the stored statistic instead
     * of re-reading the corpus. Counts are exact longs → parquet
     * round-trips bit-exactly. */
-  def writeLmModel(spark: SparkSession, docs: DataFrame, path: String): Unit = {
-    val (uni, big, tri) = rawCounts(tokenStream(docs))
-    graft.serve.TxTable.write(spark, uni, s"$path/uni")
-    graft.serve.TxTable.write(spark, big, s"$path/big")
-    graft.serve.TxTable.write(spark, tri, s"$path/tri")
+  def writeLmModel(spark: SparkSession, docs: DataFrame, path: String): Unit =
+    writeLmModelFrom(spark, rawCounts(tokenStream(docs)), path)
+
+  private def writeLmModelFrom(spark: SparkSession,
+      counts: (DataFrame, DataFrame, DataFrame), path: String): Unit = {
+    graft.serve.TxTable.write(spark, counts._1, s"$path/uni")
+    graft.serve.TxTable.write(spark, counts._2, s"$path/big")
+    graft.serve.TxTable.write(spark, counts._3, s"$path/tri")
     ()
   }
 
@@ -285,8 +305,10 @@ object NgramLm {
   def scoreStoredQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
     val path = storedModelMemo.getOrElseUpdate(spark, dir) {
+      // write the SAME memoized raw counts the in-session model derives
+      // from — one count pipeline serves both forms
       Similarity.scratchIndexPath("graft_lm_model", dir)(p =>
-        writeLmModel(spark, docs, p))
+        writeLmModelFrom(spark, corpusRawCounts(spark, dir), p))
     }
     scoreDocsStored(docs, spark, path)
   }

@@ -278,28 +278,48 @@ object Rag {
     * partition per query). The MMR stage itself is metadata-scale BY
     * CONSTRUCTION — nQueries × pool rows, grouped per query (≤ pool
     * candidates × 64 doubles of state), never a corpus pass. */
+  /** The scored candidate pool both MMR queries consume, MEMOIZED per
+    * (session, dir, params) and sized pool+1: the re-rank needs the top
+    * `pool` and the exposure audit needs exactly one more element (the
+    * (pool+1)-th relevance IS the exclusion bound), so ONE corpus-scan +
+    * bounded-heap pass serves both — `pos` is the 0-based heap rank
+    * (rounded cosine DESC, vec_id ASC), already joined to the candidate
+    * embeddings the greedy needs. */
+  private val mmrPoolMemo =
+    new SessionMemo[(String, Int, Int, Int, Int), DataFrame]
+
+  private def mmrPool(spark: SparkSession, dir: String, nQueries: Int,
+      pool: Int, window: Int, stride: Int): DataFrame =
+    mmrPoolMemo.getOrElseUpdate(spark, (dir, nQueries, pool, window, stride)) {
+      val vecs = chunkVecs(spark, dir, window, stride)
+      val q = vecs
+        .filter(col("vec_id") % ChunkShift === 0 &&
+          col("vec_id") < nQueries * ChunkShift)
+        .select((col("vec_id") / ChunkShift).cast("long").as("q_doc"),
+          col("emb").as("q_emb"))
+      val topk = udaf(new TopK.ScoreTopKAgg(pool + 1),
+        org.apache.spark.sql.Encoders.product[TopK.Scored])
+      val cands = vecs.crossJoin(broadcast(q))
+        .filter((col("vec_id") / ChunkShift).cast("long") =!= col("q_doc"))
+        .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
+        .groupBy("q_doc")
+        .agg(topk(col("vec_id"), col("cosine")).as("top"))
+        .select(col("q_doc"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("q_doc"), col("pos"),
+          col("s.vec_id").as("vec_id"), col("s.cosine").as("rel"))
+      broadcast(cands).join(vecs, "vec_id")
+        .select(col("q_doc"), col("pos"), col("vec_id"), col("rel"), col("emb"))
+        .cache()
+    }
+
   def mmrRetrieve(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 5, pool: Int = 20, window: Int = 32,
       stride: Int = 16): DataFrame = {
     import spark.implicits._
     import graft.functions.PqKernels.round6
     val chunks = chunkTable(spark, dir, window, stride)
-    val vecs = chunkVecs(spark, dir, window, stride)
-    val q = vecs
-      .filter(col("vec_id") % ChunkShift === 0 &&
-        col("vec_id") < nQueries * ChunkShift)
-      .select((col("vec_id") / ChunkShift).cast("long").as("q_doc"),
-        col("emb").as("q_emb"))
-    val topk = udaf(new TopK.ScoreTopKAgg(pool),
-      org.apache.spark.sql.Encoders.product[TopK.Scored])
-    val cands = vecs.crossJoin(broadcast(q))
-      .filter((col("vec_id") / ChunkShift).cast("long") =!= col("q_doc"))
-      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
-      .groupBy("q_doc")
-      .agg(topk(col("vec_id"), col("cosine")).as("top"))
-      .select(col("q_doc"), explode(col("top")).as("s"))
-      .select(col("q_doc"), col("s.vec_id").as("vec_id"), col("s.cosine").as("rel"))
-    val withEmb = broadcast(cands).join(vecs, "vec_id")
+    val withEmb = mmrPool(spark, dir, nQueries, pool, window, stride)
+      .filter(col("pos") < pool)
       .select(col("q_doc"), col("vec_id"), col("rel"), col("emb"))
       .as[MmrCand]
     val kk = k
@@ -388,23 +408,9 @@ object Rag {
       k: Int = 5, pool: Int = 20, window: Int = 32,
       stride: Int = 16): DataFrame = {
     import spark.implicits._
-    val vecs = chunkVecs(spark, dir, window, stride)
-    val q = vecs
-      .filter(col("vec_id") % ChunkShift === 0 &&
-        col("vec_id") < nQueries * ChunkShift)
-      .select((col("vec_id") / ChunkShift).cast("long").as("q_doc"),
-        col("emb").as("q_emb"))
-    // heap of pool+1: the (pool+1)-th best relevance IS the exclusion bound
-    val topk = udaf(new TopK.ScoreTopKAgg(pool + 1),
-      org.apache.spark.sql.Encoders.product[TopK.Scored])
-    val cands = vecs.crossJoin(broadcast(q))
-      .filter((col("vec_id") / ChunkShift).cast("long") =!= col("q_doc"))
-      .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
-      .groupBy("q_doc")
-      .agg(topk(col("vec_id"), col("cosine")).as("top"))
-      .select(col("q_doc"), explode(col("top")).as("s"))
-      .select(col("q_doc"), col("s.vec_id").as("vec_id"), col("s.cosine").as("rel"))
-    val withEmb = broadcast(cands).join(vecs, "vec_id")
+    // the shared pool+1 frame: the (pool+1)-th best relevance IS the
+    // exclusion bound the audit prices
+    val withEmb = mmrPool(spark, dir, nQueries, pool, window, stride)
       .select(col("q_doc"), col("vec_id"), col("rel"), col("emb"))
       .as[MmrCand]
     val kk = k; val pl = pool; val lam = Lambda

@@ -145,17 +145,28 @@ object Sampling {
     * deterministic coarse quantizer the IVF text twin uses
     * (`TextEmbed.textIvfTopK`), so the whole assignment is closed-form
     * and the sampler's allocation oracle re-derives it in SQL. */
-  private def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = TextEmbed.embeddings(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang").as("label")), "doc_id")
-      .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
-    val cents = Similarity.meanVectors(
-        vecs.select(col("label"), col("emb")), "label", "emb")
-      .withColumnRenamed("label", "c_label")
-    Similarity.nearestCells(vecs, cents, 1)
-      .select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
-  }
+  private val clusterAssignMemo =
+    new SessionMemo[String, DataFrame]
+
+  /** MEMOIZED per (session, dir) since r13: the embed → centroid →
+    * nearest-cell chain is re-consumed by the sampler AND its allocation
+    * summary (and the summary consumes it twice more for the n_docs side)
+    * — at scale the cluster assignment is a materialized table refreshed
+    * per ingest (the dupClusters contract), never recomputed per query.
+    * The cached frame is metadata-scale: (doc_id, cluster). */
+  private def clusterAssign(spark: SparkSession, dir: String): DataFrame =
+    clusterAssignMemo.getOrElseUpdate(spark, dir) {
+      val vecs = TextEmbed.embeddings(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang").as("label")), "doc_id")
+        .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
+      val cents = Similarity.meanVectors(
+          vecs.select(col("label"), col("emb")), "label", "emb")
+        .withColumnRenamed("label", "c_label")
+      Similarity.nearestCells(vecs, cents, 1)
+        .select(col("vec_id").as("doc_id"), col("cell").as("cluster"))
+        .cache()
+    }
 
   /** Cluster-BALANCED sample: an equal per-cluster budget drawn with the
     * same deterministic hash-rank as [[stratifiedSample]] — the

@@ -54,9 +54,20 @@ object Similarity {
   /** Exact cosine top-k for the first `nQueries` vectors (by vec_id).
     * Queries are broadcast; the corpus is scanned once; per-query top-k via
     * rank window over the (nQueries × N) scored pairs. */
+  private val bruteMemo = new SessionMemo[(String, Int, Int), DataFrame]
+
+  /** MEMOIZED per (session, dir, nQueries, k) since r13: the exact top-k
+    * is the GROUND-TRUTH table every tier's recall audit joins against —
+    * four registered consumers (the brute query itself plus the
+    * quantized/RP/PQ recalls) each re-ran the full corpus×queries scan for
+    * the same 100-row result. In production the ground truth is
+    * materialized once per eval suite; the cached frame is that artifact's
+    * session form. */
   def bruteForceTopK(spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 5): DataFrame =
-    bruteForceTopKOf(corpus(spark, dir), nQueries, k)
+    bruteMemo.getOrElseUpdate(spark, (dir, nQueries, k)) {
+      bruteForceTopKOf(corpus(spark, dir), nQueries, k).cache()
+    }
 
   /** The same exact search over ANY (vec_id, emb) frame — the third tier
     * generalized like [[lshTopKOf]]/[[ivfTopKOf]], so the round-then-rank
@@ -465,9 +476,16 @@ object Similarity {
     * per-dimension (min, max) — an exact two-row aggregate — codes round
     * half-up on both engines, and both rank stages tiebreak on vec_id, so
     * the entire two-stage result is DuckDB-hash-oracled end to end. */
+  private val quantTopKMemo =
+    new SessionMemo[(String, Int, Int, Int), DataFrame]
+
+  /** MEMOIZED per (session, dir, params) — [[bruteForceTopK]]'s rationale
+    * (search query + recall audit share the 100-row result). */
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5, m: Int = 20): DataFrame =
-    quantizedTopKOf(corpus(spark, dir), nQueries, k, m)
+    quantTopKMemo.getOrElseUpdate(spark, (dir, nQueries, k, m)) {
+      quantizedTopKOf(corpus(spark, dir), nQueries, k, m).cache()
+    }
 
   /** Per-dimension (lo, hi) of the corpus — the quantization grid. dim×2
     * doubles: metadata-scale, collected and folded into the plan as
@@ -712,9 +730,18 @@ object Similarity {
     * cosine in the projected space (bounded heap, top-m per query, the
     * [[quantizedTopKOf]] shape); stage 2 re-ranks the m survivors by
     * exact float cosine and cuts to k. */
+  private val rpTopKMemo =
+    new SessionMemo[(String, Int, Int, Int, Int), DataFrame]
+
+  /** MEMOIZED per (session, dir, params) — [[bruteForceTopK]]'s rationale:
+    * the search result (nQueries×k rows) is read by both the registered
+    * search query and the recall audit; the projection + stage-1 scan runs
+    * once per session. */
   def rpTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
       k: Int = 5, m: Int = RpPool, kOut: Int = RpDim): DataFrame =
-    rpTopKOf(corpus(spark, dir), nQueries, k, m, kOut)
+    rpTopKMemo.getOrElseUpdate(spark, (dir, nQueries, k, m, kOut)) {
+      rpTopKOf(corpus(spark, dir), nQueries, k, m, kOut).cache()
+    }
 
   def rpTopKOf(vecs: DataFrame, nQueries: Int = 20, k: Int = 5,
       m: Int = RpPool, kOut: Int = RpDim): DataFrame = {
@@ -874,12 +901,18 @@ object Similarity {
     * LSH/IVF tiers already ship) — [[writePqIndex]]/[[pqTopKStored]] is
     * that form, verified by the SAME oracle; here it is computed inline —
     * one expression-only projection over the scan. */
+  private val pqTopKMemo =
+    new SessionMemo[(String, Int, Int, Int, Int), DataFrame]
+
+  /** MEMOIZED per (session, dir, params) — [[bruteForceTopK]]'s rationale
+    * (search query + recall audit share the 100-row result). */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 20,
-      k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame = {
-    val c = corpus(spark, dir)
-    pqSearch(c, seededCodebooksKeyed(spark, s"corpus:$dir", c, nsub),
-      nQueries, k, m)
-  }
+      k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame =
+    pqTopKMemo.getOrElseUpdate(spark, (dir, nQueries, k, m, nsub)) {
+      val c = corpus(spark, dir)
+      pqSearch(c, seededCodebooksKeyed(spark, s"corpus:$dir", c, nsub),
+        nQueries, k, m).cache()
+    }
 
   /** The same PQ search over ANY (vec_id, label, emb) frame — the
     * composition surface ([[ivfTopKOf]] contract: `label` seeds the

@@ -406,6 +406,40 @@ object Sketches {
           .select(col("user_id").cast("string").as("k"))))
   }
 
+  /** The shared per-scenario sufficient statistic both join-size queries
+    * derive from — MEMOIZED per (session, dir, depth, width): one row per
+    * scenario carrying the AMS/CMS sketches of both sides, side counts,
+    * the exact join size, and the second moments (f2a/f2b) the AMS bound
+    * needs. Both registered queries used to re-run the whole sketch +
+    * exact-count pipeline; now the estimate and its guarantee are two
+    * projections of ONE cached 3-row frame — which also guarantees they
+    * judge the SAME sketch instance. */
+  private val joinStatsMemo =
+    new SessionMemo[(String, Int, Int), DataFrame]
+
+  private def joinSketchStats(spark: SparkSession, dir: String,
+      depth: Int, width: Int): DataFrame =
+    joinStatsMemo.getOrElseUpdate(spark, (dir, depth, width)) {
+      val ams = udaf(new AmsAgg(depth, width), Encoders.STRING)
+      val cms = udaf(new CountMinAgg(CmsDepth, width), Encoders.STRING)
+      joinScenarios(spark, dir).map { case (name, a, b) =>
+        val sa = a.agg(ams(col("k")).as("ams_a"), cms(col("k")).as("cms_a"),
+          count(lit(1)).as("n_a"))
+        val sb = b.agg(ams(col("k")).as("ams_b"), cms(col("k")).as("cms_b"),
+          count(lit(1)).as("n_b"))
+        val ca = a.groupBy("k").agg(count(lit(1)).as("ca"))
+        val cb = b.groupBy("k").agg(count(lit(1)).as("cb"))
+        val exact = ca.join(cb, "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
+        val norms = ca.agg(sum(col("ca") * col("ca")).as("f2a"))
+          .crossJoin(cb.agg(sum(col("cb") * col("cb")).as("f2b")))
+        sa.crossJoin(sb).crossJoin(exact).crossJoin(norms)
+          .select(lit(name).as("join_name"), col("n_a"), col("n_b"),
+            col("exact_join_rows"), col("ams_a"), col("ams_b"),
+            col("cms_a"), col("cms_b"), col("f2a"), col("f2b"))
+      }.reduce(_ unionAll _).cache()
+    }
+
   /** Per scenario: both sketch estimates next to the exact join size and
     * the input cardinalities. Rows-only by contract (the estimates are
     * hash-layout-specific); the guarantee twin below is the oracle. The
@@ -413,26 +447,15 @@ object Sketches {
     * the two grid aggregates only. */
   def joinEstimates(spark: SparkSession, dir: String,
       depth: Int = AmsDepth, width: Int = CmsWidth): DataFrame = {
-    val ams = udaf(new AmsAgg(depth, width), Encoders.STRING)
-    val cms = udaf(new CountMinAgg(CmsDepth, width), Encoders.STRING)
     val amsEst = udf((a: Seq[Long], b: Seq[Long]) =>
       amsJoinEstimate(a, b, depth, width))
     val cmsUp = udf((a: Seq[Long], b: Seq[Long]) =>
       cmsJoinUpper(a, b, CmsDepth, width))
-    joinScenarios(spark, dir).map { case (name, a, b) =>
-      val sa = a.agg(ams(col("k")).as("ams_a"), cms(col("k")).as("cms_a"),
-        count(lit(1)).as("n_a"))
-      val sb = b.agg(ams(col("k")).as("ams_b"), cms(col("k")).as("cms_b"),
-        count(lit(1)).as("n_b"))
-      val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
-        .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
-      sa.crossJoin(sb).crossJoin(exact)
-        .select(lit(name).as("join_name"), col("n_a"), col("n_b"),
-          col("exact_join_rows"),
-          amsEst(col("ams_a"), col("ams_b")).as("ams_estimate"),
-          cmsUp(col("cms_a"), col("cms_b")).as("cms_upper_bound"))
-    }.reduce(_ unionAll _)
+    joinSketchStats(spark, dir, depth, width)
+      .select(col("join_name"), col("n_a"), col("n_b"),
+        col("exact_join_rows"),
+        amsEst(col("ams_a"), col("ams_b")).as("ams_estimate"),
+        cmsUp(col("cms_a"), col("cms_b")).as("cms_upper_bound"))
   }
 
   /** Oracle-checkable guarantee twin: the exact join size (re-derived by
@@ -444,31 +467,19 @@ object Sketches {
     * exactly on both engines from per-key counts (integer arithmetic). */
   def joinEstimateGuarantee(spark: SparkSession, dir: String,
       depth: Int = AmsDepth, width: Int = CmsWidth): DataFrame = {
-    val ams = udaf(new AmsAgg(depth, width), Encoders.STRING)
-    val cms = udaf(new CountMinAgg(CmsDepth, width), Encoders.STRING)
     val amsEst = udf((a: Seq[Long], b: Seq[Long]) =>
       amsJoinEstimate(a, b, depth, width))
     val cmsUp = udf((a: Seq[Long], b: Seq[Long]) =>
       cmsJoinUpper(a, b, CmsDepth, width))
-    joinScenarios(spark, dir).map { case (name, a, b) =>
-      val sa = a.agg(ams(col("k")).as("ams_a"), cms(col("k")).as("cms_a"))
-      val sb = b.agg(ams(col("k")).as("ams_b"), cms(col("k")).as("cms_b"))
-      val ca = a.groupBy("k").agg(count(lit(1)).as("ca"))
-      val cb = b.groupBy("k").agg(count(lit(1)).as("cb"))
-      val exact = ca.join(cb, "k")
-        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_rows"))
-      val norms = ca.agg(sum(col("ca") * col("ca")).as("f2a"))
-        .crossJoin(cb.agg(sum(col("cb") * col("cb")).as("f2b")))
-      sa.crossJoin(sb).crossJoin(exact).crossJoin(norms)
-        .select(lit(name).as("join_name"), col("exact_join_rows"),
-          (cmsUp(col("cms_a"), col("cms_b")) >= col("exact_join_rows"))
-            .as("cms_never_undercounts"),
-          (abs(amsEst(col("ams_a"), col("ams_b")) - col("exact_join_rows"))
-            .cast("double") <=
-            lit(8.0 / math.sqrt(width.toDouble)) *
-              sqrt(col("f2a").cast("double") * col("f2b").cast("double")))
-            .as("ams_within_bound"))
-    }.reduce(_ unionAll _)
+    joinSketchStats(spark, dir, depth, width)
+      .select(col("join_name"), col("exact_join_rows"),
+        (cmsUp(col("cms_a"), col("cms_b")) >= col("exact_join_rows"))
+          .as("cms_never_undercounts"),
+        (abs(amsEst(col("ams_a"), col("ams_b")) - col("exact_join_rows"))
+          .cast("double") <=
+          lit(8.0 / math.sqrt(width.toDouble)) *
+            sqrt(col("f2a").cast("double") * col("f2b").cast("double")))
+          .as("ams_within_bound"))
   }
 
   /** DuckDB mirror: exact join sizes per scenario; the sketch booleans are
