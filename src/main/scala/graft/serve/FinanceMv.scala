@@ -35,12 +35,16 @@ object FinanceMv {
 
   private val Dec = org.apache.spark.sql.types.DecimalType(18, 6)
 
-  /** Full MV build over a tick snapshot: (event_type, day, n_events, s). */
+  /** Full MV build over a tick snapshot: (event_type, day, n_events, s).
+    * The sum is cast back to the declared state type — Spark widens a
+    * DECIMAL(18,6) sum to (28,6), and the stored state must carry ONE
+    * fixed type or the first incremental merge trips the TxTable
+    * additive-evolution guard. */
   def viewOf(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value"), 6).cast(Dec)).as("s"))
+        sum(round(col("value"), 6).cast(Dec)).cast(Dec).as("s"))
 
   /** Apply one tick-ingest delta to the MV state without touching the base
     * table: new-batch partials merged into the stored state by key. Ticks

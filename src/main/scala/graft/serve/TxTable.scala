@@ -305,11 +305,59 @@ object TxTable {
     if (entries.isEmpty)
       return spark.read.parquet(path + "/data") // never: guard only
     val index = new StatsFileIndex(spark, path, entries.map(e => (e.rel, e.stats)))
-    // schema from one footer (files of a snapshot share it by construction)
-    val dataSchema = spark.read.parquet(s"$path/${entries.head.rel}").schema
     GraftBridge.relationToDataFrame(spark, HadoopFsRelation(
-      index, StructType(Nil), dataSchema, None, new ParquetFileFormat,
-      Map.empty[String, String])(spark))
+      index, StructType(Nil), snapshotSchema(spark, path, entries), None,
+      new ParquetFileFormat, Map.empty[String, String])(spark))
+  }
+
+  /** The snapshot's logical schema under ADDITIVE schema evolution: the
+    * ordered union of the field lists across the snapshot's staging
+    * generations. A merge that ships a batch with a NEW column rewrites
+    * only the touched files, so a snapshot legitimately mixes file
+    * schemas; the read schema must be the superset (older files' missing
+    * columns surface as null — the standard parquet clipped-schema
+    * behavior, same as Delta's mergeSchema) or the new column silently
+    * vanishes whenever an old file happens to head the manifest.
+    *
+    * Cost: one footer per staging GENERATION, not per file — every file
+    * of one `stageData` call shares a schema by construction (rel =
+    * `data/<uuid>-part-NNNNN.parquet`), and generations are bounded by
+    * retained commits (compaction resets to one). Version pinning
+    * composes for free: an old version's manifest lists only old
+    * generations, so time travel sees the schema AS OF that version.
+    *
+    * Additive only: a field present in two generations must carry the
+    * SAME type — a retype is a corrupt table, refused loudly (Delta's
+    * rule; rewriting history is what `compact` is for). */
+  private def snapshotSchema(spark: SparkSession, path: String,
+      entries: Seq[ManifestEntry]): StructType = {
+    // first file of each generation, in MANIFEST order (commit order) so
+    // appended columns land after existing ones deterministically — a
+    // random-uuid sort would shuffle field order between snapshots
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    entries.foreach { e =>
+      val gen = e.rel.takeWhile(_ != '-')
+      if (!seen.contains(gen)) seen(gen) = e.rel
+    }
+    val schemas = seen.values.toSeq.map(r => spark.read.parquet(s"$path/$r").schema)
+    schemas.tail.foldLeft(schemas.head) { (acc, s) =>
+      s.fields.foldLeft(acc) { (a, f) =>
+        a.fields.find(_.name == f.name) match {
+          // structural comparison: parquet footers legitimately disagree on
+          // nullability/containsNull across generations (a required column
+          // in one file, optional in another) — only a real TYPE change is
+          // evolution abuse
+          case Some(existing) if org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(existing.dataType, f.dataType) => a
+          case Some(existing) =>
+            throw new IllegalStateException(
+              s"TxTable $path: column '${f.name}' retyped across commits " +
+                s"(${existing.dataType.simpleString} vs ${f.dataType.simpleString}) " +
+                "— schema evolution is additive-only")
+          case None => StructType(a.fields :+ f.copy(nullable = true))
+        }
+      }
+    }
   }
 
   /** Stage `df` as immutable files under data/ and return their manifest
@@ -490,6 +538,20 @@ object TxTable {
         val (tr, rr, rewritten) = base match {
           case Some(bv) =>
             val baseFiles = resolveEntries(fs, path, bv)
+            // fail-fast additive-evolution guard: a retyped column must be
+            // refused BEFORE the commit poisons the table (the read-side
+            // snapshotSchema check is the safety net, not the gate)
+            val current = snapshotSchema(spark, path, baseFiles)
+            deduped.schema.fields.foreach { f =>
+              current.fields.find(_.name == f.name).foreach { existing =>
+                if (!org.apache.spark.sql.types.DataType
+                    .equalsIgnoreNullability(existing.dataType, f.dataType))
+                  throw new IllegalArgumentException(
+                    s"TxTable $path: merge batch retypes column '${f.name}' " +
+                      s"(${existing.dataType.simpleString} -> ${f.dataType.simpleString}) " +
+                      "— schema evolution is additive-only")
+              }
+            }
             // stats pre-filter: a file whose key range cannot intersect the
             // update batch cannot hold a matched key — skip it in the scan
             // AND carry it verbatim. At 100 TB this is what bounds merge cost
@@ -511,11 +573,18 @@ object TxTable {
                 .map(r => new Path(r.getString(0)).getName).toSet
             val (touched, _) = candidates.partition(
               e => touchedNames.contains(new Path(e.rel).getName))
+            // mergeSchema on the touched read + allowMissingColumns on the
+            // union: an update batch may ADD columns (additive schema
+            // evolution — retained rows of rewritten files get null, the
+            // snapshotSchema contract); without these a first evolving
+            // merge crashes, and a mixed-schema touched set would silently
+            // clip to its first file's fields
             val rewrite =
               if (touched.isEmpty) deduped
-              else spark.read.parquet(touched.map(e => s"$path/${e.rel}"): _*)
+              else spark.read.option("mergeSchema", "true")
+                .parquet(touched.map(e => s"$path/${e.rel}"): _*)
                 .join(updKeys, keys, "left_anti")
-                .unionByName(deduped)
+                .unionByName(deduped, allowMissingColumns = true)
             (touched.map(_.rel), candidates.map(_.rel).toSet, rewrite)
           case None => (Seq.empty[String], Set.empty[String], deduped)
         }
