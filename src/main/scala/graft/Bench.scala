@@ -188,6 +188,24 @@ object Bench {
     // rescued time can undercut the same query's quiet-round time. That is
     // why every rescued query is stamped in `rerun_queries`: compare those
     // entries with that grain of salt, or rerun the bench quiet.
+    //
+    // Before the rescue pass, wait (bounded) for any LIVE external burst to
+    // pass: the sandbox's bursts run for tens of seconds, and retrying INTO
+    // one burns the single retry a tainted query gets (observed r13: a
+    // full-registry run ended with 4 residual taints because the rescue
+    // pass ran inside the burst that caused them). One 3 s jiffy sample per
+    // probe; unverifiable windows keep waiting — they could not certify a
+    // retry either.
+    if (first.values.exists(_.tainted)) {
+      val deadline = System.currentTimeMillis() + 120000L
+      var quiet = false
+      while (!quiet && System.currentTimeMillis() < deadline) {
+        val a = cpuSnap(); Thread.sleep(3000); val b = cpuSnap()
+        quiet = externalCpuSec(a, b).exists(_ <= taintCores * 3.0)
+        if (!quiet)
+          System.err.println("[bench] external burst live — delaying the rescue pass")
+      }
+    }
     val results = first.map { case (name, t) =>
       if (!t.tainted) name -> t
       else {

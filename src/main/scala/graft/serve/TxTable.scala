@@ -707,8 +707,22 @@ object TxTable {
       if (oldRels.isEmpty && newRels.isEmpty) None else Some {
       lazy val newDf = readRels(newRels, throw new IllegalStateException(
         s"TxTable $path: commit $v unreachable schema thunk"))
-      val oldDf = readRels(oldRels, newDf.schema)
-      val nw = if (newRels.isEmpty) readRels(Nil, oldDf.schema) else newDf
+      val oldDf0 = readRels(oldRels, newDf.schema)
+      val nw0 = if (newRels.isEmpty) readRels(Nil, oldDf0.schema) else newDf
+      // additive schema evolution can land INSIDE a change window: the
+      // commit's removed files carry the pre-evolution schema while its
+      // adds carry the superset. Null-pad both sides to the column union
+      // (types taken from whichever side has the field) so the diff joins
+      // resolve — a pre-evolution row's new column reads null, exactly
+      // what the snapshot read reports for it.
+      val fieldType = (nw0.schema.fields ++ oldDf0.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+      val allCols = (nw0.columns ++ oldDf0.columns).distinct.toSeq
+      def pad(df: DataFrame): DataFrame = df.select(allCols.map(c0 =>
+        if (df.columns.contains(c0)) col(c0)
+        else lit(null).cast(fieldType(c0)).as(c0)): _*)
+      val oldDf = pad(oldDf0)
+      val nw = pad(nw0)
       val nonKey = nw.columns.filterNot(keys.contains).toSeq
       val cols = (keys ++ nonKey).map(col)
       def stamp(t: String) = Seq(lit(t).as("change_type"),
@@ -727,7 +741,10 @@ object TxTable {
         .unionByName(side("n", "update_postimage"))
       }
     }
-    if (frames.isEmpty) emptyFeed else frames.reduce(_ unionByName _)
+    // allowMissingColumns: commits BEFORE an in-window evolution emit
+    // narrower frames — their missing columns are null by definition
+    if (frames.isEmpty) emptyFeed
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Commit history (version, op, n_files) — newest first. Lists the

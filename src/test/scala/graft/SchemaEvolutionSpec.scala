@@ -56,6 +56,22 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       == before, "compaction must preserve the evolved rows")
   }
 
+  test("change feed across an evolution boundary: pre/postimages null-pad the new column") {
+    val path = fresh("cdc_evo")
+    TxTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    // v1: update key 2 AND add column w in the same commit
+    TxTable.merge(spark, Seq((2L, "b2", 9.0), (3L, "c", 3.0)).toDF("k", "v", "w"),
+      path, Seq("k"))
+    val feed = TxTable.changes(spark, path, 0L, 1L, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getString(3), Option(r.get(4)))).toMap
+    assert(feed(("update_preimage", 2L)) == ("b", None),
+      "preimage predates the column: w must be null")
+    assert(feed(("update_postimage", 2L)) == ("b2", Some(9.0)))
+    assert(feed(("insert", 3L)) == ("c", Some(3.0)))
+    assert(!feed.contains(("delete", 1L)), "untouched key must not appear")
+  }
+
   test("retyped column is refused at merge time, before it can poison the table") {
     val path = fresh("retype")
     TxTable.write(spark, Seq((1L, 10)).toDF("k", "n"), path)
