@@ -276,6 +276,33 @@ object NgramLm {
     bump(tri, "tri", Seq("t1", "t2", "t3"), "c3")
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN on the count statistic: counts form an abelian
+    * group, so removing documents is the NEGATED bump — count the purged
+    * batch, subtract from the stored grams, merge, then DELETE rows whose
+    * count reached zero (a zero-count gram must leave the model: it would
+    * otherwise score as an existing-but-impossible event). After the purge
+    * the stored tables are EXACTLY the counts of the remaining corpus
+    * (PurgeSpec pins table equality against a from-scratch rebuild) — no
+    * full recount, cost O(purged batch) + the touched gram ranges. Same
+    * delivery contract as [[appendLmCounts]]: not replay-idempotent. */
+  def removeLmCounts(spark: SparkSession, purged: DataFrame, path: String): Unit = {
+    val (uni, big, tri) = rawCounts(tokenStream(purged))
+    def unbump(cnts: DataFrame, table: String, keys: Seq[String], ccol: String): Unit = {
+      val tpath = s"$path/$table"
+      val stored = graft.serve.TxTable.read(spark, tpath)
+        .select((keys.map(col) :+ col(ccol).as("c_old")): _*)
+      val updated = cnts.join(stored, keys, "left")
+        .select((keys.map(col) :+
+          (coalesce(col("c_old"), lit(0L)) - col(ccol)).as(ccol)): _*)
+      graft.serve.TxTable.merge(spark, updated, tpath, keys)
+      graft.serve.TxTable.delete(spark, tpath, col(ccol) <= 0L)
+      ()
+    }
+    unbump(uni, "uni", Seq("w"), "c1")
+    unbump(big, "big", Seq("b1", "b2"), "c2")
+    unbump(tri, "tri", Seq("t1", "t2", "t3"), "c3")
+  }
+
   /** Score a corpus against the PERSISTED model: counts read back from
     * the TxTable snapshot, scores derived through the SHARED
     * [[modelFromCounts]] — so when the stored counts equal the inline

@@ -128,6 +128,26 @@ object Rag {
     ()
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN on the chunk index: purge every chunk of the
+    * given documents with one predicate DELETE per call. Chunk identity is
+    * arithmetic (chunk_id = doc_id·4096 + pos), so a document's chunks
+    * occupy one contiguous key range — the TxTable delete's stats-pruned
+    * scan touches only files overlapping the purged ranges, and after
+    * vacuum ages out the superseded files the vectors are physically gone
+    * (PurgeSpec pins index ≡ a from-scratch rebuild on the remaining
+    * docs). Idempotent: re-purging deletes nothing and burns no commit. */
+  def purgeChunkIndex(spark: SparkSession, docIds: Seq[Long],
+      path: String): Unit = {
+    if (docIds.nonEmpty) {
+      val cond = docIds.map(d =>
+          col("vec_id") >= d * ChunkShift &&
+            col("vec_id") < (d + 1) * ChunkShift)
+        .reduce(_ || _)
+      graft.serve.TxTable.delete(spark, path, cond)
+      ()
+    }
+  }
+
   private val chunkIndexMemo = new SessionMemo[String, String]
 
   /** Registered-query form: write the chunk index once per (session, sf

@@ -747,6 +747,56 @@ object TxTable {
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** DELETE FROM by predicate — the table-format verb a right-to-be-
+    * forgotten request needs (a training-data lake must be able to purge
+    * a document set; Delta's DELETE): files that cannot contain a
+    * matching row are carried verbatim into the new manifest, files with
+    * at least one match are rewritten WITHOUT the matching rows, one
+    * atomic delta commit. File discovery goes through the stats-pruned
+    * snapshot read, so the scan (and therefore the rewrite candidate set)
+    * is bounded by the predicate's key range when stats cover it — delete
+    * cost scales with the touched region, not the table. Physical removal
+    * completes when [[vacuum]] ages out the superseded files (the purge
+    * contract: logical immediately, physical after retention).
+    *
+    * SQL ternary semantics: rows where `condition` is NULL are NOT
+    * matched (kept), exactly like `DELETE FROM t WHERE c`. Returns the
+    * new version — or the CURRENT version unchanged when nothing
+    * matched (an empty delete must not burn a commit: replaying it is
+    * then idempotent by construction). Change feeds over the commit
+    * emit the removed rows as `delete` rows for free (the manifest diff
+    * IS the CDC source). */
+  def delete(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val fs = hfs(spark, path)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = latestVersion(spark, path).getOrElse(
+        throw new java.io.FileNotFoundException(s"TxTable at $path has no commits"))
+      // stats-pruned match scan: the snapshot read's FileIndex drops files
+      // whose ranges cannot satisfy pushed-down predicate fragments
+      val touchedNames = read(spark, path, Some(base))
+        .filter(condition)
+        .select(input_file_name().as("__file")).distinct().collect()
+        .map(r => new Path(r.getString(0)).getName).toSet
+      if (touchedNames.isEmpty) return base
+      val entries = resolveEntries(fs, path, base)
+      val touched = entries.filter(e => touchedNames.contains(new Path(e.rel).getName))
+      // mergeSchema: touched files may straddle an evolution boundary
+      val kept = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(e => s"$path/${e.rel}"): _*)
+        .filter(!coalesce(condition, lit(false)))
+      val staged = stageData(spark, kept, path)
+      if (tryCommit(fs, path, base + 1, "delete", touched.map(_.rel), staged)) {
+        if ((base + 1) % CheckpointInterval == 0)
+          maybeCheckpoint(fs, path, base + 1, resolveEntries(fs, path, base + 1))
+        return base + 1
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(s"TxTable: lost $MaxCommitRetries version races at $path")
+  }
+
   /** Commit history (version, op, n_files) — newest first. Lists the
     * manifests actually present (vacuum prunes old ones, so the log need
     * not be contiguous from 0). */

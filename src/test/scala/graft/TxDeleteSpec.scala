@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.TxTable
+
+/** DELETE FROM on the TxTable — the purge verb: predicate semantics
+  * (SQL ternary), untouched-file carry, time travel to the pre-delete
+  * snapshot, CDC delete rows, and the empty-delete no-op contract. */
+class TxDeleteSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = s"/tmp/graft_tx_delete/$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    p
+  }
+
+  test("delete removes exactly the matching rows; old version intact; feed emits deletes") {
+    val path = fresh("basic")
+    TxTable.write(spark,
+      Seq((1L, "keep"), (2L, "purge"), (3L, "keep"), (4L, "purge"))
+        .toDF("k", "tag").repartition(2, col("k")), path)
+    val v = TxTable.delete(spark, path, col("tag") === "purge")
+    assert(v == 1L)
+    assert(TxTable.read(spark, path).select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    // time travel: the pre-delete snapshot still holds all four rows
+    assert(TxTable.read(spark, path, Some(0L)).count() == 4L)
+    // CDC over the delete commit: exactly the purged keys, as deletes
+    val feed = TxTable.changes(spark, path, 0L, 1L, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(feed == Set(("delete", 2L), ("delete", 4L)), feed.toString)
+  }
+
+  test("null predicate rows are kept (SQL ternary); empty delete burns no commit") {
+    val path = fresh("ternary")
+    TxTable.write(spark,
+      Seq((1L, Some(10)), (2L, None), (3L, Some(99))).toDF("k", "n"), path)
+    // n > 50 is NULL for k=2 -> kept
+    val v = TxTable.delete(spark, path, col("n") > 50)
+    assert(v == 1L)
+    assert(TxTable.read(spark, path).select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+    // nothing matches now: no new version, idempotent replay
+    assert(TxTable.delete(spark, path, col("n") > 50) == 1L)
+    assert(TxTable.latestVersion(spark, path).contains(1L))
+  }
+
+  test("untouched files are carried verbatim, not rewritten") {
+    val path = fresh("carry")
+    // two files by key range; delete touches only one
+    TxTable.write(spark,
+      Seq((1L, "a"), (2L, "b"), (100L, "x"), (101L, "y"))
+        .toDF("k", "v").repartitionByRange(2, col("k")), path)
+    val before = TxTable.read(spark, path, Some(0L))
+      .select(input_file_name().as("f"), col("k")).collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    TxTable.delete(spark, path, col("k") === 2L)
+    val after = TxTable.read(spark, path)
+      .select(input_file_name().as("f"), col("k")).collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(!after.contains(2L))
+    // the file holding the untouched key range is the SAME physical file
+    assert(after(100L) == before(100L) && after(101L) == before(101L),
+      "untouched file must carry verbatim")
+    assert(after(1L) != before(1L), "touched file must be rewritten")
+  }
+}
