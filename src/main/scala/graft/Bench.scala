@@ -78,6 +78,21 @@ object Bench {
       coresThreshold: Double): Boolean =
     extSec > coresThreshold * wallSec + 0.05
 
+  /** The rescue-flattering bound, machine-stamped (r13 verdict task 2): a
+    * burst-rescued query's kept retry ran after the whole fleet, so warm
+    * session memos can undercut its honest position-ordered first-run
+    * cost. The worst case the artifact must expose is "every rescue kept
+    * only warm-cache savings": total + Σ max(0, first_run − kept) over the
+    * rescued queries. Crashed first runs (-1 sentinel) contribute nothing
+    * — there is no honest first-run time to restore. The gate is NOT
+    * satisfiable by rescue-flattering that no artifact exposes: this
+    * number rides both JSON lines next to `value`. */
+  private[graft] def honestWorstCaseTotal(total: Double,
+      rescued: Seq[(Double, Double)]): Double =
+    total + rescued.collect {
+      case (f, k) if f >= 0.0 && k >= 0.0 && f > k => f - k
+    }.sum
+
   /** (headline total, clean total) over (sec, tainted) rows. The -1 crash
     * sentinel is excluded from BOTH sums: summed, each crash would silently
     * DEDUCT a second and make a broken run read faster than a green one
@@ -231,6 +246,13 @@ object Bench {
     val firstRunMap = results.collect { case (k, t) if t.rerun =>
       s"\"" + k + "\":" + r3(first(k).sec)
     }.mkString("{", ",", "}")
+    // the kept side of the same provenance pair, keyed identically, so the
+    // honest_worst_case_total arithmetic is re-derivable from the artifact
+    // alone (kept is also the queries-map value; duplicated here so the
+    // pair reads as one record)
+    val keptMap = results.collect { case (k, t) if t.rerun =>
+      s"\"" + k + "\":" + r3(t.sec)
+    }.mkString("{", ",", "}")
     def jArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline total sums only queries that RAN (sec >= 0, headlineTotals
     // drops the -1 crash sentinels); clean_total additionally requires the
@@ -257,6 +279,9 @@ object Bench {
     val cleanTotalLinear = r3(results.collect {
       case (k, t) if !twins.contains(k) && !t.tainted && t.sec >= 0.0 => t.sec }.sum)
     val tainted = preGateTainted || taintedNames.nonEmpty
+    // the machine-stamped rescue-flattering bound (see honestWorstCaseTotal)
+    val honestWorst = r3(honestWorstCaseTotal(totalRaw,
+      results.collect { case (k, t) if t.rerun => (first(k).sec, t.sec) }))
     val filtered = only.isDefined
     // loadavg = PRE-run sample (external steal indicator: far above ~1 means
     // the numbers are contaminated and must not be compared round-over-
@@ -266,6 +291,8 @@ object Bench {
       s""""tainted":$tainted,"pre_gate_tainted":$preGateTainted,""" +
       s""""tainted_queries":${jArr(taintedNames)},""" +
       s""""crashed_queries":${jArr(crashedNames)},""" +
+      s""""rerun_queries":${jArr(rerunNames)},""" +
+      s""""honest_worst_case_total":$honestWorst,""" +
       s""""clean_total":$cleanTotal,"total_linear":$totalLinear,""" +
       s""""total_truth_twins":$totalTwins,"clean_total_linear":$cleanTotalLinear,""" +
       s""""filtered":$filtered,"query_count":${results.size},""" +
@@ -274,7 +301,9 @@ object Bench {
     // the END of stdout, so the short line must be the final one to survive
     // truncation. Exactly one line carries "metric":"total" (a
     // grep+json.loads consumer must never see two).
-    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"external_cpu_sec":$extMap,"rerun_queries":${jArr(rerunNames)},"first_run_sec":$firstRunMap,$common}"""
+    // rerun_queries/honest_worst_case_total now ride `common` (both lines);
+    // the detail line keeps the per-query first_run/kept provenance maps
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"external_cpu_sec":$extMap,"first_run_sec":$firstRunMap,"kept_sec":$keptMap,$common}"""
     println(detailLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec",$common}""")
     // the r7 round artifact lost its per-query map to driver-side stdout

@@ -157,9 +157,13 @@ object Rag {
     * `q_ngram_lm_stored` proof-by-same-oracle pattern). */
   def ragRetrieveStored(spark: SparkSession, dir: String, nQueries: Int = 5,
       k: Int = 3, window: Int = 32, stride: Int = 16): DataFrame = {
-    val path = chunkIndexMemo.getOrElseUpdate(spark, dir) {
-      Similarity.scratchIndexPath("graft_chunk_index", dir)(p =>
-        writeChunkIndex(spark, dir, p, window, stride))
+    // memo key AND on-disk root both carry (window, stride): a second call
+    // with different chunking params must build its own index, not silently
+    // serve the first call's vectors against a differently-chunked probe
+    // side (r13 ADVICE — the vecsMemo/mmrPoolMemo keying rule)
+    val path = chunkIndexMemo.getOrElseUpdate(spark, s"$dir|w=$window|s=$stride") {
+      Similarity.scratchIndexPath(s"graft_chunk_index_w${window}s$stride", dir)(
+        p => writeChunkIndex(spark, dir, p, window, stride))
     }
     retrieveFrom(chunkTable(spark, dir, window, stride),
       graft.serve.TxTable.read(spark, path).select("vec_id", "emb"),

@@ -44,8 +44,14 @@ object Skew {
   def saltIfSkewed(left: DataFrame, right: DataFrame, key: String,
       entropyCol: String, factor: Int,
       threshold: Double = 8.0): (DataFrame, Boolean) = {
+    // boxed read: on an EMPTY left frame max_n/total aggregate to null, so
+    // skew_factor is null — unboxing that straight to Double would NPE
+    // instead of taking the plain-join arm (r13 ADVICE). Null = no rows =
+    // no skew.
     val skewFactor = Profile.keySkewOf(left, key)
-      .collect()(0).getAs[Double]("skew_factor")
+      .collect().headOption
+      .flatMap(r => Option(r.getAs[java.lang.Double]("skew_factor")))
+      .map(_.doubleValue).getOrElse(0.0)
     if (skewFactor >= threshold)
       (saltedJoin(left, right, key, entropyCol, factor), true)
     else (left.join(right, Seq(key)), false)

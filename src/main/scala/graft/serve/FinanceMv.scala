@@ -15,7 +15,7 @@ import graft.Tables
   * repo already ships for order aggregates, applied to the tick stream:
   *
   *   - the MV row is the aggregation STATE, not the rendered value:
-  *     (event_type, day, n_events, s) with `s` a DECIMAL(18,6) sum —
+  *     (event_type, day, n_events, s) with `s` a DECIMAL(38,6) sum —
   *     decimal addition is exact and associative (the LmScore order-free
   *     rule), so base-plus-delta equals a full rebuild BIT-FOR-BIT and the
   *     equivalence is spec-pinnable by hash, not by tolerance;
@@ -33,13 +33,20 @@ import graft.Tables
   */
 object FinanceMv {
 
-  private val Dec = org.apache.spark.sql.types.DecimalType(18, 6)
+  // 38,6 — the widest decimal Spark carries. The state must SUM without
+  // ever overflowing its own type: under default non-ANSI mode an
+  // overflowing decimal cast yields NULL silently, so a (18,6) state on a
+  // hot (event_type, day) key at 100 TB would quietly corrupt `s` (close
+  // reads null) with no error. (38,6) keeps 32 integer digits — 10^32
+  // headroom — and a sum of (38,6) stays (38,6), so the cast below is an
+  // identity, never a narrowing (r13 ADVICE).
+  private val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
 
   /** Full MV build over a tick snapshot: (event_type, day, n_events, s).
-    * The sum is cast back to the declared state type — Spark widens a
-    * DECIMAL(18,6) sum to (28,6), and the stored state must carry ONE
-    * fixed type or the first incremental merge trips the TxTable
-    * additive-evolution guard. */
+    * The sum is cast back to the declared state type (an identity at
+    * (38,6) — sum of (38,6) is (38,6)), because the stored state must
+    * carry ONE fixed type or the first incremental merge trips the
+    * TxTable additive-evolution guard. */
   def viewOf(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -86,13 +93,14 @@ object FinanceMv {
     * add the stored state for the touched (event_type, day) keys, MERGE —
     * file-pruned by the TxTable day stats, so the rewrite scales with the
     * days the batch touches, never the view. One atomic commit per batch.
-    * Like [[graft.operators.NgramLm.appendLmCounts]], the additive state
-    * means this is NOT replay-idempotent — the streaming driver
-    * ([[graft.streaming.StreamMv]]) relies on the checkpoint for
-    * exactly-once batch delivery, the honest contract of any count-based
-    * statistic. */
+    * Like [[graft.operators.NgramLm.appendLmCounts]], the additive fold is
+    * NOT replay-idempotent by itself — pass `txn` (the Delta
+    * txnAppId:batchId stamp) and [[TxTable.merge]] turns a replayed batch
+    * into a no-op, closing the crash window between the table commit and
+    * the streaming checkpoint commit (the [[graft.streaming.StreamMv]]
+    * exactly-once contract). */
   def maintainDailyCloseMv(spark: SparkSession, batch: DataFrame,
-      path: String): Unit = {
+      path: String, txn: Option[(String, Long)] = None): Unit = {
     val delta = viewOf(batch)
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       .withColumnRenamed("n_events", "d_n").withColumnRenamed("s", "d_s")
@@ -104,7 +112,37 @@ object FinanceMv {
         (col("d_n") + coalesce(col("n_old"), lit(0L))).as("n_events"),
         (col("d_s") + coalesce(col("s_old"), lit(0).cast(Dec)))
           .cast(Dec).as("s"))
+    TxTable.merge(spark, updated, path, Seq("event_type", "day"), txn = txn)
+    ()
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN on the persisted MV state: fold the purged
+    * ticks OUT of the aggregate (negated bump — decimal addition is exact,
+    * so subtracting the purged partials restores EXACTLY the state a
+    * rebuild on the remaining ticks produces) and DELETE keys whose count
+    * reaches zero, the [[graft.operators.NgramLm.removeLmCounts]] recipe
+    * for additive artifacts. Contract: `purged` must be a subset of what
+    * was ingested (the purge loop feeds it from the base table's own
+    * rows), so no count ever goes negative. Cost: O(days touched by the
+    * purge) — same file-pruned merge shape as an ingest batch. Safe to run
+    * BETWEEN a live stream's micro-batches: the stream's merges and this
+    * fold commute (both are keyed additive deltas), which is what
+    * StreamPurgeSpec pins. */
+  def removeFromDailyCloseMv(spark: SparkSession, purged: DataFrame,
+      path: String): Unit = {
+    val delta = viewOf(purged)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .withColumnRenamed("n_events", "d_n").withColumnRenamed("s", "d_s")
+    val stored = TxTable.read(spark, path)
+      .select(col("event_type"), col("day"),
+        col("n_events").as("n_old"), col("s").as("s_old"))
+    val updated = delta.join(stored, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("n_old"), lit(0L)) - col("d_n")).as("n_events"),
+        (coalesce(col("s_old"), lit(0).cast(Dec)) - col("d_s"))
+          .cast(Dec).as("s"))
     TxTable.merge(spark, updated, path, Seq("event_type", "day"))
+    TxTable.delete(spark, path, col("n_events") <= 0L)
     ()
   }
 }

@@ -100,9 +100,12 @@ object TxTable {
 
   /** A parsed commit: op + delta actions. `reset` commits (write/compact,
     * and every pre-delta full manifest) replace the whole state with their
-    * adds; others remove then add. */
+    * adds; others remove then add. `meta` carries tab-separated key=value
+    * tokens from the header line — today only `txn=appId:batchId`, the
+    * Delta idempotent-writer stamp. */
   private case class Commit(op: String, reset: Boolean,
-      removes: Seq[String], adds: Seq[ManifestEntry])
+      removes: Seq[String], adds: Seq[ManifestEntry],
+      meta: Map[String, String] = Map.empty)
 
   private def readLines(fs: FileSystem, p: Path): List[String] = {
     val in = fs.open(p)
@@ -192,14 +195,26 @@ object TxTable {
             "migrate by re-writing the table with a current writer, or " +
             "re-ingest it.", e)
       }
-    val (op, body) = (lines.head, lines.tail)
+    // header = op [\t key=value ...] — metadata rides the header line so
+    // pre-meta readers (which take lines.head as the whole op) never see
+    // it mixed into the action body; pre-meta FILES parse fine here (no
+    // tab → no meta)
+    val head = lines.head.split('\t')
+    val (op, body) = (head.head, lines.tail)
+    val meta = head.tail.flatMap { tok =>
+      tok.indexOf('=') match {
+        case -1 => None
+        case i => Some(tok.substring(0, i) -> tok.substring(i + 1))
+      }
+    }.toMap
     val legacyFull = body.exists(l => !l.startsWith("+") && !l.startsWith("-"))
     if (legacyFull)
-      Commit(op, reset = true, Nil, body.map(ManifestEntry.parse))
+      Commit(op, reset = true, Nil, body.map(ManifestEntry.parse), meta)
     else
       Commit(op, reset = op == "write" || op == "compact",
         body.filter(_.startsWith("-")).map(_.substring(1)),
-        body.filter(_.startsWith("+")).map(l => ManifestEntry.parse(l.substring(1))))
+        body.filter(_.startsWith("+")).map(l => ManifestEntry.parse(l.substring(1))),
+        meta)
   }
 
   private def listLog(fs: FileSystem, path: String, suffix: String): Seq[Long] =
@@ -396,12 +411,15 @@ object TxTable {
     * lines, `adds` as `+entry` lines — O(touched), not O(table). False ⇒
     * someone else won the version race (caller must re-read and retry). */
   private def tryCommit(fs: FileSystem, path: String, v: Long, op: String,
-      removes: Seq[String], adds: Seq[ManifestEntry]): Boolean = {
+      removes: Seq[String], adds: Seq[ManifestEntry],
+      meta: Map[String, String] = Map.empty): Boolean = {
     fs.mkdirs(logDir(path))
     val tmp = new Path(logDir(path), s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
+    val header = (op +: meta.toSeq.sortBy(_._1).map { case (k, vl) => s"$k=$vl" })
+      .mkString("\t")
     val body = removes.map("-" + _) ++ adds.map("+" + _.line)
-    try out.write(framed(op +: body))
+    try out.write(framed(header +: body))
     finally out.close()
     val won = publish(fs, tmp, commitFile(path, v))
     if (!won) fs.delete(tmp, false)
@@ -480,9 +498,40 @@ object TxTable {
     * detection). */
   private[graft] val mergeRecomputes = new java.util.concurrent.atomic.AtomicLong
 
-  def merge(spark: SparkSession, updates: DataFrame, path: String,
-      keys: Seq[String], versionCol: Option[String] = None): Long = {
+  /** Latest batch id committed under `appId`'s `txn=` stamp, scanning the
+    * retained log newest-first — the read half of the Delta
+    * txnAppId/txnVersion recipe. Metadata-scale: one small file per
+    * retained commit, stops at the first match. After a crash, the only
+    * batch a streaming replay re-delivers is the newest — its commit (if
+    * it happened) is the log head, never vacuumed. */
+  def lastTxnBatch(spark: SparkSession, path: String, appId: String): Option[Long] = {
     val fs = hfs(spark, path)
+    listLog(fs, path, ".txt").sorted.reverse.iterator
+      .flatMap(v => readCommit(fs, path, v).meta.get("txn"))
+      .collectFirst {
+        case t if t.startsWith(appId + ":") =>
+          t.substring(appId.length + 1).toLong
+      }
+  }
+
+  def merge(spark: SparkSession, updates: DataFrame, path: String,
+      keys: Seq[String], versionCol: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    val fs = hfs(spark, path)
+    // Idempotent-writer guard (Delta's txnAppId:txnVersion): a merge
+    // stamped with a (appId, batchId) it has already committed is a
+    // REPLAY — the crash-between-table-commit-and-checkpoint-commit
+    // window of a streaming fold — and must be a no-op, not a double
+    // apply. One writer per appId is the contract (a streaming query per
+    // checkpoint), so the entry check races only against itself.
+    txn.foreach { case (appId, _) =>
+      require(!appId.exists(c => c == '\t' || c == '=' || c == ':' || c == '\n'),
+        s"TxTable: txn appId '$appId' must not contain tab/'='/':'/newline")
+    }
+    for ((appId, batchId) <- txn; last <- lastTxnBatch(spark, path, appId))
+      if (batchId <= last)
+        return latestVersion(spark, path).getOrElse(
+          throw new java.io.FileNotFoundException(s"TxTable at $path has no commits"))
     val deduped = Sink.collapseByKey(updates, keys, versionCol)
     val updKeys = deduped.select(keys.map(col): _*).distinct()
     // bounds of the update batch's first key, for the stats pre-filter
@@ -597,7 +646,8 @@ object TxTable {
       }
       // the commit is the DELTA (removed touched files, added staged ones);
       // carried files are implicit — O(touched) metadata per merge
-      if (tryCommit(fs, path, v, "merge", touchedRels, staged)) {
+      if (tryCommit(fs, path, v, "merge", touchedRels, staged,
+          txn.map { case (a, b) => "txn" -> s"$a:$b" }.toMap)) {
         // checkpoint needs the FULL manifest — resolve it from the log we
         // just extended (disjoint racers may have changed carried files)
         if (v > 0 && v % CheckpointInterval == 0)
@@ -782,9 +832,20 @@ object TxTable {
       if (touchedNames.isEmpty) return base
       val entries = resolveEntries(fs, path, base)
       val touched = entries.filter(e => touchedNames.contains(new Path(e.rel).getName))
-      // mergeSchema: touched files may straddle an evolution boundary
-      val kept = spark.read.option("mergeSchema", "true")
+      // The rewrite-side read must present the SNAPSHOT schema, not just
+      // the union of the touched files': the match scan above ran over the
+      // snapshot (old files null-padded), so a predicate referencing a
+      // post-evolution column can match rows in pre-evolution files whose
+      // footers lack that column — filtering the narrower mergeSchema read
+      // with it would throw AnalysisException and fail the delete. Pad the
+      // touched read to the snapshot schema (the changeFeed pad) first.
+      val snapSchema = snapshotSchema(spark, path, entries)
+      val raw = spark.read.option("mergeSchema", "true")
         .parquet(touched.map(e => s"$path/${e.rel}"): _*)
+      val present = raw.columns.toSet
+      val kept = raw.select(snapSchema.fields.toSeq.map(f =>
+          if (present(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
         .filter(!coalesce(condition, lit(false)))
       val staged = stageData(spark, kept, path)
       if (tryCommit(fs, path, base + 1, "delete", touched.map(_.rel), staged)) {

@@ -11,21 +11,29 @@ import org.apache.spark.sql.streaming.Trigger
   * always a consistent prefix of the stream, versioned per batch (time
   * travel over MV refreshes for free).
   *
-  * Exactly-once story: the additive fold is NOT replay-idempotent (the
-  * [[graft.serve.FinanceMv.maintainDailyCloseMv]] contract), so batch
-  * delivery relies on the streaming checkpoint — Structured Streaming
-  * replays a failed batch only before its commit, and the TxTable merge
-  * is the batch's single externally-visible effect. A crash BETWEEN the
-  * TxTable commit and the checkpoint commit double-applies one batch —
-  * closing that window needs the batchId recorded in the table commit
-  * (the Delta txnAppId recipe); documented, not hidden. StreamMvSpec pins
-  * the in-order case: stream-maintained state ≡ the one-shot batch build
-  * bit-for-bit, decimal-exact.
+  * Exactly-once story: the additive fold is NOT replay-idempotent by
+  * itself, so every micro-batch merge is stamped with
+  * `txn = (appId, batchId)` — the Delta txnAppId recipe — where appId is
+  * derived from the checkpoint location (one writer per checkpoint is the
+  * Structured Streaming contract). A crash BETWEEN the TxTable commit and
+  * the checkpoint commit replays the batch, and [[graft.serve.TxTable
+  * .merge]]'s idempotent-writer guard turns the replay into a no-op
+  * instead of a double apply. StreamMvSpec pins both halves:
+  * stream-maintained state ≡ the one-shot batch build bit-for-bit, and a
+  * replayed batch leaves the state (and the version counter) untouched.
   *
   * At 100 TB: per trigger the delta aggregate is map-side-combined on
   * (event_type, day) — shuffle volume is day-partials, never raw ticks —
   * and the merge rewrite is file-pruned to the touched day range. */
 object StreamMv {
+
+  /** Stable writer id for the txn stamp: the checkpoint location IS the
+    * stream's identity (one writer per checkpoint), hashed so path
+    * separators never leak into the commit header's token syntax. */
+  private[graft] def txnAppId(checkpoint: String): String =
+    "stream_mv_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(checkpoint).getAbsolutePath) & 0xffffffffL)
 
   /** Drain `eventsDir` as a stream, folding each micro-batch into the MV
     * table at `tablePath`. The table must exist (seed with an empty or
@@ -44,9 +52,9 @@ object StreamMv {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         graft.serve.FinanceMv.maintainDailyCloseMv(batch.sparkSession,
-          batch, tablePath)
+          batch, tablePath, txn = Some((txnAppId(checkpoint), batchId)))
       }
       .trigger(Trigger.AvailableNow())
       .start()

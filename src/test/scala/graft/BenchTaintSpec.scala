@@ -62,6 +62,25 @@ class BenchTaintSpec extends AnyFunSuite {
     assert(t3 == 4.5 && c3 == 1.5)
   }
 
+  test("honest worst-case total: rescue-flattering is machine-stamped, never artifact-invisible") {
+    // no rescues: the bound IS the total
+    assert(Bench.honestWorstCaseTotal(100.0, Seq.empty) == 100.0)
+    // two rescued queries whose kept times undercut their first runs by
+    // 8.2 s and 5.1 s: the bound restores exactly that sum (r13's prose
+    // bound — 191.5 kept, ≤ 204.8 worst — as arithmetic the pin carries)
+    val b = Bench.honestWorstCaseTotal(191.5, Seq((10.0, 1.8), (6.0, 0.9)))
+    assert(math.abs(b - (191.5 + 8.2 + 5.1)) < 1e-9, b.toString)
+    // a retry SLOWER than its first run must not "credit" the bound —
+    // the worst case only ever grows the total
+    assert(Bench.honestWorstCaseTotal(50.0, Seq((2.0, 3.5))) == 50.0)
+    // a crashed first run (-1 sentinel) has no honest first-run time to
+    // restore: contributes nothing rather than deducting 1+kept
+    assert(Bench.honestWorstCaseTotal(50.0, Seq((-1.0, 2.0))) == 50.0)
+    // mixed: only the genuine undercuts accumulate
+    val m = Bench.honestWorstCaseTotal(10.0, Seq((5.0, 1.0), (2.0, 2.0), (-1.0, 0.5)))
+    assert(math.abs(m - 14.0) < 1e-9, m.toString)
+  }
+
   test("taint rule: threshold scales with wall time, floor kills jiffy noise") {
     // sub-100 ms window with one stray tick: NOT tainted (granularity floor)
     assert(!Bench.taintedWindow(extSec = 0.04, wallSec = 0.04, coresThreshold = 0.5))

@@ -18,6 +18,18 @@ class FinanceMvSpec extends AnyFunSuite {
         (r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("s"))
     }.toMap
 
+  test("state column is DECIMAL(38,6) — overflow headroom, not a (18,6) that nulls") {
+    // under non-ANSI mode an overflowing decimal cast yields NULL silently;
+    // (38,6) keeps 32 integer digits so a hot (event_type, day) key cannot
+    // quietly corrupt the exact state (r13 ADVICE). Both build and maintain
+    // must agree — one fixed type is the TxTable evolution-guard contract.
+    import org.apache.spark.sql.types.DecimalType
+    val view = FinanceMv.viewOf(events)
+    assert(view.schema("s").dataType == DecimalType(38, 6))
+    assert(FinanceMv.maintain(view, events.limit(1)).schema("s").dataType
+      == DecimalType(38, 6))
+  }
+
   test("incremental apply == full rebuild, bit-for-bit (decimal state)") {
     // split the tick stream into a base ingest and a later batch on a
     // content hash — order/partitioning independent

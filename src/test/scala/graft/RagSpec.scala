@@ -64,6 +64,21 @@ class RagSpec extends AnyFunSuite {
       s"stored path diverged: ${stored.length} vs ${inline.length} rows")
   }
 
+  test("stored index memo keys by chunking params: new params rebuild, never reuse") {
+    // warm the DEFAULT-params memo entry first, then ask for a different
+    // chunking — the memo must not serve the default index against the
+    // differently-chunked probe side (r13 ADVICE: key by (dir, window,
+    // stride) like vecsMemo). Equivalence to the inline path with the SAME
+    // params is the proof the right index answered.
+    Rag.ragRetrieveStored(spark, sf).collect()
+    val inline16 = Rag.ragRetrieve(spark, sf, window = 16, stride = 8)
+      .collect().map(_.toString).sorted
+    val stored16 = Rag.ragRetrieveStored(spark, sf, window = 16, stride = 8)
+      .collect().map(_.toString).sorted
+    assert(stored16.nonEmpty && stored16.sameElements(inline16),
+      "stored retrieval with non-default chunking must match its inline twin")
+  }
+
   test("incremental chunk-index append: base + batch == full index") {
     import org.apache.spark.sql.functions._
     val path = s"/tmp/graft_chunk_append/${new java.io.File(sf).getName}"

@@ -288,6 +288,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(passthrough.count() == bleft.join(bright, Seq("k")).count())
   }
 
+  test("saltIfSkewed on an EMPTY left frame: plain-join arm, no NPE") {
+    // empty left => the skew audit's max_n/total aggregate to null; the
+    // boxed read must treat that as not-skewed, not throw (r13 ADVICE)
+    val left = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_linenumber"))
+      .filter(lit(false))
+    val right = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val (joined, decision) = Skew.saltIfSkewed(left, right, "k", "l_linenumber", 4)
+    assert(!decision, "an empty frame has no skew")
+    assert(joined.count() == 0L)
+  }
+
   test("salted agg matches direct aggregation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy("event_type")

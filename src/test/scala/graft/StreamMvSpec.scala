@@ -37,4 +37,34 @@ class StreamMvSpec extends AnyFunSuite {
     val versions = serve.TxTable.read(spark, tablePath) // force table valid
     assert(versions.count() == batch.length.toLong)
   }
+
+  test("replayed micro-batch is a no-op: txn stamp closes the double-apply window") {
+    val root = java.nio.file.Files.createTempDirectory("stream_mv_txn").toString
+    val tablePath = s"$root/mv"
+    serve.TxTable.write(spark,
+      FinanceMv.viewOf(Tables.events(spark, sf).limit(0))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd")),
+      tablePath)
+    val app = StreamMv.txnAppId(s"$root/ckpt")
+    val batch = Tables.events(spark, sf).limit(500)
+    FinanceMv.maintainDailyCloseMv(spark, batch, tablePath, Some((app, 0L)))
+    val vAfter = serve.TxTable.latestVersion(spark, tablePath).get
+    val state = serve.TxTable.read(spark, tablePath)
+      .collect().map(_.toString).sorted.toSeq
+    // the crash-between-commits scenario: the SAME batch id arrives again —
+    // the additive fold must not double-apply, and no version is burned
+    FinanceMv.maintainDailyCloseMv(spark, batch, tablePath, Some((app, 0L)))
+    assert(serve.TxTable.latestVersion(spark, tablePath).contains(vAfter),
+      "replay must not burn a commit")
+    val replayed = serve.TxTable.read(spark, tablePath)
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == state, "replay must not change the state")
+    assert(serve.TxTable.lastTxnBatch(spark, tablePath, app).contains(0L))
+    // the NEXT batch id applies normally
+    FinanceMv.maintainDailyCloseMv(spark, batch, tablePath, Some((app, 1L)))
+    assert(serve.TxTable.latestVersion(spark, tablePath).contains(vAfter + 1))
+    assert(serve.TxTable.lastTxnBatch(spark, tablePath, app).contains(1L))
+    // a different writer (another appId) is never blocked by this one's stamp
+    assert(serve.TxTable.lastTxnBatch(spark, tablePath, app + "_other").isEmpty)
+  }
 }

@@ -50,6 +50,23 @@ class TxDeleteSpec extends AnyFunSuite {
     assert(TxTable.latestVersion(spark, path).contains(1L))
   }
 
+  test("delete predicate on a post-evolution column reaches pre-evolution files") {
+    val path = fresh("evolve")
+    // generation 1: no `x` column
+    TxTable.write(spark, Seq((1L, "old"), (2L, "old")).toDF("k", "v"), path)
+    // generation 2: additive evolution adds `x`
+    TxTable.merge(spark, Seq((3L, "new", 7)).toDF("k", "v", "x"),
+      path, Seq("k"))
+    // `x IS NULL` matches the pre-evolution rows (snapshot read pads them
+    // with null) — the rewrite-side read must be padded the same way or
+    // filtering the old files throws AnalysisException (r13 ADVICE)
+    val v = TxTable.delete(spark, path, col("x").isNull)
+    assert(v == 2L)
+    val left = TxTable.read(spark, path).select("k", "x").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(left == Seq((3L, 7)), s"only the post-evolution row survives: $left")
+  }
+
   test("untouched files are carried verbatim, not rewritten") {
     val path = fresh("carry")
     // two files by key range; delete touches only one

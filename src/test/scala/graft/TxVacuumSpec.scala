@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.TxTable
+
+/** Vacuum vs time travel — the reader-safety half of the retention
+  * contract (TxDeleteSpec's companion, r13 verdict task):
+  *
+  *  - a read pinned AS OF a vacuumed version fails LOUDLY (the Delta
+  *    `VersionNotFound` behavior) — never a silent partial snapshot;
+  *  - vacuum never removes a file reachable from any RETAINED version,
+  *    regardless of age;
+  *  - a reader that resolved its manifest BEFORE vacuum published keeps
+  *    reading bit-for-bit within `retentionMs`, even when its pinned
+  *    version itself aged out of the kept set (the mid-read race — the
+  *    reason the retention parameter exists and Delta defaults it to
+  *    7 days);
+  *  - outside retention the same reader fails loudly on the missing file
+  *    (Spark's default ignoreMissingFiles=false), which is the honest
+  *    outcome — the alternative, silently returning the rows that happen
+  *    to survive, is the one behavior the contract forbids.
+  */
+class TxVacuumSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = s"/tmp/graft_tx_vacuum/$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    p
+  }
+
+  /** v0: full write of ids 0..99; v1, v2: merges that rewrite the single
+    * data file twice — so v0's and v1's files are superseded garbage once
+    * only v2 is retained. */
+  private def threeVersions(path: String): Unit = {
+    TxTable.write(spark,
+      spark.range(100).select(col("id"), lit("base").as("txt"))
+        .repartition(1), path)
+    TxTable.merge(spark,
+      Seq((5L, "v1")).toDF("id", "txt"), path, Seq("id"))
+    TxTable.merge(spark,
+      Seq((6L, "v2")).toDF("id", "txt"), path, Seq("id"))
+  }
+
+  test("AS OF a vacuumed version fails loudly with the version named, retained reads are intact") {
+    val path = fresh("loud")
+    threeVersions(path)
+    val keep1 = TxTable.read(spark, path, Some(1L)).collect().map(_.toString).sorted.toSeq
+    val keep2 = TxTable.read(spark, path, Some(2L)).collect().map(_.toString).sorted.toSeq
+    TxTable.vacuum(spark, path, keepVersions = 2, retentionMs = 0L)
+    // the vacuumed version is GONE as an address: loud refusal, not a
+    // partial read (Delta's VersionNotFound)
+    val e = intercept[java.io.FileNotFoundException] {
+      TxTable.read(spark, path, Some(0L))
+    }
+    assert(e.getMessage.contains("version 0"), e.getMessage)
+    // both RETAINED versions still resolve and read bit-for-bit — even at
+    // retentionMs=0, because their files are REACHABLE (age never trumps
+    // reachability)
+    assert(TxTable.read(spark, path, Some(1L)).collect().map(_.toString).sorted.toSeq == keep1)
+    assert(TxTable.read(spark, path, Some(2L)).collect().map(_.toString).sorted.toSeq == keep2)
+  }
+
+  test("mid-read race: a manifest resolved before vacuum publishes survives within retention") {
+    val path = fresh("midread")
+    threeVersions(path)
+    // reader pins v0 and resolves its manifest NOW (read() materializes
+    // the file list eagerly); the scan happens after vacuum
+    val pinned = TxTable.read(spark, path, Some(0L))
+    val expected = (0L until 100L).map(id => (id, "base")).toSet
+    TxTable.vacuum(spark, path, keepVersions = 1, retentionMs = 60L * 60 * 1000)
+    // v0 is no longer addressable for NEW reads...
+    intercept[java.io.FileNotFoundException] {
+      TxTable.read(spark, path, Some(0L))
+    }
+    // ...but the in-flight reader's files are younger than retention, so
+    // its scan completes bit-for-bit — vacuum may unlink only what aged out
+    val got = pinned.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, s"mid-read reader lost rows: ${got.size} of 100")
+  }
+
+  test("outside retention the in-flight reader fails loudly, never a silent partial snapshot") {
+    val path = fresh("aged")
+    threeVersions(path)
+    val pinned = TxTable.read(spark, path, Some(0L))
+    // retentionMs=0: every superseded file is immediately collectable —
+    // the physical-purge half of the right-to-be-forgotten contract
+    TxTable.vacuum(spark, path, keepVersions = 1, retentionMs = 0L)
+    val e = intercept[Exception] { pinned.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      s"aged-out read must fail on the missing file, got: $e")
+    // and the CURRENT version is untouched by any of this
+    assert(TxTable.read(spark, path).count() == 100L)
+  }
+
+  test("vacuum retains every version's files that keepVersions names, pruning only the prefix") {
+    val path = fresh("prefix")
+    threeVersions(path)
+    TxTable.merge(spark, Seq((7L, "v3")).toDF("id", "txt"), path, Seq("id"))
+    TxTable.vacuum(spark, path, keepVersions = 3, retentionMs = 0L)
+    // versions 1..3 stay addressable, 0 does not: vacuum prunes a PREFIX,
+    // never punches a hole in the middle of the retained range
+    intercept[java.io.FileNotFoundException] { TxTable.read(spark, path, Some(0L)) }
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(TxTable.read(spark, path, Some(v)).count() == 100L,
+        s"retained version $v must stay readable")
+    }
+  }
+}
