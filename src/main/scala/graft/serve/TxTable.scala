@@ -223,11 +223,72 @@ object TxTable {
       .map(_.getPath.getName).filter(_.endsWith(suffix))
       .map(_.stripSuffix(suffix).toLong)
 
+  /** Checkpoint metadata line prefix for retained idempotent-writer stamps
+    * (Delta's SetTransaction-in-checkpoint): `#txn appId:batchId`. Kept
+    * lexically distinct from the `#eof` framing trailer and filtered out of
+    * entry parsing, so a checkpoint stays a plain manifest to the entry
+    * resolver. */
+  private val TxnPrefix = "#txn "
+
+  /** Parse one checkpoint file: (manifest entries, latest txn stamp per
+    * appId as of that checkpoint). Pre-r14 checkpoints simply have no
+    * `#txn` lines — their txn map is empty (stamps older than such a
+    * checkpoint are invisible, the documented migration caveat). */
+  private def checkpointLines(fs: FileSystem, path: String,
+      c: Long): (Seq[ManifestEntry], Map[String, Long]) = {
+    val f = checkpointFile(path, c)
+    val lines = unframe(readLines(fs, f), f, "checkpoint").filter(_.nonEmpty)
+    val (txnLines, entryLines) = lines.partition(_.startsWith(TxnPrefix))
+    (entryLines.map(ManifestEntry.parse),
+      txnLines.flatMap { l =>
+        val t = l.substring(TxnPrefix.length)
+        val i = t.lastIndexOf(':')
+        if (i < 0) None else Some(t.substring(0, i) -> t.substring(i + 1).toLong)
+      }.toMap)
+  }
+
+  /** The latest txn stamp per appId AS OF version `v`: nearest checkpoint's
+    * retained stamps, folded forward over the delta tail (latest wins per
+    * app). Unlike file entries, a RESET commit does not clear stamps — a
+    * compaction rewrites data, not writer history (Delta keeps
+    * SetTransaction across OPTIMIZE for exactly this reason). Same strict
+    * contiguity rule as entry resolution: a mid-chain hole could hide a
+    * NEWER stamp, and answering with an older one would green-light a
+    * double apply — fail loudly instead. */
+  private def resolveTxns(fs: FileSystem, path: String, v: Long): Map[String, Long] = {
+    val cp = listLog(fs, path, ".checkpoint").filter(_ <= v) match {
+      case vs if vs.isEmpty => None
+      case vs => Some(vs.max)
+    }
+    val base = cp.map(c => checkpointLines(fs, path, c)._2).getOrElse(Map.empty)
+    val commits = listLog(fs, path, ".txt")
+      .filter(cv => cv > cp.getOrElse(-1L) && cv <= v).sorted
+    val root = cp.map(_ + 1L).getOrElse(0L)
+    if (commits != (root to v))
+      throw new java.io.FileNotFoundException(
+        s"TxTable $path: txn state at version $v is not resolvable " +
+          s"(delta chain $root..$v has holes: ${commits.mkString(",")})")
+    commits.foldLeft(base) { (m, cv) =>
+      readCommit(fs, path, cv).meta.get("txn") match {
+        case Some(t) =>
+          val i = t.lastIndexOf(':')
+          if (i < 0) m else m + (t.substring(0, i) -> t.substring(i + 1).toLong)
+        case None => m
+      }
+    }
+  }
+
+  /** Checkpoints carry BOTH halves of durable state: the manifest AND the
+    * retained txn stamps — so vacuum can prune a stamped commit without
+    * reopening the idempotent-writer replay window. */
   private def writeCheckpoint(fs: FileSystem, path: String, v: Long,
       entries: Seq[ManifestEntry]): Unit = {
+    val txns = resolveTxns(fs, path, v)
     val tmp = new Path(logDir(path), s"_cptmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
-    try out.write(framed(entries.map(_.line)))
+    val lines = entries.map(_.line) ++
+      txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" }
+    try out.write(framed(lines))
     finally out.close()
     if (!publish(fs, tmp, checkpointFile(path, v))) fs.delete(tmp, false)
   }
@@ -256,11 +317,7 @@ object TxTable {
     val lastReset = commits.lastIndexWhere(_._2.reset)
     val (start, tail) =
       if (lastReset >= 0) (Seq.empty[ManifestEntry], commits.drop(lastReset))
-      else (cp.map { c =>
-        val f = checkpointFile(path, c)
-        unframe(readLines(fs, f), f, "checkpoint")
-          .filter(_.nonEmpty).map(ManifestEntry.parse)
-      }.getOrElse {
+      else (cp.map(c => checkpointLines(fs, path, c)._1).getOrElse {
           // with no checkpoint and no reset in range, the delta chain is
           // only sound if it is rooted at the TABLE's first commit (v0) —
           // merely starting at the oldest SURVIVING commit is not enough:
@@ -498,20 +555,17 @@ object TxTable {
     * detection). */
   private[graft] val mergeRecomputes = new java.util.concurrent.atomic.AtomicLong
 
-  /** Latest batch id committed under `appId`'s `txn=` stamp, scanning the
-    * retained log newest-first — the read half of the Delta
-    * txnAppId/txnVersion recipe. Metadata-scale: one small file per
-    * retained commit, stops at the first match. After a crash, the only
-    * batch a streaming replay re-delivers is the newest — its commit (if
-    * it happened) is the log head, never vacuumed. */
+  /** Latest batch id committed under `appId`'s `txn=` stamp — the read
+    * half of the Delta txnAppId/txnVersion recipe. Resolved like a
+    * manifest (nearest checkpoint's retained stamps + the delta tail), so
+    * the answer survives vacuum pruning the stamped commit itself: without
+    * checkpoint retention, "crash → external compactions/vacuum before the
+    * stream restarts → replay of the stamped batch" would double-apply.
+    * Metadata-scale: one checkpoint + ≤ CheckpointInterval commit reads. */
   def lastTxnBatch(spark: SparkSession, path: String, appId: String): Option[Long] = {
     val fs = hfs(spark, path)
-    listLog(fs, path, ".txt").sorted.reverse.iterator
-      .flatMap(v => readCommit(fs, path, v).meta.get("txn"))
-      .collectFirst {
-        case t if t.startsWith(appId + ":") =>
-          t.substring(appId.length + 1).toLong
-      }
+    latestVersion(spark, path)
+      .flatMap(v => resolveTxns(fs, path, v).get(appId))
   }
 
   def merge(spark: SparkSession, updates: DataFrame, path: String,
@@ -816,9 +870,16 @@ object TxTable {
     * then idempotent by construction). Change feeds over the commit
     * emit the removed rows as `delete` rows for free (the manifest diff
     * IS the CDC source). */
+  /** Test seam: invoked once after a delete stages its rewrite, before its
+    * first commit attempt — the interleave window where a racing writer's
+    * commit must force the delete to lose the version race and recompute
+    * its touched set against the new snapshot. No-op in production. */
+  private[graft] var onDeleteStaged: () => Unit = () => ()
+
   def delete(spark: SparkSession, path: String,
       condition: org.apache.spark.sql.Column): Long = {
     val fs = hfs(spark, path)
+    var firstStage = true
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = latestVersion(spark, path).getOrElse(
@@ -848,6 +909,7 @@ object TxTable {
           else lit(null).cast(f.dataType).as(f.name)): _*)
         .filter(!coalesce(condition, lit(false)))
       val staged = stageData(spark, kept, path)
+      if (firstStage) { firstStage = false; onDeleteStaged() }
       if (tryCommit(fs, path, base + 1, "delete", touched.map(_.rel), staged)) {
         if ((base + 1) % CheckpointInterval == 0)
           maybeCheckpoint(fs, path, base + 1, resolveEntries(fs, path, base + 1))

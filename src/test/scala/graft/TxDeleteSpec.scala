@@ -67,6 +67,39 @@ class TxDeleteSpec extends AnyFunSuite {
     assert(left == Seq((3L, 7)), s"only the post-evolution row survives: $left")
   }
 
+  test("delete racing a merge: the delete loses the version race and recomputes on top") {
+    // completes the reset-vs-delta race matrix (merge-vs-merge and
+    // compact-vs-merge live in TxStatsSpec): a MERGE commits between the
+    // delete's snapshot read and its commit. Re-publishing the stale
+    // staged rewrite would (a) silently undo the merge's update on any
+    // co-located row and (b) miss matching rows the merge just added.
+    // The optimistic loop must lose the race and recompute the touched
+    // set against the post-merge snapshot — final state == serialized
+    // merge-then-delete.
+    val path = fresh("race_merge")
+    TxTable.write(spark,
+      Seq((1L, "keep"), (2L, "purge"), (3L, "keep"))
+        .toDF("k", "tag").repartition(1), path)
+    var mergeV = -1L
+    TxTable.onDeleteStaged = () => {
+      TxTable.onDeleteStaged = () => ()
+      // the racing merge BOTH updates a surviving row and adds a new
+      // matching one — each detects a distinct stale-rewrite bug
+      mergeV = TxTable.merge(spark,
+        Seq((3L, "keep-updated"), (4L, "purge")).toDF("k", "tag"),
+        path, Seq("k"))
+    }
+    try {
+      val dv = TxTable.delete(spark, path, col("tag") === "purge")
+      assert(mergeV == 1L && dv == 2L,
+        "delete must lose the version race to the merge and retry on top")
+    } finally TxTable.onDeleteStaged = () => ()
+    val out = TxTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "keep"), (3L, "keep-updated")),
+      s"state must equal serialized merge-then-delete: $out")
+  }
+
   test("untouched files are carried verbatim, not rewritten") {
     val path = fresh("carry")
     // two files by key range; delete touches only one

@@ -99,6 +99,63 @@ class TxVacuumSpec extends AnyFunSuite {
     assert(TxTable.read(spark, path).count() == 100L)
   }
 
+  test("txn stamps survive compaction and vacuum: the replay window never reopens") {
+    val path = fresh("txn")
+    TxTable.write(spark,
+      spark.range(100).select(col("id"), lit("base").as("txt"))
+        .repartition(1), path)
+    // a streaming writer commits batch 0, stamped
+    TxTable.merge(spark, Seq((5L, "b0")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_a", 0L)))
+    assert(TxTable.lastTxnBatch(spark, path, "app_a").contains(0L))
+    // maintenance rewrites history: a reset commit must NOT clear writer
+    // stamps (Delta keeps SetTransaction across OPTIMIZE)...
+    TxTable.compact(spark, path, numFiles = 1)
+    assert(TxTable.lastTxnBatch(spark, path, "app_a").contains(0L))
+    // ...and vacuum pruning the STAMPED COMMIT ITSELF must not lose it
+    // either — the kept versions' checkpoints retain the stamps. This is
+    // the crash → external-maintenance → stream-restart window: without
+    // retention, the replayed batch 0 would double-apply here.
+    TxTable.vacuum(spark, path, keepVersions = 1, retentionMs = 0L)
+    assert(TxTable.lastTxnBatch(spark, path, "app_a").contains(0L),
+      "vacuum must not forget writer stamps")
+    val vBefore = TxTable.latestVersion(spark, path).get
+    val state = TxTable.read(spark, path).collect().map(_.toString).sorted.toSeq
+    TxTable.merge(spark, Seq((5L, "b0")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_a", 0L))) // the replay
+    assert(TxTable.latestVersion(spark, path).contains(vBefore),
+      "replay after vacuum must still be a no-op")
+    assert(TxTable.read(spark, path).collect().map(_.toString).sorted.toSeq == state)
+    // latest-wins per app; apps are independent
+    TxTable.merge(spark, Seq((6L, "b1")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_a", 1L)))
+    assert(TxTable.lastTxnBatch(spark, path, "app_a").contains(1L))
+    assert(TxTable.lastTxnBatch(spark, path, "app_b").isEmpty)
+  }
+
+  test("vacuum racing a merge: pruning the prefix mid-merge never breaks the commit") {
+    // vacuum runs as scheduled maintenance, so it WILL fire while a merge
+    // is between its snapshot read and its commit. The merge's base is the
+    // latest version — always retained — so the staged rewrite stays valid
+    // and the commit lands; vacuum's prefix pruning must not invalidate
+    // anything the merge read or wants to reference.
+    val path = fresh("vacuum_race")
+    threeVersions(path)
+    TxTable.onMergeStaged = () => {
+      TxTable.onMergeStaged = () => ()
+      TxTable.vacuum(spark, path, keepVersions = 1, retentionMs = 60L * 60 * 1000)
+    }
+    try {
+      val v = TxTable.merge(spark,
+        Seq((7L, "post-vacuum")).toDF("id", "txt"), path, Seq("id"))
+      assert(v == 3L)
+    } finally TxTable.onMergeStaged = () => ()
+    val out = TxTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 100 && out(7L) == "post-vacuum"
+      && out(5L) == "v1" && out(6L) == "v2", "merge result intact after the race")
+  }
+
   test("vacuum retains every version's files that keepVersions names, pruning only the prefix") {
     val path = fresh("prefix")
     threeVersions(path)
