@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 import graft.serve.{FinanceMv, TxTable}
-import graft.streaming.{StreamCurate, StreamMv}
+import graft.streaming.{StreamCurate, StreamIndex, StreamMv}
 import java.nio.file.Files
 
 /** Right-to-be-forgotten WHILE INGESTION RUNS — the streamed half of the
@@ -63,6 +63,48 @@ class StreamPurgeSpec extends AnyFunSuite {
     // and the victims really are forgotten: no key holds counts only they
     // could explain (spot-check one victim-only day if the split made one)
     assert(victims.count() > 0, "fixture must actually purge something")
+  }
+
+  test("PQ code table purge mid-stream: DELETE between drains == one-shot encode of the purged corpus") {
+    import graft.operators.Similarity
+    import java.nio.file.{Files => JFiles, Paths}
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+    val evens = vecs.filter(col("vec_id") % 2 === 0)
+    val root = Files.createTempDirectory("stream_purge_index").toString
+    val index = s"$root/index"
+    Similarity.writePqIndexOf(spark, evens, index)
+    JFiles.createDirectories(Paths.get(s"$root/in"))
+    def drop(i: Int): Unit = {
+      Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 2 === 1 && col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp_$i")
+      val part = new java.io.File(s"$root/tmp_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, Paths.get(s"$root/in/drop_$i.parquet"))
+      ()
+    }
+    drop(0); drop(1)
+    StreamIndex.indexStreamTx(spark, s"$root/in", index, s"$root/ckpt")
+    // deletion request lands mid-stream: victims span BOTH the batch-built
+    // half and the stream-ingested half of the code table
+    val victims = Seq(0L, 2L, 1L, 7L)
+    TxTable.delete(spark, s"$index/codes",
+      col("vec_id").isin(victims: _*))
+    drop(2)
+    StreamIndex.indexStreamTx(spark, s"$root/in", index, s"$root/ckpt")
+    val streamed = TxTable.read(spark, s"$index/codes")
+      .collect().map(_.toString).sorted.toSeq
+    // codes are a pure per-row function of (embedding, frozen codebooks):
+    // the purged streamed table must equal the one-shot encode of the
+    // corpus with the victims already forgotten, bit for bit
+    val cb = Similarity.seededCodebooks(evens, 16)
+    val oneShot = Similarity.pqCodes(
+        vecs.filter(!col("vec_id").isin(victims: _*)), cb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == oneShot,
+      s"purged streamed codes drifted: ${streamed.length} vs ${oneShot.length}")
   }
 
   test("curation decisions purge mid-stream: DELETE between drains == fresh stream over the purged corpus") {
