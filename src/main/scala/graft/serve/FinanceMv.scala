@@ -123,7 +123,11 @@ object FinanceMv {
     * reaches zero, the [[graft.operators.NgramLm.removeLmCounts]] recipe
     * for additive artifacts. Contract: `purged` must be a subset of what
     * was ingested (the purge loop feeds it from the base table's own
-    * rows), so no count ever goes negative. Cost: O(days touched by the
+    * rows), so no count ever goes negative. Like every negated bump, the
+    * purge itself is NOT replay-idempotent (running it twice
+    * double-subtracts) — a purge driven from a stream or queue must carry
+    * its own [[TxTable.merge]] txn stamp; the interactive right-to-be-
+    * forgotten loop runs it once per request. Cost: O(days touched by the
     * purge) — same file-pruned merge shape as an ingest batch. Safe to run
     * BETWEEN a live stream's micro-batches: the stream's merges and this
     * fold commute (both are keyed additive deltas), which is what
