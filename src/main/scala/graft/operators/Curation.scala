@@ -473,7 +473,7 @@ object Curation {
     * decontamination service maintains; the cache is its session form. */
   private val corpusGramsMemo = new SessionMemo[(String, Int), DataFrame]
 
-  private def corpusGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
+  private[graft] def corpusGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
     corpusGramsMemo.getOrElseUpdate(spark, (dir, n)) {
       docNgrams(Tables.documents(spark, dir).select("doc_id", "text"), n)
         .cache()
@@ -1435,18 +1435,61 @@ object Curation {
     * alternative when even the grid is too wide). Assignment is a
     * broadcast of 3 numbers + one CASE per row; the summary is one
     * shuffle keyed by the 4 buckets. */
+  /** Range buckets for the two-phase CDF below — 2^8 contiguous score
+    * slices; scales with the cluster like [[Layout.ShuffleTopBits]]. */
+  private[graft] val CurriculumTopBits: Int = 8
+
   def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
     val scored = NgramLm.scoreQuery(spark, dir)
+    // The quartile cuts used to come from ONE unpartitioned running-sum
+    // window over the distinct-score CDF — correct, but a single-executor
+    // sort at 100 TB (the r14 verdict's perf-weak #1). Same output, two-
+    // phase now (the Layout.shuffleShards prefix-sum decomposition):
+    //   1. distinct-score counts, each score range-bucketed into one of
+    //      2^CurriculumTopBits contiguous slices of [min, max] — a bucket
+    //      id is monotone in the score, so bucket-local prefixes compose;
+    //   2. per-bucket count subtotals → driver prefix over ≤ 2^topBits
+    //      rows (the metadata-scale collect every two-phase prefix pays),
+    //      broadcast back as each bucket's starting offset;
+    //   3. within-bucket exact running sum, window PARTITIONED by bucket —
+    //      never a single-task global ORDER BY. Heavy ties collapse into
+    //      one distinct row each, so a value-skewed corpus degrades only
+    //      to the distinct table's own (6-dp-grid-bounded) cardinality.
+    // The stats row and subtotal collect are two metadata-scale jobs over
+    // the memoized score table; the oracle keeps the global one-window
+    // spelling (allowed the single-task form, like shuffleShardsSql).
+    val st = scored.agg(min("avg_log2sb"), max("avg_log2sb"),
+      count(lit(1))).first()
+    val n = st.getLong(2)
+    val buckets = 1 << CurriculumTopBits
+    val bucketCol =
+      if (n == 0L || st.getDouble(0) == st.getDouble(1)) lit(0)
+      else {
+        val (lo, hi) = (st.getDouble(0), st.getDouble(1))
+        least(lit(buckets - 1), floor((col("avg_log2sb") - lit(lo))
+          / lit(hi - lo) * buckets)).cast("int")
+      }
     val dist = scored.groupBy("avg_log2sb").agg(count(lit(1)).as("c"))
-    val cum = dist
-      .withColumn("cum", sum("c").over(
-        Window.orderBy("avg_log2sb")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = scored.agg(count(lit(1)).as("n_all"))
-    val bounds = cum.crossJoin(broadcast(n)).agg(
-      min(when(col("cum") >= ceil(col("n_all") * 0.25), col("avg_log2sb"))).as("q1"),
-      min(when(col("cum") >= ceil(col("n_all") * 0.50), col("avg_log2sb"))).as("q2"),
-      min(when(col("cum") >= ceil(col("n_all") * 0.75), col("avg_log2sb"))).as("q3"))
+      .withColumn("bucket", bucketCol)
+    val subtotals = dist.groupBy("bucket").agg(sum("c").as("bc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val offsets = subtotals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.sliding(2).collect { case Seq((_, off), (b, _)) => (b, off) }.toSeq
+    val offDf =
+      if (offsets.isEmpty) spark.createDataFrame(Seq((0, 0L))).toDF("bucket", "offset").limit(0)
+      else spark.createDataFrame(offsets).toDF("bucket", "offset")
+    val w = Window.partitionBy("bucket").orderBy("avg_log2sb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist.join(broadcast(offDf), "bucket")
+      .withColumn("cum", col("offset") + sum("c").over(w))
+    // identical arithmetic to the old in-plan form: ceil of the IEEE
+    // double product long·0.25 (math.ceil ≡ Spark's ceil on doubles)
+    def target(p: Double): Long = math.ceil(n * p).toLong
+    val bounds = cum.agg(
+      min(when(col("cum") >= target(0.25), col("avg_log2sb"))).as("q1"),
+      min(when(col("cum") >= target(0.50), col("avg_log2sb"))).as("q2"),
+      min(when(col("cum") >= target(0.75), col("avg_log2sb"))).as("q3"))
     scored.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         when(col("avg_log2sb") > col("q3"), 1)

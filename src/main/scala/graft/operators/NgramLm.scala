@@ -165,21 +165,37 @@ object NgramLm {
   }
 
   /** The scoring join+backoff+aggregate over a token stream, shared by the
-    * inline (self-trained) and stored-model paths. */
+    * inline (self-trained) and stored-model paths.
+    *
+    * OOV FLOOR (the foreign-corpus contract, r14 verdict #3): on the CCNet
+    * production shape the model is trained on a REFERENCE corpus, so the
+    * scored stream can carry tokens the model never saw. The unigram join
+    * is LEFT and an unseen token scores at the Laplace-style floor
+    * s1 = 1/(N+1) (one phantom occurrence against the model's token mass)
+    * instead of silently dropping out of the per-doc mean — the count
+    * stays TOTAL (every token contributes one term). On the self-trained
+    * path the join is total by construction, the coalesce never fires and
+    * the output is bit-identical — which is why the stored twin keeps the
+    * SAME oracle. NgramLmSpec's foreign-corpus leg pins the floor. */
   private def scoreStream(st: DataFrame, uniS: DataFrame, bigS: DataFrame,
       triS: DataFrame): DataFrame = {
+    // N from the model's own unigram table (one scalar broadcast): the
+    // floor must be a property of the MODEL, not of the scored corpus
+    val nTot = uniS.agg(sum("c1").as("n_tot_oov"))
+    val s1eff = coalesce(col("s1"), lit(1.0) / (col("n_tot_oov") + lit(1.0)))
     val s: Column =
       when(col("p") >= 2 && col("s3").isNotNull, col("s3"))
         .when(col("p") >= 2 && col("s2").isNotNull, lit(Alpha) * col("s2"))
-        .when(col("p") >= 2, lit(Alpha * Alpha) * col("s1"))
+        .when(col("p") >= 2, lit(Alpha * Alpha) * s1eff)
         .when(col("p") === 1 && col("s2").isNotNull, col("s2"))
-        .when(col("p") === 1, lit(Alpha) * col("s1"))
-        .otherwise(col("s1"))
+        .when(col("p") === 1, lit(Alpha) * s1eff)
+        .otherwise(s1eff)
     st
       .join(broadcast(triS), col("wpp") === col("t1") &&
         col("wp") === col("t2") && col("w") === col("t3"), "left")
       .join(broadcast(bigS), col("wp") === col("b1") && col("w") === col("b2"), "left")
-      .join(broadcast(uniS.select(col("w"), col("s1"))), "w")
+      .join(broadcast(uniS.select(col("w"), col("s1"))), Seq("w"), "left")
+      .crossJoin(broadcast(nTot))
       .withColumn("t",
         round(log(s) / log(lit(2.0)), 9).cast("decimal(20,9)"))
       .groupBy(col("doc_id"), col("lang"))
@@ -309,11 +325,11 @@ object NgramLm {
     * counts the output is IDENTICAL to [[scoreDocs]] and the SAME DuckDB
     * oracle verifies it (the `q_ann_pq_stored` proof-by-same-oracle
     * pattern). This is also the CCNet production shape: the model may be
-    * trained on a DIFFERENT (reference) corpus than the one scored — with
-    * the caveat that tokens the model never saw drop out of the mean (the
-    * unigram join is inner); a production foreign-corpus deployment would
-    * add an OOV floor before the join. The registered twin trains on the
-    * scored corpus, where the join is total. */
+    * trained on a DIFFERENT (reference) corpus than the one scored —
+    * tokens the model never saw score at [[scoreStream]]'s 1/(N+1) OOV
+    * floor and the per-doc mean stays total (NgramLmSpec's foreign-corpus
+    * leg). The registered twin trains on the scored corpus, where the
+    * unigram join is total and the floor never fires. */
   def scoreDocsStored(docs: DataFrame, spark: SparkSession, path: String): DataFrame = {
     val (uniS, bigS, triS) = modelFromCounts(
       graft.serve.TxTable.read(spark, s"$path/uni"),

@@ -40,6 +40,11 @@ object FinanceMv {
   // reads null) with no error. (38,6) keeps 32 integer digits — 10^32
   // headroom — and a sum of (38,6) stays (38,6), so the cast below is an
   // identity, never a narrowing (r13 ADVICE).
+  // MIGRATION (r14 ADVICE): an MV table persisted before this widening
+  // carries DECIMAL(18,6) state, and the first maintain/purge on it throws
+  // the additive-evolution retype guard ("merge batch retypes column 's'")
+  // — loud by design. Rebuild such a table once via writeDailyCloseMv
+  // (a reset commit; writer stamps survive resets, so streams resume).
   private val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
 
   /** Full MV build over a tick snapshot: (event_type, day, n_events, s).
@@ -89,10 +94,70 @@ object FinanceMv {
     closeOf(TxTable.read(spark, path)
       .withColumn("day", to_timestamp(col("day"), "yyyy-MM-dd")))
 
+  /** How many whole-fold retries a CAS'd read-modify-write gets before
+    * giving up — mirrors [[TxTable.MaxCommitRetries]]. */
+  private val MaxFoldRetries = 5
+
+  /** The additive read-modify-write at the heart of both maintenance verbs,
+    * run as a COMPARE-AND-SWAP on the table version (r14 ADVICE): the
+    * `updated` batch embeds n_old/s_old read from a snapshot, and
+    * [[TxTable.merge]]'s internal optimistic retry recomputes only the file
+    * rewrite — never the caller's stale arithmetic — so a fold racing a
+    * truly concurrent merge on the same key would silently lose one side's
+    * delta (the stream's increment dropped, or a purge's subtraction
+    * overwritten — resurrecting forgotten data). Here every fold pins the
+    * version it read (`expectedBase`); any interleaved commit aborts the
+    * merge with `ConcurrentModificationException` and the WHOLE fold —
+    * snapshot read included — recomputes against the new version.
+    * FinanceMvSpec races this against an interleaved merge via the
+    * onMergeStaged seam and asserts both deltas survive. */
+  private def casFold(spark: SparkSession, path: String,
+      txn: Option[(String, Long)])(
+      updatedAt: Long => DataFrame): Unit = {
+    var attempt = 0
+    while (true) {
+      val v0 = TxTable.latestVersion(spark, path).getOrElse(
+        throw new java.io.FileNotFoundException(s"TxTable at $path has no commits"))
+      try {
+        TxTable.merge(spark, updatedAt(v0), path, Seq("event_type", "day"),
+          txn = txn, expectedBase = Some(v0))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= MaxFoldRetries) throw e
+      }
+    }
+  }
+
+  /** The keyed additive delta both verbs merge: batch partials joined with
+    * the stored state AT THE PINNED VERSION (the CAS read), summed with
+    * `sign` (+1 ingest, −1 purge). */
+  private def foldDelta(spark: SparkSession, batch: DataFrame, path: String,
+      v0: Long, sign: Int): DataFrame = {
+    val delta = viewOf(batch)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .withColumnRenamed("n_events", "d_n").withColumnRenamed("s", "d_s")
+    val stored = TxTable.read(spark, path, Some(v0))
+      .select(col("event_type"), col("day"),
+        col("n_events").as("n_old"), col("s").as("s_old"))
+    // plain +/- branches, never a decimal multiply: DECIMAL(38,6) × sign
+    // would widen past the state type and trip the retype guard
+    val nOld = coalesce(col("n_old"), lit(0L))
+    val sOld = coalesce(col("s_old"), lit(0).cast(Dec))
+    val (n, s) =
+      if (sign >= 0) (nOld + col("d_n"), sOld + col("d_s"))
+      else (nOld - col("d_n"), sOld - col("d_s"))
+    delta.join(stored, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        n.as("n_events"), s.cast(Dec).as("s"))
+  }
+
   /** Apply one tick-ingest batch to the PERSISTED MV: count the batch,
     * add the stored state for the touched (event_type, day) keys, MERGE —
     * file-pruned by the TxTable day stats, so the rewrite scales with the
-    * days the batch touches, never the view. One atomic commit per batch.
+    * days the batch touches, never the view. One atomic commit per batch,
+    * CAS-pinned to the version the state was read at (see [[casFold]]).
     * Like [[graft.operators.NgramLm.appendLmCounts]], the additive fold is
     * NOT replay-idempotent by itself — pass `txn` (the Delta
     * txnAppId:batchId stamp) and [[TxTable.merge]] turns a replayed batch
@@ -100,21 +165,8 @@ object FinanceMv {
     * the streaming checkpoint commit (the [[graft.streaming.StreamMv]]
     * exactly-once contract). */
   def maintainDailyCloseMv(spark: SparkSession, batch: DataFrame,
-      path: String, txn: Option[(String, Long)] = None): Unit = {
-    val delta = viewOf(batch)
-      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
-      .withColumnRenamed("n_events", "d_n").withColumnRenamed("s", "d_s")
-    val stored = TxTable.read(spark, path)
-      .select(col("event_type"), col("day"),
-        col("n_events").as("n_old"), col("s").as("s_old"))
-    val updated = delta.join(stored, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        (col("d_n") + coalesce(col("n_old"), lit(0L))).as("n_events"),
-        (col("d_s") + coalesce(col("s_old"), lit(0).cast(Dec)))
-          .cast(Dec).as("s"))
-    TxTable.merge(spark, updated, path, Seq("event_type", "day"), txn = txn)
-    ()
-  }
+      path: String, txn: Option[(String, Long)] = None): Unit =
+    casFold(spark, path, txn)(v0 => foldDelta(spark, batch, path, v0, +1))
 
   /** RIGHT-TO-BE-FORGOTTEN on the persisted MV state: fold the purged
     * ticks OUT of the aggregate (negated bump — decimal addition is exact,
@@ -125,27 +177,27 @@ object FinanceMv {
     * was ingested (the purge loop feeds it from the base table's own
     * rows), so no count ever goes negative. Like every negated bump, the
     * purge itself is NOT replay-idempotent (running it twice
-    * double-subtracts) — a purge driven from a stream or queue must carry
-    * its own [[TxTable.merge]] txn stamp; the interactive right-to-be-
-    * forgotten loop runs it once per request. Cost: O(days touched by the
-    * purge) — same file-pruned merge shape as an ingest batch. Safe to run
-    * BETWEEN a live stream's micro-batches: the stream's merges and this
-    * fold commute (both are keyed additive deltas), which is what
-    * StreamPurgeSpec pins. */
+    * double-subtracts) — a purge driven from a stream or queue MUST carry
+    * `txn` (the Delta txnAppId:batchId stamp, threaded to the merge like
+    * the ingest fold's — StreamPurgeSpec's crash-replay leg pins the
+    * no-op); the interactive right-to-be-forgotten loop runs it once per
+    * request with txn = None. Cost: O(days touched by the purge) — same
+    * file-pruned CAS'd merge shape as an ingest batch, so a purge racing a
+    * live stream's merge on the same key can no longer lose either side's
+    * delta (one of the two folds re-reads and re-applies).
+    *
+    * CRASH WINDOW (documented contract): the negated merge and the
+    * zero-key DELETE are TWO commits. A crash between them leaves
+    * visible zero-count keys — the merge's txn stamp already protects
+    * against double-subtraction on replay, and the delete itself is
+    * idempotent (`n_events <= 0` matches nothing once applied), so
+    * re-running the purge's delete half (or any later purge) converges;
+    * until then a zero-count key renders close = s/0 = NULL, never a
+    * resurrected value. Bit-for-bit purge ≡ rebuild holds after the
+    * delete lands. */
   def removeFromDailyCloseMv(spark: SparkSession, purged: DataFrame,
-      path: String): Unit = {
-    val delta = viewOf(purged)
-      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
-      .withColumnRenamed("n_events", "d_n").withColumnRenamed("s", "d_s")
-    val stored = TxTable.read(spark, path)
-      .select(col("event_type"), col("day"),
-        col("n_events").as("n_old"), col("s").as("s_old"))
-    val updated = delta.join(stored, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        (coalesce(col("n_old"), lit(0L)) - col("d_n")).as("n_events"),
-        (coalesce(col("s_old"), lit(0).cast(Dec)) - col("d_s"))
-          .cast(Dec).as("s"))
-    TxTable.merge(spark, updated, path, Seq("event_type", "day"))
+      path: String, txn: Option[(String, Long)] = None): Unit = {
+    casFold(spark, path, txn)(v0 => foldDelta(spark, purged, path, v0, -1))
     TxTable.delete(spark, path, col("n_events") <= 0L)
     ()
   }

@@ -260,15 +260,40 @@ object TxTable {
       case vs if vs.isEmpty => None
       case vs => Some(vs.max)
     }
-    val base = cp.map(c => checkpointLines(fs, path, c)._2).getOrElse(Map.empty)
     val commits = listLog(fs, path, ".txt")
       .filter(cv => cv > cp.getOrElse(-1L) && cv <= v).sorted
     val root = cp.map(_ + 1L).getOrElse(0L)
-    if (commits != (root to v))
-      throw new java.io.FileNotFoundException(
-        s"TxTable $path: txn state at version $v is not resolvable " +
-          s"(delta chain $root..$v has holes: ${commits.mkString(",")})")
-    commits.foldLeft(base) { (m, cv) =>
+    val (base, chain) =
+      if (commits == (root to v))
+        (cp.map(c => checkpointLines(fs, path, c)._2).getOrElse(Map.empty), commits)
+      else if (cp.isEmpty) {
+        // Align with resolveEntries' rooting (r14 ADVICE): with no
+        // checkpoint, a chain whose history below a RESET commit was
+        // pruned out-of-band is still a readable snapshot — entry
+        // resolution accepts it, so txn resolution must too, or every
+        // stamped merge / lastTxnBatch / writeCheckpoint on such a table
+        // fails while reads work. Root at the newest reset commit with a
+        // contiguous tail to v; stamps carried by pruned pre-root commits
+        // are UNKNOWABLE and treated as absent — the documented migration
+        // caveat (a replay of a pre-root batch re-applies). Unreachable
+        // through this engine's own maintenance: vacuum checkpoints every
+        // kept version before pruning, so only external deletion gets here.
+        val resetRoot = commits.reverse.find { cv =>
+          commits.dropWhile(_ < cv) == (cv to v) &&
+            readCommit(fs, path, cv).reset
+        }
+        resetRoot match {
+          case Some(r) => (Map.empty[String, Long], commits.dropWhile(_ < r))
+          case None =>
+            throw new java.io.FileNotFoundException(
+              s"TxTable $path: txn state at version $v is not resolvable " +
+                s"(delta chain $root..$v has holes: ${commits.mkString(",")})")
+        }
+      } else
+        throw new java.io.FileNotFoundException(
+          s"TxTable $path: txn state at version $v is not resolvable " +
+            s"(delta chain $root..$v has holes: ${commits.mkString(",")})")
+    chain.foldLeft(base) { (m, cv) =>
       readCommit(fs, path, cv).meta.get("txn") match {
         case Some(t) =>
           val i = t.lastIndexOf(':')
@@ -568,9 +593,19 @@ object TxTable {
       .flatMap(v => resolveTxns(fs, path, v).get(appId))
   }
 
+  /** `expectedBase = Some(v)` turns the merge into a compare-and-swap: it
+    * commits ONLY as version v+1, throwing `ConcurrentModificationException`
+    * if any other writer claimed a version since the caller read its
+    * snapshot at v. The optimistic retry loop inside merge recomputes only
+    * the FILE rewrite — it cannot know that the caller's `updates` frame
+    * embeds state read from an earlier snapshot (a read-modify-write fold
+    * like [[FinanceMv.maintainDailyCloseMv]] bakes n_old/s_old into the
+    * batch), so a lost race there must abort the WHOLE fold, not re-stage
+    * stale deltas. Callers catch the CME, re-read, recompute, retry. */
   def merge(spark: SparkSession, updates: DataFrame, path: String,
       keys: Seq[String], versionCol: Option[String] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      expectedBase: Option[Long] = None): Long = {
     val fs = hfs(spark, path)
     // Idempotent-writer guard (Delta's txnAppId:txnVersion): a merge
     // stamped with a (appId, batchId) it has already committed is a
@@ -623,6 +658,17 @@ object TxTable {
     while (attempt < MaxCommitRetries) {
       if (attempt > 0) onMergeRetry()
       val base = latestVersion(spark, path)
+      // CAS contract: the caller's updates embed state read at
+      // expectedBase — any interleaved commit (even a key-disjoint one:
+      // the fold's arithmetic, not just its files, may be stale) aborts
+      // the merge back to the caller for a full re-read + recompute
+      expectedBase.foreach { e =>
+        if (!base.contains(e))
+          throw new java.util.ConcurrentModificationException(
+            s"TxTable $path: expected base version $e but found " +
+              s"${base.getOrElse(-1L)} — the caller's read-modify-write " +
+              "fold is stale; re-read and retry the whole fold")
+      }
       val v = base.map(_ + 1).getOrElse(0L)
       // logical conflict detection (Delta's rule): before REUSING the
       // staged rewrite, every commit that appeared since we last validated

@@ -29,11 +29,17 @@ object StreamMv {
 
   /** Stable writer id for the txn stamp: the checkpoint location IS the
     * stream's identity (one writer per checkpoint), hashed so path
-    * separators never leak into the commit header's token syntax. */
+    * separators never leak into the commit header's token syntax.
+    * CANONICAL path, not absolute (r14 ADVICE): a relative checkpoint
+    * resolved from a different working directory after a crash-restart —
+    * or a `..`/symlink spelling of the same directory — must hash to the
+    * SAME appId, or the replay guard silently disarms in exactly the
+    * crash-recovery scenario it exists for. getCanonicalPath resolves
+    * `.`/`..` and symlinks to one physical spelling. */
   private[graft] def txnAppId(checkpoint: String): String =
     "stream_mv_" + java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(checkpoint).getAbsolutePath) & 0xffffffffL)
+        new java.io.File(checkpoint).getCanonicalPath) & 0xffffffffL)
 
   /** Drain `eventsDir` as a stream, folding each micro-batch into the MV
     * table at `tablePath`. The table must exist (seed with an empty or

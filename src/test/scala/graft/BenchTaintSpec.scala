@@ -81,6 +81,47 @@ class BenchTaintSpec extends AnyFunSuite {
     assert(math.abs(m - 14.0) < 1e-9, m.toString)
   }
 
+  test("canary kernel: deterministic work, sane timing, min-of-3 sampling") {
+    // JIT-warm, then sample: the kernel must take real, repeatable time
+    (1 to 5).foreach(_ => Bench.canaryOnce())
+    val s = (1 to 3).map(_ => Bench.canarySample())
+    assert(s.forall(x => x > 0.005 && x < 5.0),
+      s"canary wall time out of any plausible range: $s")
+    // min-of-3 can never exceed a single run taken in the same regime
+    val one = Bench.canaryOnce()
+    assert(Bench.canarySample() <= math.max(one, s.max) * 3,
+      "min-of-3 sampling is not wildly slower than a single run")
+  }
+
+  test("canary segment rule: run-relative factor with a noise floor") {
+    // at-factor sample: clean (strict inequality + 5 ms floor)
+    assert(!Bench.canarySegmentSlow(0.078, 0.060, factor = 1.3))
+    // clearly slow sample: tainted
+    assert(Bench.canarySegmentSlow(0.095, 0.060, factor = 1.3))
+    // microsecond kernels cannot flag on timer noise (the 5 ms floor)
+    assert(!Bench.canarySegmentSlow(0.004, 0.001, factor = 1.3))
+  }
+
+  test("canary run rule: the r14 uniform-inflation shape must taint the artifact") {
+    // the r14 driver run: ~1.55× uniform slowdown, zero external jiffies —
+    // the exact shape this rule exists to catch
+    assert(Bench.canaryRunSlow(medianSec = Bench.CanaryRefSec * 1.55,
+      refSec = Bench.CanaryRefSec))
+    // a quiet run at the pinned reference stays clean
+    assert(!Bench.canaryRunSlow(medianSec = Bench.CanaryRefSec * 1.05,
+      refSec = Bench.CanaryRefSec))
+    // the boundary is the documented factor
+    assert(!Bench.canaryRunSlow(0.139, 0.100, factor = 1.4))
+    assert(Bench.canaryRunSlow(0.141, 0.100, factor = 1.4))
+  }
+
+  test("median is the robust run statistic") {
+    assert(Bench.medianOf(Seq(3.0)) == 3.0)
+    assert(Bench.medianOf(Seq(1.0, 100.0, 2.0)) == 2.0)
+    // even half the samples spiking cannot drag the median to the spike
+    assert(Bench.medianOf(Seq(1.0, 1.0, 1.0, 9.0, 9.0)) == 1.0)
+  }
+
   test("taint rule: threshold scales with wall time, floor kills jiffy noise") {
     // sub-100 ms window with one stray tick: NOT tainted (granularity floor)
     assert(!Bench.taintedWindow(extSec = 0.04, wallSec = 0.04, coresThreshold = 0.5))

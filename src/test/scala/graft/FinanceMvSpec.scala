@@ -41,6 +41,53 @@ class FinanceMvSpec extends AnyFunSuite {
       s"delta apply diverged from rebuild: ${incremental.size} vs ${full.size}")
   }
 
+  test("purge racing a concurrent ingest merge: CAS on the base version, no lost delta") {
+    // the r14 ADVICE medium: both maintenance verbs are read-modify-write
+    // folds whose batch embeds n_old/s_old from a snapshot read —
+    // TxTable.merge's internal retry recomputes only the FILE rewrite, so
+    // a fold racing a truly concurrent merge on the same (event_type, day)
+    // key would silently lose one side's delta (dropping the stream's
+    // increment, or resurrecting forgotten data by overwriting the purge's
+    // subtraction). The folds now CAS on the version they read
+    // (expectedBase) and recompute the WHOLE fold on a conflict. This leg
+    // interleaves an ingest merge inside the purge's stage-to-commit
+    // window via the onMergeStaged seam and asserts BOTH deltas survive,
+    // decimal-bit-for-bit.
+    import graft.serve.TxTable
+    val path = s"/tmp/graft_fin_mv_race/${new java.io.File(sf).getName}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // base ingest = everything except a later batch; victims ⊂ base
+    val batch = events.filter(pmod(xxhash64(col("event_id")), lit(5)) === 0)
+    val base = events.filter(pmod(xxhash64(col("event_id")), lit(5)) =!= 0)
+    val victims = base.filter(pmod(xxhash64(col("event_id")), lit(7)) === 0)
+    TxTable.write(spark,
+      FinanceMv.viewOf(base)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd")), path)
+    assert(victims.count() > 0 && batch.count() > 0, "fixture must race real deltas")
+    // the racing ingest lands exactly between the purge's snapshot read
+    // (already staged into its merge batch) and its commit attempt
+    TxTable.onMergeStaged = () => {
+      TxTable.onMergeStaged = () => ()
+      FinanceMv.maintainDailyCloseMv(spark, batch, path)
+    }
+    try FinanceMv.removeFromDailyCloseMv(spark, victims, path)
+    finally TxTable.onMergeStaged = () => ()
+    val got = TxTable.read(spark, path)
+      .select("event_type", "day", "n_events", "s")
+      .collect().map(_.toString).sorted.toSeq
+    // truth: both deltas applied — the full corpus minus the victims
+    val want = FinanceMv.viewOf(
+        events.filter(!(pmod(xxhash64(col("event_id")), lit(5)) =!= 0 &&
+          pmod(xxhash64(col("event_id")), lit(7)) === 0)))
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select("event_type", "day", "n_events", "s")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"a racing fold lost a delta: ${got.length} vs ${want.length}")
+  }
+
   test("TxTable round-trip == recompute; rendered close == battery frame") {
     val path = s"/tmp/graft_fin_mv/${new java.io.File(sf).getName}"
     val fs = org.apache.hadoop.fs.FileSystem.get(

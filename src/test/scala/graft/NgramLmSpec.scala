@@ -78,6 +78,38 @@ class NgramLmSpec extends AnyFunSuite {
     assert(stored == inline)
   }
 
+  test("foreign-corpus scoring: OOV tokens get the 1/(N+1) floor, the mean stays total") {
+    // the CCNet production shape (r14 verdict task 5): model trained on a
+    // REFERENCE corpus, scored corpus carries tokens the model never saw.
+    // The old inner unigram join silently dropped them from the per-doc
+    // mean; now they score at the Laplace-style floor and n_tokens counts
+    // EVERY token. Train: "a b a b a" (N=5, a=3, b=2). Score: "a c" —
+    // c is OOV, bigram (a,c) unseen, so p=1 backs off to α·floor.
+    val train = Seq((1L, "a b a b a", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val score = Seq((2L, "a c", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("lm_oov_").toString
+    NgramLm.writeLmModel(spark, train, dir)
+    val got = NgramLm.scoreDocsStored(score, spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // total coverage: BOTH tokens contribute — the inner join gave 1
+    assert(r.getAs[Int]("n_tokens") == 2, "OOV token dropped from the mean")
+    // exact arithmetic, same op sequence as the engine:
+    //   t0 = round9(log2(s1(a) = 3/5)); t1 = round9(log2(0.4 · 1/(5+1)))
+    val sum = round9(math.log(3.0 / 5) / math.log(2.0))
+      .add(round9(math.log(0.4 * (1.0 / 6)) / math.log(2.0)))
+    val expected = round6(sum.doubleValue / 2)
+    assert(r.getAs[Double]("avg_log2sb") == expected,
+      s"floor arithmetic drifted: ${r.getAs[Double]("avg_log2sb")} vs $expected")
+    // and the floor is a MODEL property: an all-OOV doc scores at exactly
+    // the floor, never NaN/-Inf
+    val allOov = NgramLm.scoreDocsStored(
+      Seq((3L, "zz", "en", "s")).toDF("doc_id", "text", "lang", "source"),
+      spark, dir).collect().head
+    assert(allOov.getAs[Double]("avg_log2sb") ==
+      round6(round9(math.log(1.0 / 6) / math.log(2.0)).doubleValue))
+  }
+
   test("incremental count append: two half-ingests equal one full build") {
     val docs = Tables.spread(spark, Tables.documents(spark, sf))
     val h1 = docs.filter(col("doc_id") % 2 === 0)

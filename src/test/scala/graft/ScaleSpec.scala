@@ -385,6 +385,25 @@ class ScaleSpec extends AnyFunSuite {
       s"expected a partial (map-side) heap aggregate:\n$plan")
   }
 
+  test("curriculum plan: two-phase quantile, no unpartitioned window") {
+    // the r14 verdict's perf-weak #1: the quartile CDF used to be
+    // sum(c).over(Window.orderBy(score)) with no partitionBy — the whole
+    // distinct-score distribution sorted in ONE task. The two-phase form
+    // (bucket subtotals → driver prefix → bucket-partitioned window, the
+    // Layout.shuffleShards precedent) must leave no single-partition
+    // exchange and no window that isn't partitioned by the range bucket.
+    // (the one SinglePartition exchange left is the 3-number bounds
+    // aggregate over ≤2^topBits cum rows — metadata scale by construction)
+    val plan = physicalPlan(operators.Curation.curriculumPlan(spark, sf))
+    val windows =
+      plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("bucket")),
+      s"expected only bucket-partitioned windows:\n$plan")
+    // and no global range sort of the score distribution anywhere
+    assert(!plan.contains("rangepartitioning(avg_log2sb"),
+      s"global sort of the score CDF crept back in:\n$plan")
+  }
+
   test("bpe training round: plan reads the checkpointed word table, never the lake") {
     // the loop's scale story (Zipf: distinct words ≪ corpus tokens) only
     // holds if each of the ~20 rounds touches ONLY the compact word table

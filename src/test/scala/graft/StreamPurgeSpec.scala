@@ -65,6 +65,47 @@ class StreamPurgeSpec extends AnyFunSuite {
     assert(victims.count() > 0, "fixture must actually purge something")
   }
 
+  test("stream-driven purge is txn-stamped: crash-replay of the purge fold is a no-op") {
+    // r14 verdict task 3: the negated bump is NOT replay-idempotent by
+    // itself — a purge driven from a stream/queue that crashes BETWEEN its
+    // table commit and its checkpoint commit replays the batch, and
+    // without a stamp the replay double-subtracts (dropping still-live
+    // state to zero and deleting it: data loss, not privacy). The fold now
+    // threads the same txnAppId:batchId stamp as the ingest fold;
+    // TxTable.merge's idempotent-writer guard turns the replay into a
+    // bit-for-bit no-op — state AND version untouched.
+    val root = Files.createTempDirectory("stream_purge_replay").toString
+    val events = Tables.events(spark, sf)
+    val victims = events.filter(pmod(xxhash64(col("event_id")), lit(11)) === 0)
+    val tablePath = s"$root/mv"
+    TxTable.write(spark,
+      FinanceMv.viewOf(events)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd")), tablePath)
+    assert(victims.count() > 0)
+    val txn = Some(("purge_stream_ckpt_7", 3L))
+    FinanceMv.removeFromDailyCloseMv(spark, victims, tablePath, txn = txn)
+    val v = TxTable.latestVersion(spark, tablePath)
+    val state = TxTable.read(spark, tablePath)
+      .select("event_type", "day", "n_events", "s")
+      .collect().map(_.toString).sorted.toSeq
+    // the crash window: the checkpoint never committed, the SAME stamped
+    // batch is delivered again on restart
+    FinanceMv.removeFromDailyCloseMv(spark, victims, tablePath, txn = txn)
+    assert(TxTable.latestVersion(spark, tablePath) == v,
+      "a replayed stamped purge must not burn a version")
+    val replayed = TxTable.read(spark, tablePath)
+      .select("event_type", "day", "n_events", "s")
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed == state, "a replayed stamped purge must be a no-op, bit-for-bit")
+    // and the purge itself really subtracted (sanity: some key changed
+    // versus the pre-purge build)
+    val prePurge = FinanceMv.viewOf(events)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select("event_type", "day", "n_events", "s")
+      .collect().map(_.toString).sorted.toSeq
+    assert(state != prePurge, "fixture must actually purge something")
+  }
+
   test("PQ code table purge mid-stream: DELETE between drains == one-shot encode of the purged corpus") {
     import graft.operators.Similarity
     import java.nio.file.{Files => JFiles, Paths}

@@ -156,6 +156,80 @@ class TxVacuumSpec extends AnyFunSuite {
       && out(5L) == "v1" && out(6L) == "v2", "merge result intact after the race")
   }
 
+  test("right-to-be-forgotten: DELETE then vacuum past the purge leaves no trace of the victim") {
+    // the r14 verdict's vacuum × purge interaction leg: logical deletion is
+    // immediate, PHYSICAL deletion completes when vacuum ages the
+    // superseded files out — after a vacuum whose retained window is
+    // entirely post-purge, the victim must be unreadable at EVERY retained
+    // version, pre-purge versions must refuse loudly (AS-OF semantics,
+    // never a resurrected row), and the victim's bytes must be gone from
+    // disk, manifests bypassed.
+    val path = fresh("purge")
+    threeVersions(path) // v0 base 0..99, v1 id5→"v1", v2 id6→"v2"
+    TxTable.delete(spark, path, col("id") === 5L) // v3: the purge
+    TxTable.merge(spark, Seq((8L, "v4")).toDF("id", "txt"), path, Seq("id")) // v4
+    TxTable.vacuum(spark, path, keepVersions = 2, retentionMs = 0L) // keeps v3, v4
+    // (a) no retained version can read the victim
+    Seq(3L, 4L).foreach { v =>
+      assert(TxTable.read(spark, path, Some(v)).filter(col("id") === 5L).count() == 0L,
+        s"purged key readable at retained version $v")
+      assert(TxTable.read(spark, path, Some(v)).count() == 99L)
+    }
+    // (b) every pre-purge version refuses loudly — time travel must never
+    //     resurrect forgotten data after its window is vacuumed
+    (0L to 2L).foreach { v =>
+      intercept[java.io.FileNotFoundException] { TxTable.read(spark, path, Some(v)) }
+    }
+    // (c) the bytes are physically gone: scan every SURVIVING data file
+    //     directly, no manifest in the way
+    val raw = spark.read.parquet(s"$path/data")
+    assert(raw.filter(col("id") === 5L).count() == 0L,
+      "purged row bytes still present in a surviving data file")
+  }
+
+  test("out-of-band pruned, reset-rooted log: txn state resolves exactly like entries") {
+    // r14 ADVICE: resolveTxns used to demand a chain rooted at v0 (or a
+    // checkpoint) while entry resolution also accepts a chain rooted at a
+    // write/compact RESET with pruned, checkpoint-less history below — so
+    // a table whose snapshot was perfectly readable refused every stamped
+    // merge, lastTxnBatch and checkpoint write. The two resolvers must
+    // agree; stamps carried only by pruned pre-root commits are UNKNOWABLE
+    // and read as absent (the documented migration caveat — this engine's
+    // own vacuum always checkpoints kept versions first, so only external
+    // deletion reaches this state).
+    val path = fresh("reset_root")
+    TxTable.write(spark,
+      spark.range(10).select(col("id"), lit("base").as("txt")), path) // v0
+    TxTable.merge(spark, Seq((1L, "b0")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_a", 0L))) // v1, stamped (to be pruned)
+    TxTable.write(spark,
+      spark.range(10).select(col("id"), lit("reset").as("txt")), path) // v2 RESET
+    TxTable.merge(spark, Seq((2L, "b7")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_b", 7L))) // v3, stamped (survives)
+    // out-of-band pruning: v0 and v1 vanish, no checkpoint exists
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    Seq(0L, 1L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_txlog", f"$v%08d.txt"), false)
+    }
+    // the snapshot reads fine (entry resolution roots at the v2 reset)...
+    assert(TxTable.read(spark, path).count() == 10L)
+    // ...and txn state must resolve the same way: the surviving chain's
+    // stamp answers, the pruned one reads as absent
+    assert(TxTable.lastTxnBatch(spark, path, "app_b").contains(7L))
+    assert(TxTable.lastTxnBatch(spark, path, "app_a").isEmpty,
+      "a pruned pre-root stamp is unknowable — must read absent, not throw")
+    // stamped merges (and their replay guard) work again on such a table
+    val v4 = TxTable.merge(spark, Seq((3L, "b8")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_b", 8L)))
+    assert(v4 == 4L)
+    assert(TxTable.lastTxnBatch(spark, path, "app_b").contains(8L))
+    TxTable.merge(spark, Seq((3L, "replay")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_b", 8L)))
+    assert(TxTable.latestVersion(spark, path).contains(4L),
+      "replay on the repaired table must still no-op")
+  }
+
   test("vacuum retains every version's files that keepVersions names, pruning only the prefix") {
     val path = fresh("prefix")
     threeVersions(path)
