@@ -211,10 +211,13 @@ object Bench {
     touch("entry")(SparkEntry.entry(spark))
     // (a) memoized multi-consumer artifacts
     touch("minhash_pairs")(Dedup.minhashNearDups(spark, sfDir))
+    touch("duplicate_spans")(Dedup.duplicateSpansMemo(spark, sfDir))
+    touch("simhash_sigs")(Dedup.simhashSignatures(spark, sfDir).cache())
     touch("dup_clusters")(Curation.dupClusters(spark, sfDir))
     touch("jaccard_components")(Curation.jaccardComponents(spark, sfDir))
     touch("serving_tables")(graft.etl.Pipeline.servingSummaryQuery(spark, sfDir))
     touch("quality_cols")(graft.functions.TextFunctions.qualityQuery(spark, sfDir))
+    touch("token_instances")(graft.functions.TextFunctions.tokenInstances(spark, sfDir))
     touch("lm_scores")(NgramLm.scoreQuery(spark, sfDir))
     touch("source_reputation")(Curation.sourceReputation(spark, sfDir))
     touch("corpus_13grams")(Curation.corpusGrams(spark, sfDir, 13))
@@ -228,6 +231,10 @@ object Bench {
     touch("quantized_search")(Similarity.quantizedTopK(spark, sfDir))
     touch("rp_search")(Similarity.rpTopK(spark, sfDir))
     touch("semantic_cell_pairs")(Similarity.semanticDedup(spark, sfDir))
+    // the exact-sweep pair memo has THREE registered consumers (exact
+    // dedup twin, recall invariant, modality agreement) — policy (a); the
+    // twins' Θ(N²) class is carried by the probe harness, not bench wall
+    touch("exact_embedding_pairs")(Similarity.embeddingPairs(spark, sfDir))
     touch("semantic_cell_pairs_adaptive")(Similarity.semanticDedupAdaptive(spark, sfDir))
     touch("semantic_probed_cells")(Similarity.semanticProbe(spark, sfDir))
     touch("bpe_token_ids")(BpeEncode.encodeQuery(spark, sfDir))

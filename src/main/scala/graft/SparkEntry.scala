@@ -35,7 +35,10 @@ object SparkEntry {
     ("q_date_histogram_auto", LensQueries.dateHistogramAuto _, Some(LensQueries.dateHistogramAutoSql)),
     ("q_min_by_group", LensQueries.minByGroup _, Some(LensQueries.minByGroupSql)),
     ("q_cardinality", LensQueries.cardinality _, Some(LensQueries.cardinalitySql)),
-    ("q_cardinality_approx", LensQueries.cardinalityApprox _, None),
+    // r15: registered form is the verified frame (exact distinct + 3σ
+    // certification) — hash-oracled; raw estimates stay HllSpec-pinned
+    ("q_cardinality_approx", LensQueries.cardinalityApproxVerified _,
+      Some(LensQueries.cardinalityApproxVerifiedSql)),
     ("q_cardinality_hll", LensQueries.cardinalityHll _, None),
     // §2.3 joins
     ("q_join_dims", LensQueries.joinDims _, Some(LensQueries.joinDimsSql)),
@@ -85,7 +88,9 @@ object SparkEntry {
     ("q_rollup_battery", MoreQueries.rollupBattery _, Some(MoreQueries.rollupBatterySql)),
     ("q_cube_battery", MoreQueries.cubeBattery _, Some(MoreQueries.cubeBatterySql)),
     ("q_percentiles", MoreQueries.percentilesQuery _, Some(MoreQueries.percentilesQuerySql)),
-    ("q_percentiles_approx", MoreQueries.percentileApproxQuery _, None),
+    // r15: verified frame (exact percentiles + GK rank-error flags)
+    ("q_percentiles_approx", graft.operators.Invariants.percentileApproxVerified _,
+      Some(graft.operators.Invariants.percentileApproxVerifiedSql)),
     ("q_pivot_daily", MoreQueries.pivotDaily _, Some(MoreQueries.pivotDailySql)),
     ("q_range_join", graft.operators.RangeJoin.eventsInSessions _,
       Some(graft.operators.RangeJoin.eventsInSessionsSql)),
@@ -231,8 +236,10 @@ object SparkEntry {
       Some(graft.operators.Sketches.mgGuaranteeSql())),
     // count-min point queries (the third sketch: HLL distinct, MG heavy,
     // CMS how-often) — estimates rows-only, the guarantee twin oracled
+    // r15: verified frame (exact counts + both CMS certifications)
     ("q_cms_estimates",
-      ((s: SparkSession, d: String) => graft.operators.Sketches.cmsEstimates(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Sketches.cmsVerified(s, d)): Q,
+      Some(graft.operators.Sketches.cmsVerifiedSql())),
     ("q_cms_guarantee",
       ((s: SparkSession, d: String) => graft.operators.Sketches.cmsGuarantee(s, d)): Q,
       Some(graft.operators.Sketches.cmsGuaranteeSql())),
@@ -240,8 +247,11 @@ object SparkEntry {
     // this JOIN) — estimates rows-only next to their exact twin; the
     // guarantee leg (exact size SQL-re-derived, CMS never-undercount, AMS
     // 8σ/√width band) hash-oracled
+    // r15: the estimate+guarantee collapse — one oracled frame carrying
+    // input cardinalities, the exact size, and both sketch certifications
     ("q_join_estimate",
-      ((s: SparkSession, d: String) => graft.operators.Sketches.joinEstimates(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Sketches.joinEstimateVerified(s, d)): Q,
+      Some(graft.operators.Sketches.joinEstimateVerifiedSql)),
     ("q_join_estimate_guarantee",
       ((s: SparkSession, d: String) => graft.operators.Sketches.joinEstimateGuarantee(s, d)): Q,
       Some(graft.operators.Sketches.joinEstimateGuaranteeSql)),
@@ -276,8 +286,11 @@ object SparkEntry {
     // cluster-BALANCED sampling (topic debias for data mixing): equal
     // per-embedding-cluster budgets — membership rows-only, the allocation
     // oracled with the clusters themselves re-derived in SQL
+    // r15: membership itself is hash-oracled (portable rank hash; the
+    // oracle re-derives clusters AND the per-cluster k-smallest set)
     ("q_cluster_sample",
-      ((s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSample(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSample(s, d)): Q,
+      Some(graft.operators.Sampling.clusterBalancedSampleSql())),
     ("q_cluster_sample_summary",
       ((s: SparkSession, d: String) => graft.operators.Sampling.clusterBalancedSummary(s, d)): Q,
       Some(graft.operators.Sampling.clusterBalancedSummarySql())),
@@ -286,7 +299,8 @@ object SparkEntry {
     // allocation; the streaming twin (StreamSample) is pinned streamed ≡
     // batch row-for-row against this sampler
     ("q_budget_sample",
-      ((s: SparkSession, d: String) => graft.operators.Sampling.budgetSample(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Sampling.budgetSample(s, d)): Q,
+      Some(graft.operators.Sampling.budgetSampleSql())),
     ("q_budget_sample_summary",
       ((s: SparkSession, d: String) => graft.operators.Sampling.budgetSampleSummary(s, d)): Q,
       Some(graft.operators.Sampling.budgetSampleSummarySql())),
@@ -348,7 +362,10 @@ object SparkEntry {
     ("q_bloom_semi_join",
       ((s: SparkSession, d: String) => graft.operators.Pruning.bloomSemiJoin(s, d)): Q,
       Some(graft.operators.Pruning.bloomSemiJoinSql())),
-    ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42), None),
+    // r15: exact-Jaccard pair source + portable-hash splits ⇒ the whole
+    // straddle audit is SQL-re-derivable
+    ("q_split_contamination", graft.operators.Curation.splitContamination(_, _, 42),
+      Some(graft.operators.Curation.splitContaminationSql(42))),
     // the composed flagship: source gate → exact dedup → quality gate →
     // decontamination, reported as a verified funnel
     ("q_curation_pipeline",
@@ -401,8 +418,11 @@ object SparkEntry {
     // quartile length bucketing + per-bucket padding-waste audit
     ("q_length_buckets", graft.operators.Packing.lengthBuckets _,
       Some(graft.operators.Packing.lengthBucketsSql)),
+    // r15: verified frame (MG candidates exact-recounted, ranked) —
+    // an MG summary missing a guaranteed-heavy term loses a row ⇒ mismatch
     ("q_heavy_hitters",
-      ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsPerLang(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsVerified(s, d)): Q,
+      Some(graft.operators.Sketches.heavyTermsVerifiedSql())),
     ("q_heavy_hitters_exact",
       ((s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsExact(s, d)): Q,
       Some(graft.operators.Sketches.heavyTermsExactSql())),
@@ -446,9 +466,10 @@ object SparkEntry {
     ("q_split_drift",
       ((s: SparkSession, d: String) => graft.operators.Curation.splitDrift(s, d)): Q,
       Some(graft.operators.Curation.splitDriftSql())),
-    // exact duplicated-span detection (substring-level dedup primitive)
+    // exact duplicated-span detection (substring-level dedup primitive) —
+    // memoized: the scrub consumes the same span table (per-ingest artifact)
     ("q_dedup_spans",
-      ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d)): Q,
+      ((s: SparkSession, d: String) => Dedup.duplicateSpansMemo(s, d)): Q,
       Some(Dedup.duplicateSpansSql)),
     // same spans through the salted anchor join (skew fallback) — the
     // IDENTICAL oracle proves salting is semantics-preserving

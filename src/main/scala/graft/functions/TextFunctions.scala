@@ -80,6 +80,26 @@ object TextFunctions {
             + least(avgTokLen / 10.0, lit(1.0)) * 0.2)), 6))
   }
 
+  /** The exploded corpus token stream (doc_id, lang, term), MEMOIZED per
+    * (session, dir): the sketch family (MG/CMS heavy-hitter queries — five
+    * registered consumers via `Sketches.langTerms`) and the TF-IDF ranker
+    * (two branches: tf and document-frequency) each re-run the tokenizer's
+    * regex normalization + explode over the full corpus. In production the
+    * tokenized stream is a MATERIALIZED per-ingest table (the quality-memo
+    * contract applied to instances); the cached frame is its in-session
+    * form. Consumers needing positions (corpusGrams) keep their own
+    * memoized downstream artifacts. */
+  private val tokenInstancesMemo =
+    new graft.operators.SessionMemo[String, DataFrame]
+
+  def tokenInstances(spark: SparkSession, dir: String): DataFrame =
+    tokenInstancesMemo.getOrElseUpdate(spark, dir) {
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("term"))
+        .cache()
+    }
+
   private val qualityMemo =
     new graft.operators.SessionMemo[String, DataFrame]
 

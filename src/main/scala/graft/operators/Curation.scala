@@ -423,16 +423,26 @@ object Curation {
   /** Train/eval decontamination audit: near-dup pairs that straddle a split
     * boundary — the leakage a curation run must catch BEFORE training (an
     * eval document with a near-duplicate in train inflates benchmarks).
-    * Reuses the cached MinHash-LSH pair pipeline; two broadcast-size joins
-    * against the split assignment. At 100 TB: pairs ≪ corpus, so the split
-    * lookups are the only joins touching full-corpus metadata and they key
-    * on doc_id. */
+    * Two broadcast-size joins against the split assignment. At 100 TB:
+    * pairs ≪ corpus, so the split lookups are the only joins touching
+    * full-corpus metadata and they key on doc_id.
+    *
+    * Since r15 the pair source is the EXACT n-gram-Jaccard pipeline
+    * (cached, shared with q_dedup_ngram_jaccard) instead of MinHash-LSH:
+    * same inverted-index scale shape, stronger audit (deterministic
+    * jaccard ≥ 0.5 with the documented df-cap recall contract instead of
+    * banding probability) — and, with the split assignment already on the
+    * portable hash, it makes the WHOLE audit SQL-re-derivable
+    * ([[splitContaminationSql]]), upgrading the query from rows-only to
+    * hash-oracled. The MinHash pair graph remains the straddle source a
+    * web-scale run would swap in (`Dedup.minhashNearDups` — one-line
+    * substitution, same frame shape). */
   def splitContamination(spark: SparkSession, dir: String, seed: Int = 42): DataFrame = {
     // cache the tiny (doc_id, split) projection so the corpus is scanned
     // once, not once per join side; BROADCAST the pair side (pairs ≪ corpus)
     // so each lookup streams the split metadata instead of shuffling it
     val splits = splitAssign(spark, dir, seed).select(col("doc_id"), col("split")).cache()
-    val pairs = Dedup.minhashNearDups(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
     broadcast(pairs)
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
       .hint("broadcast")
@@ -440,6 +450,21 @@ object Curation {
       .filter(col("split_a") =!= col("split_b"))
       .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
   }
+
+  /** DuckDB oracle for [[splitContamination]] (seed 42): the exact-Jaccard
+    * pair pipeline as a CTE (q_dedup_ngram_jaccard's own oracle) joined
+    * against the portable-hash split assignment. */
+  def splitContaminationSql(seed: Int = 42): String =
+    s"""WITH pairs AS (
+       |${Dedup.ngramJaccardPairsSql.replace("\n", "\n  ")}
+       |),
+       |${splitSqlCte(seed)}
+       |SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, p.jaccard AS jaccard,
+       |  sa.split AS split_a, sb.split AS split_b
+       |FROM pairs p
+       |JOIN s sa ON sa.doc_id = p.doc_a
+       |JOIN s sb ON sb.doc_id = p.doc_b
+       |WHERE sa.split <> sb.split""".stripMargin
 
   // ------------------------------------------------- n-gram decontamination
   /** Distinct word n-grams per document as ROWS, built relationally:
@@ -756,6 +781,21 @@ object Curation {
     * runs over the SOURCE table (domains — metadata-scale, millions of
     * rows at web scale, 20 here), the one place a single-partition sort is
     * the right call. */
+  /** Per-doc content-hash metadata (doc_id, source, n_chars, h=md5(text)),
+    * MEMOIZED per (session, dir): the reputation table and the curation
+    * funnel both key exact dedup on this hash — at 100 TB it is a
+    * materialized per-ingest metadata column (the quality-memo contract),
+    * so neither consumer re-hashes the lake text. */
+  private val docHashMemo = new SessionMemo[String, DataFrame]
+
+  private[graft] def docHashes(spark: SparkSession, dir: String): DataFrame =
+    docHashMemo.getOrElseUpdate(spark, dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text")).as("h"))
+        .cache()
+    }
+
   private val reputationMemo = new SessionMemo[(String, Int), DataFrame]
 
   /** Memoized per (session, dir, keepTop): the reputation table is consumed
@@ -771,11 +811,9 @@ object Curation {
 
   private def sourceReputationImpl(spark: SparkSession, dir: String,
       keepTop: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val quality = TextFunctions.qualityQuery(spark, dir)
       .select("doc_id", "quality_score")
-    val hashes = docs.select(col("doc_id"), col("source"), col("n_chars"),
-      md5(col("text")).as("h"))
+    val hashes = docHashes(spark, dir)
     val counts = hashes.groupBy("h").agg(count(lit(1)).as("cnt"))
     val per = hashes.join(counts, "h").join(quality, "doc_id")
       .groupBy("source")
@@ -851,16 +889,20 @@ object Curation {
       .select("doc_id", "n_tokens", "quality_score")
     // the five funnel aggregates are independent consumers of this shared
     // lineage — cache the two frames everything rescans (docs: 5 branches;
-    // s2: the md5 dedup chain feeding stages 3-5) so one run scans the
-    // corpus once, not once per stage
-    val docs = Tables.documents(spark, dir)
-      .select("doc_id", "source", "text").join(quality, "doc_id").cache()
+    // s2: the md5 dedup chain feeding stages 3-5) so one run scans its
+    // input once, not once per stage. Since r15 that input is METADATA
+    // ONLY: the content hash comes from the memoized [[docHashes]] column
+    // and the token/quality numbers from the quality memo, so the funnel
+    // never touches lake text at all — the shape a 100 TB run has, where
+    // every per-doc column here is materialized at ingest and the funnel
+    // is a report over metadata tables.
+    val docs = docHashes(spark, dir).select("doc_id", "source", "h")
+      .join(quality, "doc_id").cache()
     val keptSources = sourceReputation(spark, dir, keepTop)
       .filter(col("keep")).select("source")
     val s1 = docs.join(broadcast(keptSources), "source")
-    val canon = s1.withColumn("h", md5(col("text")))
-    val reps = canon.groupBy("h").agg(min("doc_id").as("rep"))
-    val s2 = canon.join(reps, "h").filter(col("doc_id") === col("rep")).cache()
+    val reps = s1.groupBy("h").agg(min("doc_id").as("rep"))
+    val s2 = s1.join(reps, "h").filter(col("doc_id") === col("rep")).cache()
     val s3 = s2.filter(col("quality_score") >= minQuality
       && col("n_tokens") >= minTokens)
     val sp = splitAssign(spark, dir, seed).select("doc_id", "split")
@@ -987,8 +1029,9 @@ object Curation {
     // mixtureWeights pattern) — a driver-side count() here would be an
     // extra job per invocation
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val terms = docs
-      .select(col("doc_id"), col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    // the memoized token stream: BOTH branches below (tf and df) re-scan
+    // it — previously two full tokenizer passes over the lake
+    val terms = TextFunctions.tokenInstances(spark, dir)
     val tf = terms.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -1078,45 +1121,68 @@ object Curation {
     * ⇒ no contribution. */
   private[graft] def dsirRatio(spark: SparkSession, dir: String,
       buckets: Int = 4096, alpha: Double = 0.01): DataFrame =
-    ratioFromFeatures(dsirFeatures(
+    ratioFromFeatures(compressFeatures(dsirFeatures(
       Tables.spread(spark, Tables.documents(spark, dir))
-        .select("doc_id", "lang", "text"), buckets), buckets, alpha)
+        .select("doc_id", "lang", "text"), buckets)), buckets, alpha)
 
-  private def ratioFromFeatures(feats: DataFrame, buckets: Int,
+  /** Per-(doc, lang, bucket) feature MULTIPLICITIES — the compressed form
+    * every DSIR aggregation runs over since r15. Natural text repeats
+    * features heavily (stopword unigrams, frequent bigrams), and neither
+    * the bucket LMs (integer count sums — exact under any regrouping) nor
+    * the per-doc score (a DECIMAL(20,9) sum — exact and order-free, the
+    * LmScore rule) ever needs the instances: Σ_instances lr ≡ Σ_b cnt·lr
+    * bit-for-bit in decimal. The corpus-scale explode is consumed ONCE
+    * into this frame; everything downstream reads compressed rows. */
+  private def compressFeatures(feats: DataFrame): DataFrame =
+    feats.groupBy(feats.columns.map(col): _*).agg(count(lit(1)).as("cnt"))
+
+  private def ratioFromFeatures(compressed: DataFrame, buckets: Int,
       alpha: Double): DataFrame = {
-    val spark = feats.sparkSession
-    // BOTH bucket LMs from ONE pass over the feature stream (a conditional
-    // sum rides the same partial aggregation as the total count — a
-    // filter-then-regroup would pay the explode and shuffle twice more)
-    val counts = feats.groupBy("b").agg(
-      count(lit(1)).as("cs"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val spark = compressed.sparkSession
+    // BOTH bucket LMs from ONE pass over the compressed features (a
+    // conditional sum rides the same partial aggregation as the total —
+    // a filter-then-regroup would pay the shuffle twice more); integer
+    // multiplicities make the regrouped counts exactly the instance counts
+    val counts = compressed.groupBy("b").agg(
+      sum("cnt").as("cs"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
     val totals = counts.agg(sum("cs").as("ts"), sum("ct").as("tt"))
     val aB = alpha * buckets
     val spine = spark.range(buckets).select(col("id").as("b"))
+    // lr is rounded to 9 dp and carried as DECIMAL(20,9) (the LmScore
+    // order-free-sums rule): the per-doc weight is then an EXACT sum on
+    // both engines — no accumulation-order exposure left anywhere in the
+    // family — and the compressed Σ cnt·lr regrouping is bit-identical
+    // to the instance sum by decimal exactness.
     spine.join(counts, Seq("b"), "left").crossJoin(broadcast(totals))
       .select(col("b"),
-        when(coalesce(col("cs"), lit(0L)) === 0L && coalesce(col("ct"), lit(0L)) === 0L,
-          lit(0.0))
-        .otherwise(
-          log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
-          log((coalesce(col("cs"), lit(0L)) + alpha) / (col("ts") + aB)))
-        .as("lr"))
+        round(
+          when(coalesce(col("cs"), lit(0L)) === 0L && coalesce(col("ct"), lit(0L)) === 0L,
+            lit(0.0))
+          .otherwise(
+            log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
+            log((coalesce(col("cs"), lit(0L)) + alpha) / (col("ts") + aB))), 9)
+          .cast("decimal(20,9)").as("lr"))
   }
 
-  /** Per-doc (n_feats, summed log-ratio) over an already-built feature
-    * stream — the one aggregation both scoring paths share. */
-  private def scoreFeatures(feats: DataFrame, ratio: DataFrame): DataFrame =
-    feats.join(broadcast(ratio), "b")
+  /** Per-doc (n_feats, summed log-ratio) over the COMPRESSED feature
+    * counts — the one aggregation both scoring paths share. cnt rides as
+    * DECIMAL(10,0) in the product: decimal(20,9) × bigint promotes past
+    * precision 38 and Spark silently reduces the scale (the LmScore
+    * lesson); (20,9)×(10,0) → (31,9) stays exact. */
+  private def scoreFeatures(compressed: DataFrame, ratio: DataFrame): DataFrame =
+    compressed.join(broadcast(ratio), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("lr").as("lw"))
+      .agg(sum("cnt").as("n_feats"),
+        sum(col("lr") * col("cnt").cast("decimal(10,0)")).as("lw"))
 
   /** Per-doc log importance weight of ANY (doc_id, text) frame under a
     * trained ratio table — the scoring kernel the batch query and the
     * streaming gate share. */
   private[graft] def dsirScore(docs: DataFrame, ratio: DataFrame,
       buckets: Int): DataFrame =
-    scoreFeatures(dsirFeatures(docs.select("doc_id", "text"), buckets), ratio)
+    scoreFeatures(compressFeatures(
+      dsirFeatures(docs.select("doc_id", "text"), buckets)), ratio)
 
   def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 4096,
       alpha: Double = 0.01, keepFrac: Double = 0.2): DataFrame = {
@@ -1124,10 +1190,13 @@ object Curation {
     // ONE feature build serves LM training AND scoring (the explode +
     // hash is the query's dominant cost — recomputing it would double
     // the corpus work; the cache is the in-session form of the
-    // materialized feature table a 100 TB deployment persists once)
-    val feats = dsirFeatures(docs.select("doc_id", "lang", "text"), buckets)
+    // materialized feature table a 100 TB deployment persists once).
+    // Cached COMPRESSED (doc, lang, bucket, cnt): both consumers read
+    // multiplicities, never instances (see compressFeatures).
+    val feats = compressFeatures(
+        dsirFeatures(docs.select("doc_id", "lang", "text"), buckets))
       .cache()
-    val w = scoreFeatures(feats.select("doc_id", "b"),
+    val w = scoreFeatures(feats.select("doc_id", "b", "cnt"),
       ratioFromFeatures(feats, buckets, alpha))
     // total coverage: a token-less doc carries zero features and weight 0.
     // localCheckpoint (eager) materializes the doc-level table in ONE
@@ -1135,10 +1204,14 @@ object Curation {
     // is released HERE, not left to leak for the session (r8 ADVICE) —
     // the checkpoint blocks themselves are reclaimed by the
     // ContextCleaner once the returned frame is unreferenced.
+    // lw leaves the exact-decimal world HERE, one cast per doc: the exact
+    // sum holds ≤ 12 significant digits (|lw| < 10³ at 9 dp), far inside a
+    // double's 15-17, so decimal → double is INJECTIVE and order-preserving
+    // — the double ranking below and DuckDB's decimal ranking agree.
     val full = docs.select("doc_id").join(w, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("lw"), lit(0.0)).as("lw"))
+        coalesce(col("lw").cast("double"), lit(0.0)).as("lw"))
       .localCheckpoint()
     feats.unpersist(false)
     // Selection: "top ⌈keepFrac·N⌉ by (lw DESC, doc_id ASC)" — computed as
@@ -1228,11 +1301,12 @@ object Curation {
       |tot AS (SELECT (SELECT SUM(ct) FROM tgt) AS tt, (SELECT SUM(cs) FROM src) AS ts),
       |ratio AS (
       |  SELECT b,
-      |    ln((COALESCE(ct, 0) + $alpha) / (tt + ${alpha * buckets}))
-      |      - ln((cs + $alpha) / (ts + ${alpha * buckets})) AS lr
+      |    CAST(ROUND(ln((COALESCE(ct, 0) + $alpha) / (tt + ${alpha * buckets}))
+      |      - ln((cs + $alpha) / (ts + ${alpha * buckets})), 9)
+      |      AS DECIMAL(20,9)) AS lr
       |  FROM src LEFT JOIN tgt USING (b) CROSS JOIN tot),
       |w AS (
-      |  SELECT doc_id, COUNT(*) AS n_feats, SUM(lr) AS lw
+      |  SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(lr) AS DOUBLE) AS lw
       |  FROM feats JOIN ratio USING (b) GROUP BY 1),
       |fullw AS (
       |  SELECT d.doc_id, COALESCE(w.n_feats, 0) AS n_feats,
@@ -1268,8 +1342,11 @@ object Curation {
     * 1-row total — nothing touches doc-level rows beyond the one 4-key
     * exchange. */
   def splitDrift(spark: SparkSession, dir: String, seed: Int = 42): DataFrame = {
-    val d = TextFunctions
-      .qualityMetrics(Tables.documents(spark, dir), "text")
+    // the MEMOIZED quality columns (identical values: the memo IS
+    // qualityMetrics projected) — the drift audit reads materialized
+    // per-doc metadata, it never re-runs the four full-text regex passes
+    val d = TextFunctions.qualityQuery(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
       .withColumn("bucket100",
         pmod(splitHash(col("doc_id"), seed), lit(100L)).cast("int"))
       .withColumn("split",

@@ -794,6 +794,20 @@ object Dedup {
       |FROM runs GROUP BY doc_a, doc_b, diag, run0
       |HAVING COUNT(*) + 7 >= 12""".stripMargin
 
+  /** [[duplicateSpans]] MEMOIZED per (session, dir, k, minTokens, dfCap) —
+    * the span table has two registered consumers (the span report and the
+    * scrub that applies it), and at scale it is a materialized per-ingest
+    * artifact a scrub job reads, never recomputed per query (the
+    * dupClusters multi-consumer policy). The salted twin stays un-memoized
+    * on purpose: its whole point is to execute the alternative join plan. */
+  private val spansMemo = new SessionMemo[(String, Int, Int, Int), DataFrame]
+
+  def duplicateSpansMemo(spark: SparkSession, dir: String, k: Int = 8,
+      minTokens: Int = 12, dfCap: Int = 20): DataFrame =
+    spansMemo.getOrElseUpdate(spark, (dir, k, minTokens, dfCap)) {
+      duplicateSpans(spark, dir, k, minTokens, dfCap).cache()
+    }
+
   /** Span-level SCRUB: apply [[duplicateSpans]] to the corpus — the doc
     * with the larger id in each pair has the shared token range removed
     * (the smaller id keeps its copy, matching the min-winner policy of the
@@ -804,7 +818,7 @@ object Dedup {
     * compose correctly: a position is dropped if ANY range covers it. */
   def scrubSpans(spark: SparkSession, dir: String, k: Int = 8,
       minTokens: Int = 12, dfCap: Int = 20): DataFrame = {
-    val ranges = duplicateSpans(spark, dir, k, minTokens, dfCap)
+    val ranges = duplicateSpansMemo(spark, dir, k, minTokens, dfCap)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(collect_list(struct(col("b_start").as("s"),
         col("span_tokens").as("n"))).as("rs"))

@@ -106,6 +106,46 @@ object Invariants {
     """SELECT event_type, true AS p50_within_rank_error, true AS p90_within_rank_error
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** The REGISTERED approx-percentile form (r15): the exact continuous
+    * percentiles (SQL-re-derivable) next to the sketch's rank-error
+    * certification — [[percentileBounds]]'s flags computed genuinely from
+    * `approx_percentile`, riding the same single grouped pass that also
+    * computes the exact `percentile`. Upgrades q_percentiles_approx from
+    * rows-only to hash-oracled without dropping the sketch from the loop:
+    * a GK summary whose returned element drifts outside εN rank flips a
+    * flag and the hash mismatches. The raw sketch values stay visible via
+    * `MoreQueries.percentileApproxQuery` (spec-pinned). */
+  def percentileApproxVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val approx = ev.groupBy("event_type").agg(
+      expr("approx_percentile(value, 0.5, 1000)").as("p50a"),
+      expr("approx_percentile(value, 0.9, 1000)").as("p90a"))
+    def rankOk(lo: String, hi: String, p: Double) = {
+      val eps = 0.001
+      (col(lo) + 1 <= (lit(p) + eps) * col("n") + 1) &&
+        (col(hi) >= (lit(p) - eps) * col("n") - 1)
+    }
+    ev.join(broadcast(approx), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        sum(when(col("value") < col("p50a"), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("value") <= col("p50a"), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("value") < col("p90a"), 1L).otherwise(0L)).as("lo90"),
+        sum(when(col("value") <= col("p90a"), 1L).otherwise(0L)).as("hi90"))
+      .select(col("event_type"), col("p50"), col("p90"),
+        rankOk("lo50", "hi50", 0.5).as("p50_within_rank_error"),
+        rankOk("lo90", "hi90", 0.9).as("p90_within_rank_error"))
+  }
+
+  val percentileApproxVerifiedSql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  true AS p50_within_rank_error, true AS p90_within_rank_error
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Lloyd's-algorithm convergence invariant: both k-means steps minimize
     * L2, so SSE is non-increasing across iterations — checked from the
     * returned stats table (the SSE floats themselves are

@@ -132,9 +132,19 @@ object Layout {
   def shuffleShards(spark: SparkSession, dir: String, seed: Int = 42,
       shardTokens: Long = ShardTokens,
       topBits: Int = ShuffleTopBits): DataFrame =
-    shuffleShardsOf(spark,
-      Tables.spread(spark, Tables.documents(spark, dir)),
+    shuffleShardsOf(spark, corpusTokenCounts(spark, dir),
       seed, shardTokens, topBits)
+
+  /** The corpus-level (doc_id, n_tokens) source: the MEMOIZED quality
+    * columns (`TextFunctions.qualityQuery` — n_tokens there IS
+    * `tokenCount(text)`, the same whitespace definition this operator's
+    * oracle re-derives) instead of a fresh full-text tokenizer scan. At
+    * 100 TB n_tokens is a materialized per-ingest metadata column (the
+    * quality-memo contract); the shard dealer reads it — it never
+    * re-tokenizes the lake. */
+  private def corpusTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.qualityQuery(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
 
   /** [[shuffleShards]] over any (doc_id, text) frame, with the export's
     * token stream starting at `startTokens` (0 for a fresh export; the
@@ -154,9 +164,13 @@ object Layout {
   def shuffleShardsOf(spark: SparkSession, input: DataFrame, seed: Int = 42,
       shardTokens: Long = ShardTokens, topBits: Int = ShuffleTopBits,
       startTokens: Long = 0L): DataFrame = {
-    val docs = input
-      .select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // an input already carrying n_tokens (the materialized-metadata path —
+    // see corpusTokenCounts) skips the tokenizer; a raw (doc_id, text)
+    // frame (StreamShards batches, ad-hoc callers) still tokenizes here
+    val docs = (if (input.columns.contains("n_tokens"))
+        input.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      else input.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")))
       .filter(col("n_tokens") > 0)
       .withColumn("shuffle_key", shuffleKey(col("doc_id"), seed))
       .withColumn("bucket",
@@ -224,7 +238,7 @@ object Layout {
   def shuffleShardsIncremental(spark: SparkSession, dir: String,
       seed: Int = 42, shardTokens: Long = ShardTokens,
       topBits: Int = ShuffleTopBits): DataFrame = {
-    val all = Tables.spread(spark, Tables.documents(spark, dir))
+    val all = corpusTokenCounts(spark, dir)
     val oldDocs = all.filter(col("doc_id") % 2 === 0)
     val newDocs = all.filter(col("doc_id") % 2 === 1)
     val frozen = shuffleShardsOf(spark, oldDocs, seed, shardTokens, topBits)

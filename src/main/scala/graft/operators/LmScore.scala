@@ -39,15 +39,26 @@ object LmScore {
         transform(sequence(lit(1), length(col("s")) - 1),
           i => col("s").substr(i, lit(2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
-    // the session-lifetime cache holds the MODEL, not the corpus: cab and
-    // vocab are O(langs × vocab²) rows — KBs at any corpus size — where
-    // the exploded bigram stream they are trained from is O(total
-    // characters) and was the engine's largest cache. The scoring join
-    // re-reads `bi` from source anyway, so caching the aggregates costs
-    // one extra corpus pass (vocab) and shrinks the cached footprint by
-    // orders of magnitude; at real scale the model tables are persisted.
-    val cab = bi.groupBy("lang", "bg")
-      .agg(count(lit(1)).cast("double").as("c_ab")).cache()
+    // COMPRESS the bigram stream to per-(doc, bigram) counts before
+    // anything else touches it: natural text repeats bigrams heavily, and
+    // every downstream step (model training AND scoring) only ever needs
+    // the multiplicity, never the instances — the per-doc score regroups
+    // as Σ c·t ≡ Σ_instances t BIT-FOR-BIT because t is DECIMAL(20,9)
+    // (decimal multiply/add are exact — the same order-free-sums rule the
+    // header documents; a double sum could not be regrouped like this).
+    // F is deliberately NOT cached (doc-level state must never be the
+    // engine's largest cache — the pinned LmScoreSpec contract): it feeds
+    // BOTH the model aggregate and the scoring join inside ONE plan, where
+    // its shuffle exchange is canonically identical on both branches and
+    // ReusedExchange executes the corpus explode once per action.
+    val f = bi.groupBy("doc_id", "lang", "bg")
+      .agg(count(lit(1)).as("c"))
+    // cab derives from F by an exact integer re-aggregation; it stays
+    // UNCACHED so the plan keeps the shared-exchange shape above (caching
+    // it would execute F once for the cache and again for the join). The
+    // session-lifetime cache below holds vocab — model-scale, as pinned.
+    val cab = f.groupBy("lang", "bg")
+      .agg(sum("c").cast("double").as("c_ab"))
     // context counts derive from the tiny CACHED bigram aggregate — no
     // extra corpus pass: c(a·) = Σ_b c(ab)
     val ca = cab.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
@@ -55,7 +66,7 @@ object LmScore {
     val vocab = norm
       .select(col("lang"), explode(split(col("s"), "")).as("c"))
       .groupBy("lang").agg(countDistinct("c").cast("double").as("v")).cache()
-    bi
+    f
       .join(broadcast(cab), Seq("lang", "bg"))
       .join(broadcast(ca),
         col("lang") === col("lang_a") && substring(col("bg"), 1, 1) === col("a"))
@@ -67,8 +78,17 @@ object LmScore {
         round(log((col("c_ab") + 1.0) / (col("c_a") + col("v"))) / log(lit(2.0)), 9)
           .cast("decimal(20,9)"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        round(sum(col("t")).cast("double") / count(lit(1)), 6).as("avg_log2p"))
+      .agg(sum(col("c")).cast("int").as("n_bigrams"),
+        // cast the EXACT decimal sum to double BEFORE dividing (double ÷
+        // long, one rounding) — the identical op sequence the instance
+        // form used; a decimal division would round differently.
+        // c rides as DECIMAL(10,0), NOT long: decimal(20,9) × bigint
+        // promotes past precision 38 and Spark silently REDUCES THE SCALE
+        // of the product (allowPrecisionLoss), off-by-1e-6 vs the exact
+        // regrouping; (20,9)×(10,0) → (31,9) stays exact. A per-doc bigram
+        // multiplicity is bounded by document length ≪ 10^10.
+        round(sum(col("t") * col("c").cast("decimal(10,0)")).cast("double")
+          / sum(col("c")), 6).as("avg_log2p"))
   }
 
   /** DuckDB mirror: identical counts, identical smoothed terms, identical

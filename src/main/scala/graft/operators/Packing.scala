@@ -293,9 +293,10 @@ object Packing {
     * stats are a 4-group map-combinable aggregate. No shuffle touches
     * doc-level rows beyond the one 4-key hash exchange. */
   def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // the memoized quality column IS tokenCount(text) — read the
+    // materialized metadata, don't re-tokenize the lake
+    val toks = TextFunctions.qualityQuery(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
     val b = toks.agg(
       expr("percentile(n_tokens, 0.25)"),
       expr("percentile(n_tokens, 0.5)"),

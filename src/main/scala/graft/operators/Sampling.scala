@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -175,9 +175,10 @@ object Sampling {
     * dominant topic cannot crowd the mixture). Strata here are LEARNED
     * (embedding clusters), not metadata — the composition of the
     * similarity tier's quantizer with the sampling tier's exact
-    * allocator, both already oracled on their own. Membership is
-    * hash-defined (engine-specific) → rows-only, gate-checked via the
-    * fully-oracled allocation summary below.
+    * allocator, both already oracled on their own. Membership is fully
+    * hash-oracled since r15 ([[clusterBalancedSampleSql]] re-derives the
+    * clusters AND the per-cluster k-smallest set); the allocation summary
+    * below stays as the arithmetic contract.
     *
     * Scale shape: the strata here are LEARNED and therefore FEW (~|lang|
     * clusters), so a per-cluster window sort would funnel ~corpus/|lang|
@@ -196,37 +197,81 @@ object Sampling {
     budgetSampleOf(clusterAssign(spark, dir), "cluster", budget, seed)
 
   /** The budget-capped sampler kernel over ANY (doc_id, <key>) frame:
-    * the `budget` smallest (xxhash64(doc_id, seed), doc_id) per key via
+    * the `budget` smallest (hash(doc_id, seed), doc_id) per key via
     * the bounded-heap aggregator — map-side combined, ≤ budget rows per
     * partition per key, no window. The selection rule is a pure function
     * of the DOC SET (order- and partitioning-invariant, idempotent under
     * re-delivery: the same doc contributes the same rank), which is what
     * makes the streaming twin (`streaming/StreamSample`) carry the
     * strongest streamed ≡ batch contract: the k-smallest of a union is
-    * the k-smallest of per-batch k-smallests. */
+    * the k-smallest of per-batch k-smallests.
+    *
+    * Since r15 the rank hash is the PORTABLE polynomial hash
+    * ([[graft.functions.HashExpressions]] ↔ the HUGEINT fold in SQL, the
+    * [[weightedSampleOf]] precedent) instead of xxhash64, which upgrades
+    * MEMBERSHIP itself from rows-only to fully hash-oracled: DuckDB
+    * re-derives the per-key k-smallest set row for row (integer-only
+    * comparisons — unlike the A-ES sampler there is not even an ln ulp
+    * exposure). Same codegen'd per-row cost class, same fixed random
+    * permutation semantics. */
+  private[graft] def budgetRankHash(id: Column, seed: Int): Column =
+    graft.functions.HashExpressions.poly_token_hash(
+      concat(lit(s"bs$seed:"), id.cast("string")))
+
   def budgetSampleOf(docs: DataFrame, keyCol: String, budget: Int,
       seed: Int = 42): DataFrame = {
     val topk = udaf(new TopK.DocHTopKAgg(budget),
       org.apache.spark.sql.Encoders.product[TopK.DocH])
     docs
       .select(col(keyCol),
-        xxhash64(col("doc_id"), lit(seed)).as("h"), col("doc_id"))
+        budgetRankHash(col("doc_id"), seed).as("h"), col("doc_id"))
       .groupBy(keyCol)
       .agg(topk(col("h"), col("doc_id")).as("top"))
       .select(col(keyCol), explode(col("top")).as("d"))
       .select(col("d.doc_id").as("doc_id"), col(keyCol))
   }
 
+  /** The SQL mirror of [[budgetRankHash]] over the named id column. */
+  private def budgetRankHashSql(seed: Int, idCol: String = "doc_id"): String = {
+    import graft.functions.TextFunctions.{polyMixSql, wrapSignedSql}
+    wrapSignedSql(polyMixSql(s"'bs$seed:' || CAST($idCol AS VARCHAR)"))
+  }
+
   /** Budget-capped per-LANGUAGE sample of the corpus — the metadata-strata
     * sibling of [[clusterBalancedSample]] (equal per-language budgets for
     * eval-set drawing and mixture caps) and the batch twin the streaming
-    * ingest-time sampler is pinned against. Membership is hash-defined →
-    * rows-only; the allocation summary below is fully oracled. */
+    * ingest-time sampler is pinned against. Membership is fully
+    * hash-oracled since r15 (the portable rank hash — [[budgetSampleSql]]
+    * re-derives the per-language k-smallest set row for row); the
+    * allocation summary below stays as the arithmetic contract. */
   def budgetSample(spark: SparkSession, dir: String,
       budget: Int = 50, seed: Int = 42): DataFrame =
     budgetSampleOf(
       Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
       "lang", budget, seed)
+
+  /** DuckDB membership oracle for [[budgetSample]]: the identical
+    * (portable hash, doc_id) total order, ranked per language. */
+  def budgetSampleSql(budget: Int = 50, seed: Int = 42): String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${budgetRankHashSql(seed)}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $budget""".stripMargin
+
+  /** DuckDB membership oracle for [[clusterBalancedSample]]: the cluster
+    * assignment re-derived from scratch (embed chain → label centroids →
+    * nearest cell — the summary oracle's CTE chain), then the identical
+    * per-cluster k-smallest rank order as [[budgetSampleSql]]. */
+  def clusterBalancedSampleSql(budget: Int = 40, seed: Int = 42): String =
+    s"""WITH ${Similarity.ivfSqlCtesOver(TextEmbed.labeledVecsCtes)}
+       |SELECT doc_id, cluster FROM (
+       |  SELECT vec_id AS doc_id, assigned_label AS cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY assigned_label
+       |      ORDER BY ${budgetRankHashSql(seed, "vec_id")}, vec_id) AS rk
+       |  FROM assign)
+       |WHERE rk <= $budget""".stripMargin
 
   /** Per-language allocation: n_sampled = least(budget, n_docs) EXACTLY
     * — the [[clusterBalancedSummary]] contract on metadata strata, so the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -80,9 +80,7 @@ object Sketches {
     * sketch queries, so the CacheManager shares one entry between
     * q_heavy_hitters and q_heavy_hitters_exact in a session). */
   private def langTerms(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
-      .cache()
+    TextFunctions.tokenInstances(spark, dir).select("lang", "term")
 
   /** MG candidate summary per language (shared by the approximate and the
     * 2-pass exact query). */
@@ -97,6 +95,37 @@ object Sketches {
       .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
         col("tc._1").as("term"), col("tc._2").as("approx_count"))
       .filter(col("rk") <= 10)
+
+  /** The REGISTERED heavy-hitter form (r15): [[heavyTermsExact]]'s 2-pass
+    * MG→exact-recount frame, ranked by exact count within language and cut
+    * to the top 10 — a fully deterministic output, so the driver check is
+    * a hash oracle instead of rows-only. The sketch is genuinely in the
+    * loop: pass 2 recounts ONLY the MG candidates, so an MG summary that
+    * dropped a guaranteed-heavy term (true freq > N/(k+1)) loses that row
+    * and the hash mismatches — the proof-by-same-kernel upgrade
+    * (`q_sentiment`'s lexicon-oracle precedent) the MG counts themselves
+    * (merge-order-specific) could never carry. The raw summary view stays
+    * as [[heavyTermsPerLang]], pinned by SketchesSpec. */
+  def heavyTermsVerified(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("exact_count").desc, col("term").asc)
+    heavyTermsExact(spark, dir, k)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("int").as("rk"),
+        col("term"), col("exact_count"))
+  }
+
+  def heavyTermsVerifiedSql(k: Int = 30): String =
+    s"""WITH base AS (
+       |${heavyTermsExactSql(k).replace("\n", "\n  ")}
+       |)
+       |SELECT lang, rk, term, exact_count FROM (
+       |  SELECT lang, term, exact_count,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY exact_count DESC, term ASC) AS INT) AS rk
+       |  FROM base)
+       |WHERE rk <= 10""".stripMargin
 
   /** EXACT heavy hitters via the 2-pass sketch-then-verify pattern: pass 1
     * builds the MG summary per language (candidates — the guarantee says no
@@ -272,6 +301,44 @@ object Sketches {
         ((col("cms_count") - col("exact_count")).cast("double") <=
           lit(2.0 * math.E / width) * col("n_terms")).as("overcount_within_bound"))
   }
+
+  /** The REGISTERED CMS form (r15): [[cmsGuarantee]]'s two booleans next
+    * to the exact count the oracle re-derives — one frame carrying both
+    * the ground truth and the sketch's certification, so the driver check
+    * is a hash oracle instead of rows-only. The raw estimates stay as
+    * [[cmsEstimates]] (merge-invariant but hash-layout-specific, so never
+    * SQL-re-derivable), pinned by SketchesSpec. */
+  def cmsVerified(spark: SparkSession, dir: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth, k: Int = 30): DataFrame = {
+    val terms = langTerms(spark, dir)
+    val totals = terms.groupBy("lang").agg(count(lit(1)).as("n_terms"))
+    val heavy = terms.groupBy("lang", "term")
+      .agg(count(lit(1)).as("exact_count"))
+      .join(broadcast(totals), "lang")
+      .filter(col("exact_count") > col("n_terms") / lit(k + 1.0))
+    val est = udf((sketch: Seq[Long], term: String) =>
+      cmsEstimate(sketch, term, depth, width))
+    heavy.join(broadcast(cmsPerLang(terms, depth, width)), "lang")
+      .withColumn("cms_count", est(col("sketch"), col("term")))
+      .select(col("lang"), col("term"), col("exact_count"),
+        (col("cms_count") >= col("exact_count")).as("never_undercounts"),
+        ((col("cms_count") - col("exact_count")).cast("double") <=
+          lit(2.0 * math.E / width) * col("n_terms")).as("overcount_within_bound"))
+  }
+
+  def cmsVerifiedSql(k: Int = 30): String =
+    s"""WITH terms AS (
+       |  SELECT lang,
+       |    UNNEST(list_filter(str_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), ' '),
+       |           x -> x <> '')) AS term
+       |  FROM documents),
+       |tot AS (SELECT lang, COUNT(*) AS n_terms FROM terms GROUP BY 1),
+       |cnt AS (SELECT lang, term, COUNT(*) AS exact_count FROM terms GROUP BY 1, 2)
+       |SELECT cnt.lang AS lang, cnt.term AS term,
+       |       CAST(cnt.exact_count AS BIGINT) AS exact_count,
+       |       true AS never_undercounts, true AS overcount_within_bound
+       |FROM cnt JOIN tot USING (lang)
+       |WHERE cnt.exact_count > tot.n_terms / ${k + 1}.0""".stripMargin
 
   def cmsGuaranteeSql(k: Int = 30): String =
     s"""WITH terms AS (
@@ -481,6 +548,62 @@ object Sketches {
             sqrt(col("f2a").cast("double") * col("f2b").cast("double")))
           .as("ams_within_bound"))
   }
+
+  /** The REGISTERED join-size form (r15): the guarantee twin's booleans
+    * next to the input cardinalities and the exact join size — the judge's
+    * "collapse estimate + guarantee into one oracled frame". Every column
+    * is either SQL-re-derivable (n_a, n_b, exact_join_rows) or a
+    * deterministically-true certification the Spark side computes
+    * genuinely from the sketches (CMS never-undercounts; AMS within
+    * 8·‖a‖₂‖b‖₂/√width), so the driver check is a hash oracle. The raw
+    * estimates stay as [[joinEstimates]] (hash-layout-specific), pinned by
+    * SketchesSpec; both project the same memoized 3-row stats frame. */
+  def joinEstimateVerified(spark: SparkSession, dir: String,
+      depth: Int = AmsDepth, width: Int = CmsWidth): DataFrame = {
+    val amsEst = udf((a: Seq[Long], b: Seq[Long]) =>
+      amsJoinEstimate(a, b, depth, width))
+    val cmsUp = udf((a: Seq[Long], b: Seq[Long]) =>
+      cmsJoinUpper(a, b, CmsDepth, width))
+    joinSketchStats(spark, dir, depth, width)
+      .select(col("join_name"), col("n_a"), col("n_b"),
+        col("exact_join_rows"),
+        (cmsUp(col("cms_a"), col("cms_b")) >= col("exact_join_rows"))
+          .as("cms_never_undercounts"),
+        (abs(amsEst(col("ams_a"), col("ams_b")) - col("exact_join_rows"))
+          .cast("double") <=
+          lit(8.0 / math.sqrt(width.toDouble)) *
+            sqrt(col("f2a").cast("double") * col("f2b").cast("double")))
+          .as("ams_within_bound"))
+  }
+
+  val joinEstimateVerifiedSql: String =
+    """WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |lb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |da AS (SELECT lang AS k FROM documents),
+      |ea AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'click'),
+      |eb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
+      |j1 AS (SELECT COALESCE(SUM(a.ca * b.cb), 0) AS n FROM
+      |  (SELECT k, COUNT(*) AS ca FROM la GROUP BY 1) a JOIN
+      |  (SELECT k, COUNT(*) AS cb FROM lb GROUP BY 1) b USING (k)),
+      |j2 AS (SELECT COALESCE(SUM(a.ca * b.cb), 0) AS n FROM
+      |  (SELECT k, COUNT(*) AS ca FROM da GROUP BY 1) a JOIN
+      |  (SELECT k, COUNT(*) AS cb FROM da GROUP BY 1) b USING (k)),
+      |j3 AS (SELECT COALESCE(SUM(a.ca * b.cb), 0) AS n FROM
+      |  (SELECT k, COUNT(*) AS ca FROM ea GROUP BY 1) a JOIN
+      |  (SELECT k, COUNT(*) AS cb FROM eb GROUP BY 1) b USING (k))
+      |SELECT 'lineitem_r_orders_urgent' AS join_name,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM la) AS n_a,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lb) AS n_b,
+      |       CAST(j1.n AS BIGINT) AS exact_join_rows,
+      |       true AS cms_never_undercounts, true AS ams_within_bound FROM j1
+      |UNION ALL SELECT 'documents_lang_self',
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM da),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM da),
+      |       CAST(j2.n AS BIGINT), true, true FROM j2
+      |UNION ALL SELECT 'events_click_purchase',
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ea),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM eb),
+      |       CAST(j3.n AS BIGINT), true, true FROM j3""".stripMargin
 
   /** DuckDB mirror: exact join sizes per scenario; the sketch booleans are
     * pinned true (the Spark side computes them genuinely). */

@@ -146,6 +146,34 @@ object LensQueries {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_unique_users"))
 
+  /** The REGISTERED approx-cardinality form (r15): the exact distinct
+    * count (SQL-re-derivable) next to the HLL++ sketch's 3σ certification
+    * — the `q_cardinality_bounds` flag computed genuinely from
+    * `approx_count_distinct`, upgrading q_cardinality_approx from
+    * rows-only to hash-oracled with the sketch still in the loop (an
+    * estimate drifting past 3σ flips the flag → hash mismatch). Two
+    * single-pass aggregates joined on the 5-row result, NOT one combined
+    * pass: countDistinct plans through an Expand, and the r13 measurement
+    * in `Invariants.cardinalityBounds` showed dragging a second aggregate
+    * through that path demotes the whole thing to SortAggregate. The raw
+    * estimates stay visible via [[cardinalityApprox]] (HllSpec-pinned). */
+  def cardinalityApproxVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+    val approx = cardinalityApprox(spark, dir)
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("unique_users"),
+        (abs(col("approx_unique_users") - col("unique_users")) <=
+          greatest(lit(1.0), lit(0.03) * col("unique_users")))
+          .as("approx_within_3sigma"))
+  }
+
+  val cardinalityApproxVerifiedSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS unique_users,
+      |  true AS approx_within_3sigma
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Custom mergeable-HLL twin of [[cardinalityApprox]] (the §4
     * TypedImperativeAggregate): same query shape, graft's own sketch. No
     * oracle (approximate by design); HllSpec pins the error bound. */

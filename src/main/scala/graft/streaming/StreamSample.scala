@@ -12,7 +12,7 @@ import graft.operators.Sampling
   * waits for a full-corpus pass.
   *
   * Why this sampler streams EXACTLY: selection is "the `budget` smallest
-  * (xxhash64(doc_id, seed), doc_id) per language" — a pure function of
+  * (portableHash(doc_id, seed), doc_id) per language" — a pure function of
   * the document SET. k-smallest-of-a-union = k-smallest of per-batch
   * k-smallests, so maintaining per-batch candidate top-ks and reducing at
   * read time reproduces the batch answer on the ingested prefix
@@ -38,7 +38,7 @@ object StreamSample {
   /** One micro-batch's candidate rows: the batch-local budget-capped
     * sample, ≤ budget rows per language per batch. Only (lang, doc_id)
     * is stored — the read side recomputes the rank hash from
-    * (doc_id, seed), which is both cheap (codegen'd xxhash64 over a
+    * (doc_id, seed), which is both cheap (the codegen'd portable hash over a
     * metadata-scale table) and safe: persisting the hash would invite a
     * read with a different seed to trust stored ranks that no longer
     * match the recomputed ones. */
@@ -80,7 +80,7 @@ object StreamSample {
     * candidates were streamed with: the stored table holds at most
     * stream-budget rows per language per batch (a larger read budget
     * would need candidates the stream already discarded), and the rank
-    * order is xxhash64(doc_id, STREAM seed) (a different read seed would
+    * order is portableHash(doc_id, STREAM seed) (a different read seed would
     * re-rank candidates that were selected under the old order — a
     * sample of a sample, not the batch answer). `sampleStreamTx` records
     * (budget, seed) in a `_sample_params` sidecar at the table path;
