@@ -39,7 +39,9 @@ object SparkEntry {
     // certification) — hash-oracled; raw estimates stay HllSpec-pinned
     ("q_cardinality_approx", LensQueries.cardinalityApproxVerified _,
       Some(LensQueries.cardinalityApproxVerifiedSql)),
-    ("q_cardinality_hll", LensQueries.cardinalityHll _, None),
+    // r15: verified frame for graft's own sketch (exact + 3σ flag)
+    ("q_cardinality_hll", LensQueries.cardinalityHllVerified _,
+      Some(LensQueries.cardinalityHllVerifiedSql)),
     // §2.3 joins
     ("q_join_dims", LensQueries.joinDims _, Some(LensQueries.joinDimsSql)),
     ("q_join_fact_agg", LensQueries.joinFactAgg _, Some(LensQueries.joinFactAggSql)),

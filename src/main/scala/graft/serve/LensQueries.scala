@@ -183,6 +183,30 @@ object LensQueries {
       .agg(graft.functions.HllAggregate.hll_distinct(col("user_id"))
         .as("hll_unique_users"))
 
+  /** The REGISTERED graft-HLL form (r15): [[cardinalityApprox Verified]]'s
+    * pattern applied to graft's OWN TypedImperativeAggregate sketch — the
+    * exact distinct count next to the sketch's genuinely-computed 3σ
+    * certification (p=12 ⇒ σ ≈ 1.04/√4096 ≈ 1.6%, 3σ ≈ 5%, ±1 slack for
+    * tiny groups — the `Invariants.cardinalityBounds` bound). Two
+    * single-pass aggregates joined on the 5-row result (the Expand
+    * demotion note on [[cardinalityApproxVerified]]); raw estimates stay
+    * visible via [[cardinalityHll]], HllSpec-pinned. */
+  def cardinalityHllVerified(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+    exact.join(cardinalityHll(spark, dir), "event_type")
+      .select(col("event_type"), col("unique_users"),
+        (abs(col("hll_unique_users") - col("unique_users")) <=
+          greatest(lit(1.0), lit(0.05) * col("unique_users")))
+          .as("hll_within_3sigma"))
+  }
+
+  val cardinalityHllVerifiedSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS unique_users,
+      |  true AS hll_within_3sigma
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- J1
   /** Left equi-join chain fact⋈dim⋈dim, dims broadcast
     * (`scripts/combination/combine_sources.py:80-84`). */
