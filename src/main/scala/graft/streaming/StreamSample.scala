@@ -90,6 +90,11 @@ object StreamSample {
   def readSample(spark: SparkSession, tablePath: String,
       budget: Int = 50, seed: Int = 42): DataFrame = {
     storedParams(spark, tablePath).foreach { case (sb, ss) =>
+      val sh = storedHashId(spark, tablePath)
+      require(sh == RankHashId,
+        s"candidates at $tablePath were ranked by '$sh' but this build " +
+        s"ranks by '$RankHashId': re-ranking rows another order selected " +
+        "is a sample of a sample, not the batch answer")
       require(seed == ss,
         s"readSample seed=$seed but candidates were streamed with seed=$ss: " +
         "stored candidates were selected under the old seed's hash order, so " +
@@ -139,12 +144,18 @@ object StreamSample {
             s"table at $tablePath was streamed with (budget=$sb, seed=$ss); " +
             s"refusing to append candidates selected under (budget=$budget, " +
             s"seed=$seed) — the mixed table would satisfy neither contract")
+          val sh = storedHashId(spark, tablePath)
+          require(sh == RankHashId,
+            s"table at $tablePath holds candidates ranked by '$sh' but this " +
+            s"build ranks by '$RankHashId' — appending would mix two " +
+            "selection orders (same refusal class as a seed change)")
           done = true
         case None =>
           val p = paramsPath(tablePath)
           val tmp = new Path(tablePath, s"_sample_params.tmp-${java.util.UUID.randomUUID()}")
           val out = fs.create(tmp, false)
-          try out.write(s"budget=$budget\nseed=$seed\n".getBytes("UTF-8"))
+          try out.write(
+            s"budget=$budget\nseed=$seed\nhash=$RankHashId\n".getBytes("UTF-8"))
           finally out.close()
           if (publish(fs, tmp, p)) done = true
           else {
@@ -158,8 +169,26 @@ object StreamSample {
     }
   }
 
+  /** Identifier of the rank-hash kernel this build selects with. r15
+    * switched [[Sampling.budgetSampleOf]] from xxhash64 to the portable
+    * polynomial hash (membership became SQL-oracle-able) — a candidate
+    * table streamed under the OLD order must be refused, not silently
+    * re-ranked: its per-batch top-ks discarded exactly the rows the new
+    * order might rank first, so a re-read would be a sample of a sample.
+    * A sidecar without the field is a pre-r15 xxhash64 table. */
+  private[graft] val RankHashId: String = "poly-bs"
+
+  private def storedHashId(spark: SparkSession, tablePath: String): String =
+    storedKv(spark, tablePath).flatMap(_.get("hash")).getOrElse("xxhash64")
+
   /** The streamed (budget, seed), if the sidecar exists. */
-  def storedParams(spark: SparkSession, tablePath: String): Option[(Int, Int)] = {
+  def storedParams(spark: SparkSession, tablePath: String): Option[(Int, Int)] =
+    storedKv(spark, tablePath).flatMap { kv =>
+      for (b <- kv.get("budget"); s <- kv.get("seed")) yield (b.toInt, s.toInt)
+    }
+
+  private def storedKv(spark: SparkSession,
+      tablePath: String): Option[Map[String, String]] = {
     val fs = hfs(spark, tablePath)
     val p = paramsPath(tablePath)
     if (!fs.exists(p)) None
@@ -167,10 +196,9 @@ object StreamSample {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
-      val kv = text.linesIterator.flatMap { l =>
+      Some(text.linesIterator.flatMap { l =>
         l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
-      }.toMap
-      for (b <- kv.get("budget"); s <- kv.get("seed")) yield (b.toInt, s.toInt)
+      }.toMap)
     }
   }
 }

@@ -116,6 +116,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(ids1 === ids2)
   }
 
+  test("budget sample: bounded-heap membership ≡ the window row_number form") {
+    // the r15 portable rank hash made membership SQL-oracle-able; this leg
+    // pins the HEAP KERNEL against an independent in-Spark spelling of the
+    // same selection (k smallest (hash, doc_id) per key via a window), so
+    // a kernel break can never hide behind a matching oracle edit
+    val budget = 50
+    val heap = Sampling.budgetSample(spark, sf, budget)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(Sampling.budgetRankHash(col("doc_id"), 42), col("doc_id"))
+    val window = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= budget)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(heap === window && heap.nonEmpty)
+  }
+
   test("bloom semi join output equals the plain semi join") {
     val viaBloom = Pruning.bloomSemiJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -167,6 +184,21 @@ class LayoutSpec extends AnyFunSuite {
     val again = Layout.shuffleShards(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(again == rows.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("shuffleShardsOf: pre-tokenized metadata input deals identically to raw text") {
+    // r15: the registered corpus queries feed the memoized quality
+    // n_tokens (materialized ingest metadata) instead of re-tokenizing —
+    // this leg pins that the two input shapes produce the SAME deal
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val raw = rows(Layout.shuffleShardsOf(spark,
+      Tables.documents(spark, sf).select("doc_id", "text")))
+    val meta = rows(Layout.shuffleShardsOf(spark,
+      graft.functions.TextFunctions.qualityQuery(spark, sf)
+        .select("doc_id", "n_tokens")))
+    assert(raw === meta && raw.nonEmpty)
   }
 
   test("corpus shuffle: no single-partition window — the prefix sum stays bucketed") {

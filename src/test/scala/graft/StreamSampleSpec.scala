@@ -106,12 +106,13 @@ class StreamSampleSpec extends AnyFunSuite {
 
   test("losing the sidecar publish race re-checks the winner's params immediately") {
     import org.apache.hadoop.fs.{FileSystem, Path}
-    def planting(budget: Int, seed: Int): (FileSystem, Path, Path) => Boolean =
+    def planting(budget: Int, seed: Int,
+        hash: String = StreamSample.RankHashId): (FileSystem, Path, Path) => Boolean =
       (fs, _, p) => {
         // simulate the exact race interleaving: a concurrent first-stream
         // published its sidecar between our existence check and our rename
         val out = fs.create(p, true)
-        try out.write(s"budget=$budget\nseed=$seed\n".getBytes("UTF-8"))
+        try out.write(s"budget=$budget\nseed=$seed\nhash=$hash\n".getBytes("UTF-8"))
         finally out.close()
         false
       }
@@ -131,5 +132,41 @@ class StreamSampleSpec extends AnyFunSuite {
       StreamSample.recordParams(spark, dir3, 50, 42, (_, _, _) => false)
     }
     assert(e3.getMessage.contains("unpinned"))
+  }
+
+  test("a pre-r15 sidecar (xxhash64 rank order) is refused, not re-ranked") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    // same (budget, seed) but the OLD hash id — the r15 rank-hash switch
+    // means those candidates were selected under a different total order;
+    // both the appender and the reader must refuse loudly
+    def plantingOld: (FileSystem, Path, Path) => Boolean =
+      (fs, _, p) => {
+        val out = fs.create(p, true)
+        try out.write("budget=50\nseed=42\nhash=xxhash64\n".getBytes("UTF-8"))
+        finally out.close()
+        false
+      }
+    val dir = Files.createTempDirectory("sample_oldhash").toString
+    val e = intercept[IllegalArgumentException] {
+      StreamSample.recordParams(spark, dir, 50, 42, plantingOld)
+    }
+    assert(e.getMessage.contains("xxhash64"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamSample.readSample(spark, dir, 50)
+    }
+    assert(e2.getMessage.contains("sample of a sample"))
+    // a field-less sidecar (earliest generation) reads as xxhash64 too
+    def plantingNoField: (FileSystem, Path, Path) => Boolean =
+      (fs, _, p) => {
+        val out = fs.create(p, true)
+        try out.write("budget=50\nseed=42\n".getBytes("UTF-8"))
+        finally out.close()
+        false
+      }
+    val dir2 = Files.createTempDirectory("sample_nofield").toString
+    val eN = intercept[IllegalArgumentException] {
+      StreamSample.recordParams(spark, dir2, 50, 42, plantingNoField)
+    }
+    assert(eN.getMessage.contains("xxhash64"))
   }
 }
