@@ -324,7 +324,7 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-    // canary baseline: JIT-warm then 5 pre-fleet samples (index -1)
+    // canary baseline: 3 JIT-warm runs, then 3 pre-fleet samples (index -1)
     (1 to 3).foreach(_ => canaryOnce())
     val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     (1 to 3).foreach(_ => canarySamples += ((-1, canarySample())))

@@ -132,7 +132,7 @@ object Layout {
   def shuffleShards(spark: SparkSession, dir: String, seed: Int = 42,
       shardTokens: Long = ShardTokens,
       topBits: Int = ShuffleTopBits): DataFrame =
-    shuffleShardsOf(spark, corpusTokenCounts(spark, dir),
+    shuffleShardsOfCounts(spark, corpusTokenCounts(spark, dir),
       seed, shardTokens, topBits)
 
   /** The corpus-level (doc_id, n_tokens) source: the MEMOIZED quality
@@ -163,14 +163,25 @@ object Layout {
     * max(shard) < base/B and generations stay disjoint by arithmetic. */
   def shuffleShardsOf(spark: SparkSession, input: DataFrame, seed: Int = 42,
       shardTokens: Long = ShardTokens, topBits: Int = ShuffleTopBits,
-      startTokens: Long = 0L): DataFrame = {
-    // an input already carrying n_tokens (the materialized-metadata path —
-    // see corpusTokenCounts) skips the tokenizer; a raw (doc_id, text)
-    // frame (StreamShards batches, ad-hoc callers) still tokenizes here
-    val docs = (if (input.columns.contains("n_tokens"))
-        input.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
-      else input.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")))
+      startTokens: Long = 0L): DataFrame =
+    shuffleShardsOfCounts(spark,
+      input.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      seed, shardTokens, topBits, startTokens)
+
+  /** The shard dealer over PRE-COMPUTED per-doc token counts — the
+    * EXPLICIT entry point for the materialized-metadata path (the quality
+    * memo's n_tokens IS this operator's whitespace token definition, see
+    * [[corpusTokenCounts]]). A separate function, not schema sniffing on
+    * the text form: an input that merely happens to carry an `n_tokens`
+    * column computed under some OTHER tokenizer must keep tokenizing the
+    * text, never silently change shard assignment semantics — the caller
+    * opts into trusting its counts by calling this. */
+  def shuffleShardsOfCounts(spark: SparkSession, counts: DataFrame,
+      seed: Int = 42, shardTokens: Long = ShardTokens,
+      topBits: Int = ShuffleTopBits, startTokens: Long = 0L): DataFrame = {
+    val docs = counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("shuffle_key", shuffleKey(col("doc_id"), seed))
       .withColumn("bucket",
@@ -241,12 +252,12 @@ object Layout {
     val all = corpusTokenCounts(spark, dir)
     val oldDocs = all.filter(col("doc_id") % 2 === 0)
     val newDocs = all.filter(col("doc_id") % 2 === 1)
-    val frozen = shuffleShardsOf(spark, oldDocs, seed, shardTokens, topBits)
+    val frozen = shuffleShardsOfCounts(spark, oldDocs, seed, shardTokens, topBits)
     val oldTotal = frozen.agg(coalesce(sum("n_tokens"), lit(0L)))
       .first().getLong(0)
     val base = ((oldTotal + shardTokens - 1) / shardTokens) * shardTokens
     val appended =
-      shuffleShardsOf(spark, newDocs, seed, shardTokens, topBits, base)
+      shuffleShardsOfCounts(spark, newDocs, seed, shardTokens, topBits, base)
     frozen.withColumn("generation", lit(0))
       .unionByName(appended.withColumn("generation", lit(1)))
   }

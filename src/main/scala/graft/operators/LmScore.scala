@@ -59,8 +59,8 @@ object LmScore {
     // session-lifetime cache below holds vocab — model-scale, as pinned.
     val cab = f.groupBy("lang", "bg")
       .agg(sum("c").cast("double").as("c_ab"))
-    // context counts derive from the tiny CACHED bigram aggregate — no
-    // extra corpus pass: c(a·) = Σ_b c(ab)
+    // context counts derive from the (uncached, exchange-shared) bigram
+    // aggregate — no extra corpus pass: c(a·) = Σ_b c(ab)
     val ca = cab.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
       .agg(sum("c_ab").as("c_a"))
     val vocab = norm

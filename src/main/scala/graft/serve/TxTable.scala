@@ -272,13 +272,19 @@ object TxTable {
         // pruned out-of-band is still a readable snapshot — entry
         // resolution accepts it, so txn resolution must too, or every
         // stamped merge / lastTxnBatch / writeCheckpoint on such a table
-        // fails while reads work. Root at the newest reset commit with a
-        // contiguous tail to v; stamps carried by pruned pre-root commits
-        // are UNKNOWABLE and treated as absent — the documented migration
-        // caveat (a replay of a pre-root batch re-applies). Unreachable
-        // through this engine's own maintenance: vacuum checkpoints every
-        // kept version before pruning, so only external deletion gets here.
-        val resetRoot = commits.reverse.find { cv =>
+        // fails while reads work. Root at the OLDEST reset commit with a
+        // contiguous tail to v — never the newest: a readable stamped
+        // commit sitting between an older contiguous reset and a newer one
+        // carries a stamp this fold can still know, and discarding it
+        // (then persisting the impoverished map via the next checkpoint)
+        // would green-light exactly the double apply the docstring above
+        // forbids. Only stamps on commits PRUNED below the oldest
+        // qualifying root are UNKNOWABLE and treated as absent — the
+        // documented migration caveat (a replay of a pre-root batch
+        // re-applies). Unreachable through this engine's own maintenance:
+        // vacuum checkpoints every kept version before pruning, so only
+        // external deletion gets here.
+        val resetRoot = commits.find { cv =>
           commits.dropWhile(_ < cv) == (cv to v) &&
             readCommit(fs, path, cv).reset
         }

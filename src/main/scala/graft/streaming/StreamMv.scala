@@ -30,16 +30,44 @@ object StreamMv {
   /** Stable writer id for the txn stamp: the checkpoint location IS the
     * stream's identity (one writer per checkpoint), hashed so path
     * separators never leak into the commit header's token syntax.
-    * CANONICAL path, not absolute (r14 ADVICE): a relative checkpoint
-    * resolved from a different working directory after a crash-restart —
-    * or a `..`/symlink spelling of the same directory — must hash to the
-    * SAME appId, or the replay guard silently disarms in exactly the
-    * crash-recovery scenario it exists for. getCanonicalPath resolves
-    * `.`/`..` and symlinks to one physical spelling. */
-  private[graft] def txnAppId(checkpoint: String): String =
-    "stream_mv_" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(checkpoint).getCanonicalPath) & 0xffffffffL)
+    *
+    * PERSISTED in the checkpoint directory on first use (r15, closing the
+    * r14 fix's own residual): deriving the id from any SPELLING of the
+    * path — absolute (pre-r14) or canonical (r14) — re-keys the id
+    * whenever the derivation changes or the filesystem view does (a
+    * checkpoint reached through a symlink that is later re-pointed, a
+    * mount moved between runs), and a re-keyed id disarms the replay
+    * guard exactly across a crash-restart. The identity therefore lives
+    * WITH the checkpoint state it guards: minted once from the canonical
+    * path (resolving `.`/`..`/symlink spellings), written atomically
+    * beside the checkpoint, and READ BACK on every later call — any
+    * spelling of the same directory sees the same file, and no future
+    * derivation change can ever re-key an existing stream. Checkpoints
+    * created before this file existed mint it on their next start from
+    * the same canonical-path recipe r14 used, so the common
+    * (symlink-free) upgrade is stamp-continuous. */
+  private[graft] def txnAppId(checkpoint: String): String = {
+    val dir = new java.io.File(checkpoint).getCanonicalFile
+    val f = new java.io.File(dir, "_graft_app_id")
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    else {
+      val minted = "stream_mv_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir.getPath) & 0xffffffffL)
+      dir.mkdirs()
+      val tmp = java.io.File.createTempFile("_graft_app_id", ".tmp", dir)
+      java.nio.file.Files.write(tmp.toPath, (minted + "\n").getBytes("UTF-8"))
+      // atomic publish; if a concurrent first-start won, adopt its id
+      try java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException
+                 | _: java.nio.file.FileSystemException =>
+        tmp.delete() }
+      if (f.isFile)
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      else minted
+    }
+  }
 
   /** Drain `eventsDir` as a stream, folding each micro-batch into the MV
     * table at `tablePath`. The table must exist (seed with an empty or

@@ -85,10 +85,23 @@ object StreamSample {
     * sample of a sample, not the batch answer). `sampleStreamTx` records
     * (budget, seed) in a `_sample_params` sidecar at the table path;
     * this read refuses a seed mismatch or a budget above the streamed
-    * one. Tables streamed before the sidecar existed read unguarded
-    * (nothing to check against). */
+    * one. Since r15 a table holding candidates WITHOUT a sidecar is
+    * refused too (pre-sidecar ⇒ pre-r15 rank order — see the in-method
+    * comment); only an empty/nonexistent table reads unguarded. */
   def readSample(spark: SparkSession, tablePath: String,
       budget: Int = 50, seed: Int = 42): DataFrame = {
+    // a candidate table WITHOUT a sidecar is a pre-sidecar stream —
+    // necessarily ranked under the pre-r15 xxhash64 order, with nothing
+    // to verify the read against. It must be refused like an old-hash
+    // sidecar, not read unguarded: the unguarded read was r14's
+    // documented soft spot and silently re-ranks candidates whose
+    // per-batch top-ks discarded exactly the rows the new order might
+    // rank first (re-stream the source to regenerate).
+    require(storedParams(spark, tablePath).nonEmpty ||
+        graft.serve.TxTable.latestVersion(spark, tablePath).isEmpty,
+      s"candidate table at $tablePath has no _sample_params sidecar: it " +
+      "was streamed by a pre-sidecar build under a different rank order; " +
+      "re-ranking it is a sample of a sample — re-stream the source")
     storedParams(spark, tablePath).foreach { case (sb, ss) =>
       val sh = storedHashId(spark, tablePath)
       require(sh == RankHashId,
@@ -151,6 +164,14 @@ object StreamSample {
             "selection orders (same refusal class as a seed change)")
           done = true
         case None =>
+          // never stamp a FRESH sidecar over a table that already holds
+          // candidates: those rows were selected by a pre-sidecar build
+          // (old rank order), and blessing them with hash=poly-bs would
+          // launder the exact mixed-order table this guard refuses
+          require(graft.serve.TxTable.latestVersion(spark, tablePath).isEmpty,
+            s"table at $tablePath holds candidates but no _sample_params " +
+            "sidecar (pre-sidecar stream, old rank order); refusing to " +
+            "stamp fresh params over them — re-stream into a new table")
           val p = paramsPath(tablePath)
           val tmp = new Path(tablePath, s"_sample_params.tmp-${java.util.UUID.randomUUID()}")
           val out = fs.create(tmp, false)

@@ -195,7 +195,7 @@ class LayoutSpec extends AnyFunSuite {
       .toSet
     val raw = rows(Layout.shuffleShardsOf(spark,
       Tables.documents(spark, sf).select("doc_id", "text")))
-    val meta = rows(Layout.shuffleShardsOf(spark,
+    val meta = rows(Layout.shuffleShardsOfCounts(spark,
       graft.functions.TextFunctions.qualityQuery(spark, sf)
         .select("doc_id", "n_tokens")))
     assert(raw === meta && raw.nonEmpty)

@@ -38,6 +38,23 @@ class StreamMvSpec extends AnyFunSuite {
     assert(versions.count() == batch.length.toLong)
   }
 
+  test("txnAppId is persisted with the checkpoint — spelling- and derivation-proof") {
+    val root = java.nio.file.Files.createTempDirectory("stream_mv_appid").toString
+    val a = StreamMv.txnAppId(s"$root/ckpt")
+    // any later spelling of the same directory reads the same persisted id
+    assert(StreamMv.txnAppId(s"$root/./ckpt") == a)
+    assert(StreamMv.txnAppId(s"$root/ckpt/../ckpt") == a)
+    assert(new java.io.File(s"$root/ckpt", "_graft_app_id").isFile,
+      "the identity must live WITH the checkpoint state it guards")
+    // an id minted by an OLDER derivation is adopted verbatim — a future
+    // change to the minting recipe can never re-key an existing stream
+    val legacy = new java.io.File(s"$root/ckpt2"); legacy.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(legacy, "_graft_app_id").toPath,
+      "stream_mv_legacy42\n".getBytes("UTF-8"))
+    assert(StreamMv.txnAppId(legacy.getPath) == "stream_mv_legacy42")
+  }
+
   test("replayed micro-batch is a no-op: txn stamp closes the double-apply window") {
     val root = java.nio.file.Files.createTempDirectory("stream_mv_txn").toString
     val tablePath = s"$root/mv"

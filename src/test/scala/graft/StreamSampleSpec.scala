@@ -169,4 +169,27 @@ class StreamSampleSpec extends AnyFunSuite {
     }
     assert(eN.getMessage.contains("xxhash64"))
   }
+
+  test("a candidate table with NO sidecar at all is refused, never re-ranked") {
+    // pre-sidecar streams left candidates with nothing to verify against —
+    // r14 read them unguarded; r15 refuses (the rows were top-k'd under the
+    // old rank order, so a re-read is a sample of a sample by construction)
+    val root = Files.createTempDirectory("sample_nosidecar").toString
+    val table = s"$root/sample"
+    graft.serve.TxTable.write(spark,
+      spark.createDataFrame(Seq((1L, "en"), (2L, "fr")))
+        .toDF("doc_id", "lang"), table)
+    val e = intercept[IllegalArgumentException] {
+      StreamSample.readSample(spark, table, 50)
+    }
+    assert(e.getMessage.contains("no _sample_params sidecar"))
+    // and stamping FRESH params over the old-order rows is refused too
+    val e2 = intercept[IllegalArgumentException] {
+      StreamSample.recordParams(spark, table, 50, 42)
+    }
+    assert(e2.getMessage.contains("refusing to stamp fresh params"))
+    // an empty/nonexistent table path stays unguarded (fresh first stream)
+    StreamSample.recordParams(spark, s"$root/fresh", 50, 42)
+    assert(StreamSample.storedParams(spark, s"$root/fresh").contains((50, 42)))
+  }
 }

@@ -230,6 +230,37 @@ class TxVacuumSpec extends AnyFunSuite {
       "replay on the repaired table must still no-op")
   }
 
+  test("reset-rooted fallback keeps stamps between two resets (oldest root wins)") {
+    // A readable stamped commit sitting BETWEEN an older contiguous reset
+    // and a newer one carries a stamp the fold can still know. Rooting at
+    // the NEWEST reset would discard it — and the next checkpoint would
+    // persist the impoverished map — green-lighting a double apply of the
+    // stamped batch. The resolver must root at the OLDEST qualifying reset.
+    val path = fresh("reset_oldest")
+    TxTable.write(spark,
+      spark.range(5).select(col("id"), lit("gone").as("txt")), path)   // v0 (pruned)
+    TxTable.write(spark,
+      spark.range(5).select(col("id"), lit("base").as("txt")), path)   // v1 RESET (oldest root)
+    TxTable.merge(spark, Seq((1L, "mid")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_mid", 5L)))                          // v2 stamped, READABLE
+    TxTable.write(spark,
+      spark.range(5).select(col("id"), lit("reset2").as("txt")), path) // v3 RESET (newer)
+    TxTable.merge(spark, Seq((2L, "top")).toDF("id", "txt"), path,
+      Seq("id"))                                                       // v4
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_txlog", f"${0L}%08d.txt"), false)
+    assert(TxTable.read(spark, path).count() == 5L)
+    assert(TxTable.lastTxnBatch(spark, path, "app_mid").contains(5L),
+      "a READABLE stamp between two resets must survive the fallback rooting")
+    // and a replay of that batch must still no-op through the guard
+    val before = TxTable.latestVersion(spark, path)
+    TxTable.merge(spark, Seq((1L, "replay")).toDF("id", "txt"), path,
+      Seq("id"), txn = Some(("app_mid", 5L)))
+    assert(TxTable.latestVersion(spark, path) == before,
+      "replay of the mid-chain stamped batch must no-op, not double apply")
+  }
+
   test("vacuum retains every version's files that keepVersions names, pruning only the prefix") {
     val path = fresh("prefix")
     threeVersions(path)
