@@ -128,6 +128,53 @@ object Bench {
   private[graft] def canarySample(): Double =
     Seq(canaryOnce(), canaryOnce(), canaryOnce()).min
 
+  // ------------------------------------------- memory-bandwidth canary
+  /** The ALU canary's blind spot, measured on this very sandbox (r15
+    * forensics of three same-HEAD untainted runs spanning 125.9–143.4 s):
+    * the runs' ALU canaries were IDENTICAL while the fleet inflated
+    * ~9–13% broadly — a MEMORY-side slowdown (bandwidth/LLC contention,
+    * THP/NUMA layout, GC pressure) that a register-only xorshift kernel
+    * cannot feel. This second kernel streams a 128 MB long array touching
+    * one element per cache line (stride 8 × 8 B = 64 B), 4 passes, so its
+    * wall time is bandwidth-bound (~50 ms on the quiet sandbox).
+    *
+    * VISIBILITY-FIRST, deliberately NOT a taint input yet: the observed
+    * band came from honest same-machine runs, and wiring an untuned
+    * threshold into `tainted` would invite cherry-picking the fast run
+    * and calling the slow one contaminated. The fields ride both JSON
+    * lines (`canary_mem_*`) so rounds accumulate the distribution; a
+    * taint rule needs that evidence plus a fleet-calibrated reference. */
+  private[graft] val MemCanaryLongs: Int = 1 << 24 // 128 MB
+  private lazy val memCanaryArr: Array[Long] = {
+    val a = new Array[Long](MemCanaryLongs)
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 8 }
+    a
+  }
+
+  private[graft] def canaryMemOnce(): Double = {
+    val a = memCanaryArr
+    val t0 = System.nanoTime()
+    var acc = 0L
+    var pass = 0
+    while (pass < 4) {
+      var i = 0
+      while (i < a.length) { acc += a(i); i += 8 } // one touch per line
+      pass += 1
+    }
+    canarySink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private[graft] def canaryMemSample(): Double =
+    Seq(canaryMemOnce(), canaryMemOnce(), canaryMemOnce()).min
+
+  /** Quiet-sandbox reference for the memory kernel (min of 10 post-JIT
+    * samples via the calibration mode — 0.0220 measured at r15 pin time,
+    * ≈ 23 GB/s effective; override with SPARK_GRAFT_CANARY_MEM_REF on
+    * other hardware). */
+  private[graft] val CanaryMemRefSec: Double = 0.022
+
   private[graft] def medianOf(xs: Seq[Double]): Double = {
     require(xs.nonEmpty, "median of nothing")
     val s = xs.sorted
@@ -259,7 +306,9 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_CANARY_CAL")) {
       (1 to 10).foreach(_ => canaryOnce())
       val samples = (1 to 10).map(_ => canarySample())
-      println(s"""{"canary_samples":[${samples.map(s => f"$s%.4f").mkString(",")}],"min":${f"${samples.min}%.4f"},"median":${f"${medianOf(samples)}%.4f"}}""")
+      (1 to 3).foreach(_ => canaryMemOnce())
+      val mem = (1 to 10).map(_ => canaryMemSample())
+      println(s"""{"canary_samples":[${samples.map(s => f"$s%.4f").mkString(",")}],"min":${f"${samples.min}%.4f"},"median":${f"${medianOf(samples)}%.4f"},"mem_samples":[${mem.map(s => f"$s%.4f").mkString(",")}],"mem_min":${f"${mem.min}%.4f"},"mem_median":${f"${medianOf(mem)}%.4f"}}""")
       return
     }
     // sample BEFORE any work: the end-of-run 1-min average always reflects
@@ -326,16 +375,24 @@ object Bench {
       .filter(kv => only.forall(_.contains(kv._1)))
     // canary baseline: 3 JIT-warm runs, then 3 pre-fleet samples (index -1)
     (1 to 3).foreach(_ => canaryOnce())
+    (1 to 2).foreach(_ => canaryMemOnce())
     val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-    (1 to 3).foreach(_ => canarySamples += ((-1, canarySample())))
+    val canaryMemSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to 3).foreach { _ =>
+      canarySamples += ((-1, canarySample()))
+      canaryMemSamples += canaryMemSample()
+    }
     val first = scala.collection.mutable.LinkedHashMap[String, Timing]()
     names.zipWithIndex.foreach { case ((name, fn), i) =>
       val (sec, ext) = runOne(fn)
       first(name) = Timing(sec, ext, rerun = false)
-      if (i % CanaryEvery == CanaryEvery - 1)
+      if (i % CanaryEvery == CanaryEvery - 1) {
         canarySamples += ((i, canarySample()))
+        canaryMemSamples += canaryMemSample()
+      }
     }
     canarySamples += ((names.size - 1, canarySample()))
+    canaryMemSamples += canaryMemSample()
     // segment taint: a slow in-fleet sample marks every query since the
     // previous sample (the window the invisible burst must have hit)
     val canaryMin = canarySamples.map(_._2).min
@@ -450,6 +507,9 @@ object Bench {
     // whole artifact is tainted when the machine was provably slow even if
     // no jiffy window fired
     val canarySlowdown = r3(canaryMedian / canaryRef)
+    val canaryMemRef = sys.env.get("SPARK_GRAFT_CANARY_MEM_REF")
+      .map(_.toDouble).getOrElse(CanaryMemRefSec)
+    val canaryMemMedian = medianOf(canaryMemSamples.toSeq)
     val canaryRunTainted = canaryRunSlow(canaryMedian, canaryRef)
     val tainted = preGateTainted || canaryRunTainted || taintedNames.nonEmpty
     // the machine-stamped rescue-flattering bound (see honestWorstCaseTotal)
@@ -470,6 +530,11 @@ object Bench {
       s""""canary_samples":${canarySamples.size},""" +
       s""""canary_slowdown":$canarySlowdown,""" +
       s""""canary_run_tainted":$canaryRunTainted,""" +
+      s""""canary_mem_ref_sec":$canaryMemRef,""" +
+      s""""canary_mem_min_sec":${r3(canaryMemSamples.min)},""" +
+      s""""canary_mem_median_sec":${r3(canaryMemMedian)},""" +
+      s""""canary_mem_max_sec":${r3(canaryMemSamples.max)},""" +
+      s""""canary_mem_slowdown":${r3(canaryMemMedian / canaryMemRef)},""" +
       s""""canary_tainted_queries":${jArr(canaryTaintedNames)},""" +
       s""""honest_worst_case_total":$honestWorst,""" +
       s""""clean_total":$cleanTotal,"total_linear":$totalLinear,""" +

@@ -122,6 +122,24 @@ class BenchTaintSpec extends AnyFunSuite {
     assert(Bench.medianOf(Seq(1.0, 1.0, 1.0, 9.0, 9.0)) == 1.0)
   }
 
+  test("memory canary: bandwidth-bound kernel times positive and repeatable") {
+    // the ALU canary's blind spot (r15 forensics: same-HEAD runs spanned
+    // 125.9-143.4 s with IDENTICAL ALU canaries — a memory-side slowdown).
+    // This kernel streams 128 MB touching one element per cache line; its
+    // fields are VISIBILITY-ONLY in the artifact (canary_mem_*) — the
+    // pinned behavior here is that it measures real work deterministically,
+    // not that it feeds `tainted` (it deliberately does not, yet: wiring an
+    // untuned threshold would invite calling an honest slow run tainted).
+    (1 to 2).foreach(_ => Bench.canaryMemOnce())
+    val a = Bench.canaryMemSample()
+    val b = Bench.canaryMemSample()
+    assert(a > 0.001 && b > 0.001, "the sum must not be dead-code-eliminated")
+    assert(a < 5.0 && b < 5.0, "128 MB x 4 passes should take well under 5 s")
+    // min-of-3 sampling keeps adjacent samples within scheduler jitter
+    assert(math.max(a, b) / math.min(a, b) < 3.0,
+      s"back-to-back quiet samples diverged: $a vs $b")
+  }
+
   test("taint rule: threshold scales with wall time, floor kills jiffy noise") {
     // sub-100 ms window with one stray tick: NOT tainted (granularity floor)
     assert(!Bench.taintedWindow(extSec = 0.04, wallSec = 0.04, coresThreshold = 0.5))
