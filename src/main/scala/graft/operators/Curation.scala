@@ -435,21 +435,43 @@ object Curation {
     * portable hash, it makes the WHOLE audit SQL-re-derivable
     * ([[splitContaminationSql]]), upgrading the query from rows-only to
     * hash-oracled. The MinHash pair graph remains the straddle source a
-    * web-scale run would swap in (`Dedup.minhashNearDups` — one-line
-    * substitution, same frame shape). */
-  def splitContamination(spark: SparkSession, dir: String, seed: Int = 42): DataFrame = {
-    // cache the tiny (doc_id, split) projection so the corpus is scanned
-    // once, not once per join side; BROADCAST the pair side (pairs ≪ corpus)
-    // so each lookup streams the split metadata instead of shuffling it
+    * web-scale run would swap in — kept as the real code path
+    * [[splitContaminationMinhash]], with CurationSpec pinning pair-set
+    * parity between the two sources so the df-cap recall trade stays
+    * measured rather than assumed. */
+  def splitContamination(spark: SparkSession, dir: String, seed: Int = 42): DataFrame =
+    straddleOf(spark, dir, seed, Dedup.ngramJaccardPairs(spark, dir))
+
+  /** The straddle join both pair sources share — ONE construction, so the
+    * registered audit and its MinHash twin cannot drift in how they look
+    * up splits. Caches the tiny (doc_id, split) projection so the corpus
+    * is scanned once, not once per join side; BROADCASTs the pair side
+    * (pairs ≪ corpus) so each lookup streams the split metadata instead
+    * of shuffling it. */
+  private def straddleOf(spark: SparkSession, dir: String, seed: Int,
+      pairs: DataFrame): DataFrame = {
     val splits = splitAssign(spark, dir, seed).select(col("doc_id"), col("split")).cache()
-    val pairs = Dedup.ngramJaccardPairs(spark, dir)
-    broadcast(pairs)
+    broadcast(pairs.select("doc_a", "doc_b", "jaccard"))
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
       .hint("broadcast")
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
       .filter(col("split_a") =!= col("split_b"))
       .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
   }
+
+  /** The MinHash-LSH-sourced straddle variant — the pair source a web-scale
+    * run would swap in, kept as a REAL code path (not prose) so the recall
+    * contract the r15 source switch changed stays measured: a cross-split
+    * near-dup pair whose shared n-grams all exceed the exact pipeline's df
+    * cap is invisible to [[splitContamination]] but visible here.
+    * Deliberately NOT registered (the bench denominator stays stable);
+    * CurationSpec asserts pair-set parity between the two sources on the
+    * pinned fixtures — at the MinHash verify threshold (0.7) the two
+    * straddle sets must agree exactly, so the df-cap recall gap is an
+    * asserted zero rather than an assumed one. */
+  private[graft] def splitContaminationMinhash(spark: SparkSession, dir: String,
+      seed: Int = 42): DataFrame =
+    straddleOf(spark, dir, seed, Dedup.minhashNearDups(spark, dir))
 
   /** DuckDB oracle for [[splitContamination]] (seed 42): the exact-Jaccard
     * pair pipeline as a CTE (q_dedup_ngram_jaccard's own oracle) joined

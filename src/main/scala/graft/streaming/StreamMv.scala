@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -45,28 +46,64 @@ object StreamMv {
     * derivation change can ever re-key an existing stream. Checkpoints
     * created before this file existed mint it on their next start from
     * the same canonical-path recipe r14 used, so the common
-    * (symlink-free) upgrade is stamp-continuous. */
+    * (symlink-free) upgrade is stamp-continuous. All file I/O goes through
+    * the Hadoop FileSystem resolved from the checkpoint URI (r16): a
+    * checkpoint on hdfs:// or s3a:// keeps its identity file WITH its
+    * state, not in a CWD-relative local directory. */
   private[graft] def txnAppId(checkpoint: String): String = {
-    val dir = new java.io.File(checkpoint).getCanonicalFile
-    val f = new java.io.File(dir, "_graft_app_id")
-    if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    // the checkpoint is a Spark checkpointLocation and can be ANY Hadoop
+    // URI (hdfs://, s3a://) — r15's java.io.File implementation would have
+    // dropped the id file in a CWD-relative local directory for those, so
+    // the identity must be resolved through the SAME FileSystem the
+    // checkpoint state lives on (the StreamSample._sample_params pattern)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val cp = new Path(checkpoint)
+    val fs = cp.getFileSystem(conf)
+    val f = new Path(cp, "_graft_app_id")
+    if (fs.exists(f)) readId(fs, f)
     else {
+      // mint seed = the canonical spelling: local paths keep the exact
+      // java.io canonical-path recipe (symlink-resolving, and byte-for-byte
+      // what r14/r15 hashed — a pre-id-file local checkpoint upgrades
+      // stamp-continuously); remote URIs use the fs-qualified form (the
+      // filesystem itself is the authority on the path's identity there)
+      val qualified = fs.makeQualified(cp)
+      val seed =
+        if (qualified.toUri.getScheme == "file")
+          new java.io.File(qualified.toUri.getPath).getCanonicalPath
+        else qualified.toString
       val minted = "stream_mv_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir.getPath) & 0xffffffffL)
-      dir.mkdirs()
-      val tmp = java.io.File.createTempFile("_graft_app_id", ".tmp", dir)
-      java.nio.file.Files.write(tmp.toPath, (minted + "\n").getBytes("UTF-8"))
-      // atomic publish; if a concurrent first-start won, adopt its id
-      try java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException
-                 | _: java.nio.file.FileSystemException =>
-        tmp.delete() }
-      if (f.isFile)
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-      else minted
+        scala.util.hashing.MurmurHash3.stringHash(seed) & 0xffffffffL)
+      fs.mkdirs(cp)
+      val tmp = new Path(cp, s"_graft_app_id.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write((minted + "\n").getBytes("UTF-8")) finally out.close()
+      // atomic publish (HDFS rename refuses an existing target); if a
+      // concurrent first-start won the race, adopt its id — both minted
+      // from the same canonical seed, so the ids agree anyway
+      if (!fs.rename(tmp, f)) fs.delete(tmp, false)
+      if (fs.exists(f)) readId(fs, f) else minted
     }
+  }
+
+  /** Read-back with validation: an empty or control-character-bearing id
+    * would either silently disarm per-stream identity (appId "") or make
+    * every later [[graft.serve.TxTable.merge]] throw its appId-charset
+    * `require` with no hint of WHERE the bad id came from. A poisoned
+    * `_graft_app_id` must fail loudly, naming the file, at stream start. */
+  private def readId(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    val id = (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()).trim
+    require(id.nonEmpty &&
+        !id.exists(c => c == ':' || c == '=' || c == '\t' || c == '\n' || c == '\r'),
+      s"checkpoint identity file $p holds an invalid app id " +
+      s"'${id.take(40)}' (empty or contains one of ':', '=', tab, newline) " +
+      "— the file is corrupt; restore it from the stream's commit stamps " +
+      "or delete it to re-mint, rather than stamping merges with a bad id")
+    id
   }
 
   /** Drain `eventsDir` as a stream, folding each micro-batch into the MV

@@ -98,7 +98,7 @@ object StreamSample {
     // per-batch top-ks discarded exactly the rows the new order might
     // rank first (re-stream the source to regenerate).
     require(storedParams(spark, tablePath).nonEmpty ||
-        graft.serve.TxTable.latestVersion(spark, tablePath).isEmpty,
+        !holdsCandidates(spark, tablePath),
       s"candidate table at $tablePath has no _sample_params sidecar: it " +
       "was streamed by a pre-sidecar build under a different rank order; " +
       "re-ranking it is a sample of a sample — re-stream the source")
@@ -121,6 +121,17 @@ object StreamSample {
       graft.serve.TxTable.read(spark, tablePath).select("doc_id", "lang"),
       "lang", budget, seed)
   }
+
+  /** True iff the table exists AND holds at least one candidate ROW. The
+    * no-sidecar refusals key on this, not on mere version existence (r16):
+    * a deliberately pre-seeded EMPTY table — a schema-fixing seed commit,
+    * the StreamMv idiom — contains nothing that was selected under any
+    * rank order, so there is nothing a re-rank could corrupt; refusing it
+    * with "re-stream the source" would be a misleading dead end. The
+    * emptiness probe is a limit-1 job over a metadata-scale table. */
+  private def holdsCandidates(spark: SparkSession, tablePath: String): Boolean =
+    graft.serve.TxTable.latestVersion(spark, tablePath).isDefined &&
+      !graft.serve.TxTable.read(spark, tablePath).isEmpty
 
   private def paramsPath(tablePath: String) = new Path(tablePath, "_sample_params")
 
@@ -168,7 +179,7 @@ object StreamSample {
           // candidates: those rows were selected by a pre-sidecar build
           // (old rank order), and blessing them with hash=poly-bs would
           // launder the exact mixed-order table this guard refuses
-          require(graft.serve.TxTable.latestVersion(spark, tablePath).isEmpty,
+          require(!holdsCandidates(spark, tablePath),
             s"table at $tablePath holds candidates but no _sample_params " +
             "sidecar (pre-sidecar stream, old rank order); refusing to " +
             "stamp fresh params over them — re-stream into a new table")

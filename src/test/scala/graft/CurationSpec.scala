@@ -344,4 +344,25 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_train")).sum == split("train"))
     assert(rows.map(_.getAs[Long]("n_val")).sum == split("val"))
   }
+
+  test("contamination straddle: minhash source ≡ exact source at the verify threshold") {
+    // the r15 source switch (MinHash-LSH → df-capped exact n-gram Jaccard)
+    // narrowed what "contamination caught" can see: a cross-split pair
+    // sharing ONLY df>cap shingles is exact-invisible but LSH-findable.
+    // This leg keeps that recall gap MEASURED: at the MinHash verify
+    // threshold (0.7) the two straddle pair sets — same split join, same
+    // exact jaccard over full shingle sets — must agree exactly on the
+    // pinned fixtures, so a df-cap (or banding) miss shows up as a set
+    // difference, not an assumption.
+    val exact = Curation.splitContamination(spark, sf)
+      .filter(col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(_.toString).toSet
+    val mh = Curation.splitContaminationMinhash(spark, sf)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(_.toString).toSet
+    assert(mh == exact,
+      s"straddle sources diverged: exact-only=${(exact -- mh).take(3)} " +
+      s"minhash-only=${(mh -- exact).take(3)}")
+  }
 }

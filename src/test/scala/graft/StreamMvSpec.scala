@@ -55,6 +55,26 @@ class StreamMvSpec extends AnyFunSuite {
     assert(StreamMv.txnAppId(legacy.getPath) == "stream_mv_legacy42")
   }
 
+  test("a poisoned _graft_app_id fails loudly naming the file, never a bad stamp") {
+    // an EMPTY id would silently disarm per-stream identity (appId "");
+    // one with ':' would brick every later merge inside TxTable's charset
+    // require with no hint of the cause — both must fail AT READ, naming
+    // the file, so the operator fixes the checkpoint instead of the merge
+    val root = java.nio.file.Files.createTempDirectory("stream_mv_poison").toString
+    val empty = new java.io.File(s"$root/ckptE"); empty.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(empty, "_graft_app_id").toPath, "\n".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] { StreamMv.txnAppId(empty.getPath) }
+    assert(e1.getMessage.contains("_graft_app_id") &&
+      e1.getMessage.contains("invalid app id"))
+    val colon = new java.io.File(s"$root/ckptC"); colon.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(colon, "_graft_app_id").toPath,
+      "bad:id\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] { StreamMv.txnAppId(colon.getPath) }
+    assert(e2.getMessage.contains("invalid app id"))
+  }
+
   test("replayed micro-batch is a no-op: txn stamp closes the double-apply window") {
     val root = java.nio.file.Files.createTempDirectory("stream_mv_txn").toString
     val tablePath = s"$root/mv"

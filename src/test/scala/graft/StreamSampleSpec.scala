@@ -192,4 +192,21 @@ class StreamSampleSpec extends AnyFunSuite {
     StreamSample.recordParams(spark, s"$root/fresh", 50, 42)
     assert(StreamSample.storedParams(spark, s"$root/fresh").contains((50, 42)))
   }
+
+  test("a pre-seeded EMPTY table is fresh, not a refused pre-sidecar stream") {
+    // the StreamMv idiom: seed a zero-row commit to fix the schema before
+    // streaming. Zero rows were selected under any rank order, so there is
+    // nothing a re-rank could corrupt — refusing with "re-stream the
+    // source" would be a misleading dead end (r16, ADVICE)
+    val root = Files.createTempDirectory("sample_emptyseed").toString
+    val table = s"$root/sample"
+    graft.serve.TxTable.write(spark,
+      spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "lang"),
+      table)
+    // readSample on the empty seed is unguarded and returns nothing
+    assert(StreamSample.readSample(spark, table, 50).isEmpty)
+    // and stamping fresh params over it succeeds — it IS a fresh table
+    StreamSample.recordParams(spark, table, 50, 42)
+    assert(StreamSample.storedParams(spark, table).contains((50, 42)))
+  }
 }
