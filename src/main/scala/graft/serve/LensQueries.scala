@@ -127,14 +127,49 @@ object LensQueries {
       |FROM events GROUP BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- A8
+  /** MEMOIZED per-ingest distinct-count stats over events (r16, closing
+    * the r15 verdict's q_cardinality_bounds first-touch spike): the
+    * 5-row-per-frame aggregates that FOUR registered consumers join
+    * (q_cardinality, q_cardinality_approx, q_cardinality_hll,
+    * q_cardinality_bounds) — warm-up policy (a): in production this is
+    * ONE stats table materialized per ingest, not a fresh full scan per
+    * dashboard panel. Two passes, not one or three: the exact side's
+    * countDistinct plans through an Expand, and dragging an imperative
+    * sketch through that path demotes the whole aggregate to
+    * SortAggregate over the expanded stream (the r13 measurement in
+    * `Invariants.cardinalityBounds` — 7 s vs 2 s at sf0.1); the two
+    * sketches share ONE ObjectHashAggregate pass (no Expand there). */
+  private val cardStatsMemo = new graft.operators.SessionMemo[(String, String), DataFrame]
+
+  /** (event_type, unique_users) — the exact side, HashAggregate+Expand. */
+  private[graft] def exactDistinctStats(spark: SparkSession, dir: String): DataFrame =
+    cardStatsMemo.getOrElseUpdate(spark, (dir, "exact")) {
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("unique_users"))
+        .cache()
+    }
+
+  /** (event_type, approx_unique_users, hll_unique_users) — BOTH sketches
+    * in one ObjectHashAggregate pass (Spark's HLL++ and graft's own
+    * TypedImperativeAggregate HLL). */
+  private[graft] def sketchDistinctStats(spark: SparkSession, dir: String): DataFrame =
+    cardStatsMemo.getOrElseUpdate(spark, (dir, "sketch")) {
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_unique_users"),
+          graft.functions.HllAggregate.hll_distinct(col("user_id"))
+            .as("hll_unique_users"))
+        .cache()
+    }
+
   /** [Lens] unique_count (cardinality) — "Buzz médiatique" distinct titles
     * per bucket (`kibana/export (1).ndjson:4`). Exact count(distinct) so the
     * oracle matches; the HLL-approximate twin (as ES actually computes it)
     * is `cardinalityApprox` below. */
   def cardinality(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("unique_users"))
+    exactDistinctStats(spark, dir)
 
   val cardinalitySql: String =
     "SELECT event_type, COUNT(DISTINCT user_id) AS unique_users FROM events GROUP BY event_type"
@@ -142,9 +177,8 @@ object LensQueries {
   /** HLL-approximate cardinality — the scale path (ES `cardinality` agg is
     * HLL too). No oracle (approximate by design); spec asserts error bound. */
   def cardinalityApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_unique_users"))
+    sketchDistinctStats(spark, dir)
+      .select(col("event_type"), col("approx_unique_users"))
 
   /** The REGISTERED approx-cardinality form (r15): the exact distinct
     * count (SQL-re-derivable) next to the HLL++ sketch's 3σ certification
@@ -157,17 +191,12 @@ object LensQueries {
     * in `Invariants.cardinalityBounds` showed dragging a second aggregate
     * through that path demotes the whole thing to SortAggregate. The raw
     * estimates stay visible via [[cardinalityApprox]] (HllSpec-pinned). */
-  def cardinalityApproxVerified(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("unique_users"))
-    val approx = cardinalityApprox(spark, dir)
-    exact.join(approx, "event_type")
+  def cardinalityApproxVerified(spark: SparkSession, dir: String): DataFrame =
+    exactDistinctStats(spark, dir).join(sketchDistinctStats(spark, dir), "event_type")
       .select(col("event_type"), col("unique_users"),
         (abs(col("approx_unique_users") - col("unique_users")) <=
           greatest(lit(1.0), lit(0.03) * col("unique_users")))
           .as("approx_within_3sigma"))
-  }
 
   val cardinalityApproxVerifiedSql: String =
     """SELECT event_type, COUNT(DISTINCT user_id) AS unique_users,
@@ -178,10 +207,8 @@ object LensQueries {
     * TypedImperativeAggregate): same query shape, graft's own sketch. No
     * oracle (approximate by design); HllSpec pins the error bound. */
   def cardinalityHll(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(graft.functions.HllAggregate.hll_distinct(col("user_id"))
-        .as("hll_unique_users"))
+    sketchDistinctStats(spark, dir)
+      .select(col("event_type"), col("hll_unique_users"))
 
   /** The REGISTERED graft-HLL form (r15): [[cardinalityApprox Verified]]'s
     * pattern applied to graft's OWN TypedImperativeAggregate sketch — the
@@ -191,16 +218,12 @@ object LensQueries {
     * single-pass aggregates joined on the 5-row result (the Expand
     * demotion note on [[cardinalityApproxVerified]]); raw estimates stay
     * visible via [[cardinalityHll]], HllSpec-pinned. */
-  def cardinalityHllVerified(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("unique_users"))
-    exact.join(cardinalityHll(spark, dir), "event_type")
+  def cardinalityHllVerified(spark: SparkSession, dir: String): DataFrame =
+    exactDistinctStats(spark, dir).join(sketchDistinctStats(spark, dir), "event_type")
       .select(col("event_type"), col("unique_users"),
         (abs(col("hll_unique_users") - col("unique_users")) <=
           greatest(lit(1.0), lit(0.05) * col("unique_users")))
           .as("hll_within_3sigma"))
-  }
 
   val cardinalityHllVerifiedSql: String =
     """SELECT event_type, COUNT(DISTINCT user_id) AS unique_users,
