@@ -138,12 +138,20 @@ object Bench {
     * one element per cache line (stride 8 × 8 B = 64 B), 4 passes, so its
     * wall time is bandwidth-bound (~50 ms on the quiet sandbox).
     *
-    * VISIBILITY-FIRST, deliberately NOT a taint input yet: the observed
-    * band came from honest same-machine runs, and wiring an untuned
-    * threshold into `tainted` would invite cherry-picking the fast run
-    * and calling the slow one contaminated. The fields ride both JSON
-    * lines (`canary_mem_*`) so rounds accumulate the distribution; a
-    * taint rule needs that evidence plus a fleet-calibrated reference. */
+    * Since r16 it IS a taint input ([[canaryMemRunSlow]]), with
+    * thresholds set from the accumulated honest-run distribution rather
+    * than the ALU rule's 1.4×-on-median verbatim: honest runs show the
+    * MEDIAN polluted by the bench's own cache/page/GC churn (r15 full
+    * run 1.18× ref; an r16 honest 8-query run read 1.93× median while
+    * its MIN stayed 1.09×), so a median threshold tight enough to catch
+    * steal would false-taint honest runs. The robust primary signal is
+    * the run's MIN sample: a sustained external bandwidth steal slows
+    * EVERY sample — including the min — while self-inflicted transients
+    * never do (min-of-3 per point sheds them twice over). A 3×-ref
+    * median secondary catches heavy intermittent steal the min rule is
+    * structurally blind to. All fields still ride both JSON lines
+    * (`canary_mem_*`, plus the `canary_mem_tainted` verdict) so the
+    * thresholds stay auditable against future rounds' samples. */
   private[graft] val MemCanaryLongs: Int = 1 << 24 // 128 MB
   private lazy val memCanaryArr: Array[Long] = {
     val a = new Array[Long](MemCanaryLongs)
@@ -168,6 +176,23 @@ object Bench {
 
   private[graft] def canaryMemSample(): Double =
     Seq(canaryMemOnce(), canaryMemOnce(), canaryMemOnce()).min
+
+  private[graft] val CanaryMemRunMinFactor = 1.5
+  private[graft] val CanaryMemRunMedianFactor = 3.0
+
+  /** Run-level memory-bandwidth taint (see the kernel's doc above for the
+    * threshold calibration): the MIN sample above 1.5× ref means every
+    * sample of the run was slow — the bandwidth-side analogue of the r14
+    * uniform-inflation shape — and the MEDIAN above 3× ref means the run
+    * spent most of its life bandwidth-starved even if brief quiet gaps
+    * let the min through. The 5 ms floor mirrors the ALU segment rule:
+    * timer granularity on a fast kernel must not flag. */
+  private[graft] def canaryMemRunSlow(minSec: Double, medianSec: Double,
+      refSec: Double,
+      minFactor: Double = CanaryMemRunMinFactor,
+      medianFactor: Double = CanaryMemRunMedianFactor): Boolean =
+    minSec > minFactor * refSec + 0.005 ||
+      medianSec > medianFactor * refSec + 0.005
 
   /** Quiet-sandbox reference for the memory kernel (min of 10 post-JIT
     * samples via the calibration mode — 0.0220 measured at r15 pin time,
@@ -522,7 +547,10 @@ object Bench {
       .map(_.toDouble).getOrElse(CanaryMemRefSec)
     val canaryMemMedian = medianOf(canaryMemSamples.toSeq)
     val canaryRunTainted = canaryRunSlow(canaryMedian, canaryRef)
-    val tainted = preGateTainted || canaryRunTainted || taintedNames.nonEmpty
+    val canaryMemTainted =
+      canaryMemRunSlow(canaryMemSamples.min, canaryMemMedian, canaryMemRef)
+    val tainted = preGateTainted || canaryRunTainted || canaryMemTainted ||
+      taintedNames.nonEmpty
     // the machine-stamped rescue-flattering bound (see honestWorstCaseTotal)
     val honestWorst = r3(honestWorstCaseTotal(totalRaw,
       results.collect { case (k, t) if t.rerun => (first(k).sec, t.sec) }))
@@ -546,6 +574,7 @@ object Bench {
       s""""canary_mem_median_sec":${r3(canaryMemMedian)},""" +
       s""""canary_mem_max_sec":${r3(canaryMemSamples.max)},""" +
       s""""canary_mem_slowdown":${r3(canaryMemMedian / canaryMemRef)},""" +
+      s""""canary_mem_tainted":$canaryMemTainted,""" +
       s""""canary_tainted_queries":${jArr(canaryTaintedNames)},""" +
       s""""honest_worst_case_total":$honestWorst,""" +
       s""""clean_total":$cleanTotal,"total_linear":$totalLinear,""" +

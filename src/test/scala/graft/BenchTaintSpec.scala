@@ -125,11 +125,9 @@ class BenchTaintSpec extends AnyFunSuite {
   test("memory canary: bandwidth-bound kernel times positive and repeatable") {
     // the ALU canary's blind spot (r15 forensics: same-HEAD runs spanned
     // 125.9-143.4 s with IDENTICAL ALU canaries — a memory-side slowdown).
-    // This kernel streams 128 MB touching one element per cache line; its
-    // fields are VISIBILITY-ONLY in the artifact (canary_mem_*) — the
-    // pinned behavior here is that it measures real work deterministically,
-    // not that it feeds `tainted` (it deliberately does not, yet: wiring an
-    // untuned threshold would invite calling an honest slow run tainted).
+    // This kernel streams 128 MB touching one element per cache line;
+    // since r16 its run-level verdict (canary_mem_tainted) feeds `tainted`
+    // via the min/median rule pinned in the next two tests.
     (1 to 2).foreach(_ => Bench.canaryMemOnce())
     val a = Bench.canaryMemSample()
     val b = Bench.canaryMemSample()
@@ -138,6 +136,57 @@ class BenchTaintSpec extends AnyFunSuite {
     // min-of-3 sampling keeps adjacent samples within scheduler jitter
     assert(math.max(a, b) / math.min(a, b) < 3.0,
       s"back-to-back quiet samples diverged: $a vs $b")
+  }
+
+  test("memory canary run rule: min is primary, median is the 3x secondary") {
+    val ref = 0.022
+    // the honest band measured across rounds: r15 full run median 1.18x,
+    // an r16 honest 8-query run median 1.93x with min 1.09x — the bench's
+    // own cache/GC churn pollutes the median, so a median-1.5x rule would
+    // false-taint honest runs; both observed shapes must read CLEAN
+    assert(!Bench.canaryMemRunSlow(minSec = ref * 1.09, medianSec = ref * 1.18, refSec = ref))
+    assert(!Bench.canaryMemRunSlow(minSec = ref * 1.09, medianSec = ref * 1.93, refSec = ref))
+    // sustained bandwidth steal slows EVERY sample: min over 1.5x taints
+    assert(Bench.canaryMemRunSlow(minSec = ref * 1.8, medianSec = ref * 1.9, refSec = ref))
+    // heavy intermittent steal: quiet gaps let the min through but the
+    // run lived bandwidth-starved — the 3x median secondary catches it
+    assert(Bench.canaryMemRunSlow(minSec = ref * 1.2, medianSec = ref * 3.5, refSec = ref))
+    // the 5 ms floor: a microsecond-fast kernel cannot flag on timer noise
+    assert(!Bench.canaryMemRunSlow(minSec = 0.004, medianSec = 0.004, refSec = 0.001))
+  }
+
+  test("synthetic bandwidth load fires the memory-canary min rule") {
+    // quiet reference first (JIT-warm)
+    (1 to 2).foreach(_ => Bench.canaryMemOnce())
+    val quiet = Bench.canaryMemSample()
+    // saturate memory bandwidth from OUTSIDE the sampled thread: streamer
+    // threads each scanning a private 64 MB array, line-strided like the
+    // kernel itself, so the canary's loads contend for the same DRAM
+    // channels (this is the hypervisor-invisible contention the rule
+    // exists to catch — who burns the bandwidth does not matter)
+    @volatile var stop = false
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val hogs = (1 to 12).map { _ =>
+      val t = new Thread(() => {
+        val arr = new Array[Long](1 << 23) // 64 MB
+        var acc = 0L
+        while (!stop) {
+          var i = 0
+          while (i < arr.length) { acc += arr(i); i += 8 }
+        }
+        sink.addAndGet(acc)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      Thread.sleep(200L) // let the streamers reach steady state
+      val loaded = Bench.canaryMemSample()
+      // the loaded sample IS the run's best case under sustained
+      // contention — the min rule must taint it against the quiet ref
+      assert(Bench.canaryMemRunSlow(minSec = loaded, medianSec = loaded,
+          refSec = quiet),
+        s"12 streaming threads must starve the kernel: loaded=$loaded quiet=$quiet")
+    } finally { stop = true; hogs.foreach(_.join(2000L)) }
   }
 
   test("taint rule: threshold scales with wall time, floor kills jiffy noise") {
