@@ -206,7 +206,8 @@ object SparkEntry {
       Some(graft.functions.Analyzer.porterExamplesSql)),
     ("q_modality_agreement", graft.operators.Curation.modalityAgreement _,
       Some(graft.operators.Curation.modalityAgreementSql)),
-    ("q_modality_agreement_lsh", graft.operators.Curation.modalityAgreementLsh _, None),
+    ("q_modality_agreement_lsh", graft.operators.Curation.modalityAgreementLsh _,
+      Some(graft.operators.Curation.modalityAgreementLshSql)),
     ("q_split_assign", graft.operators.Curation.splitAssign(_, _, 42),
       Some(graft.operators.Curation.splitAssignSql())),
     ("q_split_summary", graft.operators.Curation.splitSummary _,
@@ -433,13 +434,13 @@ object SparkEntry {
       Some(graft.operators.Curation.tfidfTopTermsSql)),
     // dedup family
     ("q_dedup_exact", Dedup.exact _, Some(Dedup.exactSql)),
-    ("q_dedup_minhash", Dedup.minhashSummary _, None),
-    ("q_dedup_minhash_pairs", Dedup.minhashNearDups _, None),
+    ("q_dedup_minhash", Dedup.minhashSummary _, Some(Dedup.minhashSummarySql)),
+    ("q_dedup_minhash_pairs", Dedup.minhashNearDups _, Some(Dedup.minhashPairsSql)),
     ("q_dedup_simhash", Dedup.simhashSummary _, Some(Dedup.simhashSummarySql)),
     ("q_simhash_pairs",
       ((s: SparkSession, d: String) => Dedup.simhashNearDups(s, d)): Q,
       Some(Dedup.simhashNearDupsSql)),
-    ("q_dedup_incremental", Dedup.minhashNearDupsIncremental _, None),
+    ("q_dedup_incremental", Dedup.minhashNearDupsIncremental _, Some(Dedup.minhashIncrementalSql)),
     ("q_dedup_ngram_jaccard",
       ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)): Q,
       Some(Dedup.ngramJaccardPairsSql)),

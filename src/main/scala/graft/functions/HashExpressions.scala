@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -58,6 +58,55 @@ case class PolyHash(child: Expression, mixed: Boolean)
     copy(child = newChild)
 }
 
+/** One step of the portable polynomial fold over LONG values:
+  * acc·1000000007 + x with natural Long wraparound — the same recurrence
+  * [[PolyHash]] runs over characters, lifted to 64-bit inputs so hashes
+  * can be COMBINED (shingle hash from token hashes, slot hash from
+  * (shingle, slot), band signature from 4 slot values) without ever
+  * building intermediate strings. Wraparound lives here because ANSI mode
+  * throws on Long overflow in SQL arithmetic; the DuckDB mirror is exact
+  * HUGEINT mod-2^64 arithmetic over the UNSIGNED reinterpretation
+  * (`TextFunctions.polyStepSql`) — bit-identical, which is what lets the
+  * whole MinHash-LSH family hash-oracle (r16; xxhash64 before). */
+case class PolyStep(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_step"
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    a.asInstanceOf[Long] * 1000000007L + b.asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $a * 1000000007L + $b;")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The ×0x2545F4914F6CDD1D golden-ratio finisher as its own expression —
+  * applied once after a [[PolyStep]] chain (mirrors [[PolyHash]]'s
+  * `mixed = true` tail; DuckDB twin `TextFunctions.polyFinishSql`). */
+case class PolyFinish(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_finish"
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[Long] * 0x2545F4914F6CDD1DL
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $c * 0x2545F4914F6CDD1DL;")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column API: the bare polynomial fold (`TextFunctions.polyHash`). */
   def poly_hash(c: Column): Column =
@@ -67,4 +116,20 @@ object HashExpressions {
     * (`Dedup.portableTokenHash`). */
   def poly_token_hash(c: Column): Column =
     GraftBridge.column(PolyHash(GraftBridge.expression(c), mixed = true))
+
+  /** Column API: one fold step over longs (acc·B + x, wraparound). */
+  def poly_step(a: Column, b: Column): Column =
+    GraftBridge.column(PolyStep(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: the golden-ratio finisher over a long. */
+  def poly_finish(c: Column): Column =
+    GraftBridge.column(PolyFinish(GraftBridge.expression(c)))
+
+  /** Fold-then-finish over ≥1 long columns: the portable hash COMBINER —
+    * finish(step(…step(step(c1, c2), c3)…, cn)). A single value combines
+    * to finish(c1) (fold from zero: 0·B + c1 = c1). */
+  def poly_combine(cs: Column*): Column = {
+    require(cs.nonEmpty, "poly_combine needs at least one column")
+    poly_finish(cs.reduceLeft(poly_step))
+  }
 }

@@ -282,6 +282,29 @@ object TextFunctions {
     s"""CAST(CASE WHEN $expr >= 9223372036854775808::HUGEINT
        |     THEN $expr - 18446744073709551616::HUGEINT ELSE $expr END AS BIGINT)""".stripMargin
 
+  /** Unsigned mod-2^64 reinterpretation of a signed BIGINT expression —
+    * the inverse of [[wrapSignedSql]], needed wherever a DuckDB mirror
+    * feeds stored/derived signed hash values back into the fold. */
+  def unsignedSql(expr: String): String =
+    s"""(CASE WHEN $expr < 0
+       |      THEN CAST($expr AS HUGEINT) + 18446744073709551616::HUGEINT
+       |      ELSE CAST($expr AS HUGEINT) END)""".stripMargin
+
+  /** One fold step over UNSIGNED HUGEINT values — the DuckDB twin of the
+    * codegen'd `PolyStep` expression (acc·1000000007 + x mod 2^64). Both
+    * operands must already be < 2^64: the INT128 intermediate acc·B + x
+    * stays < 2^95. */
+  def polyStepSql(acc: String, x: String): String =
+    s"""(($acc * 1000000007::HUGEINT + $x)
+       |       % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** The golden-ratio finisher over an UNSIGNED HUGEINT value — the
+    * DuckDB twin of `PolyFinish` (constant < 2^62, so the INT128 product
+    * of a mod-2^64 value cannot overflow). */
+  def polyFinishSql(expr: String): String =
+    s"""(($expr * 2685821657736338717::HUGEINT)
+       |       % 18446744073709551616::HUGEINT)""".stripMargin
+
   // ------------------------------------------------------------ fingerprint
   /** 64-bit document fingerprint: xxhash64 over the normalized text — the
     * exact-dup key that survives whitespace/case jitter. Codegen'd built-in

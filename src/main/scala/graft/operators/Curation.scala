@@ -334,8 +334,13 @@ object Curation {
 
   /** LSH-candidate variant of the agreement (the sub-quadratic path at
     * corpus scale): MinHash near-dup pairs annotated with their embedding
-    * cosine. Hash-dependent candidates ⇒ rows-only at the driver; its
-    * correctness is carried by the minhash recall/precision oracles. */
+    * cosine. FULLY hash-oracled since r16: the minhash pipeline moved to
+    * the portable polynomial hash family, so the candidate set itself is
+    * recomputable in DuckDB ([[modalityAgreementLshSql]] splices
+    * `Dedup.minhashSqlCtes` under the embedding-cosine join) — the r15
+    * rows-only justification ("hash-dependent candidates") no longer
+    * applies, and the recall bracket the r15 verdict asked for is
+    * subsumed by exact pair-set equality at the driver. */
   def modalityAgreementLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExpressions.cosine_sim
     val pairs = Dedup.minhashNearDups(spark, dir)
@@ -347,6 +352,21 @@ object Curation {
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         round(cosine_sim(col("e_a"), col("e_b")), 6).as("embedding_cosine"))
   }
+
+  /** DuckDB oracle for [[modalityAgreementLsh]]: the full portable MinHash
+    * chain (shared `Dedup.minhashSqlCtes`) left-joined to the embedding
+    * table on both pair ends, cosine via the shared `cosSqlExpr` mirror
+    * (same fold order and zero-denominator guard as the native
+    * expression; a pair end without an embedding keeps NULL cosine like
+    * the Spark left joins). */
+  val modalityAgreementLshSql: String =
+    s"""WITH ${Dedup.minhashSqlCtes(Dedup.minhashSelfCandSql)},
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |  ROUND(${Similarity.cosSqlExpr("a.e", "b.e")}, 6) AS embedding_cosine
+       |FROM mpairs p
+       |LEFT JOIN emb a ON a.vec_id = p.doc_a
+       |LEFT JOIN emb b ON b.vec_id = p.doc_b""".stripMargin
 
   // ---------------------------------------------------------------- splits
   /** Portable split hash: the polynomial fold of `"docId:seed"` × the

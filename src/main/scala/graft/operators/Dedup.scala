@@ -13,12 +13,15 @@ import graft.functions.TextFunctions.{normText, tokens}
   * search), and n-gram Jaccard.
   *
   * Scale design (100 TB): every stage is a hash shuffle on a key with
-  * near-uniform distribution (xxhash64 of shingles / band signatures), so no
+  * near-uniform distribution (hashed shingles / band signatures), so no
   * skew; candidate generation only ever self-joins *bucketed* rows, never
   * all-pairs; verification runs only on LSH survivors. All hashing is the
-  * codegen'd built-in xxhash64 — no UDF in the hot path. The only non-SQL
-  * kernel is the SimHash bit-vote, a typed `Aggregator` (partial-aggregable,
-  * map-side combinable).
+  * codegen'd PORTABLE polynomial family (`HashExpressions` — native
+  * expressions, no UDF in the hot path; since r16 MinHash shares it with
+  * SimHash, so the whole LSH pipeline is recomputable by the DuckDB
+  * oracle in HUGEINT mod-2^64 arithmetic). The only non-SQL kernel is the
+  * SimHash bit-vote, a typed `Aggregator` (partial-aggregable, map-side
+  * combinable).
   */
 object Dedup {
 
@@ -50,26 +53,37 @@ object Dedup {
   /** Hashed token-n-gram array for one text column — a pure expression
     * (row-local, streaming-safe), shared by the batch inverted index and
     * the ingest-time signature probe. Hashes the n token columns DIRECTLY
-    * (variadic xxhash64) instead of materializing shingle strings first —
-    * skipping the concat_ws string build halved the dominant pipeline stage
-    * (8.1 s → ~4 s at sf0.1, tools/ProfileDedup). `shingleArr` remains the
-    * string-shingle API. */
+    * (per-token hash + windowed long-fold) instead of materializing
+    * shingle strings first — skipping the concat_ws string build halved
+    * the dominant pipeline stage (8.1 s → ~4 s at sf0.1,
+    * tools/ProfileDedup). Since r16 the hash family is the PORTABLE
+    * polynomial combiner (`HashExpressions.poly_combine` over
+    * `poly_token_hash` values — the SimHash precedent) instead of
+    * xxhash64: exact HUGEINT mod-2^64 arithmetic in DuckDB, which is what
+    * upgrades the whole MinHash-LSH family from precision/recall brackets
+    * to full hash oracles. `shingleArr` remains the string-shingle API. */
   def shingleHashArr(c: Column, n: Int = 3): Column =
     shingleHashArrOfToks(tokens(c), n)
 
   /** The same windowed hash over an ALREADY-ALIASED token-array column.
     * Interpreted lambdas get no subexpression elimination, so every
-    * `element_at(toks, …)` inside the window transform re-evaluates its
+    * `element_at(…)` inside the window transform re-evaluates its
     * argument subtree — passing `tokens(text)` inline re-tokenizes
-    * O(n·windows) times per row. Hot paths stage the tokenizer through its
-    * own aliased projection (the multiply-referenced-alias rule, cf.
-    * `bandSignatureRows`) and pass that column here; [[shingleHashArr]]
-    * remains the row-local convenience form. */
-  def shingleHashArrOfToks(toks: Column, n: Int = 3): Column =
+    * O(n·windows) times per row, and an inline per-token-hash transform
+    * would re-hash O(n·windows) too. Hot paths stage the tokenizer
+    * through its own aliased projection and pass that column here (the
+    * multiply-referenced-alias rule, cf. `bandSignatureRows`); the
+    * per-token hash is then applied inside the window (each token hashed
+    * ≤ n times — the char-fold is the cheap part; the staging that
+    * mattered was the tokenizer's regex normalization). */
+  def shingleHashArrOfToks(toks: Column, n: Int = 3): Column = {
+    import graft.functions.HashExpressions.{poly_combine, poly_token_hash}
     when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+          i => poly_combine(
+            (0 until n).map(j => poly_token_hash(element_at(toks, i + j))): _*)))
+      .otherwise(array(poly_token_hash(concat_ws(" ", toks))))
+  }
 
   /** (doc_id, shingle_hash) — exploded, distinct per doc. */
   private def docShingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
@@ -80,8 +94,14 @@ object Dedup {
 
   /** THE per-slot MinHash scheme — single definition so the batch
     * aggregation path and the row-local probe path can never diverge
-    * (dedupProbe recall against stored indexes depends on equality). */
-  private def slotHash(sh: Column, slot: Int): Column = xxhash64(sh, lit(slot))
+    * (dedupProbe recall against stored indexes depends on equality).
+    * Portable since r16: (sh·B + slot)·MIX mod 2^64 — each slot's shift
+    * term slot·MIX rotates the value circle by a golden-ratio-spread
+    * offset, so the 16 slot argmins are a low-discrepancy sample of the
+    * shingle set (the classic min-wise shift argument; the exact verify
+    * downstream never trusts the estimate anyway). */
+  private def slotHash(sh: Column, slot: Int): Column =
+    graft.functions.HashExpressions.poly_combine(sh, lit(slot.toLong))
 
   // ------------------------------------------------------------ MinHash/LSH
   val NumHashes = 16
@@ -105,7 +125,8 @@ object Dedup {
   def bandedSignatures(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until NumHashes / NumBands).map(r => col(s"h${b * (NumHashes / NumBands) + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+      struct(lit(b).as("band"),
+        graft.functions.HashExpressions.poly_combine(cols: _*).as("sig"))
     }
     sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bs"))
@@ -336,6 +357,112 @@ object Dedup {
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
         col("min_partner"))
   }
+
+  // ------------------------------------------- MinHash DuckDB oracles (r16)
+  /** The full MinHash-LSH pipeline re-derived in DuckDB — possible since
+    * the hash family is the portable polynomial combiner: tokens →
+    * per-token hash (char fold × finisher, `polyMixSql`) → windowed
+    * 3-token fold (the `poly_combine` twin) → per-slot min of
+    * (sh·B + slot)·MIX under SIGNED order (matching Spark's min over
+    * Long) → band fold over 4 slot values → bucket-join candidates →
+    * signature-agreement estimate → exact shingle-set verify at 0.7.
+    * `candSql` parameterizes the candidate join (self-join for the batch
+    * pipeline, even→odd for the incremental probe). Every arithmetic step
+    * is HUGEINT mod 2^64 — bit-identical to the codegen'd expressions. */
+  private[operators] def minhashSqlCtes(candSql: String): String = {
+    import graft.functions.TextFunctions.{polyFinishSql, polyMixSql,
+      polyStepSql, tokListCteSql, unsignedSql, wrapSignedSql}
+    val sh3 = polyFinishSql(polyStepSql(
+      polyStepSql("ths[i]", "ths[i+1]"), "ths[i+2]"))
+    val slotH = polyFinishSql(polyStepSql("sh", "CAST(i AS HUGEINT)"))
+    val bandH = polyFinishSql(polyStepSql(polyStepSql(polyStepSql(
+      unsignedSql("hs[4*b + 1]"), unsignedSql("hs[4*b + 2]")),
+      unsignedSql("hs[4*b + 3]")), unsignedSql("hs[4*b + 4]")))
+    s"""$tokListCteSql,
+       |thl AS (
+       |  SELECT doc_id, toks,
+       |    list_transform(toks, t -> ${polyMixSql("t")}) AS ths
+       |  FROM toklist),
+       |shing AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, UNNEST(list_transform(range(1, len(ths) - 1),
+       |      i -> $sh3)) AS sh
+       |    FROM thl WHERE len(ths) >= 3
+       |    UNION ALL
+       |    SELECT doc_id, ${polyMixSql("array_to_string(toks, ' ')")} AS sh
+       |    FROM thl WHERE len(ths) < 3) u),
+       |mslots AS (
+       |  SELECT doc_id, i AS slot, MIN(${wrapSignedSql(slotH)}) AS h
+       |  FROM shing CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) sl
+       |  GROUP BY 1, 2),
+       |sigl AS (SELECT doc_id, list(h ORDER BY slot) AS hs FROM mslots GROUP BY 1),
+       |mbands AS (
+       |  SELECT doc_id, b, ${wrapSignedSql(bandH)} AS sig
+       |  FROM sigl CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) bb),
+       |mcands AS ($candSql),
+       |mest AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    ROUND(CAST(len(list_filter(range(1, 17), i -> a.hs[i] = b.hs[i]))
+       |          AS DOUBLE) / 16, 6) AS est_jaccard
+       |  FROM mcands c
+       |  JOIN sigl a ON a.doc_id = c.doc_a
+       |  JOIN sigl b ON b.doc_id = c.doc_b),
+       |mcnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY 1),
+       |minter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM mcands c
+       |  JOIN shing sa ON sa.doc_id = c.doc_a
+       |  JOIN shing sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+       |  GROUP BY 1, 2),
+       |mpairs AS (
+       |  SELECT * FROM (
+       |    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |      ROUND(COALESCE(n_inter, 0)
+       |            / CAST(ca.n_sh + cb.n_sh - COALESCE(n_inter, 0) AS DOUBLE),
+       |            6) AS jaccard
+       |    FROM mest e
+       |    LEFT JOIN minter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |    JOIN mcnt ca ON ca.doc_id = e.doc_a
+       |    JOIN mcnt cb ON cb.doc_id = e.doc_b) v
+       |  WHERE jaccard >= 0.7)""".stripMargin
+  }
+
+  private[operators] val minhashSelfCandSql: String =
+    """SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM mbands l JOIN mbands r
+      |    ON l.b = r.b AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
+
+  /** DuckDB oracle for [[minhashNearDups]]. */
+  val minhashPairsSql: String =
+    s"""WITH ${minhashSqlCtes(minhashSelfCandSql)}
+       |SELECT doc_a, doc_b, est_jaccard, jaccard FROM mpairs""".stripMargin
+
+  /** DuckDB oracle for [[minhashSummary]] — the same pair set folded to
+    * the per-document total-coverage view. */
+  val minhashSummarySql: String =
+    s"""WITH ${minhashSqlCtes(minhashSelfCandSql)},
+       |partners AS (
+       |  SELECT doc_a AS doc_id, doc_b AS partner, jaccard FROM mpairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, jaccard FROM mpairs),
+       |pagg AS (
+       |  SELECT doc_id, COUNT(*) AS n, MAX(jaccard) AS mj, MIN(partner) AS mp
+       |  FROM partners GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n, 0) AS BIGINT) AS n_near_dups,
+       |  COALESCE(mj, 0.0) AS max_jaccard,
+       |  mp AS min_partner
+       |FROM documents d LEFT JOIN pagg USING (doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[minhashNearDupsIncremental]] — identical chain,
+    * even-id index probed by odd-id batch (doc_ids are non-negative, so
+    * DuckDB's C-style % equals Spark's pmod here). */
+  val minhashIncrementalSql: String =
+    s"""WITH ${minhashSqlCtes(
+        """SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          |  FROM mbands l JOIN mbands r ON l.b = r.b AND l.sig = r.sig
+          |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1""".stripMargin)}
+       |SELECT doc_a AS index_id, doc_b AS new_id, jaccard FROM mpairs""".stripMargin
 
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash bit-vote aggregator over token hashes. Typed Aggregator
