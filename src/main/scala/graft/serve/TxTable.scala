@@ -45,10 +45,54 @@ import org.apache.spark.sql.types.StructType
   * an optimization: a missing checkpoint only means a longer replay). Data
   * files are immutable; losers' orphans are reclaimed by [[vacuum]].
   *
-  * On a rename-less object store (S3) the commit rename needs a
-  * put-if-absent or a coordination service — same caveat as Delta's
-  * multi-cluster S3 writes.
+  * On a rename-less object store (S3) the commit needs a put-if-absent
+  * primitive or a coordination service. Since r16 that is a PLUGGABLE
+  * seam, not a caveat: every commit-point publish goes through the
+  * [[CommitStore]] registered for the table's URI scheme —
+  * [[HadoopRenameStore]] (atomic rename / hard-link) serves file and
+  * HDFS out of the box; an object-store deployment registers its
+  * conditional-put implementation (S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`, ADLS ETag) via [[registerCommitStore]] instead
+  * of inheriting a rename that is not atomic there.
   */
+
+/** The put-if-absent commit primitive — the ONLY operation the optimistic
+  * concurrency protocol needs from storage. `putIfAbsent` must atomically
+  * publish `tmp`'s content as `dest` IFF `dest` does not exist, returning
+  * true exactly when this writer created it; an exists()+rename pair is
+  * NOT a valid implementation on any store whose rename overwrites (two
+  * racing writers would both "win" a version and one commit would vanish
+  * — the lost-update TxStatsSpec's injected race pins against). */
+trait CommitStore {
+  def putIfAbsent(fs: FileSystem, tmp: Path, dest: Path): Boolean
+}
+
+/** The filesystem implementation. On HDFS, `rename` is atomic AND refuses
+  * an existing destination — exactly the primitive needed. On a LOCAL
+  * filesystem Hadoop's rename bottoms out in POSIX rename(2), which
+  * silently REPLACES an existing destination, so local publishes
+  * `link(2)`-then-unlink instead (hard link fails with EEXIST
+  * atomically). */
+object HadoopRenameStore extends CommitStore {
+  override def putIfAbsent(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      if (fs.exists(dest)) false
+      else fs.rename(tmp, dest)
+    }
+  }
+}
+
 object TxTable {
 
   val MaxCommitRetries = 5
@@ -514,30 +558,28 @@ object TxTable {
     won
   }
 
-  /** The fail-if-exists atomic publish, per filesystem. On HDFS, `rename`
-    * is atomic AND refuses an existing destination — exactly the primitive
-    * needed. On a LOCAL filesystem Hadoop's rename bottoms out in POSIX
-    * rename(2), which silently REPLACES an existing destination — an
-    * exists()+rename pair would let two racing writers both "win" a
-    * version and lose one commit; `link(2)` (hard link) fails with EEXIST
-    * atomically, so local publishes link-then-unlink instead. Object
-    * stores need put-if-absent (the documented Delta-on-S3 caveat). */
+  /** Per-scheme [[CommitStore]] registry. Unregistered schemes fall back
+    * to [[HadoopRenameStore]] — correct for file and HDFS; an S3/GCS/ADLS
+    * deployment MUST register its conditional-put store before writing
+    * (the fallback's exists()+rename is the exact non-atomic pair the
+    * trait contract forbids on overwriting-rename stores). */
+  private val commitStores =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitStore]()
+
+  /** Register the commit primitive for a URI scheme (e.g. "s3a" → a
+    * conditional-put store). Returns any store it replaced. */
+  def registerCommitStore(scheme: String, store: CommitStore): Option[CommitStore] =
+    Option(commitStores.put(scheme, store))
+
+  /** Remove a scheme's registered store (falls back to rename/link). */
+  def unregisterCommitStore(scheme: String): Unit = commitStores.remove(scheme)
+
+  /** Every commit-point publish — version commits AND checkpoints — goes
+    * through the registered seam; the protocol above never calls rename
+    * directly. */
   private def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
-          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
-        fs.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else {
-      if (fs.exists(dest)) false
-      else fs.rename(tmp, dest)
-    }
+    commitStores.getOrDefault(scheme, HadoopRenameStore).putIfAbsent(fs, tmp, dest)
   }
 
   /** Full snapshot write (op=write): stage, then commit as the next

@@ -373,4 +373,45 @@ class TxStatsSpec extends AnyFunSuite {
     // all-null key column can never hold a matched key
     assert(!rangesOverlap(ColStats(None, None, 5L), b(0), b(100)))
   }
+
+  test("commit seam: a lost conditional put surfaces as a version race, merge rebases through it") {
+    // the r16 CommitStore seam: every commit-point publish goes through
+    // the per-scheme put-if-absent primitive. This leg injects an
+    // object-store-shaped loss — the injected store lets a CONCURRENT
+    // writer win the contested version with a real commit, then reports
+    // this writer's conditional put as beaten — and asserts the
+    // optimistic protocol rebases and loses neither update.
+    import graft.serve.{CommitStore, HadoopRenameStore}
+    val path = freshDir("seam"); writeRangeTable(path)
+    TxTable.mergeRecomputes.set(0)
+    var fired = false
+    TxTable.registerCommitStore("file", new CommitStore {
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          dest: org.apache.hadoop.fs.Path): Boolean = {
+        if (!fired && dest.getName.endsWith(".txt")) {
+          fired = true
+          // the rival's merge re-enters this store with fired=true and
+          // publishes through the default primitive — it wins the version
+          TxTable.merge(spark, upd(0, 10, "rival", 3.0), path, Seq("id"))
+          fs.delete(tmp, false)
+          false // this writer's conditional put was beaten
+        } else HadoopRenameStore.putIfAbsent(fs, tmp, dest)
+      }
+    })
+    try {
+      val v = TxTable.merge(spark, upd(5, 15, "mine", 1.0), path, Seq("id"))
+      assert(fired, "the injected store must have intercepted the commit")
+      assert(v == 2L, s"loser must rebase onto the rival's version, got $v")
+      assert(TxTable.mergeRecomputes.get == 1L,
+        "overlapping keys: the beaten merge must recompute, not replay")
+    } finally TxTable.unregisterCommitStore("file")
+    val out = TxTable.read(spark, path).cache()
+    try {
+      assert(out.count() == 10000)
+      // last writer per key wins: "mine" rebased on top of the rival
+      assert(out.filter(col("txt") === "mine").count() == 10)
+      assert(out.filter(col("txt") === "rival").count() == 5)
+    } finally out.unpersist()
+  }
 }
