@@ -189,9 +189,11 @@ object SparkEntry {
     ("q_sentiment_distribution", Sentiment.sentimentDistributionQuery _,
       Some(Sentiment.sentimentDistributionQuerySql)),
     // corpus curation (composed pipeline + tf-idf reporting)
-    ("q_dedup_clusters", graft.operators.Curation.dupClusters _, None),
+    ("q_dedup_clusters", graft.operators.Curation.dupClusters _,
+      Some(graft.operators.Curation.dupClustersSql)),
     ("q_corpus_curate",
-      ((s: SparkSession, d: String) => graft.operators.Curation.curate(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Curation.curate(s, d)): Q,
+      Some(graft.operators.Curation.curateSql)),
     ("q_keyword_search",
       ((s: SparkSession, d: String) => TextFunctions.keywordSearch(s, d)): Q,
       Some(TextFunctions.keywordSearchSql())),

@@ -183,15 +183,16 @@ object Curation {
     }
 
   /** Connected components over the EXACT n-gram-Jaccard pair graph — the
-    * hash-oracled twin of [[dupClusters]]. dupClusters runs the CC kernel
-    * on the MinHash-LSH pair graph, which no SQL oracle can re-derive
-    * (banding is probabilistic-by-construction), so the kernel itself has
-    * only spec evidence there. The Jaccard pair list IS SQL-expressible
-    * (q_dedup_ngram_jaccard's own oracle), and DuckDB's recursive CTE
-    * computes the transitive closure — so this query pins the SAME
-    * [[connectedComponents]] label-propagation kernel (pointer-jumping,
-    * fixpoint detection, singleton fill) against a full hash oracle: the
-    * proof-by-same-kernel pattern q_semantic_probe_stored uses.
+    * first hash-oracled pin of the CC kernel (r9; since r16 [[dupClusters]]
+    * itself is ALSO fully oracled — the minhash pair graph moved to the
+    * portable hash family, so banding is SQL-re-derivable and the same
+    * recursive closure applies to the LSH graph directly). The Jaccard
+    * pair list IS SQL-expressible (q_dedup_ngram_jaccard's own oracle),
+    * and DuckDB's recursive CTE computes the transitive closure — so this
+    * query pins the SAME [[connectedComponents]] label-propagation kernel
+    * (pointer-jumping, fixpoint detection, singleton fill) on an
+    * independent graph: the proof-by-same-kernel pattern
+    * q_semantic_probe_stored uses.
     *
     * MEMOIZED per (session, dir) like [[dupClusters]]: the CC loop ends in
     * localCheckpoint blocks, invisible to plan-identity caching, and the
@@ -258,6 +259,33 @@ object Curation {
        |  ROUND(1.0 / COUNT(*) OVER (PARTITION BY component), 6) AS weight
        |FROM comp""".stripMargin
 
+  /** Shared recursive-closure chain over the PORTABLE MinHash pair graph
+    * (r16): the full LSH pipeline (`Dedup.minhashSqlCtes`) closed
+    * transitively by the same reachability walk [[jaccardComponentsSql]]
+    * uses, ending in `clus(doc_id, cluster_id, rep)` — cluster_id = min
+    * reachable doc_id, singletons reach only themselves. Splice under
+    * `WITH RECURSIVE`. */
+  private def clusterSqlCtes: String =
+    s"""${Dedup.minhashSqlCtes(Dedup.minhashSelfCandSql)},
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM mpairs
+       |          UNION SELECT doc_b, doc_a FROM mpairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |clus AS (
+       |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+       |    id = MIN(r) AS rep
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB oracle for [[dupClusters]] (r16): with the minhash pair graph
+    * on the portable hash family, the LSH cluster assignment is fully
+    * re-derivable — the r15 rows-only justification ("banding is
+    * probabilistic-by-construction") no longer holds. */
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $clusterSqlCtes
+       |SELECT doc_id, cluster_id, rep AS keep FROM clus""".stripMargin
+
   /** The end-to-end curation decision: dedup keep-list ∧ quality gate ∧
     * length gate, with a drop reason (first failing rule wins). The final
     * shape a data pipeline materializes before tokenization. */
@@ -276,6 +304,28 @@ object Curation {
         col("quality_score"), col("drop_reason"),
         col("drop_reason").isNull.as("keep"))
   }
+
+  /** DuckDB oracle for [[curate]] (r16, defaults minQuality=0.3,
+    * minTokens=10): the recursive cluster closure joined to the quality
+    * metrics (both independently oracled — `qualityQuerySql` is
+    * q_quality_metrics' own mirror), with the first-failing-gate CASE
+    * re-stated literally. Upgrades q_corpus_curate from rows-only: every
+    * output column, including the representative flag behind
+    * `near_duplicate`, is now re-derived from the documents table. */
+  val curateSql: String =
+    s"""WITH RECURSIVE $clusterSqlCtes,
+       |q AS (
+       |${graft.functions.TextFunctions.qualityQuerySql.replace("\n", "\n  ")}
+       |),
+       |dec AS (
+       |  SELECT q.doc_id, c.cluster_id, q.n_tokens, q.quality_score,
+       |    CASE WHEN NOT c.rep THEN 'near_duplicate'
+       |         WHEN q.n_tokens < 10 THEN 'too_short'
+       |         WHEN q.quality_score < 0.3 THEN 'low_quality' END AS drop_reason
+       |  FROM q JOIN clus c USING (doc_id))
+       |SELECT doc_id, cluster_id, n_tokens, quality_score, drop_reason,
+       |  drop_reason IS NULL AS keep
+       |FROM dec""".stripMargin
 
   // ---------------------------------------------------------------- x-modal
   /** Cross-modal dedup audit: every text-level near-dup pair (MinHash-LSH)
