@@ -307,6 +307,9 @@ object Bench {
     // q_ann_ivf) — the index build, materialized once per ingest
     touch("ivf_index_centroids")(Similarity.ivfIndex(spark, sfDir)._1)
     touch("ivf_index_assign")(Similarity.ivfIndex(spark, sfDir)._2)
+    // the exact ANALYZE profile (2 consumers: q_profile_table and the
+    // verified approx form's certification join)
+    touch("exact_profile")(Profile.profileLineitem(spark, sfDir))
     touch("ivf_train_stats")(Similarity.ivfTrain(spark, sfDir))
     touch("pq_search")(Similarity.pqTopK(spark, sfDir))
     touch("pq_train_stats")(Similarity.pqTrain(spark, sfDir))

@@ -122,12 +122,13 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Profile.profileLineitem(s, d)): Q,
       Some(graft.operators.Profile.profileLineitemSql)),
     // the 100 TB swap made executable: HLL++ distincts, Expand-free plan
-    // (ProfileSpec pins no-Expand + per-column 3σ bracket vs the exact
-    // profiler — the q_cardinality_bounds pattern); rows-only by contract
-    // (DuckDB's approx_distinct is a different sketch)
+    // (ProfileSpec pins no-Expand on the raw sketch frame + the 3σ
+    // bracket). Since r16 the REGISTERED form is the verified frame —
+    // exact columns re-derived by the oracle, the sketch certified by a
+    // genuinely-computed 3σ flag (the q_cardinality_approx pattern)
     ("q_profile_table_approx",
-      ((s: SparkSession, d: String) => graft.operators.Profile.profileLineitemApprox(s, d)): Q,
-      None),
+      ((s: SparkSession, d: String) => graft.operators.Profile.profileLineitemApproxVerified(s, d)): Q,
+      Some(graft.operators.Profile.profileLineitemApproxVerifiedSql)),
     // text analysis (LLM-pipeline operators)
     ("q_quality_metrics", TextFunctions.qualityQuery _, Some(TextFunctions.qualityQuerySql)),
     ("q_redact_pii", TextFunctions.redactQuery _, Some(TextFunctions.redactQuerySql)),

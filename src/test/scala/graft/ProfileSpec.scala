@@ -32,7 +32,12 @@ class ProfileSpec extends AnyFunSuite {
   }
 
   test("profiler plan: hash-aggregated Expand pass + pruned string pass") {
-    val qe = Profile.profileLineitem(spark, sf).queryExecution
+    // the IMPL plan at an SF the suite never memoizes: the registered
+    // query reads the cached memo (r16), and CacheManager substitutes any
+    // plan-identical frame with the InMemoryRelation, whose printed AQE
+    // wrapper repeats the scan in Initial/Final variants — a different
+    // dir yields the same plan SHAPE with no cache hit
+    val qe = Profile.profileLineitemImpl(spark, "/root/testdata/sf0.01").queryExecution
     val plan = qe.executedPlan.toString
     // two scans by design: the wide fixed-width-buffer pass and the
     // Expand-free string min/max pass (string buffers would demote the
