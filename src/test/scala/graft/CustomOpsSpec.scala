@@ -584,6 +584,42 @@ class PolyHashExprSpec extends AnyFunSuite {
       graft.functions.TextFunctions.polyHash("spark") * 0x2545F4914F6CDD1DL)
   }
 
+  test("poly_step/poly_finish/poly_combine: bit-identical to the Long fold, codegen and interpreted") {
+    import graft.functions.HashExpressions.{poly_combine, poly_finish, poly_step}
+    def ref(xs: Seq[Long]): Long = {
+      var h = 0L
+      xs.foreach(x => h = h * 1000000007L + x)
+      h * 0x2545F4914F6CDD1DL
+    }
+    // wraparound-heavy inputs: extremes, sign flips, golden-ratio products
+    val cases = Seq(
+      Seq(0L), Seq(1L, 2L, 3L), Seq(Long.MaxValue, Long.MinValue),
+      Seq(-1L, -1L, -1L, -1L), Seq(0x2545F4914F6CDD1DL, 1000000007L),
+      Seq(42L, Long.MinValue, 7L, Long.MaxValue))
+    // codegen path: a DF column per arity
+    cases.foreach { xs =>
+      val df = Seq(xs).toDF("xs")
+      val cols = xs.indices.map(i => element_at(col("xs"), i + 1))
+      val got = df.select(poly_combine(cols: _*)).collect()(0).getLong(0)
+      assert(got == ref(xs), s"poly_combine($xs)")
+    }
+    // interpreted path (direct eval)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    cases.foreach { xs =>
+      val e = graft.functions.PolyFinish(
+        xs.map(x => Literal(x): org.apache.spark.sql.catalyst.expressions.Expression)
+          .reduceLeft((a, b) => graft.functions.PolyStep(a, b)))
+      assert(e.eval(null) == ref(xs), s"interpreted poly_combine($xs)")
+    }
+    // null propagation through the chain
+    val r = Seq((Option.empty[java.lang.Long], 5L)).toDF("a", "b")
+      .select(poly_finish(poly_step(col("a"), col("b")))).collect()(0)
+    assert(r.isNullAt(0))
+    // the single-column degenerate case: fold from zero = finish(x)
+    val one = Seq(99L).toDF("x").select(poly_combine(col("x"))).collect()(0).getLong(0)
+    assert(one == 99L * 0x2545F4914F6CDD1DL)
+  }
+
   test("split assignment and fingerprints survive the UDF-to-expression swap") {
     // the expression replaced Scala UDFs on hash-oracled paths — any value
     // drift would show as a driver hash mismatch; pin the kernels here too
