@@ -217,16 +217,25 @@ object Curation {
     * per-vertex reach is bounded by its component size — dup clusters are
     * tiny). component = min reachable doc_id, singletons reach only
     * themselves. */
+  /** The transitive-closure walk over ANY (doc_a, doc_b) pair relation —
+    * ONE copy (r16), so the exact-Jaccard oracle and the LSH-cluster
+    * oracle cannot drift in closure semantics (edge flip, reachability
+    * fixpoint, min-label aggregation): `edges` + `reach(id, r)`, to be
+    * spliced under `WITH RECURSIVE`; consumers aggregate MIN(r)
+    * themselves (their output column names differ). */
+  private[operators] def closureCtesOver(pairsRel: String): String =
+    s"""edges AS (SELECT doc_a AS s, doc_b AS d FROM $pairsRel
+       |          UNION SELECT doc_b, doc_a FROM $pairsRel),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)""".stripMargin
+
   val jaccardComponentsSql: String =
     s"""WITH RECURSIVE pairs AS (
        |${Dedup.ngramJaccardPairsSql}
        |),
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-       |          UNION SELECT doc_b, doc_a FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+       |${closureCtesOver("pairs")}
        |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component,
        |  id = MIN(r) AS is_canonical
        |FROM reach GROUP BY id""".stripMargin
@@ -267,12 +276,7 @@ object Curation {
     * `WITH RECURSIVE`. */
   private def clusterSqlCtes: String =
     s"""${Dedup.minhashSqlCtes(Dedup.minhashSelfCandSql)},
-       |edges AS (SELECT doc_a AS s, doc_b AS d FROM mpairs
-       |          UNION SELECT doc_b, doc_a FROM mpairs),
-       |reach(id, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+       |${closureCtesOver("mpairs")},
        |clus AS (
        |  SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
        |    id = MIN(r) AS rep

@@ -92,16 +92,28 @@ object Dedup {
       .select(col("doc_id"), explode(shingleHashArrOfToks(col("__toks"), n)).as("sh"))
       .distinct()
 
+  /** Per-slot XOR masks: (slot+1)·φ₆₄ (golden-ratio constant), natural
+    * Long wraparound — odd, well-spread, derivable in DuckDB HUGEINT
+    * arithmetic. `lazy`: NumHashes is declared further down this object
+    * (init order). */
+  private[operators] lazy val SlotMasks: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (i + 1) * 0x9E3779B97F4A7C15L)
+
   /** THE per-slot MinHash scheme — single definition so the batch
     * aggregation path and the row-local probe path can never diverge
     * (dedupProbe recall against stored indexes depends on equality).
-    * Portable since r16: (sh·B + slot)·MIX mod 2^64 — each slot's shift
-    * term slot·MIX rotates the value circle by a golden-ratio-spread
-    * offset, so the 16 slot argmins are a low-discrepancy sample of the
-    * shingle set (the classic min-wise shift argument; the exact verify
-    * downstream never trusts the estimate anyway). */
+    * Portable since r16: h_i(sh) = (sh ⊕ mask_i)·MIX mod 2^64 — the
+    * multiply-xor family. The XOR must precede the odd multiply: an
+    * ADDITIVE slot term ((sh·B + slot)·MIX, the first r16 cut) is affine
+    * in sh with a multiplier SHARED across slots, making the 16 slots
+    * mere rotations of one circular order (correlated agreement on
+    * adversarial corpora); XOR perturbs the multiplicand's bits, so each
+    * mask yields a genuinely different post-multiply order. The exact
+    * verify downstream never trusts the estimate, but est_jaccard and
+    * banding recall deserve a real hash family. */
   private def slotHash(sh: Column, slot: Int): Column =
-    graft.functions.HashExpressions.poly_combine(sh, lit(slot.toLong))
+    graft.functions.HashExpressions.poly_finish(
+      sh.bitwiseXOR(lit(SlotMasks(slot))))
 
   // ------------------------------------------------------------ MinHash/LSH
   val NumHashes = 16
@@ -268,18 +280,71 @@ object Dedup {
       .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"), col("jaccard"))
   }
 
+  // --------------------------------------------- stored-index hash stamp
+  /** Identifier of the LSH hash family THIS build signs and probes with:
+    * portable polynomial shingles + xor-mask slot hashes (r16). A stored
+    * index's signatures are meaningless to a probe built under a
+    * different family — the bucket join simply never collides, which
+    * reads as "0 near-dups" (silent false-clean dedup), not as an error.
+    * Every path-based producer stamps `_lsh_hash` beside the index and
+    * every path-based probe refuses a missing/mismatched stamp (the
+    * StreamSample `_sample_params` precedent from the r15 rank-hash
+    * switch). Frame-based probes ([[dedupProbe]],
+    * `StreamCurate.curateGate`) take the index as a DataFrame and cannot
+    * check a sidecar — their contract is that the caller materialized the
+    * frame through this build's [[bandSignatureRows]], or read it from a
+    * path the stamped entry points vetted. */
+  private[graft] val LshHashId: String = "poly-xs"
+
+  private def lshStampPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_lsh_hash")
+
+  private def lshFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def readLshStamp(spark: SparkSession, path: String): Option[String] = {
+    val fs = lshFs(spark, path)
+    val p = lshStampPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      Some((try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()).trim)
+    }
+  }
+
+  private def stampLshIndex(spark: SparkSession, path: String): Unit = {
+    val fs = lshFs(spark, path)
+    val out = fs.create(lshStampPath(path), true)
+    try out.write((LshHashId + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireLshStamp(spark: SparkSession, path: String): Unit = {
+    val got = readLshStamp(spark, path)
+    require(got.contains(LshHashId),
+      s"LSH index at $path was built under hash family " +
+      s"'${got.getOrElse("pre-r16 xxhash64 (no _lsh_hash stamp)")}' but this " +
+      s"build probes with '$LshHashId': the bucket join would silently " +
+      "return zero candidates (false-clean dedup) — rebuild the index with " +
+      "writeLshIndex/appendLshIndexTx")
+  }
+
   /** Materialize the corpus' LSH index as a parquet table (band, sig,
     * doc_id) partitioned by band — the STORED form of the index that
     * `minhashNearDupsIncremental` simulates in-memory. At 100 TB this table
     * is ~NumBands rows per document (tiny next to the corpus), is appended
-    * per ingest, and partition-prunes on band at probe time. */
+    * per ingest, and partition-prunes on band at probe time. Overwrite
+    * semantics ⇒ the hash stamp is (re)written unconditionally. */
   def writeLshIndex(spark: SparkSession, dir: String, path: String,
-      docFilter: Column = lit(true)): Unit =
+      docFilter: Column = lit(true)): Unit = {
     bandSignatureRows(
       Tables.spread(spark, Tables.documents(spark, dir)).filter(docFilter),
       "doc_id", "text")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("band").parquet(path)
+    stampLshIndex(spark, path)
+  }
 
   /** The TRANSACTIONAL form of the stored index: the same (band, sig,
     * doc_id) rows MERGE-committed into a TxTable keyed by (doc_id, band).
@@ -296,12 +361,21 @@ object Dedup {
     * Probe-side, [[nearDupsFromTxIndex]] reads a snapshot of this table —
     * same candidates, same verify as the parquet path. */
   def appendLshIndexTx(spark: SparkSession, dir: String, path: String,
-      docFilter: Column = lit(true)): Long =
-    graft.serve.TxTable.merge(spark,
+      docFilter: Column = lit(true)): Long = {
+    // appending into rows signed under another hash family would mix two
+    // incompatible signature spaces in one table — refuse like a probe
+    // would (a FRESH/empty table is stamped and written)
+    if (graft.serve.TxTable.latestVersion(spark, path).isDefined &&
+        !graft.serve.TxTable.read(spark, path).isEmpty)
+      requireLshStamp(spark, path)
+    val v = graft.serve.TxTable.merge(spark,
       bandSignatureRows(
         Tables.spread(spark, Tables.documents(spark, dir)).filter(docFilter),
         "doc_id", "text"),
       path, Seq("doc_id", "band"))
+    if (readLshStamp(spark, path).isEmpty) stampLshIndex(spark, path)
+    v
+  }
 
   /** The shared probe→verify tail of every stored-index form: bucket-join
     * the new batch into `index`, then exact-verify the colliding pairs
@@ -323,9 +397,11 @@ object Dedup {
     * default) instead of raw parquet. */
   def nearDupsFromTxIndex(spark: SparkSession, dir: String,
       indexPath: String, newDocs: DataFrame, threshold: Double = 0.7,
-      version: Option[Long] = None): DataFrame =
+      version: Option[Long] = None): DataFrame = {
+    requireLshStamp(spark, indexPath)
     verifyAgainstIndex(spark, dir,
       graft.serve.TxTable.read(spark, indexPath, version), newDocs, threshold)
+  }
 
   /** The stored-index form of incremental dedup: band the NEW batch
     * row-locally, bucket-join into the PERSISTED index (no index-side
@@ -336,9 +412,11 @@ object Dedup {
     * signatures, so the candidate sets are identical). */
   def nearDupsFromStoredIndex(spark: SparkSession, dir: String,
       indexPath: String, newDocs: DataFrame,
-      threshold: Double = 0.7): DataFrame =
+      threshold: Double = 0.7): DataFrame = {
+    requireLshStamp(spark, indexPath)
     verifyAgainstIndex(spark, dir, spark.read.parquet(indexPath), newDocs,
       threshold)
+  }
 
   /** Per-doc dedup summary — total-coverage view (one row per doc even when
     * it has no near-dup), so downstream keep/drop decisions are a single
@@ -368,13 +446,23 @@ object Dedup {
     * signature-agreement estimate → exact shingle-set verify at 0.7.
     * `candSql` parameterizes the candidate join (self-join for the batch
     * pipeline, even→odd for the incremental probe). Every arithmetic step
-    * is HUGEINT mod 2^64 — bit-identical to the codegen'd expressions. */
+    * is HUGEINT mod 2^64 — bit-identical to the codegen'd expressions.
+    *
+    * PRECONDITION (pinned in OperatorsSpec's oracle-precondition test):
+    * document text is non-NULL — a NULL text would leave `len(ths)` NULL
+    * in both UNION branches (doc omitted here) while Spark's
+    * when/otherwise hashes the empty concat (doc present). */
   private[operators] def minhashSqlCtes(candSql: String): String = {
     import graft.functions.TextFunctions.{polyFinishSql, polyMixSql,
       polyStepSql, tokListCteSql, unsignedSql, wrapSignedSql}
     val sh3 = polyFinishSql(polyStepSql(
       polyStepSql("ths[i]", "ths[i+1]"), "ths[i+2]"))
-    val slotH = polyFinishSql(polyStepSql("sh", "CAST(i AS HUGEINT)"))
+    // (slot+1)·φ₆₄ mod 2^64 — the unsigned twin of SlotMasks; xor of two
+    // sub-2^64 HUGEINTs never touches the high bits, so the 128-bit xor
+    // equals the Java 64-bit one bit for bit
+    val maskU = """(((i + 1)::HUGEINT * 11400714819323198485::HUGEINT)
+                  |        % 18446744073709551616::HUGEINT)""".stripMargin
+    val slotH = polyFinishSql(s"xor(sh, $maskU)")
     val bandH = polyFinishSql(polyStepSql(polyStepSql(polyStepSql(
       unsignedSql("hs[4*b + 1]"), unsignedSql("hs[4*b + 2]")),
       unsignedSql("hs[4*b + 3]")), unsignedSql("hs[4*b + 4]")))

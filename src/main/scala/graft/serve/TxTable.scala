@@ -558,11 +558,10 @@ object TxTable {
     won
   }
 
-  /** Per-scheme [[CommitStore]] registry. Unregistered schemes fall back
-    * to [[HadoopRenameStore]] — correct for file and HDFS; an S3/GCS/ADLS
-    * deployment MUST register its conditional-put store before writing
-    * (the fallback's exists()+rename is the exact non-atomic pair the
-    * trait contract forbids on overwriting-rename stores). */
+  /** Per-scheme [[CommitStore]] registry. Rename-safe schemes (file,
+    * hdfs, …) fall back to [[HadoopRenameStore]]; any other scheme with
+    * no registered store fails FAST at publish time — see
+    * [[RenameSafeSchemes]]. */
   private val commitStores =
     new java.util.concurrent.ConcurrentHashMap[String, CommitStore]()
 
@@ -574,12 +573,32 @@ object TxTable {
   /** Remove a scheme's registered store (falls back to rename/link). */
   def unregisterCommitStore(scheme: String): Unit = commitStores.remove(scheme)
 
+  /** Schemes whose Hadoop rename already IS the needed primitive (atomic,
+    * refuses an existing destination) — plus "file", which
+    * [[HadoopRenameStore]] serves via hard links. Everything else MUST
+    * register: falling back to exists()+rename on an overwriting-rename
+    * store is precisely the non-atomic pair the trait contract forbids,
+    * and it would fail as SILENT LOST COMMITS under writer races, not as
+    * an error. */
+  private val RenameSafeSchemes = Set("file", "hdfs", "viewfs", "webhdfs")
+
   /** Every commit-point publish — version commits AND checkpoints — goes
     * through the registered seam; the protocol above never calls rename
-    * directly. */
+    * directly. Unregistered non-rename-safe schemes fail FAST at the
+    * first commit instead of losing updates under concurrency. */
   private def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    commitStores.getOrDefault(scheme, HadoopRenameStore).putIfAbsent(fs, tmp, dest)
+    val store = commitStores.get(scheme)
+    if (store != null) store.putIfAbsent(fs, tmp, dest)
+    else {
+      require(RenameSafeSchemes.contains(scheme),
+        s"TxTable: no CommitStore registered for scheme '$scheme' and its " +
+        "rename is not fail-if-exists atomic — register a conditional-put " +
+        s"implementation via TxTable.registerCommitStore(\"$scheme\", ...) " +
+        "before writing (an exists()+rename fallback would lose commits " +
+        "silently under writer races)")
+      HadoopRenameStore.putIfAbsent(fs, tmp, dest)
+    }
   }
 
   /** Full snapshot write (op=write): stage, then commit as the next

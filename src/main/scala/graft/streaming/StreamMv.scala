@@ -50,15 +50,27 @@ object StreamMv {
     * the Hadoop FileSystem resolved from the checkpoint URI (r16): a
     * checkpoint on hdfs:// or s3a:// keeps its identity file WITH its
     * state, not in a CWD-relative local directory. */
-  private[graft] def txnAppId(checkpoint: String): String = {
+  /** Session-less convenience (specs, ad-hoc callers): resolves the
+    * Hadoop config from the active-or-default session. getActiveSession
+    * is THREAD-LOCAL, so production callers that hold a session must use
+    * the 2-arg form — a bare Configuration fallback has no fs.s3a/gs
+    * credentials or impls, exactly for the remote URIs this exists to
+    * serve. */
+  private[graft] def txnAppId(checkpoint: String): String =
+    txnAppId(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()),
+      checkpoint)
+
+  private[graft] def txnAppId(conf: org.apache.hadoop.conf.Configuration,
+      checkpoint: String): String = {
     // the checkpoint is a Spark checkpointLocation and can be ANY Hadoop
     // URI (hdfs://, s3a://) — r15's java.io.File implementation would have
     // dropped the id file in a CWD-relative local directory for those, so
     // the identity must be resolved through the SAME FileSystem the
     // checkpoint state lives on (the StreamSample._sample_params pattern)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val cp = new Path(checkpoint)
     val fs = cp.getFileSystem(conf)
     val f = new Path(cp, "_graft_app_id")
@@ -124,8 +136,14 @@ object StreamMv {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // thread the BATCH session's Hadoop config explicitly: foreachBatch
+        // may run on a thread whose thread-local active session is unset,
+        // and the bare-Configuration fallback cannot resolve remote
+        // checkpoint filesystems
+        val appId = txnAppId(
+          batch.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
         graft.serve.FinanceMv.maintainDailyCloseMv(batch.sparkSession,
-          batch, tablePath, txn = Some((txnAppId(checkpoint), batchId)))
+          batch, tablePath, txn = Some((appId, batchId)))
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -166,7 +166,7 @@ class BenchTaintSpec extends AnyFunSuite {
     // exists to catch — who burns the bandwidth does not matter)
     @volatile var stop = false
     val sink = new java.util.concurrent.atomic.AtomicLong()
-    val hogs = (1 to 12).map { _ =>
+    val hogs = (1 to 24).map { _ =>
       val t = new Thread(() => {
         val arr = new Array[Long](1 << 23) // 64 MB
         var acc = 0L
@@ -179,13 +179,21 @@ class BenchTaintSpec extends AnyFunSuite {
       t.setDaemon(true); t.start(); t
     }
     try {
-      Thread.sleep(200L) // let the streamers reach steady state
+      Thread.sleep(400L) // let the streamers reach steady state
       val loaded = Bench.canaryMemSample()
+      // this is a PHYSICAL demonstration, so it needs hardware where 12
+      // streamers actually starve one more reader — on a many-channel host
+      // (or a tiny CI box that deschedules the hogs) contention may be
+      // unachievable; CANCEL there rather than fail a correct rule
+      // (the rule's arithmetic is pinned hardware-independently above)
+      assume(loaded > quiet * 1.5 + 0.005,
+        s"this host absorbs 24 streamer threads (loaded=$loaded quiet=$quiet) " +
+        "— bandwidth contention not achievable, physical leg skipped")
       // the loaded sample IS the run's best case under sustained
       // contention — the min rule must taint it against the quiet ref
       assert(Bench.canaryMemRunSlow(minSec = loaded, medianSec = loaded,
           refSec = quiet),
-        s"12 streaming threads must starve the kernel: loaded=$loaded quiet=$quiet")
+        s"the min rule must fire under real starvation: loaded=$loaded quiet=$quiet")
     } finally { stop = true; hogs.foreach(_.join(2000L)) }
   }
 

@@ -159,6 +159,51 @@ class DedupSpec extends AnyFunSuite {
     assert(probe() == twoAppends)
   }
 
+  test("stored LSH index: a foreign/missing hash-family stamp is refused, never a silent 0-hit probe") {
+    // the r16 hash-family switch invalidated every pre-r16 index: its
+    // xxhash64 signatures never collide with poly band signatures, so an
+    // unguarded probe reads "no near-dups" — false-clean dedup. The
+    // _lsh_hash stamp turns that into a loud rebuild instruction (the
+    // StreamSample _sample_params precedent).
+    val dir = java.nio.file.Files.createTempDirectory("lsh_stamp").toString
+    val path = s"$dir/index"
+    Dedup.writeLshIndex(spark, sf, path, col("doc_id") % 2 === 0)
+    val newBatch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    // stamped by the producer: the probe works
+    assert(Dedup.nearDupsFromStoredIndex(spark, sf, path, newBatch).count() > 0)
+    // tamper THROUGH the Hadoop FS (a java.nio write would leave the
+    // local FS's .crc sidecar describing the old bytes — ChecksumException
+    // instead of the guard under test)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def plantStamp(at: String, family: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(at, "_lsh_hash"), true)
+      try out.write((family + "\n").getBytes("UTF-8")) finally out.close()
+    }
+    // a pre-r16 index has NO stamp — refuse
+    assert(fs.delete(new org.apache.hadoop.fs.Path(path, "_lsh_hash"), false))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.nearDupsFromStoredIndex(spark, sf, path, newBatch).count()
+    }
+    assert(e1.getMessage.contains("pre-r16 xxhash64") &&
+      e1.getMessage.contains("rebuild"))
+    // a FOREIGN family stamp — refuse naming both families
+    plantStamp(path, "xxhash64")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.nearDupsFromStoredIndex(spark, sf, path, newBatch).count()
+    }
+    assert(e2.getMessage.contains("'xxhash64'") && e2.getMessage.contains("poly-xs"))
+    // the Tx producer refuses to APPEND into a foreign-signed table too
+    val txPath = s"$dir/txindex"
+    Dedup.appendLshIndexTx(spark, sf, txPath, col("doc_id") % 4 === 0)
+    plantStamp(txPath, "xxhash64")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.appendLshIndexTx(spark, sf, txPath, col("doc_id") % 4 === 2)
+    }
+    assert(e3.getMessage.contains("'xxhash64'"))
+  }
+
   test("shingles of short docs fall back to whole text") {
     import spark.implicits._
     val df = Seq((1L, "one two")).toDF("doc_id", "text")
@@ -1142,6 +1187,12 @@ class MultimodalSpec extends AnyFunSuite {
     val nonAscii = Tables.documents(spark, sf)
       .filter(col("text").rlike("[^\\x20-\\x7e]")).count()
     assert(nonAscii == 0, "non-ASCII text would break the byte-level oracles")
+    // NULL text would silently diverge the minhash oracle's doc set: the
+    // DuckDB CTEs' len(ths) branches are both NULL for NULL toks (doc
+    // omitted) while Spark's when/otherwise hashes the empty concat — pin
+    // the precondition so the latent gap can never go unnoticed (r16)
+    assert(Tables.documents(spark, sf).filter(col("text").isNull).count() == 0,
+      "NULL document text would diverge the minhash oracles' doc sets")
     // and the normalized form never drops below the winnow k-gram width
     val minNorm = Tables.documents(spark, sf)
       .select(min(length(graft.functions.TextFunctions.normText(col("text")))))
