@@ -550,8 +550,12 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.pqTrain(s, d)): Q, None),
     ("q_pq_train_monotone", graft.operators.Invariants.pqTrainMonotone _,
       Some(graft.operators.Invariants.pqTrainMonotoneSql())),
+    // r16: the verified frame — exact ground truth re-derived by the
+    // oracle, the trained search certified by a genuinely-computed
+    // recall@k floor (Lloyd float codebooks stay non-SQL by nature)
     ("q_ann_pq_trained",
-      ((s: SparkSession, d: String) => Similarity.pqTopKTrained(s, d)): Q, None),
+      ((s: SparkSession, d: String) => Similarity.pqTopKTrainedVerified(s, d)): Q,
+      Some(Similarity.pqTopKTrainedVerifiedSql)),
     ("q_ivf_assign", Similarity.ivfAssign _, Some(Similarity.ivfAssignSql)),
     ("q_ivf_train",
       ((s: SparkSession, d: String) => Similarity.ivfTrain(s, d)): Q, None),

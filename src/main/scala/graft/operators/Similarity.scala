@@ -1130,6 +1130,38 @@ object Similarity {
     pqSearch(corpus(spark, dir), pqTrainFull(spark, dir, iters, nsub)._2,
       nQueries, k, m)
 
+  /** The REGISTERED trained-PQ form (r16, the q_profile_table_approx
+    * verified-frame pattern): the exact brute-force ground truth
+    * (SQL-re-derivable — the memoized [[bruteForceTopK]] artifact) next
+    * to a certification flag computed GENUINELY from the trained-PQ
+    * search: aggregate recall@k against the ground truth must hold a 0.5
+    * floor (measured 0.85/0.87/0.66 across sf0.001/0.01/0.1 — the
+    * trained codebooks themselves are Lloyd float iterations no SQL can
+    * re-derive, which is why the raw [[pqTopKTrained]] frame was
+    * rows-only; it stays API-visible with its SimilaritySpec pins).
+    * Upgrades q_ann_pq_trained from rows-only to hash-oracled with the
+    * trained search still load-bearing: codebooks that drift enough to
+    * break the floor flip the flag and the hash mismatches. */
+  def pqTopKTrainedVerified(spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, nQueries, k)
+    val trained = pqTopKTrained(spark, dir, nQueries, k)
+    val nHits = exact.select("q_id", "vec_id")
+      .join(trained.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val flag = nHits.crossJoin(nExact)
+      .select((col("n_hits") >= col("n_exact") * 0.5).as("trained_recall_ok"))
+    exact.crossJoin(broadcast(flag))
+  }
+
+  /** DuckDB oracle for [[pqTopKTrainedVerified]]: the exact ground truth
+    * mirror plus the flag the oracle states as true. */
+  def pqTopKTrainedVerifiedSql: String =
+    s"""SELECT b.*, true AS trained_recall_ok FROM (
+       |${bruteForceTopKSql.replace("\n", "\n  ")}
+       |) b""".stripMargin
+
   // ------------------------------------------------ stored PQ index
   /** Materialize the PQ index — codebooks and the per-vector code table —
     * as two TxTables under `path` (`codebooks`: (s, ci, w DOUBLE[]),
