@@ -613,8 +613,10 @@ object SparkEntry {
       Some(graft.operators.Similarity.semanticProbeSql())),
     // forecast (UD3)
     ("q_forecast", Forecast.forecastQuery _, None),
-    // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine)
-    ("q_format_combine", Format.fixturePipelineQuery _, None),
+    // ETL pipeline end-to-end (S1 multiLine JSON scan → format → combine);
+    // r17: fully oracled — DuckDB read_json ingests the SAME fixture files
+    ("q_format_combine", Format.fixturePipelineQuery _,
+      Some(Format.fixtureCombineSql)),
     ("q_format_combine_summary", Format.fixtureSummaryQuery _,
       Some(Format.fixtureSummarySql)),
     // the WHOLE reference DAG (ingest→format→combine→predict→index) run by

@@ -151,6 +151,68 @@ object Format {
         max("date").as("max_date"),
         sum(when(col("daily_change_pct").isNull, 1L).otherwise(0L)).as("n_null_change"))
 
+  /** Full-frame DuckDB oracle for [[fixturePipelineQuery]] (r17): re-derives
+    * the ENTIRE Bronze→Gold contract — multiLine JSON-array scan with the
+    * same explicit schema (`read_json(format='array', columns=...)` ingests
+    * the SAME fixture files `readRaw` globs), offset-string → UTC timestamp
+    * parse, the ≥2020 news filter, the deterministic per-id dedup, the
+    * news aggregate, both left joins, and the guarded-division derived
+    * columns — then hash-compares all 420 rows × 16 columns. Timestamps go
+    * through `timezone('UTC', CAST(x AS TIMESTAMPTZ))` so the oracle is
+    * independent of the DuckDB session timezone (the fixture offsets are
+    * explicit). Doubles are bit-exact on both sides: the same decimal JSON
+    * literals parse to the same IEEE doubles and the derived arithmetic
+    * (`high-low`, `(close-open)/open*100`) applies the same op order. */
+  val fixtureCombineSql: String = {
+    val fx = "/tmp/graft_fixtures/raw" // Fixtures.ensureRawLayer root (fixed)
+    s"""WITH stocks_raw AS (
+       |  SELECT * FROM read_json('$fx/yahoo/stocks/*/stocks.json',
+       |    format='array',
+       |    columns={symbol:'VARCHAR', "date":'VARCHAR', "open":'DOUBLE', high:'DOUBLE',
+       |             low:'DOUBLE', "close":'DOUBLE', volume:'BIGINT', fetched_at:'VARCHAR'})
+       |), stocks AS (
+       |  SELECT symbol, "date", "open", high, low, "close", volume,
+       |         timezone('UTC', CAST(fetched_at AS TIMESTAMPTZ)) AS fetched_at_utc
+       |  FROM stocks_raw
+       |), company AS (
+       |  SELECT symbol, name, sector, industry, market_cap
+       |  FROM read_json('$fx/yahoo/company_info/*/company_info.json',
+       |    format='array',
+       |    columns={symbol:'VARCHAR', name:'VARCHAR', sector:'VARCHAR', industry:'VARCHAR',
+       |             country:'VARCHAR', market_cap:'BIGINT', currency:'VARCHAR', fetched_at:'VARCHAR'})
+       |), news_raw AS (
+       |  SELECT *, timezone('UTC', CAST(pub_date AS TIMESTAMPTZ)) AS pub_date_utc,
+       |         timezone('UTC', CAST(fetched_at AS TIMESTAMPTZ)) AS fetched_at_utc
+       |  FROM read_json('$fx/finnhub/news/*/news.json',
+       |    format='array',
+       |    columns={id:'VARCHAR', symbol:'VARCHAR', title:'VARCHAR', summary:'VARCHAR',
+       |             pub_date:'VARCHAR', provider:'VARCHAR', url:'VARCHAR', category:'VARCHAR',
+       |             image:'VARCHAR', sentiment_score:'DOUBLE', sentiment_label:'VARCHAR',
+       |             fetched_at:'VARCHAR'})
+       |), news AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id
+       |        ORDER BY pub_date_utc DESC, fetched_at_utc DESC) AS __rn
+       |    FROM news_raw
+       |    WHERE pub_date_utc >= TIMESTAMP '2020-01-01 00:00:00')
+       |  WHERE __rn = 1
+       |), news_agg AS (
+       |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS news_count,
+       |         MAX(pub_date_utc) AS latest_news_date
+       |  FROM news GROUP BY symbol
+       |)
+       |SELECT s.symbol, c.name, c.sector, c.industry, s."date", s."open", s.high, s.low,
+       |       s."close", s.volume, c.market_cap,
+       |       s.high - s.low AS daily_range,
+       |       (s."close" - s."open") / nullif(s."open", 0.0) * 100 AS daily_change_pct,
+       |       n.news_count,
+       |       strftime(n.latest_news_date, '%Y-%m-%d %H:%M:%S') AS latest_news_date,
+       |       strftime(s.fetched_at_utc, '%Y-%m-%d %H:%M:%S') AS fetched_at_utc
+       |FROM stocks s
+       |LEFT JOIN company c USING (symbol)
+       |LEFT JOIN news_agg n ON s.symbol = n.symbol""".stripMargin
+  }
+
   val fixtureSummarySql: String =
     """SELECT * FROM (VALUES
       |  ('AAPL', CAST(140 AS BIGINT), CAST(70 AS BIGINT), CAST(2 AS BIGINT), true,
