@@ -392,16 +392,22 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Curation.decontaminateSemantic(s, d)): Q,
       Some(graft.operators.Curation.decontaminateSemanticSql())),
     // BPE vocabulary training (Sennrich et al. 2016): merges trained on the
-    // word-frequency table; the first merge decision is independently oracled
+    // word-frequency table; r17: the WHOLE 20-round merge loop is replayed
+    // by the oracle as an unrolled chained CTE (argmax + greedy merge per
+    // stage), upgrading train from rows-only to full rank/pair/count hashes
     ("q_bpe_train",
-      ((s: SparkSession, d: String) => graft.operators.BpeTrain.train(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.BpeTrain.train(s, d)): Q,
+      Some(graft.operators.BpeTrain.trainSql())),
     ("q_bpe_first_merge",
       ((s: SparkSession, d: String) => graft.operators.BpeTrain.firstMerge(s, d)): Q,
       Some(graft.operators.BpeTrain.firstMergeSql)),
     // BPE APPLICATION (the tokenize step): per-doc real token bill under the
     // trained merge table — broadcast merges, zero-shuffle row-local encode
+    // r17: fully oracled — DuckDB re-derives every doc's token stream from
+    // the training replay (train's final word states ARE the corpus encode)
     ("q_bpe_encode",
-      ((s: SparkSession, d: String) => graft.operators.BpeEncode.encodeQuery(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.BpeEncode.encodeQuery(s, d)): Q,
+      Some(graft.operators.BpeEncode.encodeSql())),
     // hash-oracled roundtrip twin: the encoded stream re-assembles to the
     // normalized text byte-for-byte (DuckDB recomputes the md5 from raw text)
     ("q_bpe_encode_roundtrip",
@@ -411,10 +417,11 @@ object SparkEntry {
     ("q_chunk_documents",
       ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocuments(s, d)): Q,
       Some(graft.operators.Packing.chunkDocumentsSql())),
-    // the same chunk kernel on the REAL BPE token bill — rows-only by
-    // contract, bracketed by the oracled whitespace twin + encode roundtrip
+    // the same chunk kernel on the REAL BPE token bill — r17: fully oracled
+    // (the replayed encode's token stream through the shared chunk SQL tail)
     ("q_chunk_bpe",
-      ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocumentsBpe(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Packing.chunkDocumentsBpe(s, d)): Q,
+      Some(graft.operators.Packing.chunkDocumentsBpeSql())),
     ("q_pack_sequences",
       ((s: SparkSession, d: String) => graft.operators.Packing.packContiguous(s, d)): Q,
       Some(graft.operators.Packing.packContiguousSql())),

@@ -154,9 +154,9 @@ object BpeEncode {
 
   /** Per-document encode summary on the corpus: word/char/token counts
     * and the token-stream signature. n_tokens is the REAL BPE bill (vs
-    * `q_bpe_token_count`'s regex proxy) — not SQL-derivable, so this
-    * entry is rows-only; the roundtrip twin below hash-anchors the same
-    * encode end to end. */
+    * `q_bpe_token_count`'s regex proxy). Fully hash-oracled since r17 via
+    * [[encodeSql]] — see [[encodedCtes]] for why the training replay's
+    * final word states ARE the encode of the training corpus. */
   def encodeQuery(spark: SparkSession, dir: String): DataFrame =
     encoded(spark, dir)
       .select(col("doc_id"),
@@ -182,6 +182,57 @@ object BpeEncode {
     raw"""SELECT doc_id,
       |  md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS text_sig
       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------- full-loop oracle
+  /** Shared encode-side CTEs (r17), extending [[BpeTrain.oracleCtes]]'s
+    * training replay: `enc` re-assembles each word's FINAL symbol list
+    * from the last training stage, and `wtoks` looks up every word
+    * occurrence per document (positional unnest keeps word order;
+    * sub-2-char words — never trained — fall back to the single-symbol
+    * identity, exactly [[encodeWord]]'s `syms.length < 2` early-out).
+    *
+    * Validity: the oracle's per-word decomposition is training's final
+    * word state, and q_bpe_encode runs on exactly the training corpus —
+    * [[encodeWord]]'s lowest-rank-first application reproduces training's
+    * rank-order evolution whenever no two distinct merges fuse to the
+    * same symbol string (see the class comment; BpeSpec asserts the
+    * reproduction). If that assumption ever broke, this oracle would
+    * fail LOUDLY on the tok_sig hashes — the right failure mode. */
+  private[graft] def encodedCtes(merges: Int = 20): String =
+    BpeTrain.oracleCtes(merges) +
+      s""",
+         |enc AS MATERIALIZED (SELECT word, list(sym ORDER BY pos ASC) AS toks FROM w$merges GROUP BY word),
+         |docw AS (
+         |  SELECT doc_id, u.i, u.word
+         |  FROM (SELECT doc_id, UNNEST(list_transform(range(len(toks)),
+         |          i -> struct_pack(i := i + 1, word := toks[i + 1]))) AS u
+         |        FROM toked)),
+         |wtoks AS MATERIALIZED (
+         |  SELECT d.doc_id, d.i, COALESCE(e.toks, [d.word]) AS toks
+         |  FROM docw d LEFT JOIN enc e ON d.word = e.word)""".stripMargin
+
+  /** Full oracle for [[encodeQuery]] (r17): per-doc word/token/char counts
+    * and the `<length>:<token>` prefix-code stream signature, re-derived
+    * from the DuckDB training replay. The documents LEFT JOIN restores
+    * zero-word documents (empty after normalization) that the per-word
+    * unnest drops — Spark's encode keeps them with empty aggregates. */
+  def encodeSql(merges: Int = 20): String =
+    encodedCtes(merges) +
+      """,
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) AS INT) AS n_words,
+        |    CAST(SUM(len(toks)) AS INT) AS n_tokens,
+        |    CAST(SUM(length(array_to_string(toks, ''))) AS INT) AS n_chars,
+        |    md5(string_agg(array_to_string(list_transform(toks,
+        |      x -> CAST(length(x) AS VARCHAR) || ':' || x), chr(1)), ' ' ORDER BY i ASC)) AS tok_sig
+        |  FROM wtoks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_words, 0) AS n_words,
+        |  COALESCE(p.n_tokens, 0) AS n_tokens,
+        |  COALESCE(p.n_chars, 0) AS n_chars,
+        |  COALESCE(p.tok_sig, md5('')) AS tok_sig
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
 
   private val encMemo = new SessionMemo[String, DataFrame]
 

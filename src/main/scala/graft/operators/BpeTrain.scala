@@ -137,6 +137,81 @@ object BpeTrain {
       .select(col("l").as("left"), col("r").as("right"),
         col("cnt").as("pair_count"))
 
+  // ------------------------------------------------------- full-loop oracle
+  /** One DuckDB replay stage of a training round (r17). The whole merge
+    * loop is a deterministic integer fold, so the oracle unrolls it as a
+    * CHAINED CTE — stage k recomputes round k's weighted pair argmax from
+    * the stage-(k-1) symbol table and applies the merge with window
+    * functions (recursive CTEs can't aggregate over the recursive table,
+    * but a 20-deep chain has no such restriction; `AS MATERIALIZED` stops
+    * DuckDB inlining each doubly-referenced stage, which would otherwise
+    * expand 2^20 ways).
+    *
+    * The greedy left-to-right non-overlapping merge application is exact
+    * relationally: a position is a CANDIDATE when (sym, next sym) =
+    * (l, r); candidates only interfere when consecutive (the merge at p
+    * consumes p+1), so within each maximal run of consecutive candidates
+    * the greedy scan selects the 1st, 3rd, 5th... — `grp` buckets the
+    * runs (pos − row_number over candidates), `sel` keeps odd in-run
+    * ranks, `dropped` removes each selected pair's right symbol, and the
+    * outer row_number re-packs positions for the next stage. */
+  private def mergeStage(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+       |  SELECT l, r, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+       |    SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, wc FROM $prev)
+       |  WHERE r IS NOT NULL GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (SELECT $k AS rank, l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+       |w$k AS MATERIALIZED (
+       |  SELECT word, wc, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |         CASE WHEN sel THEN l || r ELSE sym END AS sym
+       |  FROM (
+       |    SELECT word, wc, pos, sym, l, r, sel,
+       |           COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS dropped
+       |    FROM (
+       |      SELECT word, wc, pos, sym, l, r,
+       |             COALESCE(cand AND (row_number() OVER (PARTITION BY word, cand, grp ORDER BY pos) % 2 = 1), false) AS sel
+       |      FROM (
+       |        SELECT word, wc, pos, sym, l, r, cand,
+       |               pos - row_number() OVER (PARTITION BY word, cand ORDER BY pos) AS grp
+       |        FROM (
+       |          SELECT w.word, w.wc, w.pos, w.sym, b.l, b.r,
+       |                 COALESCE(w.sym = b.l AND lead(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) = b.r, false) AS cand
+       |          FROM $prev w CROSS JOIN b$k b))))
+       |  WHERE NOT dropped)""".stripMargin
+  }
+
+  /** WITH-clause prefix shared by the three BPE oracles (train / encode /
+    * BPE-chunk — one text, so they cannot drift): tokenization identical
+    * to [[firstMergeSql]] but keeping doc_id for the encode consumers,
+    * the (word, wc) table, the exploded char-symbol state `w0`, and the
+    * `merges` unrolled rounds ending at `w<merges>` with decisions in
+    * `b1..b<merges>`. */
+  private[graft] def oracleCtes(merges: Int = 20): String =
+    raw"""WITH toked AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |words AS (
+      |  SELECT word, COUNT(*) AS wc
+      |  FROM (SELECT UNNEST(toks) AS word FROM toked) GROUP BY 1),
+      |w0 AS MATERIALIZED (
+      |  SELECT word, wc, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
+      |  FROM (SELECT word, wc, UNNEST(range(1, length(word) + 1)) AS i
+      |        FROM words WHERE length(word) >= 2)),
+      |""".stripMargin +
+      (1 to merges).map(mergeStage).mkString(",\n")
+
+  /** Full-loop oracle for [[train]] (r17): all `merges` rounds replayed in
+    * DuckDB, decisions unioned in rank order. */
+  def trainSql(merges: Int = 20): String =
+    oracleCtes(merges) + "\n" +
+      (1 to merges).map(k =>
+        s"""SELECT rank, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM b$k""")
+        .mkString(" UNION ALL ") +
+      "\nORDER BY rank"
+
   val firstMergeSql: String =
     raw"""WITH toked AS (
       |  SELECT list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),

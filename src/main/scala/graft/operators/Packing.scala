@@ -208,11 +208,11 @@ object Packing {
     * doc's per-word token arrays flattened in order), so chunk
     * boundaries land where a trained tokenizer would put them — the
     * difference between "64 words" and "64 tokens" is exactly what makes
-    * context-window packing honest. Rows-only by contract (BPE tokens
-    * aren't SQL-re-derivable); bracketed by the ORACLED whitespace-token
-    * twin (`q_chunk_documents`, same kernel) and the ORACLED encode
-    * roundtrip (`q_bpe_encode_roundtrip`, same token stream), and
-    * PackingSpec pins coverage + stream reassembly on the BPE side. */
+    * context-window packing honest. Fully hash-oracled since r17 via
+    * [[chunkDocumentsBpeSql]]: DuckDB replays the whole train→encode
+    * chain ([[BpeEncode.encodedCtes]]) and runs the same chunk kernel on
+    * the re-derived token stream; PackingSpec additionally pins coverage
+    * + stream reassembly on the BPE side. */
   def chunkDocumentsBpe(spark: SparkSession, dir: String,
       window: Int = 64, stride: Int = 32): DataFrame =
     chunkTokens(
@@ -250,6 +250,45 @@ object Packing {
       |  CAST(len(list_slice(t, u.s, u.s + ${window - 1})) AS INT) AS n_chunk_tokens,
       |  md5(array_to_string(list_slice(t, u.s, u.s + ${window - 1}), ' ')) AS chunk_sig
       |FROM ex""".stripMargin
+
+  /** Full oracle for [[chunkDocumentsBpe]] (r17): the BPE token stream
+    * per document is the ordered flatten of the replayed per-word encode
+    * (`wtoks`), and the window/stride/anchor/slice/md5 kernel below is
+    * the SAME text as [[chunkDocumentsSql]]'s tail — only the `t` feeding
+    * it differs, mirroring how the Spark twins share `chunkTokens`. The
+    * documents LEFT JOIN restores zero-word documents, which chunk to one
+    * empty window on the Spark side. */
+  def chunkDocumentsBpeSql(window: Int = 64, stride: Int = 32,
+      merges: Int = 20): String =
+    BpeEncode.encodedCtes(merges) +
+      s""",
+         |stream0 AS (
+         |  SELECT doc_id, flatten(list(toks ORDER BY i ASC)) AS t FROM wtoks GROUP BY doc_id),
+         |stream AS (
+         |  SELECT d.doc_id, COALESCE(s.t, []) AS t
+         |  FROM documents d LEFT JOIN stream0 s ON d.doc_id = s.doc_id),
+         |sized AS (SELECT doc_id, t, len(t) AS n FROM stream),
+         |grid AS (
+         |  SELECT doc_id, t, n,
+         |    greatest(1, n - ${window - 1}) AS anchor,
+         |    range(1, greatest(1, n - ${window - 1}) + 1, $stride) AS base
+         |  FROM sized),
+         |st AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN list_contains(base, anchor) THEN base
+         |         ELSE list_append(base, anchor) END AS starts
+         |  FROM grid),
+         |ex AS (
+         |  SELECT doc_id, t,
+         |    UNNEST(list_transform(range(len(starts)),
+         |      i -> struct_pack(pos := i, s := starts[i + 1]))) AS u
+         |  FROM st)
+         |SELECT doc_id,
+         |  CAST(u.pos AS INT) AS chunk_pos,
+         |  CAST(u.s AS INT) AS start_idx,
+         |  CAST(len(list_slice(t, u.s, u.s + ${window - 1})) AS INT) AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(t, u.s, u.s + ${window - 1}), ' ')) AS chunk_sig
+         |FROM ex""".stripMargin
 
   def packNextFitSql(budget: Int = DefaultBudget): String =
     s"""WITH RECURSIVE toked AS (
