@@ -8,13 +8,25 @@ import graft.Tables
   * carried as opaque `binary` columns with typed metadata, decoded and
   * feature-extracted in batch per partition.
   *
-  * The actual codecs (JPEG/PNG/audio) are NOT in this container, so
-  * `decodeStub` is a clearly-marked deterministic fake — but everything
-  * Spark-side is real and tested: the schema (binary payload + metadata
-  * struct), the `mapPartitions` batch shape (the JVM analogue of a
+  * Two decode tiers (r17):
+  *  - the BYTE tier (`decodeStub`, a clearly-marked deterministic fake for
+  *    the audio/video codecs absent in this container): byte histogram,
+  *    entropy, FNV checksum — fully hash-oracled since the payload bytes
+  *    are re-derivable in DuckDB;
+  *  - the IMAGE tier is a GENUINE codec path: image-kind rows are encoded
+  *    to a real PNG (`javax.imageio`, ships in the JDK) from a
+  *    deterministic pixel function of the payload, then decoded back with
+  *    `ImageIO.read` inside the same mapPartitions batch — dimensions,
+  *    channel means, luminance histogram. PNG is lossless, so the decoded
+  *    stats equal the pixel function's and the DuckDB oracle recomputes
+  *    them WITHOUT a codec: what the hash certifies end-to-end is
+  *    decode(encode(pixels)) ≡ pixels plus the stats arithmetic.
+  *
+  * Everything Spark-side is real and tested: the schema (binary payload +
+  * metadata struct), the `mapPartitions` batch shape (the JVM analogue of a
   * `mapInPandas` batch UDF: one iterator per partition, amortized setup —
-  * where a real decoder would be initialized once per partition, not per
-  * row), partitioning, and the frame-sampling explode.
+  * codec handles initialized once per partition, not per row),
+  * partitioning, and the frame-sampling explode.
   *
   * At 100 TB: payloads dominate I/O, so every query prunes to (id, payload)
   * at the scan; feature extraction is embarrassingly parallel per partition;
@@ -26,7 +38,10 @@ object Multimodal {
       width: Int, height: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       mean_byte: Double, byte_entropy: Double, checksum: Long,
-      feature_vec: Array[Float])
+      feature_vec: Array[Float],
+      img_width: Option[Int], img_height: Option[Int],
+      r_mean: Option[Double], g_mean: Option[Double], b_mean: Option[Double],
+      lum_hist: Option[Array[Long]])
 
   /** Deterministic media table derived from `documents`: payload = UTF-8
     * bytes of the text (standing in for encoded image/audio bytes), kind
@@ -60,9 +75,10 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   // ----------------------------------------------------------- decode stub
-  /** STUB: a real implementation would decode the payload with an image or
-    * audio codec here (library absent in this container). The fake is
-    * deterministic in the payload bytes so tests are stable. */
+  /** BYTE-TIER STUB (audio/video): a real implementation would decode the
+    * payload with an audio/video codec here (libraries absent in this
+    * container; the IMAGE tier has a real codec — see [[decodeImage]]).
+    * The fake is deterministic in the payload bytes so tests are stable. */
   def decodeStub(payload: Array[Byte]): (Double, Double, Long, Array[Float]) = {
     val hist = new Array[Long](256)
     var sum = 0L
@@ -96,8 +112,66 @@ object Multimodal {
     (mean, entropy, checksum, vec)
   }
 
+  // ------------------------------------------------------- real image codec
+  /** Decoded image size for an image-kind row: the metadata dims folded to
+    * a small raster (8..71 px per side) so the synthetic corpus stays
+    * cheap while the codec path is real. */
+  private[graft] def imageDims(width: Int, height: Int): (Int, Int) =
+    (width % 64 + 8, height % 64 + 8)
+
+  /** Deterministic pixel function: channel c of pixel i reads payload byte
+    * (3i+c) mod n — the ONE definition the encoder, the decode spec leg,
+    * and the DuckDB oracle all share. */
+  private[graft] def pixelValue(payload: Array[Byte], idx: Long): Int =
+    if (payload.length == 0) 0
+    else payload((idx % payload.length).toInt) & 0xFF
+
+  /** Build the stored encoded image for an image-kind row: a REAL PNG
+    * (javax.imageio) of the deterministic pixel raster. This is the
+    * "fixture payload" side — in production the PNG arrives in the lake;
+    * here it is synthesized once per row so the decode below has a
+    * genuine compressed stream to chew on. */
+  private[graft] def encodePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val r = pixelValue(payload, 3L * i)
+      val g = pixelValue(payload, 3L * i + 1)
+      val b = pixelValue(payload, 3L * i + 2)
+      img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** GENUINE image decode (r17, the capability `decodeStub` stood in for):
+    * `ImageIO.read` over the PNG stream → dimensions, per-channel means
+    * (6 dp, matching the oracle's round), luminance histogram (8 buckets
+    * of (r+g+b)/3, integer arithmetic). */
+  private[graft] def decodeImage(png: Array[Byte]): (Int, Int, Double, Double, Double, Array[Long]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    val lum = new Array[Long](8)
+    var i = 0
+    while (i < w * h) {
+      val rgb = img.getRGB(i % w, i / w)
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      rs += r; gs += g; bs += b
+      lum(((r + g + b) / 3) / 32) += 1
+      i += 1
+    }
+    val n = math.max(1, w * h)
+    (w, h, r6(rs.toDouble / n), r6(gs.toDouble / n), r6(bs.toDouble / n), lum)
+  }
+
   /** Batch feature extraction: one decoder lifecycle per PARTITION (the
-    * mapPartitions contract), not per row. */
+    * mapPartitions contract), not per row. Image-kind rows additionally
+    * run the real PNG encode→decode round-trip; audio/video keep the
+    * byte-tier stub until their codecs exist. */
   def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -107,8 +181,14 @@ object Multimodal {
         // per-partition decoder init would go here (codec handles, buffers)
         it.map { m =>
           val (mean, entropy, checksum, vec) = decodeStub(m.payload)
+          val img = if (m.kind == "image") {
+            val (w, h) = imageDims(m.width, m.height)
+            Some(decodeImage(encodePng(m.payload, w, h)))
+          } else None
           MediaFeatures(m.media_id, m.kind, m.payload.length, r6(mean),
-            r6(entropy), checksum, vec)
+            r6(entropy), checksum, vec,
+            img.map(_._1), img.map(_._2), img.map(_._3), img.map(_._4),
+            img.map(_._5), img.map(_._6))
         }
       }
       .toDF()
@@ -128,9 +208,13 @@ object Multimodal {
     val buckets = (0 until 8).map(k =>
       round(element_at(col("feature_vec"), k + 1).cast("double") * col("n_bytes"))
         .cast("long").as(s"b$k"))
+    val lums = (0 until 8).map(k =>
+      element_at(col("lum_hist"), k + 1).as(s"lum$k"))
     extractFeatures(spark, dir)
       .select(Seq(col("media_id"), col("kind"), col("n_bytes"), col("mean_byte"),
-        col("byte_entropy"), col("checksum")) ++ buckets: _*)
+        col("byte_entropy"), col("checksum")) ++ buckets ++
+        Seq(col("img_width"), col("img_height"), col("r_mean"), col("g_mean"),
+          col("b_mean")) ++ lums: _*)
   }
 
   /** Per-doc byte pipeline shared by the features and summary oracles: code
@@ -178,9 +262,41 @@ object Multimodal {
       |    e.b0, e.b1, e.b2, e.b3, e.b4, e.b5, e.b6, e.b7
       |  FROM bytes b JOIN fnv f USING (media_id) JOIN ent e USING (media_id))""".stripMargin
 
+  /** Image-tier oracle CTEs (r17): re-derive the DECODED pixel stats of
+    * each image-kind row straight from the deterministic pixel function —
+    * channel c of pixel i is payload byte (3i+c) mod n — which PNG
+    * losslessness guarantees equals what `decodeImage` reads back from
+    * the real compressed stream. Integer luminance ((r+g+b)/3)/32 and the
+    * sum/count means mirror the Scala arithmetic exactly. */
+  private val imageStatsSqlCte: String =
+    s"""imgsrc AS (
+      |  SELECT b.media_id, CAST((m.width % 64) + 8 AS BIGINT) AS iw,
+      |         CAST((m.height % 64) + 8 AS BIGINT) AS ih,
+      |         b.bs, CAST(len(b.bs) AS BIGINT) AS n
+      |  FROM bytes b JOIN media m USING (media_id) WHERE b.kind = 'image'),
+      |pix AS (
+      |  SELECT media_id, iw, ih,
+      |    CASE WHEN n = 0 THEN 0 ELSE CAST(bs[CAST((3 * i) % n AS INT) + 1] AS INT) END AS r,
+      |    CASE WHEN n = 0 THEN 0 ELSE CAST(bs[CAST((3 * i + 1) % n AS INT) + 1] AS INT) END AS g,
+      |    CASE WHEN n = 0 THEN 0 ELSE CAST(bs[CAST((3 * i + 2) % n AS INT) + 1] AS INT) END AS b
+      |  FROM (SELECT media_id, iw, ih, bs, n, UNNEST(range(0, iw * ih)) AS i FROM imgsrc)),
+      |imgstats AS (
+      |  SELECT media_id,
+      |    CAST(MAX(iw) AS INT) AS img_width, CAST(MAX(ih) AS INT) AS img_height,
+      |    round(SUM(r)::DOUBLE / COUNT(*), 6) AS r_mean,
+      |    round(SUM(g)::DOUBLE / COUNT(*), 6) AS g_mean,
+      |    round(SUM(b)::DOUBLE / COUNT(*), 6) AS b_mean,
+      |    ${(0 until 8).map(k =>
+             s"CAST(COALESCE(SUM(CASE WHEN ((r + g + b) // 3) // 32 = $k " +
+               s"THEN 1 END), 0) AS BIGINT) AS lum$k").mkString(",\n      |    ")}
+      |  FROM pix GROUP BY media_id)""".stripMargin
+
   val featuresQuerySql: String =
-    s"""WITH $featuresSqlCte
-      |SELECT * FROM features""".stripMargin
+    s"""WITH $featuresSqlCte,
+      |$imageStatsSqlCte
+      |SELECT f.*, i.img_width, i.img_height, i.r_mean, i.g_mean, i.b_mean,
+      |  i.lum0, i.lum1, i.lum2, i.lum3, i.lum4, i.lum5, i.lum6, i.lum7
+      |FROM features f LEFT JOIN imgstats i USING (media_id)""".stripMargin
 
   /** Frame sampling: slice the payload into fixed-size "frames" (video
     * decode analogue), explode to one row per sampled frame, fingerprint

@@ -1210,6 +1210,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(counts.sum == 5 && counts(3) == 5) // 'e','h','l','o' all in [96,128)
   }
 
+  test("real PNG decode: ImageIO round-trip reproduces the deterministic pixel stats") {
+    val payload = Array.tabulate(100)(i => ((i * 37) % 251).toByte)
+    val (w, h) = (13, 9)
+    val png = Multimodal.encodePng(payload, w, h)
+    // a genuine PNG stream, not a renamed byte dump
+    assert(png.take(8).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    val (dw, dh, rm, gm, bm, lum) = Multimodal.decodeImage(png)
+    assert((dw, dh) == (w, h))
+    // expectation straight from the pixel function — the decode must agree
+    // because PNG is lossless (this IS the oracle's validity argument)
+    val n = w * h
+    def chanMean(c: Int) = BigDecimal(
+      (0 until n).map(i => Multimodal.pixelValue(payload, 3L * i + c)).sum.toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rm == chanMean(0) && gm == chanMean(1) && bm == chanMean(2))
+    val expLum = new Array[Long](8)
+    (0 until n).foreach { i =>
+      val s = (0 to 2).map(c => Multimodal.pixelValue(payload, 3L * i + c)).sum
+      expLum((s / 3) / 32) += 1
+    }
+    assert(lum.toSeq == expLum.toSeq && lum.sum == n)
+    // empty payload: all-black raster, decode still well-formed
+    val (zw, zh, zr, zg, zb, zlum) = Multimodal.decodeImage(Multimodal.encodePng(Array.empty, 8, 8))
+    assert((zw, zh) == (8, 8) && zr == 0.0 && zg == 0.0 && zb == 0.0 && zlum(0) == 64)
+  }
+
+  test("image-kind rows carry real decoded stats; audio/video stay byte-tier") {
+    val f = Multimodal.extractFeatures(spark, sf).collect()
+    val (img, rest) = f.partition(_.getAs[String]("kind") == "image")
+    assert(img.nonEmpty && rest.nonEmpty)
+    img.foreach { r =>
+      val w = r.getAs[Int]("img_width"); val h = r.getAs[Int]("img_height")
+      assert(w >= 8 && w <= 71 && h >= 8 && h <= 71)
+      assert(r.getSeq[Long](r.fieldIndex("lum_hist")).sum == w.toLong * h)
+      assert(!r.isNullAt(r.fieldIndex("r_mean")))
+    }
+    rest.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("img_width")) && r.isNullAt(r.fieldIndex("lum_hist")))
+    }
+  }
+
   test("frame sampling covers video payloads with indexed frames") {
     val fr = Multimodal.frameSample(spark, sf).collect()
     assert(fr.nonEmpty)
