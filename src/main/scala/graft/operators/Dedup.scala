@@ -365,15 +365,19 @@ object Dedup {
     // appending into rows signed under another hash family would mix two
     // incompatible signature spaces in one table — refuse like a probe
     // would (a FRESH/empty table is stamped and written)
-    if (graft.serve.TxTable.latestVersion(spark, path).isDefined &&
-        !graft.serve.TxTable.read(spark, path).isEmpty)
-      requireLshStamp(spark, path)
+    val hadRows = graft.serve.TxTable.latestVersion(spark, path).isDefined &&
+      !graft.serve.TxTable.read(spark, path).isEmpty
+    if (hadRows) requireLshStamp(spark, path)
     val v = graft.serve.TxTable.merge(spark,
       bandSignatureRows(
         Tables.spread(spark, Tables.documents(spark, dir)).filter(docFilter),
         "doc_id", "text"),
       path, Seq("doc_id", "band"))
-    if (readLshStamp(spark, path).isEmpty) stampLshIndex(spark, path)
+    // a table with NO prior rows may still carry a STALE foreign-family
+    // stamp (e.g. a truncated legacy index): with no rows to protect, the
+    // batch just written defines the family — overwrite unconditionally,
+    // else a valid index would dead-end every later probe (r16 ADVICE)
+    if (!hadRows || readLshStamp(spark, path).isEmpty) stampLshIndex(spark, path)
     v
   }
 

@@ -164,11 +164,22 @@ class BenchTaintSpec extends AnyFunSuite {
     // kernel itself, so the canary's loads contend for the same DRAM
     // channels (this is the hypervisor-invisible contention the rule
     // exists to catch — who burns the bandwidth does not matter)
+    // scale the load to the host (r16 ADVICE): cap the hogs' combined
+    // footprint at a quarter of max heap and the thread count at the CPU
+    // count, and SKIP outright when the budget can't fund arrays big
+    // enough to stream past cache — a fixed 24×64 MiB would OOM a
+    // small-heap CI JVM as an error before the assume below could cancel
+    val hogCount = math.min(24, math.max(4, Runtime.getRuntime.availableProcessors))
+    val wordsPerHog = math.min(1L << 23, // ≤ 64 MB each
+      Runtime.getRuntime.maxMemory / 4 / hogCount / 8).toInt
+    assume(wordsPerHog >= (1 << 20),
+      s"heap too small for a meaningful bandwidth load ($hogCount hogs x " +
+      s"${wordsPerHog * 8L / (1 << 20)} MB) — physical leg skipped")
     @volatile var stop = false
     val sink = new java.util.concurrent.atomic.AtomicLong()
-    val hogs = (1 to 24).map { _ =>
+    val hogs = (1 to hogCount).map { _ =>
       val t = new Thread(() => {
-        val arr = new Array[Long](1 << 23) // 64 MB
+        val arr = new Array[Long](wordsPerHog)
         var acc = 0L
         while (!stop) {
           var i = 0
@@ -187,7 +198,7 @@ class BenchTaintSpec extends AnyFunSuite {
       // unachievable; CANCEL there rather than fail a correct rule
       // (the rule's arithmetic is pinned hardware-independently above)
       assume(loaded > quiet * 1.5 + 0.005,
-        s"this host absorbs 24 streamer threads (loaded=$loaded quiet=$quiet) " +
+        s"this host absorbs $hogCount streamer threads (loaded=$loaded quiet=$quiet) " +
         "— bandwidth contention not achievable, physical leg skipped")
       // the loaded sample IS the run's best case under sustained
       // contention — the min rule must taint it against the quiet ref

@@ -202,6 +202,19 @@ class DedupSpec extends AnyFunSuite {
       Dedup.appendLshIndexTx(spark, sf, txPath, col("doc_id") % 4 === 2)
     }
     assert(e3.getMessage.contains("'xxhash64'"))
+    // an ABSENT/empty table under a STALE foreign stamp: nothing to
+    // protect, so the append must RE-stamp with the current family (r16
+    // ADVICE — previously the stale stamp survived the write and every
+    // later probe of the now-valid index dead-ended on 'rebuild')
+    val stalePath = s"$dir/txindex_stale"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stalePath))
+    plantStamp(stalePath, "xxhash64")
+    Dedup.appendLshIndexTx(spark, sf, stalePath, col("doc_id") % 4 === 0)
+    val in = fs.open(new org.apache.hadoop.fs.Path(stalePath, "_lsh_hash"))
+    val stamp = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(stamp == "poly-xs", s"stale stamp not overwritten: '$stamp'")
+    assert(Dedup.nearDupsFromTxIndex(spark, sf, stalePath, newBatch).count() > 0)
   }
 
   test("shingles of short docs fall back to whole text") {
@@ -1193,6 +1206,12 @@ class MultimodalSpec extends AnyFunSuite {
     // the precondition so the latent gap can never go unnoticed (r16)
     assert(Tables.documents(spark, sf).filter(col("text").isNull).count() == 0,
       "NULL document text would diverge the minhash oracles' doc sets")
+    // minhashIncrementalSql splits index/batch on doc_id % 2 with DuckDB's
+    // C-style % (sign-preserving) where Spark-side splits use pmod —
+    // equivalent ONLY for non-negative ids; pin the precondition the same
+    // way as NULL text instead of leaving it to a code comment (r16 ADVICE)
+    assert(Tables.documents(spark, sf).filter(col("doc_id") < 0).count() == 0,
+      "negative doc_id would diverge DuckDB % from Spark pmod in the minhash split oracles")
     // and the normalized form never drops below the winnow k-gram width
     val minNorm = Tables.documents(spark, sf)
       .select(min(length(graft.functions.TextFunctions.normText(col("text")))))
