@@ -283,6 +283,10 @@ object Bench {
     touch("entry")(SparkEntry.entry(spark))
     // (a) memoized multi-consumer artifacts
     touch("minhash_pairs")(Dedup.minhashNearDups(spark, sfDir))
+    // the exact n-gram truth sweep's pair counts (memoized, r17; consumers:
+    // q_dedup_ngram_jaccard candidate gen, q_minhash_precision's witness
+    // scope, the split-straddle audit) — policy (a)
+    touch("ngram_rare_pairs")(Dedup.rarePairCounts(spark, sfDir))
     touch("duplicate_spans")(Dedup.duplicateSpansMemo(spark, sfDir))
     touch("simhash_sigs")(Dedup.simhashSignatures(spark, sfDir).cache())
     touch("dup_clusters")(Curation.dupClusters(spark, sfDir))
