@@ -87,14 +87,29 @@ object SuperScale {
     fs.create(done, true).close()
   }
 
-  /** The three heaviest linear families (by r13 bench share). */
+  /** The three heaviest linear families (by r13 bench share), plus — r17,
+    * extending 50× membership beyond them (r16 verdict task 5) — the
+    * composed curation funnel (source gate → dedup → quality →
+    * decontamination, the heaviest multi-stage consumer), RAG retrieval
+    * (chunk → embed → top-k), and the sketch family's two verified frames
+    * (Misra-Gries heavy hitters, CMS certification), whose 100 TB claims
+    * previously rode 10× probes alone. Every leg re-runs COLD (caches and
+    * session memos dropped), so composed funnels pay their full chain. */
   private def legs: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
     ("q_dedup_minhash_pairs", "documents",
       (s: SparkSession, d: String) => graft.operators.Dedup.minhashNearDups(s, d)),
     ("q_ann_ivf", "embeddings",
       (s: SparkSession, d: String) => graft.operators.Similarity.ivfTopK(s, d)),
     ("q_ngram_lm_score", "documents",
-      (s: SparkSession, d: String) => graft.operators.NgramLm.scoreQuery(s, d)))
+      (s: SparkSession, d: String) => graft.operators.NgramLm.scoreQuery(s, d)),
+    ("q_curation_pipeline", "documents",
+      (s: SparkSession, d: String) => graft.operators.Curation.curationPipeline(s, d)),
+    ("q_rag_retrieve", "documents",
+      (s: SparkSession, d: String) => graft.operators.Rag.ragRetrieve(s, d)),
+    ("q_heavy_hitters", "documents",
+      (s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsVerified(s, d)),
+    ("q_cms_estimates", "documents",
+      (s: SparkSession, d: String) => graft.operators.Sketches.cmsVerified(s, d)))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
