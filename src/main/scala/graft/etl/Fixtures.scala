@@ -22,6 +22,12 @@ object Fixtures {
 
   /** Bump when generator logic changes — invalidates cached fixture dirs. */
   val contentVersion: String = "fixtures-v2-ohlc-bracketed"
+
+  /** THE fixture root — the ONE location both the Spark fixture pipeline
+    * (`Format.fixturePipelineQuery`) and the DuckDB oracle's `read_json`
+    * paths (`Format.fixtureCombineSql`) derive from, so the two sides can
+    * never silently read different trees (r17 review). */
+  val DefaultRoot: String = "/tmp/graft_fixtures"
   /** Symbol present in stocks but intentionally absent from company_info. */
   val OrphanSymbol = "TSLA"
 

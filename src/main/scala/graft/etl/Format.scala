@@ -65,10 +65,19 @@ object Format {
   /** news: UTC timestamps + the ≥2020 filter + duplicate-id drop (U2,
     * `finnhub_news.py:176-188` does the dedup at ingestion; we push it here
     * so the formatted layer is clean regardless of source behavior).
-    * Deterministic winner per id via row_number over pub_date_utc. */
+    * Deterministic winner per id via row_number: latest pub/fetch first,
+    * then EVERY remaining column as an ascending tie-break so the order is
+    * TOTAL — with only the timestamps, two re-fetch variants tying on both
+    * would leave the winner to engine whim, and the r17 cross-engine
+    * oracle would flap (today's duplicate fixture rows are byte-identical,
+    * but the determinism must not rest on that staying true). */
   def formatNews(spark: SparkSession, rawDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy(col("pub_date_utc").desc, col("fetched_at_utc").desc)
+    val w = Window.partitionBy("id").orderBy(
+      col("pub_date_utc").desc, col("fetched_at_utc").desc,
+      col("symbol").asc, col("title").asc, col("summary").asc,
+      col("provider").asc, col("url").asc, col("category").asc,
+      col("image").asc, col("sentiment_score").asc, col("sentiment_label").asc)
     readRaw(spark, s"$rawDir/finnhub/news/*/news.json", newsSchema)
       .withColumn("pub_date_utc", to_timestamp(col("pub_date")))
       .withColumn("fetched_at_utc", to_timestamp(col("fetched_at")))
@@ -123,7 +132,7 @@ object Format {
     * parameter is unused (the raw layer is the fixture set); registered so
     * the driver's gate exercises the JSON-source path end-to-end. */
   def fixturePipelineQuery(spark: SparkSession, dir: String): DataFrame = {
-    val rawDir = Fixtures.ensureRawLayer("/tmp/graft_fixtures")
+    val rawDir = Fixtures.ensureRawLayer(Fixtures.DefaultRoot)
     combineFrames(formatStocks(spark, rawDir), formatCompany(spark, rawDir),
       formatNews(spark, rawDir))
       .withColumn("latest_news_date",
@@ -164,7 +173,7 @@ object Format {
     * literals parse to the same IEEE doubles and the derived arithmetic
     * (`high-low`, `(close-open)/open*100`) applies the same op order. */
   val fixtureCombineSql: String = {
-    val fx = "/tmp/graft_fixtures/raw" // Fixtures.ensureRawLayer root (fixed)
+    val fx = s"${Fixtures.DefaultRoot}/raw" // = Fixtures.ensureRawLayer's return
     s"""WITH stocks_raw AS (
        |  SELECT * FROM read_json('$fx/yahoo/stocks/*/stocks.json',
        |    format='array',
@@ -192,7 +201,12 @@ object Format {
        |), news AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY id
-       |        ORDER BY pub_date_utc DESC, fetched_at_utc DESC) AS __rn
+       |        ORDER BY pub_date_utc DESC, fetched_at_utc DESC,
+       |          symbol ASC NULLS FIRST, title ASC NULLS FIRST,
+       |          summary ASC NULLS FIRST, provider ASC NULLS FIRST,
+       |          url ASC NULLS FIRST, category ASC NULLS FIRST,
+       |          image ASC NULLS FIRST, sentiment_score ASC NULLS FIRST,
+       |          sentiment_label ASC NULLS FIRST) AS __rn
        |    FROM news_raw
        |    WHERE pub_date_utc >= TIMESTAMP '2020-01-01 00:00:00')
        |  WHERE __rn = 1

@@ -126,12 +126,23 @@ object Multimodal {
     if (payload.length == 0) 0
     else payload((idx % payload.length).toInt) & 0xFF
 
+  /** ImageIO's default stream cache is DISK-backed: every write/read
+    * spins a temp file in java.io.tmpdir — thousands of create/delete
+    * syscalls serialized on tmpdir in the hot partition loop, and an
+    * outright task failure on a read-only tmpdir. Our streams are small
+    * in-memory byte arrays; cache in memory. JVM-global, set once when
+    * the object initializes on each executor (the per-partition-init
+    * contract, amortized further). */
+  private lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Build the stored encoded image for an image-kind row: a REAL PNG
     * (javax.imageio) of the deterministic pixel raster. This is the
     * "fixture payload" side — in production the PNG arrives in the lake;
     * here it is synthesized once per row so the decode below has a
     * genuine compressed stream to chew on. */
   private[graft] def encodePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    imageIoMemoryCache
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
@@ -152,6 +163,7 @@ object Multimodal {
     * (6 dp, matching the oracle's round), luminance histogram (8 buckets
     * of (r+g+b)/3, integer arithmetic). */
   private[graft] def decodeImage(png: Array[Byte]): (Int, Int, Double, Double, Double, Array[Long]) = {
+    imageIoMemoryCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     val (w, h) = (img.getWidth, img.getHeight)
     var rs = 0L; var gs = 0L; var bs = 0L

@@ -220,6 +220,36 @@ object Packing {
         .select(col("doc_id"), flatten(col("word_toks")).as("t")),
       window, stride)
 
+  /** THE chunk-kernel SQL tail over any source CTE exposing
+    * (doc_id, t LIST(VARCHAR)) — stride grid, tail anchor, slicing, md5
+    * rendering. ONE text shared by the whitespace-token oracle and the
+    * BPE-stream oracle, mirroring how the Spark twins share
+    * [[chunkTokens]]: a kernel edit can no longer reach one oracle and
+    * silently miss the other (r17 review). */
+  private def chunkKernelSql(src: String, window: Int, stride: Int): String =
+    s"""sized AS (SELECT doc_id, t, len(t) AS n FROM $src),
+       |grid AS (
+       |  SELECT doc_id, t, n,
+       |    greatest(1, n - ${window - 1}) AS anchor,
+       |    range(1, greatest(1, n - ${window - 1}) + 1, $stride) AS base
+       |  FROM sized),
+       |st AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN list_contains(base, anchor) THEN base
+       |         ELSE list_append(base, anchor) END AS starts
+       |  FROM grid),
+       |ex AS (
+       |  SELECT doc_id, t,
+       |    UNNEST(list_transform(range(len(starts)),
+       |      i -> struct_pack(pos := i, s := starts[i + 1]))) AS u
+       |  FROM st)
+       |SELECT doc_id,
+       |  CAST(u.pos AS INT) AS chunk_pos,
+       |  CAST(u.s AS INT) AS start_idx,
+       |  CAST(len(list_slice(t, u.s, u.s + ${window - 1})) AS INT) AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(t, u.s, u.s + ${window - 1}), ' ')) AS chunk_sig
+       |FROM ex""".stripMargin
+
   /** DuckDB oracle for [[chunkDocuments]] — same tokenization, stride
     * grid, tail anchor, slicing, and md5 rendering. */
   def chunkDocumentsSql(window: Int = 64, stride: Int = 32): String =
@@ -228,28 +258,7 @@ object Packing {
       |    list_filter(str_split(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' '),
       |                x -> x <> '') AS t
       |  FROM documents),
-      |sized AS (SELECT doc_id, t, len(t) AS n FROM toked),
-      |grid AS (
-      |  SELECT doc_id, t, n,
-      |    greatest(1, n - ${window - 1}) AS anchor,
-      |    range(1, greatest(1, n - ${window - 1}) + 1, $stride) AS base
-      |  FROM sized),
-      |st AS (
-      |  SELECT doc_id, t,
-      |    CASE WHEN list_contains(base, anchor) THEN base
-      |         ELSE list_append(base, anchor) END AS starts
-      |  FROM grid),
-      |ex AS (
-      |  SELECT doc_id, t,
-      |    UNNEST(list_transform(range(len(starts)),
-      |      i -> struct_pack(pos := i, s := starts[i + 1]))) AS u
-      |  FROM st)
-      |SELECT doc_id,
-      |  CAST(u.pos AS INT) AS chunk_pos,
-      |  CAST(u.s AS INT) AS start_idx,
-      |  CAST(len(list_slice(t, u.s, u.s + ${window - 1})) AS INT) AS n_chunk_tokens,
-      |  md5(array_to_string(list_slice(t, u.s, u.s + ${window - 1}), ' ')) AS chunk_sig
-      |FROM ex""".stripMargin
+      |""".stripMargin + chunkKernelSql("toked", window, stride)
 
   /** Full oracle for [[chunkDocumentsBpe]] (r17): the BPE token stream
     * per document is the ordered flatten of the replayed per-word encode
@@ -261,34 +270,13 @@ object Packing {
   def chunkDocumentsBpeSql(window: Int = 64, stride: Int = 32,
       merges: Int = 20): String =
     BpeEncode.encodedCtes(merges) +
-      s""",
-         |stream0 AS (
-         |  SELECT doc_id, flatten(list(toks ORDER BY i ASC)) AS t FROM wtoks GROUP BY doc_id),
-         |stream AS (
-         |  SELECT d.doc_id, COALESCE(s.t, []) AS t
-         |  FROM documents d LEFT JOIN stream0 s ON d.doc_id = s.doc_id),
-         |sized AS (SELECT doc_id, t, len(t) AS n FROM stream),
-         |grid AS (
-         |  SELECT doc_id, t, n,
-         |    greatest(1, n - ${window - 1}) AS anchor,
-         |    range(1, greatest(1, n - ${window - 1}) + 1, $stride) AS base
-         |  FROM sized),
-         |st AS (
-         |  SELECT doc_id, t,
-         |    CASE WHEN list_contains(base, anchor) THEN base
-         |         ELSE list_append(base, anchor) END AS starts
-         |  FROM grid),
-         |ex AS (
-         |  SELECT doc_id, t,
-         |    UNNEST(list_transform(range(len(starts)),
-         |      i -> struct_pack(pos := i, s := starts[i + 1]))) AS u
-         |  FROM st)
-         |SELECT doc_id,
-         |  CAST(u.pos AS INT) AS chunk_pos,
-         |  CAST(u.s AS INT) AS start_idx,
-         |  CAST(len(list_slice(t, u.s, u.s + ${window - 1})) AS INT) AS n_chunk_tokens,
-         |  md5(array_to_string(list_slice(t, u.s, u.s + ${window - 1}), ' ')) AS chunk_sig
-         |FROM ex""".stripMargin
+      """,
+        |stream0 AS (
+        |  SELECT doc_id, flatten(list(toks ORDER BY i ASC)) AS t FROM wtoks GROUP BY doc_id),
+        |stream AS (
+        |  SELECT d.doc_id, COALESCE(s.t, []) AS t
+        |  FROM documents d LEFT JOIN stream0 s ON d.doc_id = s.doc_id),
+        |""".stripMargin + chunkKernelSql("stream", window, stride)
 
   def packNextFitSql(budget: Int = DefaultBudget): String =
     s"""WITH RECURSIVE toked AS (

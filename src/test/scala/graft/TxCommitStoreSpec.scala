@@ -88,10 +88,10 @@ class TxCommitStoreSpec extends AnyFunSuite {
       // vacuum: checkpoints for retained versions publish through the
       // seam too; the dropped version fails loudly afterwards
       TxTable.vacuum(spark, path, keepVersions = 2, retentionMs = 0L)
-      val gone = intercept[Exception] {
+      val gone = intercept[java.io.FileNotFoundException] {
         TxTable.read(spark, path, Some(0L)).count()
       }
-      assert(gone.getMessage.contains("0"))
+      assert(gone.getMessage.contains("no version 0"), gone.getMessage)
       assert(TxTable.read(spark, path).count() == 101)
 
       // the table stays writable on the same store after vacuum
