@@ -269,14 +269,20 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.operators.Classifier.qualityTrain(s, d)): Q, None),
     ("q_quality_train_monotone", graft.operators.Invariants.qualityTrainMonotone _,
       Some(graft.operators.Invariants.qualityTrainMonotoneSql())),
+    // r18: verified-frame oracle (the q_ann_pq_trained / q_format_combine
+    // precedent) — the gate publishes its trained 65-double vector and the
+    // oracle re-derives every sigmoid score + keep bit + teacher bit in
+    // DuckDB over the bit-exact hashed features; only the GD loop itself
+    // stays declared (q_quality_train, bracketed by _monotone)
     ("q_quality_gate",
-      ((s: SparkSession, d: String) => graft.operators.Classifier.qualityGate(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Classifier.qualityGate(s, d)): Q,
+      Some(graft.operators.Classifier.qualityGateOracleSql("full"))),
     // the production split: train on the oracled stratified quarter (60
     // passes = the full-batch row-touch budget), score corpus-wide —
-    // rows-only, bracketed by ClassifierSpec's quality-parity floor
-    // against the full-batch gate
+    // same verified-frame oracle over the sampled-trained weights
     ("q_quality_gate_sampled",
-      ((s: SparkSession, d: String) => graft.operators.Classifier.qualityGateSampled(s, d)): Q, None),
+      ((s: SparkSession, d: String) => graft.operators.Classifier.qualityGateSampled(s, d)): Q,
+      Some(graft.operators.Classifier.qualityGateOracleSql("sampled"))),
     ("q_pack_bounds",
       ((s: SparkSession, d: String) => graft.operators.Packing.packBounds(s, d)): Q,
       Some(graft.operators.Packing.packBoundsSql)),

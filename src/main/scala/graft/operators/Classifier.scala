@@ -272,18 +272,19 @@ object Classifier {
   /** The learned gate applied corpus-wide: per-doc sigmoid score and
     * keep/drop under the trained weights — one broadcast-weights scan,
     * the production read path of the classifier. Rows-only by contract
-    * (the weights aren't SQL-derivable); training is invariant-oracled
-    * and ClassifierSpec holds the gate to a teacher-agreement floor. */
+    * (the weights aren't SQL-derivable) — but the gate's APPLICATION is:
+    * scoring is one dot product + sigmoid over the DuckDB-re-derivable
+    * hashed features ([[TextEmbed]]'s coordinates are bit-exact
+    * cross-engine), so since r18 the query hands its trained weights to
+    * the oracle as a verified frame ([[writeWeightsForOracle]], the
+    * `q_format_combine` read-the-same-files precedent) and the oracle
+    * re-derives every score, keep bit, and teacher bit relationally
+    * ([[qualityGateOracleSql]]). Training itself stays the one declared
+    * loop, bracketed by `q_quality_train_monotone` and ClassifierSpec. */
   def qualityGate(spark: SparkSession, dir: String, tau: Double = DefaultTau,
-      iters: Int = DefaultIters, eta: Double = DefaultEta): DataFrame = {
-    val w = qualityTrainFull(spark, dir, tau, iters, eta)._2
-    trainingFrame(spark, dir, tau)
-      .withColumn("score",
-        round(lit(1.0d) / (lit(1.0d) + exp(-dotW(col("x"), w))), 6))
-      .select(col("doc_id"), col("score"),
-        (col("score") >= 0.5d).as("keep"),
-        (col("y") === 1.0d).as("teacher_keep"))
-  }
+      iters: Int = DefaultIters, eta: Double = DefaultEta): DataFrame =
+    gateFrame(spark, dir, tau, qualityTrainFull(spark, dir, tau, iters, eta)._2,
+      "full")
 
   val DefaultSampleFrac = 0.25
   // 60 quarter-corpus passes = the same total row-touches as the
@@ -329,14 +330,88 @@ object Classifier {
     * ClassifierSpec's agreement floor against the full-batch gate. */
   def qualityGateSampled(spark: SparkSession, dir: String,
       frac: Double = DefaultSampleFrac, tau: Double = DefaultTau,
-      iters: Int = DefaultSampleIters, eta: Double = DefaultEta): DataFrame = {
-    val w = qualityTrainSampledFull(spark, dir, frac, tau, iters, eta)._2
+      iters: Int = DefaultSampleIters, eta: Double = DefaultEta): DataFrame =
+    gateFrame(spark, dir, tau,
+      qualityTrainSampledFull(spark, dir, frac, tau, iters, eta)._2, "sampled")
+
+  // ------------------------------------------- verified-frame gate oracle
+  /** Per-PROCESS scratch root for the trained-weights hand-off to the
+    * DuckDB oracle. Per-pid (the r17 ADVICE fixture-root rule): the SQL
+    * below is generated at registry init in the SAME JVM that later runs
+    * the gate query, so the path always agrees within a run, while two
+    * concurrent JVMs (sbt test alongside Verify) can never race each
+    * other's weight files. The tree must OUTLIVE the JVM — the driver's
+    * DuckDB compare runs after Verify exits — so nothing deletes it on
+    * exit; it is 66 rows of (pos, w) per leg. */
+  private[graft] val WeightsOracleRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_quality_weights_${ProcessHandle.current().pid()}"
+
+  /** Order-insensitive-enough staleness stamp over the weight vector,
+    * carried as a constant column by BOTH the Spark gate frame (from the
+    * in-memory weights it actually scored with) and the oracle (from the
+    * parquet it read back): if the file on disk is not the vector this
+    * frame used, the hashes mismatch on every row and the failure names
+    * itself. round-6 absorbs the cross-engine summation-order delta. */
+  private[graft] def weightsChecksum(w: Seq[Double]): Double = {
+    val s = w.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum
+    BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Publish the trained weights for the oracle replay: (pos, w) rows,
+    * pos 0 = bias. Parquet DOUBLEs round-trip bit-exactly, so the oracle
+    * scores with the SAME IEEE values the gate used. */
+  private def writeWeightsForOracle(spark: SparkSession, w: Seq[Double],
+      leg: String): Unit = {
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, i) => (i, v) }.toDF("pos", "w")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$WeightsOracleRoot/$leg")
+  }
+
+  /** The shared gate frame: publish the weights, score the corpus under
+    * them, stamp the checksum. Both gate flavors are this one application
+    * kernel — only the training that produced `w` differs. */
+  private def gateFrame(spark: SparkSession, dir: String, tau: Double,
+      w: Seq[Double], leg: String): DataFrame = {
+    writeWeightsForOracle(spark, w, leg)
     trainingFrame(spark, dir, tau)
       .withColumn("score",
         round(lit(1.0d) / (lit(1.0d) + exp(-dotW(col("x"), w))), 6))
       .select(col("doc_id"), col("score"),
         (col("score") >= 0.5d).as("keep"),
-        (col("y") === 1.0d).as("teacher_keep"))
+        (col("y") === 1.0d).as("teacher_keep"),
+        lit(weightsChecksum(w)).as("w_checksum"))
+  }
+
+  /** DuckDB oracle for [[qualityGate]] (`leg = "full"`) /
+    * [[qualityGateSampled]] (`leg = "sampled"`): re-derives the hashed-
+    * feature embedding coordinates from `documents` (the bit-exact
+    * [[TextEmbed.embedSqlCtesOver]] chain q_embed_text verifies), reads
+    * the published weight vector back, and recomputes margin → sigmoid →
+    * round-6 score → 0.5 gate per doc, plus the teacher bit from the
+    * hash-oracled composite quality score at the same τ. The dot product
+    * sums in DuckDB's order vs the codegen kernel's left-to-right fold —
+    * the round-6 contract the whole registry runs on. Only docs with ≥1
+    * token embed, mirroring the training frame's inner join. */
+  def qualityGateOracleSql(leg: String, tau: Double = DefaultTau): String = {
+    val wf = s"$WeightsOracleRoot/$leg/*.parquet"
+    s"""WITH ${TextEmbed.embedSqlCtesOver("documents")},
+       |wts AS (SELECT pos, w FROM read_parquet('$wf')),
+       |mrg AS (
+       |  SELECT c.doc_id,
+       |    (SELECT w FROM wts WHERE pos = 0) + SUM(c.val * t.w) AS m
+       |  FROM coords c JOIN wts t ON t.pos = c.pos + 1
+       |  GROUP BY c.doc_id),
+       |lbl AS (
+       |  SELECT doc_id, (quality_score >= $tau) AS teacher_keep FROM (
+       |${graft.functions.TextFunctions.qualityQuerySql.replace("\n", "\n  ")}
+       |  ) qm),
+       |chk AS (SELECT ROUND(SUM(w * (pos + 1)), 6) AS w_checksum FROM wts)
+       |SELECT m.doc_id,
+       |  ROUND(1.0 / (1.0 + exp(-m.m)), 6) AS score,
+       |  (ROUND(1.0 / (1.0 + exp(-m.m)), 6) >= 0.5) AS keep,
+       |  l.teacher_keep, c.w_checksum
+       |FROM mrg m JOIN lbl l USING (doc_id) CROSS JOIN chk c""".stripMargin
   }
 
   /** Score ANY (doc_id, text) batch under GIVEN weights — the deployment
