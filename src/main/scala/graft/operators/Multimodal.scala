@@ -8,9 +8,9 @@ import graft.Tables
   * carried as opaque `binary` columns with typed metadata, decoded and
   * feature-extracted in batch per partition.
   *
-  * Two decode tiers (r17):
+  * Three decode tiers (r17 image, r18 audio):
   *  - the BYTE tier (`decodeStub`, a clearly-marked deterministic fake for
-  *    the audio/video codecs absent in this container): byte histogram,
+  *    the video codecs absent in this container): byte histogram,
   *    entropy, FNV checksum — fully hash-oracled since the payload bytes
   *    are re-derivable in DuckDB;
   *  - the IMAGE tier is a GENUINE codec path: image-kind rows are encoded
@@ -20,7 +20,13 @@ import graft.Tables
   *    channel means, luminance histogram. PNG is lossless, so the decoded
   *    stats equal the pixel function's and the DuckDB oracle recomputes
   *    them WITHOUT a codec: what the hash certifies end-to-end is
-  *    decode(encode(pixels)) ≡ pixels plus the stats arithmetic.
+  *    decode(encode(pixels)) ≡ pixels plus the stats arithmetic;
+  *  - the AUDIO tier mirrors it with `javax.sound.sampled`: audio-kind
+  *    rows are encoded to a real RIFF/WAV stream (PCM16LE stereo, 8 kHz)
+  *    from a deterministic sample function, decoded back with
+  *    `AudioSystem` in the same batch — duration, per-channel RMS,
+  *    |amplitude| histogram — hash-oracled via PCM losslessness exactly
+  *    as PNG is.
   *
   * Everything Spark-side is real and tested: the schema (binary payload +
   * metadata struct), the `mapPartitions` batch shape (the JVM analogue of a
@@ -41,7 +47,9 @@ object Multimodal {
       feature_vec: Array[Float],
       img_width: Option[Int], img_height: Option[Int],
       r_mean: Option[Double], g_mean: Option[Double], b_mean: Option[Double],
-      lum_hist: Option[Array[Long]])
+      lum_hist: Option[Array[Long]],
+      duration_sec: Option[Double], rms_l: Option[Double],
+      rms_r: Option[Double], amp_hist: Option[Array[Long]])
 
   /** Deterministic media table derived from `documents`: payload = UTF-8
     * bytes of the text (standing in for encoded image/audio bytes), kind
@@ -180,10 +188,86 @@ object Multimodal {
     (w, h, r6(rs.toDouble / n), r6(gs.toDouble / n), r6(bs.toDouble / n), lum)
   }
 
+  // ------------------------------------------------------- real audio codec
+  /** Decoded audio length (stereo frames) for an audio-kind row: metadata
+    * dims folded to 128..1151 frames at 8 kHz — the synthetic corpus stays
+    * cheap while the codec path is real (the [[imageDims]] pattern). */
+  private[graft] def audioFrames(width: Int, height: Int): Int =
+    (width * height) % 1024 + 128
+
+  private[graft] val AudioRate = 8000f
+
+  /** Deterministic 16-bit sample function: interleaved sample k (frame
+    * k/2, channel k%2 — L first) is the signed 16-bit value of payload
+    * byte pair (2k, 2k+1) mod n, high byte first — the ONE definition the
+    * encoder, the decode spec leg, and the DuckDB oracle all share
+    * ([[pixelValue]]'s audio twin). */
+  private[graft] def sampleValue(payload: Array[Byte], k: Long): Int = {
+    val u = (pixelValue(payload, 2L * k) << 8) | pixelValue(payload, 2L * k + 1)
+    if (u >= 32768) u - 65536 else u
+  }
+
+  /** Build the stored encoded audio for an audio-kind row: a REAL WAV
+    * stream (`javax.sound.sampled`, ships in the JDK like ImageIO) of the
+    * deterministic PCM16LE stereo signal — the fixture-payload side of
+    * the seam, exactly as [[encodePng]] is for images. In production the
+    * WAV arrives in the lake; here it is synthesized per row so the
+    * decode below has a genuine RIFF container to parse. */
+  private[graft] def encodeWav(payload: Array[Byte], nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(AudioRate, 16, 2, true, false)
+    val pcm = new Array[Byte](nFrames * 4)
+    var k = 0
+    while (k < nFrames * 2) {
+      val s = sampleValue(payload, k)
+      pcm(2 * k) = (s & 0xFF).toByte // little-endian on the wire
+      pcm(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** GENUINE audio decode (r18, the capability [[decodeStub]] stood in
+    * for on audio rows): `AudioSystem` parses the RIFF/WAV header and
+    * yields the PCM stream; duration from the DECODED frame count and
+    * sample rate, per-channel RMS, and an 8-bucket |amplitude| histogram
+    * over both channels — integer-exact up to the one division and sqrt,
+    * so PCM losslessness makes every stat recomputable relationally (the
+    * PNG validity argument, verbatim). */
+  private[graft] def decodeWav(wav: Array[Byte]): (Double, Double, Double, Array[Long]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val nFrames = bytes.length / fmt.getFrameSize
+    var sqL = 0L; var sqR = 0L
+    val amp = new Array[Long](8)
+    var i = 0
+    while (i < nFrames) {
+      val base = i * 4
+      // byte→int sign-extends the high byte: exact signed 16-bit values
+      val l = (bytes(base + 1) << 8) | (bytes(base) & 0xFF)
+      val r = (bytes(base + 3) << 8) | (bytes(base + 2) & 0xFF)
+      sqL += l.toLong * l; sqR += r.toLong * r
+      amp(math.min(7, math.abs(l) / 4096)) += 1
+      amp(math.min(7, math.abs(r) / 4096)) += 1
+      i += 1
+    }
+    val n = math.max(1, nFrames)
+    (r6(nFrames / fmt.getSampleRate.toDouble),
+      r6(math.sqrt(sqL.toDouble / n)), r6(math.sqrt(sqR.toDouble / n)), amp)
+  }
+
   /** Batch feature extraction: one decoder lifecycle per PARTITION (the
     * mapPartitions contract), not per row. Image-kind rows additionally
-    * run the real PNG encode→decode round-trip; audio/video keep the
-    * byte-tier stub until their codecs exist. */
+    * run the real PNG encode→decode round-trip, audio-kind rows the real
+    * WAV encode→decode round-trip; video keeps the byte-tier stub until
+    * a codec exists. */
   def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -197,10 +281,14 @@ object Multimodal {
             val (w, h) = imageDims(m.width, m.height)
             Some(decodeImage(encodePng(m.payload, w, h)))
           } else None
+          val aud = if (m.kind == "audio")
+            Some(decodeWav(encodeWav(m.payload, audioFrames(m.width, m.height))))
+          else None
           MediaFeatures(m.media_id, m.kind, m.payload.length, r6(mean),
             r6(entropy), checksum, vec,
             img.map(_._1), img.map(_._2), img.map(_._3), img.map(_._4),
-            img.map(_._5), img.map(_._6))
+            img.map(_._5), img.map(_._6),
+            aud.map(_._1), aud.map(_._2), aud.map(_._3), aud.map(_._4))
         }
       }
       .toDF()
@@ -222,11 +310,14 @@ object Multimodal {
         .cast("long").as(s"b$k"))
     val lums = (0 until 8).map(k =>
       element_at(col("lum_hist"), k + 1).as(s"lum$k"))
+    val amps = (0 until 8).map(k =>
+      element_at(col("amp_hist"), k + 1).as(s"amp$k"))
     extractFeatures(spark, dir)
       .select(Seq(col("media_id"), col("kind"), col("n_bytes"), col("mean_byte"),
         col("byte_entropy"), col("checksum")) ++ buckets ++
         Seq(col("img_width"), col("img_height"), col("r_mean"), col("g_mean"),
-          col("b_mean")) ++ lums: _*)
+          col("b_mean")) ++ lums ++
+        Seq(col("duration_sec"), col("rms_l"), col("rms_r")) ++ amps: _*)
   }
 
   /** Per-doc byte pipeline shared by the features and summary oracles: code
@@ -303,12 +394,52 @@ object Multimodal {
                s"THEN 1 END), 0) AS BIGINT) AS lum$k").mkString(",\n      |    ")}
       |  FROM pix GROUP BY media_id)""".stripMargin
 
+  /** Audio-tier oracle CTEs (r18): re-derive the DECODED PCM stats of each
+    * audio-kind row straight from the deterministic sample function —
+    * interleaved sample k is the signed 16-bit pair of payload bytes
+    * (2k, 2k+1) mod n — which PCM/WAV losslessness guarantees equals what
+    * [[decodeWav]] reads back from the real RIFF stream. Integer squares
+    * (< 2^53 summed) and the |s|/4096 bucketing mirror the Scala
+    * arithmetic exactly; the two divisions and sqrt are IEEE-deterministic
+    * over exact integer inputs. */
+  private val audioStatsSqlCte: String =
+    s"""audsrc AS (
+      |  SELECT b.media_id,
+      |    CAST((m.width * m.height) % 1024 + 128 AS BIGINT) AS nf,
+      |    b.bs, CAST(len(b.bs) AS BIGINT) AS n
+      |  FROM bytes b JOIN media m USING (media_id) WHERE b.kind = 'audio'),
+      |smp AS (
+      |  SELECT media_id, nf, CAST(k % 2 AS INT) AS c,
+      |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      |  FROM (
+      |    SELECT media_id, nf, k,
+      |      CASE WHEN n = 0 THEN 0 ELSE
+      |        CAST(bs[CAST((2 * k) % n AS INT) + 1] AS INT) * 256
+      |        + CAST(bs[CAST((2 * k + 1) % n AS INT) + 1] AS INT) END AS u
+      |    FROM (SELECT media_id, nf, bs, n, UNNEST(range(0, 2 * nf)) AS k
+      |          FROM audsrc))),
+      |audstats AS (
+      |  SELECT media_id,
+      |    round(MAX(nf) / 8000.0, 6) AS duration_sec,
+      |    round(sqrt(SUM(CASE WHEN c = 0 THEN CAST(s AS BIGINT) * s END)::DOUBLE
+      |               / MAX(nf)), 6) AS rms_l,
+      |    round(sqrt(SUM(CASE WHEN c = 1 THEN CAST(s AS BIGINT) * s END)::DOUBLE
+      |               / MAX(nf)), 6) AS rms_r,
+      |    ${(0 until 8).map(k =>
+             s"CAST(COALESCE(SUM(CASE WHEN LEAST(abs(s) // 4096, 7) = $k " +
+               s"THEN 1 END), 0) AS BIGINT) AS amp$k").mkString(",\n      |    ")}
+      |  FROM smp GROUP BY media_id)""".stripMargin
+
   val featuresQuerySql: String =
     s"""WITH $featuresSqlCte,
-      |$imageStatsSqlCte
+      |$imageStatsSqlCte,
+      |$audioStatsSqlCte
       |SELECT f.*, i.img_width, i.img_height, i.r_mean, i.g_mean, i.b_mean,
-      |  i.lum0, i.lum1, i.lum2, i.lum3, i.lum4, i.lum5, i.lum6, i.lum7
-      |FROM features f LEFT JOIN imgstats i USING (media_id)""".stripMargin
+      |  i.lum0, i.lum1, i.lum2, i.lum3, i.lum4, i.lum5, i.lum6, i.lum7,
+      |  a.duration_sec, a.rms_l, a.rms_r,
+      |  a.amp0, a.amp1, a.amp2, a.amp3, a.amp4, a.amp5, a.amp6, a.amp7
+      |FROM features f LEFT JOIN imgstats i USING (media_id)
+      |  LEFT JOIN audstats a USING (media_id)""".stripMargin
 
   /** Frame sampling: slice the payload into fixed-size "frames" (video
     * decode analogue), explode to one row per sampled frame, fingerprint

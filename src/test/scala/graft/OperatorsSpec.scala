@@ -1255,18 +1255,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert((zw, zh) == (8, 8) && zr == 0.0 && zg == 0.0 && zb == 0.0 && zlum(0) == 64)
   }
 
-  test("image-kind rows carry real decoded stats; audio/video stay byte-tier") {
+  test("real WAV decode: AudioSystem round-trip reproduces the deterministic sample stats") {
+    val payload = Array.tabulate(100)(i => ((i * 37) % 251).toByte)
+    val nf = 200
+    val wav = Multimodal.encodeWav(payload, nf)
+    // a genuine RIFF/WAVE container, not a renamed byte dump
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (dur, rmsL, rmsR, amp) = Multimodal.decodeWav(wav)
+    // expectation straight from the sample function — the decode must
+    // agree because PCM is lossless (this IS the oracle's validity
+    // argument, the PNG leg's twin)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(dur == r6(nf / 8000.0))
+    def rms(c: Int) = r6(math.sqrt(
+      (0 until nf).map { i =>
+        val s = Multimodal.sampleValue(payload, 2L * i + c).toLong; s * s
+      }.sum.toDouble / nf))
+    assert(rmsL == rms(0) && rmsR == rms(1))
+    val expAmp = new Array[Long](8)
+    (0 until 2 * nf).foreach { k =>
+      expAmp(math.min(7, math.abs(Multimodal.sampleValue(payload, k)) / 4096)) += 1
+    }
+    assert(amp.toSeq == expAmp.toSeq && amp.sum == 2L * nf)
+    // empty payload: silence, decode still well-formed
+    val (zd, zl, zr, zamp) = Multimodal.decodeWav(Multimodal.encodeWav(Array.empty, 128))
+    assert(zd == r6(128 / 8000.0) && zl == 0.0 && zr == 0.0 && zamp(0) == 256)
+  }
+
+  test("image/audio rows carry real decoded stats; video stays byte-tier") {
     val f = Multimodal.extractFeatures(spark, sf).collect()
-    val (img, rest) = f.partition(_.getAs[String]("kind") == "image")
-    assert(img.nonEmpty && rest.nonEmpty)
+    val img = f.filter(_.getAs[String]("kind") == "image")
+    val aud = f.filter(_.getAs[String]("kind") == "audio")
+    val vid = f.filter(_.getAs[String]("kind") == "video")
+    assert(img.nonEmpty && aud.nonEmpty && vid.nonEmpty)
     img.foreach { r =>
       val w = r.getAs[Int]("img_width"); val h = r.getAs[Int]("img_height")
       assert(w >= 8 && w <= 71 && h >= 8 && h <= 71)
       assert(r.getSeq[Long](r.fieldIndex("lum_hist")).sum == w.toLong * h)
       assert(!r.isNullAt(r.fieldIndex("r_mean")))
+      assert(r.isNullAt(r.fieldIndex("duration_sec")) && r.isNullAt(r.fieldIndex("amp_hist")))
     }
-    rest.foreach { r =>
+    aud.foreach { r =>
+      val d = r.getAs[Double]("duration_sec")
+      assert(d >= 128 / 8000.0 && d <= 1151 / 8000.0)
+      // both channels of every decoded frame land in the histogram
+      assert(r.getSeq[Long](r.fieldIndex("amp_hist")).sum ==
+        math.round(d * 8000) * 2)
+      assert(!r.isNullAt(r.fieldIndex("rms_l")) && !r.isNullAt(r.fieldIndex("rms_r")))
       assert(r.isNullAt(r.fieldIndex("img_width")) && r.isNullAt(r.fieldIndex("lum_hist")))
+    }
+    vid.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("img_width")) && r.isNullAt(r.fieldIndex("lum_hist")))
+      assert(r.isNullAt(r.fieldIndex("duration_sec")) && r.isNullAt(r.fieldIndex("amp_hist")))
     }
   }
 
