@@ -26,8 +26,17 @@ object Fixtures {
   /** THE fixture root — the ONE location both the Spark fixture pipeline
     * (`Format.fixturePipelineQuery`) and the DuckDB oracle's `read_json`
     * paths (`Format.fixtureCombineSql`) derive from, so the two sides can
-    * never silently read different trees (r17 review). */
-  val DefaultRoot: String = "/tmp/graft_fixtures"
+    * never silently read different trees (r17 review). Per-PROCESS since
+    * r18 (ADVICE): a fixed host-wide /tmp path let concurrent JVMs (sbt
+    * test alongside Verify) race one another's delete/rewrite against a
+    * mid-flight multiLine read — and the DuckDB oracle is a third reader.
+    * The pid-keyed root keeps one shared constant for Spark and oracle
+    * WITHIN a run (the oracle SQL is generated in this same JVM and the
+    * driver's DuckDB compare reads the path out of oracle_sql.json after
+    * Verify exits — which is also why nothing deletes the tree on exit;
+    * [[ensureRawLayer]] sweeps dead siblings instead). */
+  val DefaultRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fixtures_${ProcessHandle.current().pid()}"
   /** Symbol present in stocks but intentionally absent from company_info. */
   val OrphanSymbol = "TSLA"
 
@@ -131,6 +140,7 @@ object Fixtures {
     * from an earlier build would otherwise silently feed consumers).
     * Returns the raw dir. */
   def ensureRawLayer(root: String): String = {
+    sweepDeadSiblings(root)
     val marker = Paths.get(root, "raw", "_DONE")
     val stale = !Files.exists(marker) ||
       new String(Files.readAllBytes(marker)) != contentVersion
@@ -140,5 +150,25 @@ object Fixtures {
       Files.write(marker, contentVersion.getBytes(StandardCharsets.UTF_8))
     }
     s"$root/raw"
+  }
+
+  /** Bound the per-pid roots' tmp growth: delete sibling fixture trees
+    * (same `graft_fixtures_` prefix, different pid) untouched for > 24 h.
+    * The generous horizon is deliberate — a sibling younger than that
+    * might belong to a live JVM or to a Verify run whose DuckDB compare
+    * has not happened yet; a day-old tree is dead weight (each is a few
+    * hundred KB of JSON). */
+  private def sweepDeadSiblings(root: String): Unit = {
+    val self = new java.io.File(root)
+    val dir = self.getParentFile
+    val prefix = "graft_fixtures_"
+    if (dir != null && self.getName.startsWith(prefix)) {
+      val horizon = System.currentTimeMillis() - 24L * 3600 * 1000
+      Option(dir.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(prefix) && f.getName != self.getName &&
+            f.lastModified() < horizon)
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+      })
+    }
   }
 }

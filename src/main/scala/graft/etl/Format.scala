@@ -133,12 +133,19 @@ object Format {
     * the driver's gate exercises the JSON-source path end-to-end. */
   def fixturePipelineQuery(spark: SparkSession, dir: String): DataFrame = {
     val rawDir = Fixtures.ensureRawLayer(Fixtures.DefaultRoot)
+    // carry the tree's OWN _DONE marker content (not the compiled-in
+    // constant) so the oracle — which reads the same file via read_text —
+    // fails identifiably if the tree it sees is stale or foreign (ADVICE
+    // r17): a version mismatch lands on every row with its name on it.
+    val markerContent = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(rawDir, "_DONE")))
     combineFrames(formatStocks(spark, rawDir), formatCompany(spark, rawDir),
       formatNews(spark, rawDir))
       .withColumn("latest_news_date",
         date_format(col("latest_news_date"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("fetched_at_utc",
         date_format(col("fetched_at_utc"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("fixture_content_version", lit(markerContent))
   }
 
   /** Exact-valued summary of [[fixturePipelineQuery]] with a literal oracle
@@ -221,10 +228,13 @@ object Format {
        |       (s."close" - s."open") / nullif(s."open", 0.0) * 100 AS daily_change_pct,
        |       n.news_count,
        |       strftime(n.latest_news_date, '%Y-%m-%d %H:%M:%S') AS latest_news_date,
-       |       strftime(s.fetched_at_utc, '%Y-%m-%d %H:%M:%S') AS fetched_at_utc
+       |       strftime(s.fetched_at_utc, '%Y-%m-%d %H:%M:%S') AS fetched_at_utc,
+       |       fv.fixture_content_version
        |FROM stocks s
        |LEFT JOIN company c USING (symbol)
-       |LEFT JOIN news_agg n ON s.symbol = n.symbol""".stripMargin
+       |LEFT JOIN news_agg n ON s.symbol = n.symbol
+       |CROSS JOIN (SELECT content AS fixture_content_version
+       |            FROM read_text('$fx/_DONE')) fv""".stripMargin
   }
 
   val fixtureSummarySql: String =
