@@ -154,7 +154,17 @@ object BpeTrain {
     * the greedy scan selects the 1st, 3rd, 5th... — `grp` buckets the
     * runs (pos − row_number over candidates), `sel` keeps odd in-run
     * ranks, `dropped` removes each selected pair's right symbol, and the
-    * outer row_number re-packs positions for the next stage. */
+    * outer row_number re-packs positions for the next stage.
+    *
+    * Early exhaustion (r18 ADVICE): if the corpus runs out of mergeable
+    * pairs before round k, `b$k` is EMPTY — Spark's trainer stops and
+    * emits fewer decision rows, and the replay must mirror that, not
+    * collapse. A CROSS JOIN against the empty `b$k` would empty `w$k`
+    * (and every later stage, silently degrading the encode oracle to
+    * identity tokens); the LEFT JOIN ON true instead passes `w${k-1}`
+    * through unchanged (NULL l/r ⇒ cand=false everywhere), so the word
+    * states freeze exactly as Spark's do and the unioned decision list
+    * naturally shortens to match the trainer's early stop. */
   private def mergeStage(k: Int): String = {
     val prev = s"w${k - 1}"
     s"""p$k AS (
@@ -177,7 +187,7 @@ object BpeTrain {
        |        FROM (
        |          SELECT w.word, w.wc, w.pos, w.sym, b.l, b.r,
        |                 COALESCE(w.sym = b.l AND lead(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) = b.r, false) AS cand
-       |          FROM $prev w CROSS JOIN b$k b))))
+       |          FROM $prev w LEFT JOIN b$k b ON true))))
        |  WHERE NOT dropped)""".stripMargin
   }
 
