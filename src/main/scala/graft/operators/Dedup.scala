@@ -716,7 +716,7 @@ object Dedup {
     * f docs contributes f² pair rows; capping f bounds the blow-up). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5, n: Int = 3, dfCap: Int = 20): DataFrame = {
-    val sh = docShingles(spark, dir, n).cache()
+    val sh = jaccardShingles(spark, dir, n)
     // Candidate generation on the df-capped index ONLY; the reported jaccard
     // is then exact over the FULL shingle sets (same candidates→exact-verify
     // split as the MinHash path). Mixing a capped intersection with uncapped
@@ -724,14 +724,7 @@ object Dedup {
     // common shingles; recall is still bounded by the cap (a pair sharing
     // ONLY df>cap shingles is never a candidate — the documented skew/recall
     // trade of any inverted-index join).
-    // df == 1 shingles can never intersect (drop them: typically most of the
-    // index); df > cap shingles are the skew guard (stop-phrases, f² blow-up)
-    // pre-filter df=1 BEFORE the join (typically most of the index; neither
-    // consumer wants it) and cache: the pair sweep and commonCnt both read
-    // this (plan-identity shares the cache with rarePairCounts' copy)
-    val withDf = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2),
-      "sh").cache()
+    val withDf = shinglesWithDf(spark, dir, n)
     // per-doc count of df>cap shingles — the only shingles a pair can share
     // beyond the rare index (df=1 cannot be shared), so they bound the
     // unseen part of the intersection
@@ -813,6 +806,39 @@ object Dedup {
       |JOIN counts cb ON cb.doc_id = doc_b
       |WHERE ROUND(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 6) >= $threshold""".stripMargin
 
+  private val jaccShMemo = new SessionMemo[(String, Int), DataFrame]
+
+  /** The exact-Jaccard family's shingle table, MEMOIZED per (session, dir,
+    * n) — ONE DataFrame instance shared by the pair pipeline, the rare
+    * sweep, and the cap-exposure audit (r18 ADVICE: the three used to
+    * build the plan independently and rely on CacheManager plan-identity
+    * to share the materialization; any drift in construction order or
+    * naming would have silently rebuilt the heavy shingle pass with no
+    * test noticing — instance sharing cannot drift). */
+  private def jaccardShingles(spark: SparkSession, dir: String,
+      n: Int): DataFrame =
+    jaccShMemo.getOrElseUpdate(spark, (dir, n)) {
+      docShingles(spark, dir, n).cache()
+    }
+
+  private val withDfMemo = new SessionMemo[(String, Int), DataFrame]
+
+  /** The df-annotated (doc_id, sh, df ≥ 2) inverted index, MEMOIZED like
+    * [[jaccardShingles]] and built from it: df == 1 shingles can never
+    * intersect (drop them — typically most of the index); consumers split
+    * it at dfCap into the rare index (candidates) and the common tail
+    * (the skew guard / recall bound). Warm-touched transitively through
+    * `rarePairCounts` (policy (a)): materializing the sweep forces this
+    * cache first. */
+  private def shinglesWithDf(spark: SparkSession, dir: String,
+      n: Int): DataFrame =
+    withDfMemo.getOrElseUpdate(spark, (dir, n)) {
+      val sh = jaccardShingles(spark, dir, n)
+      sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2),
+        "sh").cache()
+    }
+
   private val rarePairsMemo = new SessionMemo[(String, Int, Int), DataFrame]
 
   /** THE exact-truth pair sweep, factored out and memoized (r17 — the one
@@ -830,11 +856,7 @@ object Dedup {
   private[graft] def rarePairCounts(spark: SparkSession, dir: String,
       n: Int = 3, dfCap: Int = 20): DataFrame =
     rarePairsMemo.getOrElseUpdate(spark, (dir, n, dfCap)) {
-      val sh = docShingles(spark, dir, n).cache()
-      val withDf = sh.join(
-        sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2),
-        "sh").cache()
-      withDf.filter(col("df") <= dfCap)
+      shinglesWithDf(spark, dir, n).filter(col("df") <= dfCap)
         .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
         .select(explode(flatten(transform(col("ds"), a =>
           transform(filter(col("ds"), b => b > a),
@@ -868,10 +890,8 @@ object Dedup {
     * the audit costs two small aggregates, not a corpus re-scan. */
   def ngramCapExposure(spark: SparkSession, dir: String,
       threshold: Double = 0.5, n: Int = 3, dfCap: Int = 20): DataFrame = {
-    val sh = docShingles(spark, dir, n).cache()
-    val withDf = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") >= 2),
-      "sh").cache()
+    val sh = jaccardShingles(spark, dir, n)
+    val withDf = shinglesWithDf(spark, dir, n)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val commonCnt = withDf.filter(col("df") > dfCap)
       .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
