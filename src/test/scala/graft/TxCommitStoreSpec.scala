@@ -24,7 +24,18 @@ class TxCommitStoreSpec extends AnyFunSuite {
 
   /** Object-store conditional put: reservation via map putIfAbsent (the
     * store's consistency domain, like an object store's metadata service),
-    * then a byte copy — never rename. Records every dest it published. */
+    * then an ALL-OR-NOTHING publish. Records every dest it published.
+    *
+    * Atomic visibility matters: a real conditional PUT makes the object
+    * appear complete or not at all — a losing racer can only ever observe
+    * fully-committed winners, and a failed PUT leaves no partial object.
+    * A plain create→write→close on a filesystem is visible mid-write (the
+    * swarm leg below caught a rebasing loser reading a half-written
+    * commit of the winner it had just lost to), so the stand-in stages
+    * next to dest and atomically moves into place — emulating the PUT
+    * semantics the real store provides natively. The PROTOCOL still never
+    * renames: TxTable sees only this seam's putIfAbsent, and the
+    * completeness assertions below prove no TxTable-side rename path ran. */
   private class MemoryConditionalPutStore extends CommitStore {
     val published = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val reserved =
@@ -41,13 +52,33 @@ class TxCommitStoreSpec extends AnyFunSuite {
           org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
           bos.toByteArray
         } finally in.close()
-        val out = fs.create(dest, false)
+        // staged name ends with neither .txt nor .checkpoint, so log
+        // listings never see it pre-publish
+        val staged = new org.apache.hadoop.fs.Path(dest.getParent,
+          s".${dest.getName}.staging-${java.util.UUID.randomUUID()}")
+        val out = fs.create(staged, false)
         try out.write(bytes) finally out.close()
+        require(fs.rename(staged, dest), s"atomic publish failed for $dest")
         fs.delete(tmp, false)
         published.add(key)
         true
       }
     }
+  }
+
+  /** Caller-level retry of the bounded commit loop ("lost N version
+    * races" is a liveness signal to back off and retry, not corruption). */
+  private def retryRaces(op: => Long, max: Int = 20): Long = {
+    var n = 0
+    while (true) {
+      try return op
+      catch {
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("version races") && n < max =>
+          n += 1
+      }
+    }
+    -1L // unreachable
   }
 
   private def fresh(name: String): String = {
@@ -143,6 +174,70 @@ class TxCommitStoreSpec extends AnyFunSuite {
       val out = TxTable.read(spark, path)
       assert(out.filter(col("txt") === "rival").count() == 1)
       assert(out.filter(col("txt") === "mine").count() == 1)
+    } finally TxTable.unregisterCommitStore("file")
+  }
+
+  test("N concurrent committers through the conditional-put store: one winner per version, no lost updates") {
+    // r17 verdict task: the lifecycle leg is single-threaded and the race
+    // leg injects ONE interleave; this drives GENUINELY concurrent
+    // committers — 4 threads × 13 keyed merges = 52 commits racing the
+    // same table — and asserts the two properties the commit protocol
+    // exists for: (a) the committed version numbers are exactly 1..52
+    // with no duplicate and no hole (every putIfAbsent race had exactly
+    // one winner and every loser rebased onto the winner's snapshot);
+    // (b) every thread's every row survives with its final value (a
+    // rebase that replayed against a stale snapshot would drop a rival's
+    // already-committed merge — the lost update).
+    val path = fresh("swarm")
+    val store = new MemoryConditionalPutStore
+    TxTable.registerCommitStore("file", store)
+    try {
+      TxTable.write(spark,
+        spark.range(20).select(col("id"), lit("base").as("txt"))
+          .repartition(1), path)
+      val nThreads = 4; val perThread = 13
+      val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until nThreads).map { t =>
+        new Thread(() => {
+          try {
+            var i = 0
+            while (i < perThread) {
+              // disjoint keys: merges commute, so every row must survive
+              // any serialization order — absence IS a lost update
+              val key = 1000L + t * 100 + i
+              // liveness lives at the CALLER under contention: merge gives
+              // up after MaxCommitRetries consecutive lost races (3 rivals
+              // can starve a slow writer past 5), and the application
+              // retries — idempotent by keyed-merge semantics
+              val v = retryRaces(TxTable.merge(spark,
+                Seq((key, s"w$t-$i")).toDF("id", "txt"), path, Seq("id")))
+              assert(versions.add(v), s"version $v committed twice")
+              i += 1
+            }
+          } catch { case e: Throwable => failures.add(e) }
+        }, s"committer-$t")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(300000))
+      assert(failures.isEmpty, s"committer failed: ${failures.peek()}")
+      val vs = scala.jdk.CollectionConverters.SetHasAsScala(versions).asScala
+      assert(vs == (1L to (nThreads * perThread)).toSet,
+        s"versions not contiguous one-winner-per-slot: ${vs.toSeq.sorted}")
+      val out = TxTable.read(spark, path).filter(col("id") >= 1000L)
+        .select("id", "txt").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (for (t <- 0 until nThreads; i <- 0 until perThread)
+        yield (1000L + t * 100 + i) -> s"w$t-$i").toMap
+      assert(out == expected,
+        s"lost updates: missing=${expected.keySet -- out.keySet} " +
+          s"wrong=${out.filter { case (k, v) => expected.get(k).exists(_ != v) }}")
+      // and the swarm's every commit file rode the seam
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val logFiles = fs.listStatus(new org.apache.hadoop.fs.Path(path, "_txlog"))
+        .map(st => fs.makeQualified(st.getPath).toString).toSet
+      assert(logFiles.subsetOf(
+        scala.jdk.CollectionConverters.SetHasAsScala(store.published).asScala.toSet))
     } finally TxTable.unregisterCommitStore("file")
   }
 }
