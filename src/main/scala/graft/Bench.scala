@@ -295,6 +295,15 @@ object Bench {
     touch("quality_cols")(graft.functions.TextFunctions.qualityQuery(spark, sfDir))
     touch("token_instances")(graft.functions.TextFunctions.tokenInstances(spark, sfDir))
     touch("lm_scores")(NgramLm.scoreQuery(spark, sfDir))
+    // the compressed DSIR feature table (memoized, r18; consumers:
+    // q_dsir_weights' LM training AND scoring, the streaming gate's
+    // offline ratio) — the per-ingest materialized feature table,
+    // policy (a)
+    touch("dsir_features")(Curation.corpusDsirFeatures(spark, sfDir))
+    // the trained B-row selection model over those features (same two
+    // consumers; "the table a pipeline materializes offline and
+    // broadcasts at ingest")
+    touch("dsir_ratio")(Curation.dsirRatio(spark, sfDir))
     touch("source_reputation")(Curation.sourceReputation(spark, sfDir))
     touch("corpus_13grams")(Curation.corpusGrams(spark, sfDir, 13))
     touch("text_embeddings")(TextEmbed.embeddings(spark, sfDir))

@@ -1215,11 +1215,37 @@ object Curation {
     * and score out-of-distribution garbage above genuine target docs
     * (a gibberish drop would outrank every English document). No evidence
     * ⇒ no contribution. */
+  private val dsirRatioMemo = new SessionMemo[(String, Int, Double), DataFrame]
+
+  /** MEMOIZED like the feature table it trains on (r18): this IS "the
+    * table a production pipeline materializes offline and broadcasts at
+    * ingest" (doc above) — B rows, trained once per ingest, read by the
+    * batch weights query and the streaming gate. */
   private[graft] def dsirRatio(spark: SparkSession, dir: String,
       buckets: Int = 4096, alpha: Double = 0.01): DataFrame =
-    ratioFromFeatures(compressFeatures(dsirFeatures(
-      Tables.spread(spark, Tables.documents(spark, dir))
-        .select("doc_id", "lang", "text"), buckets)), buckets, alpha)
+    dsirRatioMemo.getOrElseUpdate(spark, (dir, buckets, alpha)) {
+      ratioFromFeatures(corpusDsirFeatures(spark, dir, buckets), buckets, alpha)
+        .cache()
+    }
+
+  private val dsirFeatsMemo = new SessionMemo[(String, Int), DataFrame]
+
+  /** The corpus's compressed (doc_id, lang, b, cnt) DSIR feature table,
+    * MEMOIZED per (session, dir, buckets) — the in-session form of the
+    * feature table a 100 TB deployment MATERIALIZES once per ingest (the
+    * header comment has framed it that way since r15; r18 makes the
+    * sharing real instead of per-query). Consumers: the batch
+    * importance-weights query ([[dsirWeights]] — both its LM training and
+    * its scoring read it) and the streaming gate's offline ratio training
+    * ([[dsirRatio]] → StreamSelect). Policy (a): warm-touched by the
+    * bench as a per-ingest artifact in the same commit. */
+  private[graft] def corpusDsirFeatures(spark: SparkSession, dir: String,
+      buckets: Int = 4096): DataFrame =
+    dsirFeatsMemo.getOrElseUpdate(spark, (dir, buckets)) {
+      compressFeatures(dsirFeatures(
+        Tables.spread(spark, Tables.documents(spark, dir))
+          .select("doc_id", "lang", "text"), buckets)).cache()
+    }
 
   /** Per-(doc, lang, bucket) feature MULTIPLICITIES — the compressed form
     * every DSIR aggregation runs over since r15. Natural text repeats
@@ -1229,10 +1255,10 @@ object Curation {
     * LmScore rule) ever needs the instances: Σ_instances lr ≡ Σ_b cnt·lr
     * bit-for-bit in decimal. The corpus-scale explode is consumed ONCE
     * into this frame; everything downstream reads compressed rows. */
-  private def compressFeatures(feats: DataFrame): DataFrame =
+  private[graft] def compressFeatures(feats: DataFrame): DataFrame =
     feats.groupBy(feats.columns.map(col): _*).agg(count(lit(1)).as("cnt"))
 
-  private def ratioFromFeatures(compressed: DataFrame, buckets: Int,
+  private[graft] def ratioFromFeatures(compressed: DataFrame, buckets: Int,
       alpha: Double): DataFrame = {
     val spark = compressed.sparkSession
     // BOTH bucket LMs from ONE pass over the compressed features (a
@@ -1266,7 +1292,7 @@ object Curation {
     * DECIMAL(10,0) in the product: decimal(20,9) × bigint promotes past
     * precision 38 and Spark silently reduces the scale (the LmScore
     * lesson); (20,9)×(10,0) → (31,9) stays exact. */
-  private def scoreFeatures(compressed: DataFrame, ratio: DataFrame): DataFrame =
+  private[graft] def scoreFeatures(compressed: DataFrame, ratio: DataFrame): DataFrame =
     compressed.join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_feats"),
@@ -1284,21 +1310,20 @@ object Curation {
       alpha: Double = 0.01, keepFrac: Double = 0.2): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
     // ONE feature build serves LM training AND scoring (the explode +
-    // hash is the query's dominant cost — recomputing it would double
-    // the corpus work; the cache is the in-session form of the
-    // materialized feature table a 100 TB deployment persists once).
-    // Cached COMPRESSED (doc, lang, bucket, cnt): both consumers read
-    // multiplicities, never instances (see compressFeatures).
-    val feats = compressFeatures(
-        dsirFeatures(docs.select("doc_id", "lang", "text"), buckets))
-      .cache()
+    // hash is the query's dominant cost — ProfileDsir puts it at ~60% of
+    // the end-to-end time). Since r18 the compressed table is the SHARED
+    // session memo [[corpusDsirFeatures]] (per-ingest artifact, also read
+    // by the streaming gate's ratio training), so it is built once per
+    // session, not once per call — and deliberately NOT unpersisted here
+    // anymore: it is a session artifact like tokenInstances, reclaimed
+    // with the session (the r8 leak ADVICE applied to a per-call cache;
+    // a memoized artifact's lifetime IS the session).
+    val feats = corpusDsirFeatures(spark, dir, buckets)
     val w = scoreFeatures(feats.select("doc_id", "b", "cnt"),
-      ratioFromFeatures(feats, buckets, alpha))
+      dsirRatio(spark, dir, buckets, alpha))
     // total coverage: a token-less doc carries zero features and weight 0.
     // localCheckpoint (eager) materializes the doc-level table in ONE
-    // corpus pass; after it the exploded feature cache is dead weight and
-    // is released HERE, not left to leak for the session (r8 ADVICE) —
-    // the checkpoint blocks themselves are reclaimed by the
+    // corpus pass; the checkpoint blocks themselves are reclaimed by the
     // ContextCleaner once the returned frame is unreferenced.
     // lw leaves the exact-decimal world HERE, one cast per doc: the exact
     // sum holds ≤ 12 significant digits (|lw| < 10³ at 9 dp), far inside a
@@ -1309,7 +1334,6 @@ object Curation {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("lw").cast("double"), lit(0.0)).as("lw"))
       .localCheckpoint()
-    feats.unpersist(false)
     // Selection: "top ⌈keepFrac·N⌉ by (lw DESC, doc_id ASC)" — computed as
     // a bounded-heap k-th-element threshold + broadcast filter, NOT the
     // global row_number() window this replaced: that window funneled all
