@@ -243,6 +243,46 @@ object Bench {
       case (f, k) if f >= 0.0 && k >= 0.0 && f > k => f - k
     }.sum
 
+  /** Second-draw rule (r17 verdict task 4): the r17 driver run drifted
+    * +7% from the committed pin while its mem-canary MAX spiked (0.171 s
+    * vs honest maxes 0.05–0.156 across the r15–r17 untainted runs) — a
+    * contention signature too mild for the taint rules (min/median stayed
+    * honest) yet strong enough to inflate the round's headline. When the
+    * untainted clean_total exceeds the committed pin by > 5% AND the mem
+    * canary max clears the honest-run P95, the artifact carries
+    * `rerun_recommended:true`: "this number is real but likely
+    * contention-inflated — draw again before pinning or comparing". Both
+    * legs are required: r16's honest driver run had max 0.156 with a
+    * clean_total inside 2% of pin (no flag), r17 had both (flag). Never
+    * flagged on filtered runs (no comparable pin denominator) or tainted
+    * ones (already visibly suspect). */
+  private[graft] val RerunPinExcessFactor = 1.05
+  private[graft] val CanaryMemMaxHonestP95Sec = 0.15
+  private[graft] def rerunRecommended(cleanTotal: Double,
+      pinCleanTotal: Option[Double], memMaxSec: Double,
+      filtered: Boolean, tainted: Boolean): Boolean =
+    !filtered && !tainted && pinCleanTotal.exists(pin =>
+      cleanTotal > pin * RerunPinExcessFactor &&
+        memMaxSec > CanaryMemMaxHonestP95Sec)
+
+  /** The committed pin's clean_total, read from BENCH_pin.json in the
+    * working directory (the driver and builder both bench from the repo
+    * root). Regex, not a JSON parser: the one numeric field survives any
+    * field reordering, and a missing/garbled pin degrades to None — the
+    * flag then never fires rather than erroring the bench. Overridable
+    * for off-repo runs via SPARK_GRAFT_PIN_CLEAN_TOTAL. */
+  private[graft] def pinCleanTotal(): Option[Double] =
+    sys.env.get("SPARK_GRAFT_PIN_CLEAN_TOTAL").map(_.toDouble).orElse {
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PIN_FILE", "BENCH_pin.json"))
+        if (!java.nio.file.Files.exists(p)) None
+        else """"clean_total"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          .map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    }
+
   /** (headline total, clean total) over (sec, tainted) rows. The -1 crash
     * sentinel is excluded from BOTH sums: summed, each crash would silently
     * DEDUCT a second and make a broken run read faster than a green one
@@ -571,6 +611,10 @@ object Bench {
     val honestWorst = r3(honestWorstCaseTotal(totalRaw,
       results.collect { case (k, t) if t.rerun => (first(k).sec, t.sec) }))
     val filtered = only.isDefined
+    // the second-draw rule: pin-relative drift + mem-canary max spike
+    val pinClean = pinCleanTotal()
+    val rerunRec = rerunRecommended(cleanTotalRaw, pinClean,
+      canaryMemSamples.max, filtered, tainted)
     // loadavg = PRE-run sample (external steal indicator: far above ~1 means
     // the numbers are contaminated and must not be compared round-over-
     // round); loadavg_end is informational (dominated by the bench itself)
@@ -593,6 +637,8 @@ object Bench {
       s""""canary_mem_tainted":$canaryMemTainted,""" +
       s""""canary_tainted_queries":${jArr(canaryTaintedNames)},""" +
       s""""honest_worst_case_total":$honestWorst,""" +
+      s""""rerun_recommended":$rerunRec,""" +
+      s""""pin_clean_total":${pinClean.map(_.toString).getOrElse("null")},""" +
       s""""clean_total":$cleanTotal,"total_linear":$totalLinear,""" +
       s""""total_truth_twins":$totalTwins,"clean_total_linear":$cleanTotalLinear,""" +
       s""""filtered":$filtered,"query_count":${results.size},""" +

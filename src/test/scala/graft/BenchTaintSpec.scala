@@ -155,6 +155,28 @@ class BenchTaintSpec extends AnyFunSuite {
     assert(!Bench.canaryMemRunSlow(minSec = 0.004, medianSec = 0.004, refSec = 0.001))
   }
 
+  test("second-draw rule: pin drift AND mem-max spike, conjunctively") {
+    // thresholds pinned (r17 verdict task 4): >5% over the committed pin
+    // AND mem-canary max over the honest-run P95 (0.15 s; honest maxes
+    // measured 0.05-0.156 across r15-r17 untainted runs, the r17
+    // contention-drifted run read 0.171)
+    assert(Bench.RerunPinExcessFactor == 1.05)
+    assert(Bench.CanaryMemMaxHonestP95Sec == 0.15)
+    val pin = Some(141.8)
+    // the r17 driver shape: +7% drift with a 0.171 max — flag
+    assert(Bench.rerunRecommended(151.5, pin, 0.171, filtered = false, tainted = false))
+    // the r16 driver shape: honest max 0.156 but clean_total within 2% — no flag
+    assert(!Bench.rerunRecommended(144.0, pin, 0.156, filtered = false, tainted = false))
+    // drift without the canary witness: steady-state code regression, not
+    // contention — must NOT hide behind a rerun recommendation
+    assert(!Bench.rerunRecommended(155.0, pin, 0.05, filtered = false, tainted = false))
+    // filtered and tainted runs never flag (no pin denominator / already suspect)
+    assert(!Bench.rerunRecommended(151.5, pin, 0.171, filtered = true, tainted = false))
+    assert(!Bench.rerunRecommended(151.5, pin, 0.171, filtered = false, tainted = true))
+    // no pin on disk: degrade to silence, not error
+    assert(!Bench.rerunRecommended(151.5, None, 0.171, filtered = false, tainted = false))
+  }
+
   test("synthetic bandwidth load fires the memory-canary min rule") {
     // quiet reference first (JIT-warm)
     (1 to 2).foreach(_ => Bench.canaryMemOnce())
