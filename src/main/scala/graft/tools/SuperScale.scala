@@ -109,7 +109,18 @@ object SuperScale {
     ("q_heavy_hitters", "documents",
       (s: SparkSession, d: String) => graft.operators.Sketches.heavyTermsVerified(s, d)),
     ("q_cms_estimates", "documents",
-      (s: SparkSession, d: String) => graft.operators.Sketches.cmsVerified(s, d)))
+      (s: SparkSession, d: String) => graft.operators.Sketches.cmsVerified(s, d)),
+    // r18 (r17 verdict task 5): the two families that gained REAL per-row
+    // compute in r17/r18 — the multimodal codec path (PNG encode→decode
+    // per image row, WAV per audio row: cost ∝ payload bytes, claimed
+    // linear) and the BPE train+encode chain (20 argmax rounds over the
+    // compact word table + the corpus encode; vocabulary grows
+    // sub-linearly, so the claim is linear-in-corpus) — previously probed
+    // only across the one sf0.01→sf0.1 decade
+    ("q_media_features", "documents",
+      (s: SparkSession, d: String) => graft.operators.Multimodal.featuresQuery(s, d)),
+    ("q_bpe_encode", "documents",
+      (s: SparkSession, d: String) => graft.operators.BpeEncode.encodeQuery(s, d)))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
