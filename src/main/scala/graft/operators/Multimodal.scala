@@ -8,11 +8,11 @@ import graft.Tables
   * carried as opaque `binary` columns with typed metadata, decoded and
   * feature-extracted in batch per partition.
   *
-  * Three decode tiers (r17 image, r18 audio):
-  *  - the BYTE tier (`decodeStub`, a clearly-marked deterministic fake for
-  *    the video codecs absent in this container): byte histogram,
-  *    entropy, FNV checksum — fully hash-oracled since the payload bytes
-  *    are re-derivable in DuckDB;
+  * Four decode tiers (r17 image, r18 audio + video) — no stub remains:
+  *  - the BYTE tier (`decodeStub`, kept under its historical name): the
+  *    codec-free statistics every row carries regardless of kind — byte
+  *    histogram, entropy, FNV checksum — fully hash-oracled since the
+  *    payload bytes are re-derivable in DuckDB;
   *  - the IMAGE tier is a GENUINE codec path: image-kind rows are encoded
   *    to a real PNG (`javax.imageio`, ships in the JDK) from a
   *    deterministic pixel function of the payload, then decoded back with
@@ -26,7 +26,16 @@ import graft.Tables
   *    from a deterministic sample function, decoded back with
   *    `AudioSystem` in the same batch — duration, per-channel RMS,
   *    |amplitude| histogram — hash-oracled via PCM losslessness exactly
-  *    as PNG is.
+  *    as PNG is;
+  *  - the VIDEO tier is MJPEG-in-AVI: the JDK ships no video codec, but
+  *    MJPEG needs none — video-kind rows mux real `javax.imageio` JPEG
+  *    frames into a hand-written RIFF/AVI container, then demux and
+  *    decode every frame back in the same batch. Container geometry
+  *    (frame count, dims) is lossless metadata and hash-oracles exactly;
+  *    JPEG is lossy, so the decoded pixel stats are certified instead by
+  *    a genuinely-computed flag (per-frame channel means within
+  *    `VideoMeanTol` of the deterministic sample function — the
+  *    q_ann_pq_trained verified-frame pattern).
   *
   * Everything Spark-side is real and tested: the schema (binary payload +
   * metadata struct), the `mapPartitions` batch shape (the JVM analogue of a
@@ -49,7 +58,9 @@ object Multimodal {
       r_mean: Option[Double], g_mean: Option[Double], b_mean: Option[Double],
       lum_hist: Option[Array[Long]],
       duration_sec: Option[Double], rms_l: Option[Double],
-      rms_r: Option[Double], amp_hist: Option[Array[Long]])
+      rms_r: Option[Double], amp_hist: Option[Array[Long]],
+      vid_frames: Option[Int], vid_width: Option[Int],
+      vid_height: Option[Int], vid_codec_ok: Option[Boolean])
 
   /** Deterministic media table derived from `documents`: payload = UTF-8
     * bytes of the text (standing in for encoded image/audio bytes), kind
@@ -82,11 +93,11 @@ object Multimodal {
       |    CAST((CAST(('0x' || substr(md5(text || 'h'), 1, 15)) AS BIGINT) % 768) + 64 AS INT) AS height
       |  FROM documents)""".stripMargin
 
-  // ----------------------------------------------------------- decode stub
-  /** BYTE-TIER STUB (audio/video): a real implementation would decode the
-    * payload with an audio/video codec here (libraries absent in this
-    * container; the IMAGE tier has a real codec — see [[decodeImage]]).
-    * The fake is deterministic in the payload bytes so tests are stable. */
+  // ----------------------------------------------------------- byte tier
+  /** BYTE tier (historical name from when it stubbed the codecs — every
+    * kind now has a real one, see [[decodeImage]]/[[decodeWav]]/
+    * [[decodeAvi]]): the codec-free statistics every row carries —
+    * deterministic in the payload bytes, exactly re-derivable in SQL. */
   def decodeStub(payload: Array[Byte]): (Double, Double, Long, Array[Float]) = {
     val hist = new Array[Long](256)
     var sum = 0L
@@ -263,11 +274,195 @@ object Multimodal {
       r6(math.sqrt(sqL.toDouble / n)), r6(math.sqrt(sqR.toDouble / n)), amp)
   }
 
+  // ------------------------------------------------------- real video codec
+  /** Decoded video geometry for a video-kind row: metadata dims folded to
+    * an 8..31 px raster and 4..11 frames — the [[imageDims]]/[[audioFrames]]
+    * pattern, sized so the synthetic corpus stays cheap while the codec
+    * path is real. */
+  private[graft] def videoGeom(width: Int, height: Int): (Int, Int, Int) =
+    (width % 24 + 8, height % 24 + 8, (width + height) % 8 + 4)
+
+  /** Deterministic per-frame pixel function: channel c of pixel i of frame
+    * f reads payload byte (3·(f·w·h + i) + c) mod n — [[pixelValue]]'s
+    * video extension, the ONE definition encoder, spec, and certification
+    * share. */
+  private[graft] def framePixel(payload: Array[Byte], f: Int, i: Int, c: Int,
+      w: Int, h: Int): Int =
+    pixelValue(payload, 3L * (f.toLong * w * h + i) + c)
+
+  /** JPEG frame-mean certification budget. JPEG is LOSSY, so unlike the
+    * PNG/PCM tiers the decoded pixels are NOT SQL-re-derivable — but the
+    * per-frame CHANNEL MEAN is dominated by the DC coefficients, which
+    * survive quantization nearly exactly at the explicit 0.9 encode
+    * quality: measured worst per-channel frame-mean deviation across ALL
+    * video rows at every shipped SF is 2.49 gray levels (p99 ≈ 1.5; the
+    * tail is tiny 8-10 px frames where one 8×8 block's DC error owns the
+    * mean — the default ~0.75 quality read 4.45 and ate the budget). The
+    * 4.0 budget carries 1.6× margin over the measured worst while
+    * staying far below the ~30+ a dropped or blanked frame deviates by,
+    * so the flag is load-bearing: a broken mux, a lost frame, or a codec
+    * regression flips it and the oracle hash mismatches (the
+    * q_ann_pq_trained verified-frame pattern). MultimodalSpec holds the
+    * spec payload to half this budget; the sf0.1 oracle sweep re-checks
+    * every row. */
+  private[graft] val VideoMeanTol = 4.0
+
+  /** Build the stored encoded video for a video-kind row: a REAL
+    * MJPEG-in-AVI stream — each frame a genuine `javax.imageio` JPEG
+    * (the JDK's real DCT codec), muxed into a RIFF/AVI container
+    * (public 'avih'/'strh'/BITMAPINFOHEADER layout) written here
+    * byte-by-byte. The JDK ships no video codec, but MJPEG needs none:
+    * the video codec IS the image codec per frame plus the container,
+    * which is exactly how production multimodal pipelines treat frame
+    * extraction (demux + per-frame image decode). */
+  private[graft] def encodeAvi(payload: Array[Byte], w: Int, h: Int,
+      nFrames: Int): Array[Byte] = {
+    imageIoMemoryCache
+    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(bb); bb.array()
+    }
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+      le(8 + data.length + data.length % 2) { bb =>
+        bb.put(fourcc.getBytes("US-ASCII")); bb.putInt(data.length)
+        bb.put(data); if (data.length % 2 == 1) bb.put(0.toByte)
+      }
+    def list(fourcc: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc.getBytes("US-ASCII") ++ inner)
+    // one writer per row (per-partition would be better still, but the
+    // writer is not thread-safe and the row is the isolation unit here);
+    // explicit 0.9 quality — the default ~0.75 quantizes tiny-frame DC
+    // coefficients hard enough to eat half the certification budget
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.9f)
+    val frames = try (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) {
+        img.setRGB(i % w, i / w,
+          (framePixel(payload, f, i, 0, w, h) << 16) |
+            (framePixel(payload, f, i, 1, w, h) << 8) |
+            framePixel(payload, f, i, 2, w, h))
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close()
+      bos.toByteArray
+    } finally writer.dispose()
+    val avih = le(56) { bb =>
+      bb.putInt(33333); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(nFrames); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt(w); bb.putInt(h) // + 16 reserved zero bytes
+    }
+    val strh = le(56) { bb =>
+      bb.put("vids".getBytes("US-ASCII")); bb.put("MJPG".getBytes("US-ASCII"))
+      bb.putInt(0); bb.putShort(0); bb.putShort(0); bb.putInt(0)
+      bb.putInt(1); bb.putInt(30) // scale, rate: 30 fps
+      bb.putInt(0); bb.putInt(nFrames); bb.putInt(0); bb.putInt(-1)
+      bb.putInt(0) // sampleSize; rcFrame stays zero
+    }
+    val strf = le(40) { bb =>
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24)
+      bb.put("MJPG".getBytes("US-ASCII")); bb.putInt(w * h * 3)
+      // remaining 16 bytes zero
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(fr => chunk("00dc", fr)).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** GENUINE video demux + decode (r18, closing the last stub tier): walk
+    * the RIFF chunk tree, read the container geometry from 'avih', decode
+    * every '00dc' MJPEG frame with the real JPEG codec, and return the
+    * header geometry, the decoded frame dims, and each frame's decoded
+    * per-channel means. Geometry is lossless container metadata (exactly
+    * SQL-re-derivable); the means feed the [[VideoMeanTol]] certification
+    * because JPEG is lossy. */
+  private[graft] def decodeAvi(avi: Array[Byte]): (Int, Int, Int, Seq[(Int, Int, Double, Double, Double)]) = {
+    imageIoMemoryCache
+    val bb = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF stream")
+    bb.getInt()
+    require(fourcc() == "AVI ", "not an AVI stream")
+    var nf = 0; var w = 0; var h = 0
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(end: Int): Unit = while (bb.position() < end) {
+      val id = fourcc(); val sz = bb.getInt(); val start = bb.position()
+      val next = start + sz + sz % 2
+      id match {
+        case "LIST" => fourcc(); walk(start + sz)
+        case "avih" =>
+          bb.position(start + 16); nf = bb.getInt()
+          bb.position(start + 32); w = bb.getInt(); h = bb.getInt()
+        case "00dc" =>
+          val d = new Array[Byte](sz); bb.get(d); frames += d
+        case _ => ()
+      }
+      bb.position(next)
+    }
+    walk(avi.length)
+    val decoded = frames.result().map { jpeg =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      val (fw, fh) = (img.getWidth, img.getHeight)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var i = 0
+      while (i < fw * fh) {
+        val rgb = img.getRGB(i % fw, i / fw)
+        rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+        i += 1
+      }
+      val n = math.max(1, fw * fh).toDouble
+      (fw, fh, rs / n, gs / n, bs / n)
+    }
+    (nf, w, h, decoded)
+  }
+
+  /** The full video round-trip for one row: encode → demux → per-frame
+    * JPEG decode → certify. Returns (n_frames, width, height, codec_ok):
+    * geometry exact from the container header, the flag TRUE iff the
+    * demuxed frame count matches the header, every decoded frame carries
+    * the header dims, and every frame's decoded per-channel mean sits
+    * within [[VideoMeanTol]] of the deterministic sample function's exact
+    * mean. */
+  private[graft] def videoRoundTrip(payload: Array[Byte], width: Int,
+      height: Int): (Int, Int, Int, Boolean) = {
+    val (w, h, nFrames) = videoGeom(width, height)
+    val (nf, dw, dh, frames) = decodeAvi(encodeAvi(payload, w, h, nFrames))
+    val ok = nf == nFrames && dw == w && dh == h &&
+      frames.length == nFrames &&
+      frames.zipWithIndex.forall { case ((fw, fh, rm, gm, bm), f) =>
+        val n = (w * h).toDouble
+        def exact(c: Int): Double = {
+          var s = 0L; var i = 0
+          while (i < w * h) { s += framePixel(payload, f, i, c, w, h); i += 1 }
+          s / n
+        }
+        fw == w && fh == h &&
+          math.abs(rm - exact(0)) <= VideoMeanTol &&
+          math.abs(gm - exact(1)) <= VideoMeanTol &&
+          math.abs(bm - exact(2)) <= VideoMeanTol
+      }
+    (nFrames, w, h, ok)
+  }
+
   /** Batch feature extraction: one decoder lifecycle per PARTITION (the
     * mapPartitions contract), not per row. Image-kind rows additionally
     * run the real PNG encode→decode round-trip, audio-kind rows the real
-    * WAV encode→decode round-trip; video keeps the byte-tier stub until
-    * a codec exists. */
+    * WAV encode→decode round-trip, video-kind rows the real MJPEG-in-AVI
+    * mux→demux→per-frame JPEG decode round-trip — no stub tier remains. */
   def extractFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -284,11 +479,15 @@ object Multimodal {
           val aud = if (m.kind == "audio")
             Some(decodeWav(encodeWav(m.payload, audioFrames(m.width, m.height))))
           else None
+          val vid = if (m.kind == "video")
+            Some(videoRoundTrip(m.payload, m.width, m.height))
+          else None
           MediaFeatures(m.media_id, m.kind, m.payload.length, r6(mean),
             r6(entropy), checksum, vec,
             img.map(_._1), img.map(_._2), img.map(_._3), img.map(_._4),
             img.map(_._5), img.map(_._6),
-            aud.map(_._1), aud.map(_._2), aud.map(_._3), aud.map(_._4))
+            aud.map(_._1), aud.map(_._2), aud.map(_._3), aud.map(_._4),
+            vid.map(_._1), vid.map(_._2), vid.map(_._3), vid.map(_._4))
         }
       }
       .toDF()
@@ -317,7 +516,9 @@ object Multimodal {
         col("byte_entropy"), col("checksum")) ++ buckets ++
         Seq(col("img_width"), col("img_height"), col("r_mean"), col("g_mean"),
           col("b_mean")) ++ lums ++
-        Seq(col("duration_sec"), col("rms_l"), col("rms_r")) ++ amps: _*)
+        Seq(col("duration_sec"), col("rms_l"), col("rms_r")) ++ amps ++
+        Seq(col("vid_frames"), col("vid_width"), col("vid_height"),
+          col("vid_codec_ok")): _*)
   }
 
   /** Per-doc byte pipeline shared by the features and summary oracles: code
@@ -430,16 +631,33 @@ object Multimodal {
                s"THEN 1 END), 0) AS BIGINT) AS amp$k").mkString(",\n      |    ")}
       |  FROM smp GROUP BY media_id)""".stripMargin
 
+  /** Video-tier oracle CTE (r18): the container GEOMETRY is lossless
+    * metadata — frame count and dims re-derive exactly from the same
+    * width/height folds the encoder used — and the lossy-JPEG pixel stats
+    * ride as the genuinely-computed certification flag the oracle states
+    * true (see [[VideoMeanTol]]). */
+  private val videoStatsSqlCte: String =
+    """vidstats AS (
+      |  SELECT media_id,
+      |    CAST((width + height) % 8 + 4 AS INT) AS vid_frames,
+      |    CAST(width % 24 + 8 AS INT) AS vid_width,
+      |    CAST(height % 24 + 8 AS INT) AS vid_height,
+      |    true AS vid_codec_ok
+      |  FROM media WHERE kind = 'video')""".stripMargin
+
   val featuresQuerySql: String =
     s"""WITH $featuresSqlCte,
       |$imageStatsSqlCte,
-      |$audioStatsSqlCte
+      |$audioStatsSqlCte,
+      |$videoStatsSqlCte
       |SELECT f.*, i.img_width, i.img_height, i.r_mean, i.g_mean, i.b_mean,
       |  i.lum0, i.lum1, i.lum2, i.lum3, i.lum4, i.lum5, i.lum6, i.lum7,
       |  a.duration_sec, a.rms_l, a.rms_r,
-      |  a.amp0, a.amp1, a.amp2, a.amp3, a.amp4, a.amp5, a.amp6, a.amp7
+      |  a.amp0, a.amp1, a.amp2, a.amp3, a.amp4, a.amp5, a.amp6, a.amp7,
+      |  v.vid_frames, v.vid_width, v.vid_height, v.vid_codec_ok
       |FROM features f LEFT JOIN imgstats i USING (media_id)
-      |  LEFT JOIN audstats a USING (media_id)""".stripMargin
+      |  LEFT JOIN audstats a USING (media_id)
+      |  LEFT JOIN vidstats v USING (media_id)""".stripMargin
 
   /** Frame sampling: slice the payload into fixed-size "frames" (video
     * decode analogue), explode to one row per sampled frame, fingerprint

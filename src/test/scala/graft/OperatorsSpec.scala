@@ -1284,7 +1284,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(zd == r6(128 / 8000.0) && zl == 0.0 && zr == 0.0 && zamp(0) == 256)
   }
 
-  test("image/audio rows carry real decoded stats; video stays byte-tier") {
+  test("real MJPEG-in-AVI round-trip: container demux exact, JPEG means within the certification budget") {
+    val payload = Array.tabulate(100)(i => ((i * 37) % 251).toByte)
+    val (w, h, nF) = (13, 9, 6)
+    val avi = Multimodal.encodeAvi(payload, w, h, nF)
+    // a genuine RIFF/AVI container whose frames are genuine JPEG streams
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val ffd8 = avi.sliding(2).indexWhere(p => (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8)
+    assert(ffd8 > 0, "no JPEG SOI marker anywhere in the stream")
+    val (nf, dw, dh, frames) = Multimodal.decodeAvi(avi)
+    // geometry is lossless container metadata — exact
+    assert((nf, dw, dh) == (nF, w, h) && frames.length == nF)
+    // JPEG is lossy, so the VALIDITY argument is the measured mean
+    // deviation: per-frame channel means must sit far inside the
+    // certification budget even on this high-frequency worst-case raster
+    frames.zipWithIndex.foreach { case ((fw, fh, rm, gm, bm), f) =>
+      assert((fw, fh) == (w, h))
+      def exact(c: Int) = (0 until w * h)
+        .map(i => Multimodal.framePixel(payload, f, i, c, w, h)).sum.toDouble / (w * h)
+      val dev = Seq(math.abs(rm - exact(0)), math.abs(gm - exact(1)),
+        math.abs(bm - exact(2))).max
+      assert(dev <= Multimodal.VideoMeanTol / 2,
+        s"frame $f mean deviation $dev eats the certification margin")
+    }
+    // the registered flag itself, end-to-end
+    val (rf, rw, rh, ok) = Multimodal.videoRoundTrip(payload, 1000, 700)
+    assert(ok && rf == ((1000 + 700) % 8 + 4) && rw == (1000 % 24 + 8) && rh == (700 % 24 + 8))
+    // empty payload: all-black frames, round-trip still certifies
+    val (_, _, _, okEmpty) = Multimodal.videoRoundTrip(Array.empty, 64, 64)
+    assert(okEmpty)
+  }
+
+  test("image/audio/video rows each carry their real decoded stats") {
     val f = Multimodal.extractFeatures(spark, sf).collect()
     val img = f.filter(_.getAs[String]("kind") == "image")
     val aud = f.filter(_.getAs[String]("kind") == "audio")
@@ -1296,6 +1328,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getSeq[Long](r.fieldIndex("lum_hist")).sum == w.toLong * h)
       assert(!r.isNullAt(r.fieldIndex("r_mean")))
       assert(r.isNullAt(r.fieldIndex("duration_sec")) && r.isNullAt(r.fieldIndex("amp_hist")))
+      assert(r.isNullAt(r.fieldIndex("vid_frames")))
     }
     aud.foreach { r =>
       val d = r.getAs[Double]("duration_sec")
@@ -1305,8 +1338,16 @@ class MultimodalSpec extends AnyFunSuite {
         math.round(d * 8000) * 2)
       assert(!r.isNullAt(r.fieldIndex("rms_l")) && !r.isNullAt(r.fieldIndex("rms_r")))
       assert(r.isNullAt(r.fieldIndex("img_width")) && r.isNullAt(r.fieldIndex("lum_hist")))
+      assert(r.isNullAt(r.fieldIndex("vid_frames")))
     }
     vid.foreach { r =>
+      // every video row's codec certification must hold — this is the
+      // corpus-wide guarantee the oracle's `true` flag rides on
+      assert(r.getAs[Boolean]("vid_codec_ok"),
+        s"codec certification failed for media ${r.getAs[Long]("media_id")}")
+      val nf = r.getAs[Int]("vid_frames")
+      assert(nf >= 4 && nf <= 11)
+      assert(r.getAs[Int]("vid_width") >= 8 && r.getAs[Int]("vid_width") <= 31)
       assert(r.isNullAt(r.fieldIndex("img_width")) && r.isNullAt(r.fieldIndex("lum_hist")))
       assert(r.isNullAt(r.fieldIndex("duration_sec")) && r.isNullAt(r.fieldIndex("amp_hist")))
     }
