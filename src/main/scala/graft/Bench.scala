@@ -265,6 +265,16 @@ object Bench {
       cleanTotal > pin * RerunPinExcessFactor &&
         memMaxSec > CanaryMemMaxHonestP95Sec)
 
+  /** The pin is only a comparator for a run over the SAME sf dir it was
+    * measured on: a full-registry run at another SF exceeds the pinned
+    * total many times over for honest reasons, and flagging it would
+    * teach readers to ignore the flag (review finding, r18). An explicit
+    * SPARK_GRAFT_PIN_CLEAN_TOTAL override skips the check — the caller
+    * chose their comparator. */
+  private[graft] def pinComparable(pinSf: Option[String], runSf: String,
+      explicitOverride: Boolean): Boolean =
+    explicitOverride || pinSf.contains(runSf)
+
   /** The committed pin's clean_total, read from BENCH_pin.json in the
     * working directory (the driver and builder both bench from the repo
     * root). Regex, not a JSON parser: the one numeric field survives any
@@ -272,16 +282,26 @@ object Bench {
     * flag then never fires rather than erroring the bench. Overridable
     * for off-repo runs via SPARK_GRAFT_PIN_CLEAN_TOTAL. */
   private[graft] def pinCleanTotal(): Option[Double] =
-    sys.env.get("SPARK_GRAFT_PIN_CLEAN_TOTAL").map(_.toDouble).orElse {
-      try {
-        val p = java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_PIN_FILE", "BENCH_pin.json"))
-        if (!java.nio.file.Files.exists(p)) None
-        else """"clean_total"\s*:\s*([0-9.]+)""".r
-          .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          .map(_.group(1).toDouble)
-      } catch { case _: Throwable => None }
-    }
+    // toDoubleOption, not toDouble: a garbled env override must degrade to
+    // silence like a garbled pin file, not crash the bench at artifact-
+    // emission time after the whole fleet ran (review finding, r18)
+    sys.env.get("SPARK_GRAFT_PIN_CLEAN_TOTAL").flatMap(_.toDoubleOption)
+      .orElse(pinField(""""clean_total"\s*:\s*([0-9.]+)""")
+        .flatMap(_.toDoubleOption))
+
+  /** The pin's recorded sf dir, for [[pinComparable]]. */
+  private[graft] def pinSf(): Option[String] =
+    pinField(""""sf"\s*:\s*"([^"]+)"""")
+
+  private def pinField(regex: String): Option[String] =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PIN_FILE", "BENCH_pin.json"))
+      if (!java.nio.file.Files.exists(p)) None
+      else regex.r
+        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .map(_.group(1))
+    } catch { case _: Throwable => None }
 
   /** (headline total, clean total) over (sec, tainted) rows. The -1 crash
     * sentinel is excluded from BOTH sums: summed, each crash would silently
@@ -611,8 +631,11 @@ object Bench {
     val honestWorst = r3(honestWorstCaseTotal(totalRaw,
       results.collect { case (k, t) if t.rerun => (first(k).sec, t.sec) }))
     val filtered = only.isDefined
-    // the second-draw rule: pin-relative drift + mem-canary max spike
-    val pinClean = pinCleanTotal()
+    // the second-draw rule: pin-relative drift + mem-canary max spike,
+    // only against a pin measured over the SAME sf dir (or an explicit
+    // env override — the caller chose their comparator)
+    val pinClean = pinCleanTotal().filter(_ => pinComparable(pinSf(), sfDir,
+      sys.env.get("SPARK_GRAFT_PIN_CLEAN_TOTAL").exists(_.toDoubleOption.isDefined)))
     val rerunRec = rerunRecommended(cleanTotalRaw, pinClean,
       canaryMemSamples.max, filtered, tainted)
     // loadavg = PRE-run sample (external steal indicator: far above ~1 means

@@ -33,10 +33,10 @@ object Fixtures {
     * The pid-keyed root keeps one shared constant for Spark and oracle
     * WITHIN a run (the oracle SQL is generated in this same JVM and the
     * driver's DuckDB compare reads the path out of oracle_sql.json after
-    * Verify exits — which is also why nothing deletes the tree on exit;
-    * [[ensureRawLayer]] sweeps dead siblings instead). */
-  val DefaultRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_fixtures_${ProcessHandle.current().pid()}"
+    * Verify exits). Lifecycle (touch, sweep, no delete-on-exit) lives in
+    * the shared [[graft.TmpRoots]]; [[ensureRawLayer]] re-touches on
+    * every call so a long-lived JVM's tree is never swept from under it. */
+  val DefaultRoot: String = graft.TmpRoots.root("graft_fixtures")
   /** Symbol present in stocks but intentionally absent from company_info. */
   val OrphanSymbol = "TSLA"
 
@@ -140,7 +140,7 @@ object Fixtures {
     * from an earlier build would otherwise silently feed consumers).
     * Returns the raw dir. */
   def ensureRawLayer(root: String): String = {
-    sweepDeadSiblings(root)
+    if (root == DefaultRoot) graft.TmpRoots.root("graft_fixtures") // touch + sweep
     val marker = Paths.get(root, "raw", "_DONE")
     val stale = !Files.exists(marker) ||
       new String(Files.readAllBytes(marker)) != contentVersion
@@ -152,23 +152,4 @@ object Fixtures {
     s"$root/raw"
   }
 
-  /** Bound the per-pid roots' tmp growth: delete sibling fixture trees
-    * (same `graft_fixtures_` prefix, different pid) untouched for > 24 h.
-    * The generous horizon is deliberate — a sibling younger than that
-    * might belong to a live JVM or to a Verify run whose DuckDB compare
-    * has not happened yet; a day-old tree is dead weight (each is a few
-    * hundred KB of JSON). */
-  private def sweepDeadSiblings(root: String): Unit = {
-    val self = new java.io.File(root)
-    val dir = self.getParentFile
-    val prefix = "graft_fixtures_"
-    if (dir != null && self.getName.startsWith(prefix)) {
-      val horizon = System.currentTimeMillis() - 24L * 3600 * 1000
-      Option(dir.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.startsWith(prefix) && f.getName != self.getName &&
-            f.lastModified() < horizon)
-          org.apache.commons.io.FileUtils.deleteQuietly(f)
-      })
-    }
-  }
 }

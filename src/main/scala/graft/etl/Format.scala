@@ -173,7 +173,7 @@ object Format {
     * the SAME fixture files `readRaw` globs), offset-string → UTC timestamp
     * parse, the ≥2020 news filter, the deterministic per-id dedup, the
     * news aggregate, both left joins, and the guarded-division derived
-    * columns — then hash-compares all 420 rows × 16 columns. Timestamps go
+    * columns — then hash-compares all 420 rows × 17 columns (the 17th is the tree's own _DONE marker content, read via read_text — r18). Timestamps go
     * through `timezone('UTC', CAST(x AS TIMESTAMPTZ))` so the oracle is
     * independent of the DuckDB session timezone (the fixture offsets are
     * explicit). Doubles are bit-exact on both sides: the same decimal JSON

@@ -340,11 +340,12 @@ object Classifier {
     * below is generated at registry init in the SAME JVM that later runs
     * the gate query, so the path always agrees within a run, while two
     * concurrent JVMs (sbt test alongside Verify) can never race each
-    * other's weight files. The tree must OUTLIVE the JVM — the driver's
-    * DuckDB compare runs after Verify exits — so nothing deletes it on
-    * exit; it is 66 rows of (pos, w) per leg. */
+    * other's weight files. Lifecycle (mtime touch on use, 24 h dead-
+    * sibling sweep, no delete-on-exit — the driver's DuckDB compare runs
+    * after Verify exits) is the shared [[graft.TmpRoots]]; the tree is 66
+    * rows of (pos, w) per leg. */
   private[graft] val WeightsOracleRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_quality_weights_${ProcessHandle.current().pid()}"
+    graft.TmpRoots.root("graft_quality_weights")
 
   /** Order-insensitive-enough staleness stamp over the weight vector,
     * carried as a constant column by BOTH the Spark gate frame (from the
@@ -362,6 +363,7 @@ object Classifier {
     * scores with the SAME IEEE values the gate used. */
   private def writeWeightsForOracle(spark: SparkSession, w: Seq[Double],
       leg: String): Unit = {
+    graft.TmpRoots.root("graft_quality_weights") // touch + sweep on use
     import spark.implicits._
     w.zipWithIndex.map { case (v, i) => (i, v) }.toDF("pos", "w")
       .coalesce(1).write.mode("overwrite")

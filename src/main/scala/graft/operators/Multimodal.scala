@@ -740,7 +740,12 @@ object Multimodal {
   /** Metadata/feature summary per kind — the query a curation pipeline runs
     * to monitor a multimodal corpus. */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir)
+    // byte-tier-only extraction: the summary aggregates nothing from the
+    // codec tiers, and Spark cannot prune work inside the opaque
+    // mapPartitions — going through extractFeatures would pay the full
+    // PNG/WAV/AVI round-trips per row a second time just to discard the
+    // results (review finding, r18)
+    byteTierFeatures(spark, dir)
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n_media"),
@@ -748,6 +753,23 @@ object Multimodal {
         round(avg("mean_byte"), 6).as("avg_mean_byte"),
         round(avg("byte_entropy"), 6).as("avg_entropy"),
         countDistinct(col("checksum")).as("distinct_payloads"))
+
+  /** The codec-free slice of [[extractFeatures]]: (media_id, kind,
+    * n_bytes, mean_byte, byte_entropy, checksum) from [[decodeStub]]
+    * alone — identical values to the full frame's byte-tier columns
+    * (same kernel), none of the per-row codec cost. */
+  private def byteTierFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("media_id", "kind", "payload", "width", "height")
+      .as[Media]
+      .mapPartitions(_.map { m =>
+        val (mean, entropy, checksum, _) = decodeStub(m.payload)
+        (m.media_id, m.kind, m.payload.length, r6(mean), r6(entropy), checksum)
+      })
+      .toDF("media_id", "kind", "n_bytes", "mean_byte", "byte_entropy",
+        "checksum")
+  }
 
   val mediaSummarySql: String =
     s"""WITH $featuresSqlCte
