@@ -87,8 +87,11 @@ object Classifier {
     override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] =
       if (b.isEmpty) a.toArray
       else {
+        // iterator, not a(i): the decoder's Seq is a List, where indexed
+        // access inside this loop is quadratic (the Sketches.indexed rule)
         var i = 0
-        while (i < b.length) { b(i) += a(i); i += 1 }
+        val it = a.iterator
+        while (i < b.length && it.hasNext) { b(i) += it.next(); i += 1 }
         b
       }
     override def merge(x: Array[Double], y: Array[Double]): Array[Double] =

@@ -241,11 +241,20 @@ object Rag {
   case class MmrCand(q_doc: Long, vec_id: Long, rel: Double, emb: Seq[Double])
 
   private def localCos(a: Seq[Double], b: Seq[Double]): Double = {
+    // normalize ONCE to primitive arrays: the Dataset decoder hands these
+    // embeddings over as Lists, where the positional loop below would be
+    // O(dim²) pointer-chasing per cosine (the Sketches.indexed lesson, r18)
+    val (va, vb) = (toArr(a), toArr(b))
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val n = math.min(va.length, vb.length)
+    while (i < n) { dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1 }
     val den = math.sqrt(na) * math.sqrt(nb)
     if (den == 0.0) 0.0 else dot / den
+  }
+
+  @inline private def toArr(v: Seq[Double]): Array[Double] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+    case other => other.toArray
   }
 
   /** Greedy MMR over ≤ pool candidates; (candidate, RAW mmr score) in

@@ -232,12 +232,26 @@ object Sketches {
   private[graft] def cmsSlot(term: String, d: Int, width: Int): Int =
     java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(term, d), width)
 
+  /** Normalize a grid to O(1)-indexed primitive form ONCE before the
+    * positional loops below. The ScalaUDF boundary decodes `array<bigint>`
+    * to an immutable Seq whose concrete type is a LIST in Spark 4 — so
+    * `grid(d * width + w)` inside a width-loop silently turns each kernel
+    * into O((depth·width)²) pointer-chasing: measured 1.0 s per
+    * q_join_estimate call over THREE cached rows (r18). One O(n) unboxing
+    * copy at entry is noise next to that; already-indexed inputs (specs
+    * pass ArraySeq) pay only the copy. */
+  @inline private def indexed(grid: Seq[Long]): Array[Long] = grid match {
+    case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+    case other => other.toArray
+  }
+
   private[graft] def cmsEstimate(sketch: Seq[Long], term: String,
       depth: Int, width: Int): Long = {
+    val g = indexed(sketch)
     var est = Long.MaxValue
     var d = 0
     while (d < depth) {
-      val c = sketch(d * width + cmsSlot(term, d, width))
+      val c = g(d * width + cmsSlot(term, d, width))
       if (c < est) est = c
       d += 1
     }
@@ -419,10 +433,11 @@ object Sketches {
   /** Median-of-rows inner product of two AMS grids. */
   private[graft] def amsJoinEstimate(a: Seq[Long], b: Seq[Long],
       depth: Int, width: Int): Long = {
+    val (ga, gb) = (indexed(a), indexed(b))
     val per = Array.tabulate(depth) { d =>
       var s = 0L
       var w = 0
-      while (w < width) { s += a(d * width + w) * b(d * width + w); w += 1 }
+      while (w < width) { s += ga(d * width + w) * gb(d * width + w); w += 1 }
       s
     }.sorted
     per(depth / 2)
@@ -433,12 +448,13 @@ object Sketches {
     * key products plus nonnegative collision cross-terms). */
   private[graft] def cmsJoinUpper(a: Seq[Long], b: Seq[Long],
       depth: Int, width: Int): Long = {
+    val (ga, gb) = (indexed(a), indexed(b))
     var best = Long.MaxValue
     var d = 0
     while (d < depth) {
       var s = 0L
       var w = 0
-      while (w < width) { s += a(d * width + w) * b(d * width + w); w += 1 }
+      while (w < width) { s += ga(d * width + w) * gb(d * width + w); w += 1 }
       if (s < best) best = s
       d += 1
     }
