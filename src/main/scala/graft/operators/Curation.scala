@@ -578,9 +578,21 @@ object Curation {
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, n - 1)
+    // the gram IDENTITY the index keeps is a 128-bit fingerprint (two
+    // independent xxhash64 streams over the rendered gram), not the ~100-
+    // byte string: every downstream use is equality (distinct, the eval
+    // join), so the fingerprint is exact up to a 2⁻¹²⁹-scale collision —
+    // ~10⁻¹⁵ even at 10¹² corpus grams, the trade every lake-scale
+    // decontamination index makes. It cuts the cached index and BOTH
+    // per-consumer gram-keyed shuffles ~4× (r18; the string-keyed join
+    // was the contamination families' dominant cost). The DuckDB oracle
+    // stays string-exact, so a collision at test scale would fail the
+    // gate by name.
     toks.withColumn("win", collect_list("tok").over(w))
       .filter(size(col("win")) === n)
       .select(col("doc_id"), concat_ws(" ", col("win")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g1"),
+        xxhash64(col("gram"), lit(0x9E3779B9L)).as("g2"))
       .distinct()
   }
 
@@ -615,9 +627,9 @@ object Curation {
     val grams = corpusGrams(spark, dir, n)
       .join(docsSplit.select("doc_id", "split"), "doc_id")
     val evalGrams = grams.filter(col("split") =!= "train")
-      .select("gram").distinct()
+      .select("g1", "g2").distinct()
     grams.filter(col("split") === "train")
-      .join(evalGrams, "gram")
+      .join(evalGrams, Seq("g1", "g2"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
