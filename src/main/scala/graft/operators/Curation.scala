@@ -1283,32 +1283,37 @@ object Curation {
     val totals = counts.agg(sum("cs").as("ts"), sum("ct").as("tt"))
     val aB = alpha * buckets
     val spine = spark.range(buckets).select(col("id").as("b"))
-    // lr is rounded to 9 dp and carried as DECIMAL(20,9) (the LmScore
-    // order-free-sums rule): the per-doc weight is then an EXACT sum on
-    // both engines — no accumulation-order exposure left anywhere in the
-    // family — and the compressed Σ cnt·lr regrouping is bit-identical
-    // to the instance sum by decimal exactness.
+    // lr is rounded to 9 dp and carried as FIXED-POINT 1e-9 units in a
+    // LONG (the LmScore r18 rule — formerly DECIMAL(20,9)): the per-doc
+    // weight is then an EXACT order-free integer sum on both engines with
+    // primitive codegen arithmetic instead of a BigDecimal per feature
+    // row, and the compressed Σ cnt·lr regrouping is bit-identical to the
+    // instance sum by integer exactness. Bound: |lr| < 100 ⇒ |lr_units| <
+    // 10¹¹ and Σ_doc cnt·lr_units ≤ (features per doc)·10¹¹ ≪ 2⁵³, so the
+    // final toDouble/1e9 is one exact conversion + one IEEE division —
+    // the same double the decimal cast produced.
     spine.join(counts, Seq("b"), "left").crossJoin(broadcast(totals))
       .select(col("b"),
-        round(
+        rint(round(
           when(coalesce(col("cs"), lit(0L)) === 0L && coalesce(col("ct"), lit(0L)) === 0L,
             lit(0.0))
           .otherwise(
             log((coalesce(col("ct"), lit(0L)) + alpha) / (col("tt") + aB)) -
             log((coalesce(col("cs"), lit(0L)) + alpha) / (col("ts") + aB))), 9)
-          .cast("decimal(20,9)").as("lr"))
+          * lit(1e9)).cast("long").as("lr_units"))
   }
 
   /** Per-doc (n_feats, summed log-ratio) over the COMPRESSED feature
-    * counts — the one aggregation both scoring paths share. cnt rides as
-    * DECIMAL(10,0) in the product: decimal(20,9) × bigint promotes past
-    * precision 38 and Spark silently reduces the scale (the LmScore
-    * lesson); (20,9)×(10,0) → (31,9) stays exact. */
+    * counts — the one aggregation both scoring paths share. The sum runs
+    * in exact fixed-point long units (see [[ratioFromFeatures]]) and
+    * leaves as the same nearest double the old decimal cast produced, so
+    * BOTH consumers (the batch ranking and the streaming gate's
+    * threshold) see bit-identical weights. */
   private[graft] def scoreFeatures(compressed: DataFrame, ratio: DataFrame): DataFrame =
     compressed.join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_feats"),
-        sum(col("lr") * col("cnt").cast("decimal(10,0)")).as("lw"))
+        (sum(col("lr_units") * col("cnt")).cast("double") / lit(1e9)).as("lw"))
 
   /** Per-doc log importance weight of ANY (doc_id, text) frame under a
     * trained ratio table — the scoring kernel the batch query and the

@@ -73,21 +73,26 @@ object LmScore {
       .join(broadcast(vocab), Seq("lang"))
       // log(x)/log(2) SPELLED OUT on both sides (not each engine's log2):
       // only libm's ln ulp variance remains, the same accepted exposure as
-      // the Multimodal entropy oracle
-      .withColumn("t",
-        round(log((col("c_ab") + 1.0) / (col("c_a") + col("v"))) / log(lit(2.0)), 9)
-          .cast("decimal(20,9)"))
+      // the Multimodal entropy oracle.
+      //
+      // The 9-dp term rides as FIXED-POINT 1e-9 units in a LONG, not
+      // DECIMAL(20,9) (r18): the sum stays order-free and EXACT — integer
+      // addition — but in primitive codegen arithmetic instead of a
+      // BigDecimal allocation per row (the (31,9) product left Spark's
+      // compact-long decimal range, which made this agg the query's
+      // hottest kernel). Exactness bound: |t| < 100 ⇒ |t_units| < 10¹¹,
+      // and Σ_doc c·t_units ≤ doc_len·10¹¹ ≪ 2⁶³ for any document a lake
+      // stores. rint recovers the 9-dp integer exactly (round(x,9) is
+      // within 5e-5 units of it; see the regrouping note above). The
+      // final double is bit-identical to the decimal form's: U.toDouble
+      // is exact below 2⁵³ and IEEE division rounds once, exactly like
+      // the old decimal→double cast.
+      .withColumn("t_units",
+        rint(round(log((col("c_ab") + 1.0) / (col("c_a") + col("v"))) / log(lit(2.0)), 9)
+          * lit(1e9)).cast("long"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).cast("int").as("n_bigrams"),
-        // cast the EXACT decimal sum to double BEFORE dividing (double ÷
-        // long, one rounding) — the identical op sequence the instance
-        // form used; a decimal division would round differently.
-        // c rides as DECIMAL(10,0), NOT long: decimal(20,9) × bigint
-        // promotes past precision 38 and Spark silently REDUCES THE SCALE
-        // of the product (allowPrecisionLoss), off-by-1e-6 vs the exact
-        // regrouping; (20,9)×(10,0) → (31,9) stays exact. A per-doc bigram
-        // multiplicity is bounded by document length ≪ 10^10.
-        round(sum(col("t") * col("c").cast("decimal(10,0)")).cast("double")
+        round(sum(col("t_units") * col("c")).cast("double") / lit(1e9)
           / sum(col("c")), 6).as("avg_log2p"))
   }
 

@@ -196,11 +196,19 @@ object NgramLm {
       .join(broadcast(bigS), col("wp") === col("b1") && col("w") === col("b2"), "left")
       .join(broadcast(uniS.select(col("w"), col("s1"))), Seq("w"), "left")
       .crossJoin(broadcast(nTot))
-      .withColumn("t",
-        round(log(s) / log(lit(2.0)), 9).cast("decimal(20,9)"))
+      // fixed-point 1e-9-unit LONG, not DECIMAL(20,9) (the LmScore r18
+      // rule): integer addition keeps the per-doc sum exact and order-free
+      // in primitive codegen arithmetic instead of a BigDecimal per token.
+      // Bound: the OOV floor keeps s ≥ 1/(N+1) ⇒ |t| ≲ log2(N) < 50 ⇒
+      // |t_units| < 5·10¹⁰, so Σ_doc stays under 2⁵³ (toDouble exact, one
+      // IEEE division — bit-identical to the decimal cast) for any doc up
+      // to ~10⁵ tokens, far past the chunking contract's doc sizes.
+      .withColumn("t_units",
+        rint(round(log(s) / log(lit(2.0)), 9) * lit(1e9)).cast("long"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
-        round(sum(col("t")).cast("double") / count(lit(1)), 6).as("avg_log2sb"))
+        round(sum(col("t_units")).cast("double") / lit(1e9)
+          / count(lit(1)), 6).as("avg_log2sb"))
       .withColumn("sb_ppl", round(pow(lit(2.0), -col("avg_log2sb")), 4))
   }
 
