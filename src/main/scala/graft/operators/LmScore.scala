@@ -59,10 +59,16 @@ object LmScore {
     // session-lifetime cache below holds vocab — model-scale, as pinned.
     val cab = f.groupBy("lang", "bg")
       .agg(sum("c").cast("double").as("c_ab"))
-    // context counts derive from the (uncached, exchange-shared) bigram
-    // aggregate — no extra corpus pass: c(a·) = Σ_b c(ab)
-    val ca = cab.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
-      .agg(sum("c_ab").as("c_a"))
+    // context counts ALSO aggregate straight from F's exchange — NOT from
+    // cab's result: phrased over cab, the optimizer re-expanded cab's
+    // whole aggregation chain under ca and AQE could not reuse it (the
+    // r18 plan audit counted 17 query stages for a 463k-row corpus, with
+    // stage scheduling, not compute, dominating). From F, all three model
+    // aggregates hang off the ONE reused corpus exchange. Numerically
+    // identical: c(a·) is an integer below 2⁵³ on either route — integer
+    // sums cast at the end, no accumulation-order exposure.
+    val ca = f.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
+      .agg(sum("c").cast("double").as("c_a"))
     val vocab = norm
       .select(col("lang"), explode(split(col("s"), "")).as("c"))
       .groupBy("lang").agg(countDistinct("c").cast("double").as("v")).cache()
