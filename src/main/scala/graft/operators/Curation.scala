@@ -1004,29 +1004,52 @@ object Curation {
     // never touches lake text at all — the shape a 100 TB run has, where
     // every per-doc column here is materialized at ingest and the funnel
     // is a report over metadata tables.
-    val docs = docHashes(spark, dir).select("doc_id", "source", "h")
-      .join(quality, "doc_id").cache()
-    val keptSources = sourceReputation(spark, dir, keepTop)
-      .filter(col("keep")).select("source")
-    val s1 = docs.join(broadcast(keptSources), "source")
-    val reps = s1.groupBy("h").agg(min("doc_id").as("rep"))
-    val s2 = s1.join(reps, "h").filter(col("doc_id") === col("rep")).cache()
-    val s3 = s2.filter(col("quality_score") >= minQuality
-      && col("n_tokens") >= minTokens)
+    // Survival-FLAG form (r18): instead of five stage frames each paying
+    // its own aggregation job over the (cached) metadata, every doc
+    // carries four booleans — in1 source gate, in2 dedup representative,
+    // in3 quality gate, in4 decontaminated — and the whole funnel is ONE
+    // conditional aggregation + a stack. Stage semantics are bitwise the
+    // old ones: in2's representative is min(doc_id) over the SAME h
+    // partition restricted to in1 rows (min ignores the when-null of
+    // non-kept sources — exactly the old groupBy-h-on-s1 reps), and the
+    // contamination hits are computed over exactly the in3 doc set. One
+    // corpus-metadata pass + the gram join, instead of five aggregation
+    // jobs; the oracle's five-CTE spelling is unchanged and hash-agrees.
+    val kept = sourceReputation(spark, dir, keepTop)
+      .filter(col("keep")).select(col("source"), lit(true).as("in_src"))
+    val wRep = Window.partitionBy("h")
+    val flagged = docHashes(spark, dir).select("doc_id", "source", "h")
+      .join(quality, "doc_id")
+      .join(broadcast(kept), Seq("source"), "left")
+      .withColumn("in1", coalesce(col("in_src"), lit(false)))
+      .withColumn("in2", col("in1") &&
+        col("doc_id") === min(when(col("in1"), col("doc_id"))).over(wRep))
+      .withColumn("in3", col("in2") && col("quality_score") >= minQuality
+        && col("n_tokens") >= minTokens)
+      .cache()
     val sp = splitAssign(spark, dir, seed).select("doc_id", "split")
-    val s3s = s3.join(sp, "doc_id")
-    val s4 = s3s.join(contaminationHits(spark, dir, s3s, n).select("doc_id"),
-      Seq("doc_id"), "left_anti")
-    def stage(df: DataFrame, id: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("n_tokens"), lit(0L)).as("sum_tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"), col("sum_tokens"))
-    stage(docs, 1, "raw")
-      .unionByName(stage(s1, 2, "source_gate"))
-      .unionByName(stage(s2, 3, "exact_dedup"))
-      .unionByName(stage(s3, 4, "quality_gate"))
-      .unionByName(stage(s4, 5, "decontaminated"))
+    val s3s = flagged.filter(col("in3")).select("doc_id").join(sp, "doc_id")
+    val hits = contaminationHits(spark, dir, s3s, n)
+      .select(col("doc_id"), lit(true).as("hit"))
+    def cnt(flag: Column) = sum(when(flag, 1L).otherwise(0L))
+    def tok(flag: Column) =
+      coalesce(sum(when(flag, col("n_tokens"))), lit(0L))
+    flagged.join(broadcast(hits), Seq("doc_id"), "left")
+      .withColumn("in4", col("in3") && col("hit").isNull)
+      .agg(
+        count(lit(1)).as("c1"), coalesce(sum("n_tokens"), lit(0L)).as("t1"),
+        cnt(col("in1")).as("c2"), tok(col("in1")).as("t2"),
+        cnt(col("in2")).as("c3"), tok(col("in2")).as("t3"),
+        cnt(col("in3")).as("c4"), tok(col("in3")).as("t4"),
+        cnt(col("in4")).as("c5"), tok(col("in4")).as("t5"))
+      .select(expr(
+        """stack(5,
+          |  1, 'raw',            c1, t1,
+          |  2, 'source_gate',    c2, t2,
+          |  3, 'exact_dedup',    c3, t3,
+          |  4, 'quality_gate',   c4, t4,
+          |  5, 'decontaminated', c5, t5)
+          |  AS (stage_id, stage, n_docs, sum_tokens)""".stripMargin))
   }
 
   /** DuckDB oracle for [[curationPipeline]]: the same five stages as a
