@@ -719,12 +719,12 @@ object Curation {
         pmod(splitHash(col("vec_id"), seed), lit(100L)).cast("int"))
     val train = vecs.filter(col("bucket") < 80).drop("bucket")
     val eval_ = vecs.filter(col("bucket") >= 80).drop("bucket")
-    val cents = Similarity.meanVectors(
+    val cents = Similarity.collectCells(Similarity.meanVectors(
         train.select(col("label"), col("emb")), "label", "emb")
-      .withColumnRenamed("label", "c_label")
-    val stored = Similarity.nearestCells(train, cents, 1)
+      .withColumnRenamed("label", "c_label"))
+    val stored = Similarity.nearestCellsOf(train, cents, 1)
       .select(col("cell"), col("vec_id").as("train_id"), col("emb").as("t_emb"))
-    val probing = Similarity.nearestCells(eval_, cents, nprobe)
+    val probing = Similarity.nearestCellsOf(eval_, cents, nprobe)
       .select(col("cell"), col("vec_id").as("eval_id"), col("emb").as("e_emb"))
     val hits = probing.join(stored, "cell")
       .withColumn("cosine", round(cosine_sim(col("e_emb"), col("t_emb")), 6))

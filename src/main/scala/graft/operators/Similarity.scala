@@ -1397,6 +1397,39 @@ object Similarity {
     meanVectors(corpus(spark, dir), "label", "emb")
       .withColumnRenamed("label", "c_label")
 
+  /** A collected centroid set: labels sorted ascending in their column
+    * order (strings byte-wise — the UTF8String order Spark's `asc` uses —
+    * numerics numerically), vectors in the matching positions. Metadata
+    * scale by construction everywhere it is built (labels × dim, or the
+    * adaptive ⌈√N⌉ seeds). */
+  private[graft] case class CellSet(labels: Seq[Any],
+      labelType: org.apache.spark.sql.types.DataType,
+      cents: Seq[Seq[Double]])
+
+  /** Collect a (c_label, centroid) frame into a [[CellSet]] — one
+    * metadata-scale driver action, the [[seededCodebooksKeyed]] channel:
+    * the centroids become a codegen reference object instead of a
+    * broadcast join side. Labels sort by the SAME order the old window's
+    * `c_label ASC` used (UTF8String binary for strings), so the fused
+    * kernel's index-ASC tiebreak is the label-ASC tiebreak. */
+  private[graft] def collectCells(cents: DataFrame): CellSet = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val labelType = cents.schema("c_label").dataType
+    val rows = cents.select(col("c_label"), col("centroid")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+    val sorted = labelType match {
+      case org.apache.spark.sql.types.StringType =>
+        rows.sortWith((a, b) => UTF8String.fromString(a._1.asInstanceOf[String])
+          .compareTo(UTF8String.fromString(b._1.asInstanceOf[String])) < 0)
+      case _ => rows.sortBy(_._1 match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case o => sys.error(s"unsupported c_label type: $o")
+      })
+    }
+    CellSet(sorted.map(_._1).toSeq, labelType, sorted.map(_._2).toSeq)
+  }
+
   /** THE nearest-centroid ranking every IVF-family consumer shares:
     * (rounded cosine DESC, centroid label ASC) per vec_id, keep the
     * `nprobe` best. Returns the input columns plus `cell`, `cos_c`, `crk`.
@@ -1404,17 +1437,36 @@ object Similarity {
     * assignment and its query probe), the SemDeDup probed-cell build and
     * the incremental semantic probe — and their DuckDB mirrors — all
     * assume exactly this order; previously four Scala copies could drift
-    * from each other and the SQL independently. */
+    * from each other and the SQL independently.
+    *
+    * r18 shape: the ranking runs as the fused row-local
+    * [[graft.functions.NearestCellsRank]] kernel over the collected
+    * centroid set — the former `crossJoin(broadcast(cents))` +
+    * `row_number()` window shuffled corpus × nprobe rows and sorted every
+    * vec_id group for a decision that never needed to leave the row
+    * (guide §2.4). Decisions and rounded cosines are bit-identical
+    * (SimilaritySpec pins the fused ≡ window equality corpus-wide; the
+    * unchanged DuckDB oracles are the final arbiter). */
   private[graft] def nearestCells(vecs: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    nearestCellsOf(vecs, collectCells(cents), nprobe)
+
+  /** [[nearestCells]] over an already-collected [[CellSet]] — callers
+    * assigning two frames against the SAME centroids (the probe pairs)
+    * collect once. */
+  private[graft] def nearestCellsOf(vecs: DataFrame, cs: CellSet,
       nprobe: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos_c").desc, col("c_label").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nprobe)
-      .withColumn("cell", col("c_label"))
-      .drop("centroid", "c_label")
+    val labelArr =
+      if (cs.labels.isEmpty)
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(cs.labelType))
+      else array(cs.labels.map(lit): _*)
+    vecs
+      .select(col("*"), posexplode(graft.functions.IvfExpressions
+        .nearest_cells(col("emb"), cs.cents, nprobe)).as(Seq("__p", "__nc")))
+      .withColumn("cos_c", col("__nc").getField("cos_c"))
+      .withColumn("crk", (col("__p") + 1).cast("int"))
+      .withColumn("cell", element_at(labelArr, col("__nc").getField("ci") + 1))
+      .drop("__p", "__nc")
   }
 
   /** Assign every vector to its nearest centroid (coarse quantization) —
@@ -1530,34 +1582,45 @@ object Similarity {
     * with a reusable corpus go through [[ivfTopK]]'s memo). */
   def ivfTopKOf(vecs: DataFrame,
       nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val cents = meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
-      .withColumnRenamed("label", "c_label")
-    val assigned = nearestCells(vecs, cents, 1)
+    val cents = collectCells(
+      meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
+        .withColumnRenamed("label", "c_label"))
+    val assigned = nearestCellsOf(vecs, cents, 1)
       .select(col("vec_id"), col("label"), col("emb"), col("cell"), col("cos_c"))
-    ivfSearch(assigned, cents, nQueries, k, nprobe)
+    ivfSearchOf(assigned, cents, nQueries, k, nprobe)
   }
 
   /** The probe half shared by [[ivfTopK]] (memoized index) and
     * [[ivfTopKOf]] (inline index): rank ALL cells per query on the same
     * (rounded cosine, label) order the assignment uses — crk=1 is by
     * construction the query's own cell — then exact top-k within the
-    * probed cells. */
+    * probed cells. The top-k is the bounded-heap aggregator (the
+    * [[bruteForceTopKOf]] physics, same (cosine DESC, vec_id ASC)
+    * order as the row_number window it replaced — r18): map-side
+    * combinable, ≤ k rows shuffled per partition per query, no
+    * candidate-set sort. */
   private def ivfSearch(assigned: DataFrame, cents: DataFrame,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame =
+    ivfSearchOf(assigned, collectCells(cents), nQueries, k, nprobe)
+
+  private def ivfSearchOf(assigned: DataFrame, cs: CellSet,
       nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val c = assigned.select(col("vec_id"), col("emb"), col("cell"))
-    val q = nearestCells(
+    val q = nearestCellsOf(
         c.filter(col("vec_id") < nQueries).select(col("vec_id"), col("emb")),
-        cents, nprobe)
+        cs, nprobe)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("cell").as("q_cell"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val topk = udaf(new TopK.ScoreTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
     c.join(broadcast(q), col("cell") === col("q_cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cosine")
+      .groupBy("q_id")
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
   }
 
   // ---------------------------------------------------- IVF oracle SQL
@@ -2171,10 +2234,11 @@ object Similarity {
     val c = corpus(spark, dir)
     val index = c.filter(col("vec_id") % 2 === 0)
     val batch = c.filter(col("vec_id") % 2 === 1)
-    val cents = meanVectors(index.select(col("label"), col("emb")), "label", "emb")
-      .withColumnRenamed("label", "c_label")
+    val cents = collectCells(
+      meanVectors(index.select(col("label"), col("emb")), "label", "emb")
+        .withColumnRenamed("label", "c_label"))
     def cellsOf(df: DataFrame, probes: Int): DataFrame =
-      nearestCells(df, cents, probes)
+      nearestCellsOf(df, cents, probes)
         .select(col("cell"), col("vec_id"), col("emb"))
     val stored = cellsOf(index, 1)
       .select(col("cell"), col("vec_id").as("index_id"), col("emb").as("i_emb"))

@@ -633,3 +633,64 @@ class PolyHashExprSpec extends AnyFunSuite {
     }
   }
 }
+
+class NearestCellsExprSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** The historical crossJoin+window spelling of the nearest-cells
+    * ranking, rebuilt verbatim — the fused [[graft.functions
+    * .NearestCellsRank]] kernel must reproduce its (cell, cos_c, crk)
+    * rows exactly (same rounded cosines, same label-ASC tiebreak). */
+  private def windowForm(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("c_label").asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(cosine_sim(col("emb"), col("centroid")), 6))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nprobe)
+      .withColumn("cell", col("c_label"))
+      .drop("centroid", "c_label")
+  }
+
+  private def keyed(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec_id"), col("cell").cast("string"), col("cos_c"), col("crk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+      col("label"))
+
+  test("fused nearest_cells equals the crossJoin+window form (string labels)") {
+    val cents = graft.operators.Similarity.meanVectors(
+        vecs.select(col("label"), col("emb")), "label", "emb")
+      .withColumnRenamed("label", "c_label")
+    for (nprobe <- Seq(1, 2, 3)) {
+      val fused = keyed(graft.operators.Similarity.nearestCells(
+        vecs.select(col("vec_id"), col("emb")), cents, nprobe))
+      val window = keyed(windowForm(
+        vecs.select(col("vec_id"), col("emb")), cents, nprobe))
+      assert(fused == window, s"nearest-cells diverged at nprobe=$nprobe")
+      assert(fused.nonEmpty)
+    }
+  }
+
+  test("fused nearest_cells equals the window form on LONG labels (adaptive seeds)") {
+    val c = vecs.select(col("vec_id"), col("emb"))
+    val seeds = c.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("c_label"), col("emb").as("centroid"))
+    val fused = keyed(graft.operators.Similarity.nearestCells(c, seeds, 2))
+    val window = keyed(windowForm(c, seeds, 2))
+    assert(fused == window && fused.nonEmpty)
+  }
+
+  test("empty centroid set yields zero rows, like the empty cross join") {
+    val cents = graft.operators.Similarity.meanVectors(
+        vecs.select(col("label"), col("emb")), "label", "emb")
+      .withColumnRenamed("label", "c_label").limit(0)
+    assert(graft.operators.Similarity.nearestCells(
+      vecs.select(col("vec_id"), col("emb")), cents, 2).count() == 0L)
+  }
+}
