@@ -128,13 +128,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), s"SortAggregate crept back in:\n$plan")
   }
 
-  test("ivf nprobe plan: centroid ranking and cell probe are both broadcast-side") {
+  test("ivf nprobe plan: centroid ranking is row-local, cell probe broadcast-side") {
     val plan = physicalPlan(operators.Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3, nprobe = 2))
-    // stage 1: queries × centroids is a broadcast nested-loop cross (tiny
-    // build side); stage 2: the corpus joins the broadcast probe list — the
-    // corpus itself must never shuffle for the probe
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"centroid ranking must broadcast:\n$plan")
+    // stage 1 (r18): queries × centroids is the fused row-local
+    // nearest_cells projection — no cross join, no rank window; stage 2:
+    // the corpus joins the broadcast probe list — the corpus itself must
+    // never shuffle for the probe, and the final top-k is the bounded-heap
+    // aggregator, not a per-query sort
+    assert(plan.contains("nearest_cells"), s"fused centroid ranking missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"centroid ranking fell back to a cross join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"cell probe must broadcast the query list:\n$plan")
+    assert(plan.contains("scoretopkagg") && !plan.contains("Window"),
+      s"top-k must be the bounded-heap aggregate, not a rank window:\n$plan")
   }
 
   test("bm25 search prunes the postings stream before any shuffle") {
