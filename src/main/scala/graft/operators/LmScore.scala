@@ -10,10 +10,11 @@ import graft.functions.TextFunctions
   * CHARACTER-BIGRAM model trained on the corpus itself (add-one smoothing),
   * each document scored by its mean log2 P(c_i | c_{i-1}). Low scores flag
   * gibberish / wrong-language / boilerplate text exactly the way a real
-  * KenLM filter does, with only relational machinery: one explode for
-  * bigrams, three tiny per-language aggregates (bigram counts, context
-  * counts, vocabulary size — all broadcastable), one keyed re-join, one
-  * per-doc aggregate.
+  * KenLM filter does, with only relational machinery: a row-local
+  * bigram-count kernel (one compressed (bg, c) row per distinct bigram per
+  * doc — never one row per instance), three tiny per-language aggregates
+  * (bigram counts, context counts, vocabulary size — all broadcastable),
+  * one keyed re-join, one per-doc aggregate.
   *
   * Cross-engine determinism: each bigram's log term is rounded to 9 dp and
   * cast to DECIMAL before summing — decimal addition is EXACT and
@@ -28,45 +29,76 @@ import graft.functions.TextFunctions
   * a held-out reference corpus; swap the `bi` source to change that). */
 object LmScore {
 
+  /** Row-local bigram multiplicities of a normalized string — the compressed
+    * (bg, c) pairs the query's `f` relation used to obtain via a corpus-wide
+    * explode + (doc, lang, bg) hash aggregation. Bigrams are adjacent CODE
+    * POINT pairs, exactly the strings `substr(i, 2)` over
+    * `sequence(1, length(s) - 1)` produced (Spark's substr/length count code
+    * points, so the UTF-16 walk steps with offsetByCodePoints — surrogate
+    * pairs are one character on both routes; LmScoreSpec pins kernel ≡
+    * explode+groupBy corpus-wide plus adversarial unicode legs). Counts are
+    * exact integers, so every downstream aggregate regroups bit-identically
+    * (the fixed-point-exactness rule in the scoring comment below). Per-row
+    * work is O(doc length) — the same linear pass the explode paid, minus
+    * the 64-bit-hash shuffle of one row per bigram INSTANCE. */
+  private[graft] val bigramCounts = udf { (s: String) =>
+    if (s == null || s.length < 2) Seq.empty[(String, Long)]
+    else {
+      val m = new java.util.LinkedHashMap[String, Long]
+      var i = 0
+      var next = s.offsetByCodePoints(i, 1)
+      while (next < s.length) {
+        val end = s.offsetByCodePoints(next, 1)
+        val bg = s.substring(i, end)
+        m.merge(bg, 1L, (a, b) => a + b)
+        i = next
+        next = end
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](m.size)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); out += ((e.getKey, e.getValue)) }
+      out.toSeq
+    }
+  }
+
   def bigramScores(spark: SparkSession, dir: String): DataFrame = {
     val norm = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), TextFunctions.normText(col("text")).as("s"))
-    // sub-2-char docs have no bigrams: sequence(1, len-1) would DESCEND and
-    // fabricate rows the oracle's range() never produces (same guard as
-    // Dedup.duplicateSpans' gram array)
-    val bi = norm.select(col("doc_id"), col("lang"),
-      explode(when(length(col("s")) >= 2,
-        transform(sequence(lit(1), length(col("s")) - 1),
-          i => col("s").substr(i, lit(2))))
-        .otherwise(array().cast("array<string>"))).as("bg"))
-    // COMPRESS the bigram stream to per-(doc, bigram) counts before
-    // anything else touches it: natural text repeats bigrams heavily, and
-    // every downstream step (model training AND scoring) only ever needs
-    // the multiplicity, never the instances — the per-doc score regroups
-    // as Σ c·t ≡ Σ_instances t BIT-FOR-BIT because t is DECIMAL(20,9)
-    // (decimal multiply/add are exact — the same order-free-sums rule the
-    // header documents; a double sum could not be regrouped like this).
-    // F is deliberately NOT cached (doc-level state must never be the
-    // engine's largest cache — the pinned LmScoreSpec contract): it feeds
-    // BOTH the model aggregate and the scoring join inside ONE plan, where
-    // its shuffle exchange is canonically identical on both branches and
-    // ReusedExchange executes the corpus explode once per action.
-    val f = bi.groupBy("doc_id", "lang", "bg")
-      .agg(count(lit(1)).as("c"))
-    // cab derives from F by an exact integer re-aggregation; it stays
-    // UNCACHED so the plan keeps the shared-exchange shape above (caching
-    // it would execute F once for the cache and again for the join). The
-    // session-lifetime cache below holds vocab — model-scale, as pinned.
+    // The compressed per-(doc, bigram) counts, computed ROW-LOCALLY by the
+    // kernel above (r18): natural text repeats bigrams heavily, and every
+    // downstream step (model training AND scoring) only ever needs the
+    // multiplicity, never the instances — the per-doc score regroups as
+    // Σ c·t ≡ Σ_instances t BIT-FOR-BIT because t is an exact fixed-point
+    // long (see below; a double sum could not be regrouped like this).
+    // The old shape exploded one row per bigram INSTANCE (Σ doc-lengths
+    // rows) and hash-aggregated them through a corpus-keyed exchange that
+    // the three consumers shared via ReusedExchange; compressing inside
+    // the row leaves NO corpus-keyed exchange at all — each consumer
+    // re-runs the cheap O(doc length) kernel pass instead (guide §2.3/2.4:
+    // shuffle fewer bytes, then remove the shuffle outright). F stays
+    // uncached (doc-level state must never be the engine's largest cache —
+    // the pinned LmScoreSpec contract).
+    val f = norm.select(col("doc_id"), col("lang"),
+        explode(bigramCounts(col("s"))).as("kv"))
+      .select(col("doc_id"), col("lang"),
+        col("kv._1").as("bg"), col("kv._2").as("c"))
+    // cab derives from F by an exact integer re-aggregation: F's rows are
+    // already per-(doc, bg) distinct, so the map-side partial aggregation
+    // compresses each task to its distinct (lang, bg) set and the exchange
+    // carries model-scale rows. It stays UNCACHED — recomputing the
+    // row-local kernel per consumer is three cheap linear passes, where
+    // caching would serialize a doc-scale table (the pinned LmScoreSpec
+    // contract). The session-lifetime cache below holds vocab —
+    // model-scale, as pinned.
     val cab = f.groupBy("lang", "bg")
       .agg(sum("c").cast("double").as("c_ab"))
-    // context counts ALSO aggregate straight from F's exchange — NOT from
-    // cab's result: phrased over cab, the optimizer re-expanded cab's
-    // whole aggregation chain under ca and AQE could not reuse it (the
-    // r18 plan audit counted 17 query stages for a 463k-row corpus, with
-    // stage scheduling, not compute, dominating). From F, all three model
-    // aggregates hang off the ONE reused corpus exchange. Numerically
-    // identical: c(a·) is an integer below 2⁵³ on either route — integer
-    // sums cast at the end, no accumulation-order exposure.
+    // context counts ALSO aggregate straight from F — NOT from cab's
+    // result: phrased over cab, the optimizer re-expanded cab's whole
+    // aggregation chain under ca and AQE could not reuse it (the r18 plan
+    // audit counted 17 query stages for a 463k-row corpus, with stage
+    // scheduling, not compute, dominating). Numerically identical: c(a·)
+    // is an integer below 2⁵³ on either route — integer sums cast at the
+    // end, no accumulation-order exposure.
     val ca = f.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
       .agg(sum("c").cast("double").as("c_a"))
     // per-doc array_distinct BEFORE the explode: the corpus vocabulary is

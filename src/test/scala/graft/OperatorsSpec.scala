@@ -856,6 +856,43 @@ class LmScoreSpec extends AnyFunSuite {
     val bytes = rels.map(_.computeStats().sizeInBytes.toLong).sum
     assert(bytes < (1L << 20), s"model cache unexpectedly large: $bytes bytes")
   }
+
+  test("bigram-count kernel ≡ explode + groupBy, corpus-wide and on unicode edges") {
+    import spark.implicits._
+    // adversarial rows exercise the code-point walk: surrogate pairs (one
+    // character to substr/length AND to the kernel), combining marks,
+    // empty / single-char / whitespace-only, repeated bigrams
+    val edges = Seq(
+      (9001L, "xx", "aba babab"), (9002L, "xx", ""), (9003L, "xx", "q"),
+      (9004L, "xx", "  \t "), (9005L, "xx", "a😀b😀"),
+      (9006L, "xx", "éée"), (9007L, "xx", "ababababab"))
+      .toDF("doc_id", "lang", "text")
+    val docs = Tables.spread(spark, Tables.documents(spark, sf))
+      .select("doc_id", "lang", "text").unionByName(edges)
+    val norm = docs.select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.normText(col("text")).as("s"))
+    val viaKernel = norm.select(col("doc_id"), col("lang"),
+        explode(graft.operators.LmScore.bigramCounts(col("s"))).as("kv"))
+      .select(col("doc_id"), col("lang"),
+        col("kv._1").as("bg"), col("kv._2").as("c"))
+    val viaExplode = norm.select(col("doc_id"), col("lang"),
+        explode(when(length(col("s")) >= 2,
+          transform(sequence(lit(1), length(col("s")) - 1),
+            i => col("s").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("c"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getString(2))
+    val a = viaKernel.collect().map(r => key(r) -> r.getLong(3)).toMap
+    val b = viaExplode.collect().map(r => key(r) -> r.getLong(3)).toMap
+    assert(a == b, {
+      val onlyA = a.keySet -- b.keySet; val onlyB = b.keySet -- a.keySet
+      val diff = (a.keySet & b.keySet).filter(k => a(k) != b(k))
+      s"kernel/explode disagree: onlyKernel=${onlyA.take(5)} " +
+        s"onlyExplode=${onlyB.take(5)} countDiff=${diff.take(5)}"
+    })
+    assert(a.nonEmpty)
+  }
 }
 
 class TextEmbedSpec extends AnyFunSuite {
