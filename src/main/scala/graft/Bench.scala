@@ -343,6 +343,10 @@ object Bench {
     touch("entry")(SparkEntry.entry(spark))
     // (a) memoized multi-consumer artifacts
     touch("minhash_pairs")(Dedup.minhashNearDups(spark, sfDir))
+    // the incremental probe's verified pair set (consumers:
+    // q_dedup_incremental, q_incremental_consistency) — policy (a), the
+    // ingest-materialized near-dup links of the new batch
+    touch("minhash_pairs_incremental")(Dedup.minhashNearDupsIncremental(spark, sfDir))
     // the exact n-gram truth sweep's pair counts (memoized, r17; consumers:
     // q_dedup_ngram_jaccard candidate gen, q_minhash_precision's witness
     // scope, the split-straddle audit) — policy (a)

@@ -275,9 +275,16 @@ object Dedup {
       .select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     val cands = idx.join(fresh, Seq("band", "sig"))
       .select("doc_a", "doc_b").distinct()
+    // cache the verified incremental pair set (dozens of rows): like the
+    // batch pair table above it is what an ingest MATERIALIZES (the new
+    // batch's near-dup links), and it has two registered consumers —
+    // q_dedup_incremental and the q_incremental_consistency audit, which
+    // would otherwise each redo the probe's bucket join + exact verify
+    // (policy (a): warm-touched by the bench in the same commit)
     exactJaccardFromShingles(sh, cands)
       .filter(col("jaccard") >= 0.7)
       .select(col("doc_a").as("index_id"), col("doc_b").as("new_id"), col("jaccard"))
+      .cache()
   }
 
   // --------------------------------------------- stored-index hash stamp
