@@ -217,20 +217,22 @@ object Similarity {
     val voted = c.select(col("vec_id"), col("label").as("nbr_label"))
       .join(broadcast(nbrIds), "vec_id")
       .groupBy("q_id", "q_label", "nbr_label").agg(count(lit(1)).as("cnt"))
-    val wOrd = Window.partitionBy("q_id")
-      .orderBy(col("cnt").desc, col("nbr_label").asc)
-    val wAll = Window.partitionBy("q_id")
+    // majority vote + agreement in ONE map-side-combinable aggregation
+    // (guide §2.4): the rank-1 row of the old row_number() window over
+    // (cnt DESC, nbr_label ASC) is exactly min(struct(-cnt, nbr_label)) —
+    // struct ordering is lexicographic, the vote multiset is unchanged, so
+    // the selected (majority_label, majority_count) is identical and the
+    // per-query sort the two windows paid is gone.
     voted
-      .withColumn("rk", row_number().over(wOrd))
-      .withColumn("n_agree",
+      .groupBy("q_id", "q_label")
+      .agg(min(struct((-col("cnt")).as("negc"), col("nbr_label"))).as("mj"),
         sum(when(col("nbr_label") === col("q_label"), col("cnt"))
-          .otherwise(0L)).over(wAll))
-      .filter(col("rk") === 1)
+          .otherwise(0L)).as("agree"))
       .select(col("q_id"), col("q_label"),
-        col("nbr_label").as("majority_label"),
-        col("cnt").cast("long").as("majority_count"),
-        col("n_agree").cast("long").as("n_agree"),
-        (col("nbr_label") =!= col("q_label")).as("suspect"))
+        col("mj.nbr_label").as("majority_label"),
+        (-col("mj.negc")).cast("long").as("majority_count"),
+        col("agree").cast("long").as("n_agree"),
+        (col("mj.nbr_label") =!= col("q_label")).as("suspect"))
   }
 
   /** DuckDB oracle for [[labelNoiseKnn]] — window-ranked kNN, then the
