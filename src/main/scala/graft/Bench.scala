@@ -353,6 +353,9 @@ object Bench {
     touch("ngram_rare_pairs")(Dedup.rarePairCounts(spark, sfDir))
     touch("duplicate_spans")(Dedup.duplicateSpansMemo(spark, sfDir))
     touch("simhash_sigs")(Dedup.simhashSignatures(spark, sfDir).cache())
+    // the simhash verified pair set (consumers: q_simhash_pairs,
+    // q_dedup_simhash's summary) — policy (a)
+    touch("simhash_pairs")(Dedup.simhashNearDups(spark, sfDir))
     touch("dup_clusters")(Curation.dupClusters(spark, sfDir))
     touch("jaccard_components")(Curation.jaccardComponents(spark, sfDir))
     touch("serving_tables")(graft.etl.Pipeline.servingSummaryQuery(spark, sfDir))

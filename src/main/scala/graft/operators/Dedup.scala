@@ -613,14 +613,41 @@ object Dedup {
     * multiplicity). Keys on [[portableTokenHash]] so signatures — and every
     * pair/summary derived from them — are recomputable by the DuckDB
     * oracle; swap in xxhash64 for a marginally faster but unverifiable
-    * variant (the bit-vote only needs a deterministic, well-spread hash). */
+    * variant (the bit-vote only needs a deterministic, well-spread hash).
+    *
+    * r18: the bit-vote aggregation is DECLARATIVE — 64 conditional-sum
+    * vote columns, signature assembled with constant-folded shifts —
+    * instead of `udaf(SimHashAgg)`. Two reasons, both measured live:
+    * (1) `udaf(...)`'s ScalaAggregator resolves FRESH encoder instances
+    * per query, which fail the canonicalized `sameResult` comparison
+    * CacheManager keys cache entries by — every construction silently
+    * registered a NEW unpopulated cache entry for the signature/pair
+    * frames, so the "cached, warm-touched" simhash family re-ran its full
+    * pipeline on every bench call since it shipped (the r17 ADVICE
+    * plan-identity fragility, caught by the r18 cache probe: sameResult
+    * was false between two identical constructions); declarative
+    * aggregates are canonically equal, so the sharing is real now.
+    * (2) the ObjectHashAggregate the udaf forced becomes a codegen
+    * HashAggregate with primitive long buffers (guide §4: built-in
+    * expressions over opaque closures on the hot path). Bit j is set iff
+    * its vote is STRICTLY positive — the SimHashAgg.finish rule;
+    * [[SimHashAgg]] remains the pinned reference semantics
+    * (PropertiesSpec merge-associativity; DedupSpec asserts declarative ≡
+    * aggregator corpus-wide). */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val simhash = udaf(SimHashAgg)
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val sig = (0 until 64).map(j =>
+        when(col(s"v$j") > 0L, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), portableTokenHashCol(col("tok")).as("th"))
       .groupBy("doc_id")
-      .agg(simhash(col("th")).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
   }
 
   /** Shared DuckDB CTE chain: tokens → portable token hash (polynomial
@@ -653,9 +680,14 @@ object Dedup {
 
   /** SimHash near-dups: band the 64-bit signature into 4×16-bit chunks (a
     * pair within hamming distance ≤ 3 must agree on ≥ 1 chunk — pigeonhole),
-    * bucket-join per chunk, verify with bit_count(xor). */
+    * bucket-join per chunk, verify with bit_count(xor). The verified pair
+    * set is cached like the minhash pair table above: it is what an ingest
+    * materializes, and its two registered consumers (q_simhash_pairs, the
+    * q_dedup_simhash summary) each redid the chunk self-join + distinct +
+    * verify to reach the same dozens of rows (policy (a): warm-touched by
+    * the bench in the same commit). */
   def simhashNearDups(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
-    simhashNearDupsFromSigs(simhashSignatures(spark, dir), maxHamming)
+    simhashNearDupsFromSigs(simhashSignatures(spark, dir), maxHamming).cache()
 
   def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunked = sigs.select(col("doc_id"), col("simhash"),
@@ -679,9 +711,10 @@ object Dedup {
   /** Per-doc SimHash summary (total coverage, like minhashSummary). */
   def simhashSummary(spark: SparkSession, dir: String): DataFrame = {
     // one signature computation (cached) feeds both the pair search and the
-    // final join — recomputing it was the costliest stage run twice
+    // final join — recomputing it was the costliest stage run twice; the
+    // pair set itself is the cached shared artifact (see simhashNearDups)
     val sigs = simhashSignatures(spark, dir).cache()
-    val pairs = simhashNearDupsFromSigs(sigs)
+    val pairs = simhashNearDups(spark, dir)
     val partners = pairs.select(col("doc_a").as("doc_id"), col("hamming"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("hamming")))
     val agg = partners.groupBy("doc_id")

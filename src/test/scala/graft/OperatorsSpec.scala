@@ -33,6 +33,37 @@ class DedupSpec extends AnyFunSuite {
     assert(s.count() == Tables.documents(spark, sf).count())
   }
 
+  test("simhash: declarative bit-vote ≡ SimHashAgg aggregator corpus-wide") {
+    // the query-side signature is 64 declarative conditional sums (r18);
+    // SimHashAgg stays the pinned reference semantics — every doc must
+    // agree between the two constructions
+    val simhash = udaf(Dedup.SimHashAgg)
+    val viaAgg = Tables.spread(spark, Tables.documents(spark, sf))
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.poly_token_hash(col("tok")).as("th"))
+      .groupBy("doc_id").agg(simhash(col("th")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDecl = Dedup.simhashSignatures(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDecl == viaAgg)
+    assert(viaDecl.nonEmpty)
+  }
+
+  test("simhash signatures: two constructions share one cache entry") {
+    // the r18 regression this pins: udaf encoders resolved per query broke
+    // canonicalized sameResult, so every call registered a fresh
+    // unpopulated cache entry and the warm touch never helped
+    val a = Dedup.simhashSignatures(spark, sf).queryExecution.analyzed
+    val b = Dedup.simhashSignatures(spark, sf).queryExecution.analyzed
+    assert(a.sameResult(b),
+      "simhash signature plans must be canonically equal for cache sharing")
+    val p = Dedup.simhashNearDups(spark, sf).queryExecution.analyzed
+    val q = Dedup.simhashNearDups(spark, sf).queryExecution.analyzed
+    assert(p.sameResult(q),
+      "simhash pair-set plans must be canonically equal for cache sharing")
+  }
+
   test("simhash: identical docs get identical signatures, near-dups close") {
     val sigs = Dedup.simhashSignatures(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
