@@ -2231,14 +2231,31 @@ object Similarity {
     * — which is what makes daily ingest O(batch · cell) at any corpus
     * size. Deterministic end-to-end ⇒ full hash oracle (unlike the LSH
     * incremental path, whose signatures are hash-dependent). */
+  private val probeQuantMemo = new SessionMemo[String, (DataFrame, CellSet)]
+
+  /** The even-half (index-side) coarse quantizer — centroid frame + its
+    * collected [[CellSet]] — MEMOIZED per (session, dir): this is the
+    * quantizer a pipeline trains once per index rebuild, and it has two
+    * registered consumers — the in-memory probe (q_semantic_probe) and the
+    * stored-index write feeding q_semantic_probe_stored — each of which
+    * re-ran the label-mean aggregation + driver collect per call (policy
+    * (a); the existing `semantic_probed_cells` warm touch covers it). */
+  private def probeQuantizer(spark: SparkSession,
+      dir: String): (DataFrame, CellSet) =
+    probeQuantMemo.getOrElseUpdate(spark, dir) {
+      val cents = meanVectors(
+          corpus(spark, dir).filter(col("vec_id") % 2 === 0)
+            .select(col("label"), col("emb")), "label", "emb")
+        .withColumnRenamed("label", "c_label").cache()
+      (cents, collectCells(cents))
+    }
+
   def semanticProbe(spark: SparkSession, dir: String,
       threshold: Double = 0.4, nprobe: Int = 2): DataFrame = {
     val c = corpus(spark, dir)
     val index = c.filter(col("vec_id") % 2 === 0)
     val batch = c.filter(col("vec_id") % 2 === 1)
-    val cents = collectCells(
-      meanVectors(index.select(col("label"), col("emb")), "label", "emb")
-        .withColumnRenamed("label", "c_label"))
+    val cents = probeQuantizer(spark, dir)._2
     def cellsOf(df: DataFrame, probes: Int): DataFrame =
       nearestCellsOf(df, cents, probes)
         .select(col("cell"), col("vec_id"), col("emb"))
@@ -2266,10 +2283,11 @@ object Similarity {
     * snapshot under concurrent appends. */
   def writeIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
     val index = corpus(spark, dir).filter(col("vec_id") % 2 === 0)
-    val cents = meanVectors(index.select(col("label"), col("emb")), "label", "emb")
-      .withColumnRenamed("label", "c_label")
+    // the SHARED memoized quantizer (see probeQuantizer): the written
+    // centroids are the same rows the in-memory probe ranks against
+    val (cents, cs) = probeQuantizer(spark, dir)
     graft.serve.TxTable.write(spark, cents, s"$path/centroids")
-    val cells = nearestCells(index, cents, 1)
+    val cells = nearestCellsOf(index, cs, 1)
       .select(col("cell"), col("vec_id").as("index_id"), col("emb").as("i_emb"))
     graft.serve.TxTable.write(spark, cells, s"$path/cells")
   }
