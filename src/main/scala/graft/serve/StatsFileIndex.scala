@@ -22,8 +22,27 @@ import org.apache.spark.sql.types.StructType
   * present, so resolving a snapshot costs ZERO filesystem calls per data
   * file — at a million files the difference between a driver-side stall
   * and instant planning. */
-class StatsFileIndex(spark: SparkSession, tablePath: String,
-    entries: Seq[(String, Option[TxStats.FileStats])]) extends FileIndex {
+class StatsFileIndex(spark: SparkSession,
+    private val tablePath: String,
+    private val entries: Seq[(String, Option[TxStats.FileStats])])
+  extends FileIndex {
+
+  /** Two snapshot indexes are the SAME data source iff they cover the same
+    * table path and the same manifest entry list (rel + stats). Spark's
+    * CacheManager keys cache entries by canonicalized-plan equality, and a
+    * FileIndex without value equality compares by reference — so every
+    * re-read of the SAME snapshot version built a plan-unequal relation,
+    * silently defeating any `.cache()` above a TxTable read (the r18
+    * stored-LM finding: each scoring call re-registered its four model
+    * caches unpopulated and re-materialized them). The manifest entry list
+    * carries the version implicitly — any commit changes the rel list, so
+    * distinct versions never compare equal. `spark` is excluded: the index
+    * is session-scoped by construction (one CacheManager per session). */
+  override def equals(other: Any): Boolean = other match {
+    case o: StatsFileIndex => tablePath == o.tablePath && entries == o.entries
+    case _ => false
+  }
+  override def hashCode(): Int = (tablePath, entries).##
 
   private val resolved: Seq[(FileStatus, Option[TxStats.FileStats])] = {
     lazy val fs = new Path(tablePath).getFileSystem(

@@ -142,4 +142,14 @@ class NgramLmSpec extends AnyFunSuite {
       (a + r.getAs[Long]("n_docs"), b + r.getAs[Long]("n_keep")) }
     assert(kept > 0 && kept < tot, s"mean threshold degenerate: $kept/$tot")
   }
+
+  test("stored-model scoring: two constructions share one cache entry") {
+    // the r18 regression this pins: StatsFileIndex compared by reference,
+    // so every TxTable snapshot read built a plan-unequal relation and the
+    // stored path's model caches re-registered unpopulated on every call
+    val a = NgramLm.scoreStoredQuery(spark, sf).queryExecution.analyzed
+    val b = NgramLm.scoreStoredQuery(spark, sf).queryExecution.analyzed
+    assert(a.sameResult(b),
+      "stored-model scoring plans must be canonically equal for cache sharing")
+  }
 }
