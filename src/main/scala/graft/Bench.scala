@@ -374,6 +374,10 @@ object Bench {
     touch("source_reputation")(Curation.sourceReputation(spark, sfDir))
     touch("corpus_13grams")(Curation.corpusGrams(spark, sfDir, 13))
     touch("text_embeddings")(TextEmbed.embeddings(spark, sfDir))
+    // the lang-labeled embedding frame (consumers: q_embed_text_ivf's
+    // quantizer seeding, q_embed_text_pq's codebook seeding) — policy (a),
+    // the labeled embedding table an ingest materializes once
+    touch("text_labeled_vecs")(TextEmbed.labeledVecs(spark, sfDir))
     touch("cluster_assign")(Sampling.clusterBalancedSample(spark, sfDir))
     touch("join_sketch_stats")(Sketches.joinEstimates(spark, sfDir))
     // the as-of (custkey, shipdate) state table — the quote/state

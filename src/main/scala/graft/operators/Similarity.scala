@@ -524,25 +524,71 @@ object Similarity {
     // exact integer arithmetic, so the swap cannot change a single
     // ranking). 64 dims × 127² ≪ 2⁶³; the qscore Double is exact
     // (integer magnitude ≪ 2⁵³), so the heap's (score DESC, vec_id ASC)
-    // order is the exact integer order.
+    // order is the exact integer order. Stage 2 is the fused carried-
+    // embedding re-rank (r19) — the encode is inline, so the float emb is
+    // already in the scored row and the old second corpus pass +
+    // candidate broadcast is gone.
     val qdot = graft.functions.VectorExpressions.dot_product_int(
       col("qemb"), col("q_qemb"))
-    val topm = udaf(new TopK.ScoreTopKAgg(m),
-      org.apache.spark.sql.Encoders.product[TopK.Scored])
-    val cands = qc.crossJoin(broadcast(q.select("q_id", "q_qemb")))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("qscore", qdot.cast("double"))
-      .groupBy("q_id")
-      .agg(topm(col("vec_id"), col("qscore")).as("top"))
-      .select(col("q_id"), explode(col("top")).as("s"))
-      .select(col("q_id"), col("s.vec_id").as("vec_id"))
-    exactRerank(vecs, cands, q.select(col("q_id"), col("q_emb")), k)
+    rerankCarried(
+      qc.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("qscore", qdot.cast("double")),
+      k, m)
   }
 
-  /** Stage 2 shared by the code-compressed tiers (int8 scalar, PQ): exact
-    * cosine re-rank of the nQueries×m candidates — the candidate list
-    * broadcasts INTO the float scan, so the big table is read once and
-    * never shuffles. `q` must carry (q_id, q_emb). */
+  /** The fused two-stage tail shared by the INLINE code-compressed tiers
+    * (int8 scalar, PQ): `scored` carries one row per (query, candidate)
+    * with the stage-1 score AND the candidate's float embedding already in
+    * hand (the encode is inline, so emb was in the row anyway). Stage 1
+    * keeps the top-m per query in an m-bounded heap whose ordering is
+    * exactly [[TopK.ScoreTopKAgg]]'s (score DESC, vec_id ASC) — the
+    * payload embedding is order-inert — and stage 2 re-ranks the m
+    * survivors by exact rounded cosine THROUGH THE SAME heap ordering the
+    * old [[exactRerank]] used, over rows that never left the aggregation's
+    * partitioning (the second groupBy reuses the first exchange's hash
+    * layout — zero new shuffles).
+    *
+    * Why (guide §2.4/§3, r19): the compositional form ran stage 2 as a
+    * SECOND corpus pass — collect the m·nQueries candidate ids, broadcast
+    * them back INTO a fresh scan of `vecs`, hash-join, re-aggregate —
+    * which cost two extra broadcast builds, a corpus re-scan, and a
+    * sequential barrier between the stages. Here the whole search is one
+    * corpus pass + one 20-group exchange; the survivors' embeddings ride
+    * the heap (m × dim doubles per query — tier constants, corpus-
+    * independent, so the shuffle stays k-bounded at any scale). Decisions
+    * are bit-identical: same stage-1 heap order, same candidate set, same
+    * `round(cosine_sim, 6)` on the same emb values (the carried emb IS the
+    * scan's emb), same stage-2 heap order (OperatorsSpec pins the fused
+    * search against the stored-index search, which still runs the
+    * compositional two-pass tail; the unchanged DuckDB oracles are the
+    * final arbiter). `first(q_emb)` is deterministic — q_emb is
+    * functionally determined by the grouping key. */
+  private def rerankCarried(scored: DataFrame, k: Int, m: Int): DataFrame = {
+    val topm = udaf(new TopK.ScoreEmbTopKAgg(m),
+      org.apache.spark.sql.Encoders.product[TopK.ScoredEmb])
+    val topk = udaf(new TopK.ScoreTopKAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    scored
+      .groupBy("q_id")
+      .agg(topm(col("vec_id"), col("qscore"), col("emb")).as("top"),
+        first(col("q_emb")).as("q_emb"))
+      .select(col("q_id"), explode(col("top")).as("s"), col("q_emb"))
+      .withColumn("cosine", round(cosine_sim(col("s.emb"), col("q_emb")), 6))
+      .groupBy("q_id")
+      .agg(topk(col("s.vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
+  }
+
+  /** Stage 2 shared by the STORED code-compressed search paths (PQ codes
+    * read back from TxTable — no float emb in the code row, so the
+    * candidate list must re-attach to the float scan): exact cosine
+    * re-rank of the nQueries×m candidates — the candidate list broadcasts
+    * INTO the float scan, so the big table is read once and never
+    * shuffles. `q` must carry (q_id, q_emb). Inline searches use
+    * [[rerankCarried]] instead (r19). */
   private def exactRerank(vecs: DataFrame, cands: DataFrame, q: DataFrame,
       k: Int): DataFrame = {
     val topk = udaf(new TopK.ScoreTopKAgg(k),
@@ -939,10 +985,19 @@ object Similarity {
     * centroids collected (labels × dim — tiny) and sliced per subspace —
     * indexed cb(s)(ci) = the sub-dim codeword. */
   private[graft] def seededCodebooks(vecs: DataFrame,
-      nsub: Int): Seq[Seq[Seq[Double]]] = {
-    val cents: Seq[Seq[Double]] =
+      nsub: Int): Seq[Seq[Seq[Double]]] =
+    seededCodebooksFromCents(
       meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
-        .orderBy("label").collect().map(_.getSeq[Double](1).toSeq).toSeq
+        .orderBy("label").collect().map(_.getSeq[Double](1).toSeq).toSeq,
+      nsub)
+
+  /** The slicing half of [[seededCodebooks]] over label-ASCENDING collected
+    * centroids — shared with callers whose centroid collect is itself a
+    * memoized artifact ([[CellSet]] sorts labels in the same UTF8String /
+    * numeric ascending order `orderBy("label")` uses, so slicing cs.cents
+    * yields the identical codebooks without a second aggregate job). */
+  private[graft] def seededCodebooksFromCents(cents: Seq[Seq[Double]],
+      nsub: Int): Seq[Seq[Seq[Double]]] = {
     val dim = cents.head.length
     require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
     val sub = dim / nsub
@@ -951,11 +1006,27 @@ object Similarity {
 
   /** The PQ search under an ARBITRARY codebook set (seeded or
     * Lloyd-refined by [[pqTrain]]) — cb(s)(ci), all subspaces equal
-    * width. Codes are computed inline; [[pqSearchOverCodes]] is the same
-    * search over a PRE-ENCODED code table (the stored-index read path). */
+    * width. Codes are computed inline, so the float emb is in the scored
+    * row and the whole search is ONE corpus pass through the fused
+    * carried-embedding tail ([[rerankCarried]], r19 — identical decisions,
+    * see its doc); [[pqSearchOverCodes]] is the same search over a
+    * PRE-ENCODED code table (the stored-index read path, where stage 2
+    * must re-attach the candidate list to the float scan). StreamIndexSpec
+    * and OperatorsSpec pin this search ≡ the stored-path search, which
+    * still runs the compositional two-pass tail. */
   private[graft] def pqSearch(vecs: DataFrame, cb: Seq[Seq[Seq[Double]]],
-      nQueries: Int, k: Int, m: Int): DataFrame =
-    pqSearchOverCodes(vecs, pqCodes(vecs, cb), cb, nQueries, k, m)
+      nQueries: Int, k: Int, m: Int): DataFrame = {
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    rerankCarried(
+      vecs.select(col("vec_id"), col("emb"),
+          graft.functions.PqExpressions.pq_encode(col("emb"), cb).as("codes"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("qscore", round(
+          graft.functions.PqExpressions.pq_adc(col("q_emb"), col("codes"), cb), 6)),
+      k, m)
+  }
 
   /** (vec_id, codes array<int>) — the PQ encode of every vector:
     * per-subspace argmin over rounded L2 to each codeword slice, tiebreak
@@ -1583,10 +1654,17 @@ object Similarity {
     * hashed-text embeddings use `lang`). Builds its index inline (callers
     * with a reusable corpus go through [[ivfTopK]]'s memo). */
   def ivfTopKOf(vecs: DataFrame,
-      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val cents = collectCells(
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame =
+    ivfTopKOfCells(vecs, collectCells(
       meanVectors(vecs.select(col("label"), col("emb")), "label", "emb")
-        .withColumnRenamed("label", "c_label"))
+        .withColumnRenamed("label", "c_label")), nQueries, k, nprobe)
+
+  /** [[ivfTopKOf]] over an ALREADY-COLLECTED quantizer — callers whose
+    * centroid set is a shared per-ingest artifact (the memoized text-tier
+    * quantizer: one label-mean collect feeds both the IVF twin and the
+    * PQ codebook slicing) skip the per-call aggregate + collect job. */
+  private[graft] def ivfTopKOfCells(vecs: DataFrame, cents: CellSet,
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
     val assigned = nearestCellsOf(vecs, cents, 1)
       .select(col("vec_id"), col("label"), col("emb"), col("cell"), col("cos_c"))
     ivfSearchOf(assigned, cents, nQueries, k, nprobe)

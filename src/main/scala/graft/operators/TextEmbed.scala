@@ -142,18 +142,52 @@ object TextEmbed {
   def textLshTopKSql(nQueries: Int = 20, k: Int = 5): String =
     Similarity.lshTopKSqlOver(embedVecsCtes, nQueries, k)
 
+  private val labeledMemo = new SessionMemo[String, DataFrame]
+
+  /** The lang-LABELED embedding frame (vec_id, label, emb) — MEMOIZED per
+    * (session, dir) and cached: the `documents` label join otherwise
+    * re-ran on every use of the labeled corpus (three scans inside one PQ
+    * search alone). Two registered consumers share it (q_embed_text_ivf
+    * seeds its coarse quantizer on `lang`, q_embed_text_pq seeds its
+    * codebooks the same way) — warm-up policy (a): in production this is
+    * the labeled embedding table an ingest materializes once. */
+  private[graft] def labeledVecs(spark: SparkSession, dir: String): DataFrame =
+    labeledMemo.getOrElseUpdate(spark, dir) {
+      embeddings(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang").as("label")), "doc_id")
+        .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
+        .cache()
+    }
+
+  private val cellsMemo = new SessionMemo[String, Similarity.CellSet]
+
+  /** The text tier's coarse quantizer — per-lang mean vectors of the
+    * hashed-text embeddings, collected once (langs × dim — metadata
+    * scale) and shared by BOTH seeded tiers: the IVF twin probes these
+    * cells directly and the PQ twin's codebooks are exactly these
+    * centroids sliced per subspace ([[Similarity
+    * .seededCodebooksFromCents]] — CellSet's label order is
+    * `orderBy("label")`'s order, so the slices are identical to the
+    * independent collect they replace). One aggregate + collect job per
+    * session instead of one per query call. */
+  private def textCells(spark: SparkSession, dir: String): Similarity.CellSet =
+    cellsMemo.getOrElseUpdate(spark, dir) {
+      Similarity.collectCells(
+        Similarity.meanVectors(
+            labeledVecs(spark, dir).select(col("label"), col("emb")),
+            "label", "emb")
+          .withColumnRenamed("label", "c_label"))
+    }
+
   /** Text embeddings through the GENERALIZED IVF tier ([[Similarity
     * .ivfTopKOf]]): `lang` seeds the coarse quantizer — the language a doc
     * is written in is exactly the kind of cheap prior a curation pipeline
     * quantizes on before exact re-rank. Fixture-free like the LSH path. */
   def textIvfTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val vecs = embeddings(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang").as("label")), "doc_id")
-      .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
-    Similarity.ivfTopKOf(vecs, nQueries, k, nprobe)
-  }
+      nQueries: Int = 20, k: Int = 5, nprobe: Int = 2): DataFrame =
+    Similarity.ivfTopKOfCells(labeledVecs(spark, dir),
+      textCells(spark, dir), nQueries, k, nprobe)
 
   /** DuckDB oracle for [[textIvfTopK]]: the coordinate CTEs assembled to
     * vectors, lang joined on as the seeding label, ending in the `c`
@@ -204,18 +238,15 @@ object TextEmbed {
     * corpus whose int8 codes still exceed memory. Fixture-free and fully
     * hash-oracled like its siblings. */
   def textPqTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame = {
-    val vecs = embeddings(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang").as("label")), "doc_id")
-      .select(col("doc_id").as("vec_id"), col("label"), col("emb"))
-    // codebooks memoized per (dir, nsub): the centroid collect is one
-    // full aggregate job this query would otherwise re-run every call
-    Similarity.pqSearch(vecs,
-        Similarity.seededCodebooksKeyed(spark, s"textembed:$dir", vecs, nsub),
+      nQueries: Int = 20, k: Int = 5, m: Int = 50, nsub: Int = 16): DataFrame =
+    // codebooks = the shared text-tier quantizer's centroids sliced per
+    // subspace (identical to the independent meanVectors+collect they
+    // replace — see textCells); the search itself is the fused one-pass
+    // pqSearch over the memoized labeled frame
+    Similarity.pqSearch(labeledVecs(spark, dir),
+        Similarity.seededCodebooksFromCents(textCells(spark, dir).cents, nsub),
         nQueries, k, m)
       .withColumnRenamed("vec_id", "doc_id")
-  }
 
   /** DuckDB oracle for [[textPqTopK]]: the coordinate CTEs assembled to
     * labeled vectors feeding the shared PQ-chain generator (the

@@ -111,6 +111,18 @@ object TopK {
   class ScoreTopKAgg(k: Int)
     extends BoundedTopK[Scored](k, Ordering.by(s => (-s.cosine, s.vec_id)))
 
+  /** [[Scored]] with the candidate's float embedding riding along as an
+    * order-inert payload — the fused-rerank shape (r19): the stage-1 ADC /
+    * int8 heap makes exactly the (score DESC, vec_id ASC) decisions
+    * [[ScoreTopKAgg]] made, and the m survivors carry their embeddings out
+    * of the aggregation, so the exact re-rank never re-scans the corpus or
+    * broadcasts a candidate list back into it. Buffer stays m-bounded
+    * (m × dim doubles — constants of the tier, corpus-independent). */
+  case class ScoredEmb(vec_id: Long, cosine: Double, emb: Seq[Double])
+
+  class ScoreEmbTopKAgg(k: Int)
+    extends BoundedTopK[ScoredEmb](k, Ordering.by(s => (-s.cosine, s.vec_id)))
+
   /** Latest-K events per event_type — identical semantics (and oracle) to
     * the window-based `q_tail_n_per_key`, different physics. */
   def tailKHeap(spark: SparkSession, dir: String, k: Int = K): DataFrame = {

@@ -448,6 +448,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window re-rank in the quantized tier:\n$p")
   }
 
+  test("fused carried-embedding rerank ≡ compositional two-stage reference (r19)") {
+    // the r19 fusion folds stage 2 (exact re-rank) into the stage-1 pass by
+    // carrying survivor embeddings through the heap — this pin recomputes
+    // the DECLARED two-stage semantics (window top-m by stage-1 score, then
+    // window top-k by exact rounded cosine, both with vec_id tiebreaks)
+    // driver-side and asserts full-output equality, corpus-wide, for both
+    // fused tiers (int8 scalar and PQ). The stored-index pins cover the
+    // same equality against the still-compositional stored tail.
+    import org.apache.spark.sql.Row
+    val rows = Tables.embeddings(spark, sf).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byId = rows.toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(if (den == 0.0) 0.0 else d / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def reference(stage1: (Array[Double], Array[Double]) => Double,
+        nQueries: Int, k: Int, m: Int): Seq[(Long, Int, Long, Double)] =
+      (0L until nQueries).flatMap { q =>
+        val qe = byId(q)
+        val cands = rows.filter(_._1 != q)
+          .map { case (id, v) => (id, stage1(qe, v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(m).map(_._1)
+        cands.map(id => (id, cos6(qe, byId(id))))
+          .sortBy { case (id, c) => (-c, id) }.take(k).zipWithIndex
+          .map { case ((id, c), i) => (q, i + 1, id, c) }
+      }
+    def key(r: Row) = (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))
+    // int8 scalar tier: stage-1 = integer dot over the quantized codes
+    val dims = rows.head._2.indices
+    val lows = dims.map(i => rows.map(_._2(i)).min)
+    val his = dims.map(i => rows.map(_._2(i)).max)
+    def code(v: Double, i: Int): Long =
+      if (his(i) == lows(i)) 0L
+      else BigDecimal((v - lows(i)) / (his(i) - lows(i)) * 255)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong - 128L
+    def intDot(a: Array[Double], b: Array[Double]): Double =
+      dims.map(i => code(a(i), i) * code(b(i), i)).sum.toDouble
+    val quantGot = Similarity.quantizedTopK(spark, sf, nQueries = 10, k = 5, m = 20)
+      .collect().map(key).sorted.toSeq
+    assert(quantGot == reference(intDot, 10, 5, 20).sorted,
+      "fused quantized search drifted from the two-stage reference")
+    // PQ tier: stage-1 = rounded ADC over the seeded codebooks
+    val c = Tables.embeddings(spark, sf).selectExpr("vec_id", "label",
+      "cast(embedding as array<double>) as emb")
+    val cb = Similarity.seededCodebooks(c, 16)
+    val sub = cb.head.head.length
+    def adc(qe: Array[Double], v: Array[Double]): Double = {
+      val codes = (0 until 16).map { s =>
+        cb(s).zipWithIndex.map { case (w, ci) =>
+          val d2 = w.indices.map(j => {
+            val d = v(s * sub + j) - w(j); d * d }).sum
+          (BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, ci)
+        }.minBy { case (d2, ci) => (d2, ci) }._2
+      }
+      val raw = (0 until 16).map(s =>
+        (0 until sub).map(j => qe(s * sub + j) * cb(s)(codes(s))(j)).sum).sum
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pqGot = Similarity.pqSearch(c, cb, 10, 5, 20).collect().map(key).sorted.toSeq
+    assert(pqGot == reference(adc, 10, 5, 20).sorted,
+      "fused PQ search drifted from the two-stage reference")
+  }
+
   test("pq topk: audited recall vs exact, exact re-rank, no corpus shuffle") {
     // 16-subspace product codes over label-seeded codebooks: far coarser
     // than int8 scalar (≈8 B/vector vs 64), so the floor is lower — the
