@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -33,33 +33,21 @@ object LmScore {
     * (bg, c) pairs the query's `f` relation used to obtain via a corpus-wide
     * explode + (doc, lang, bg) hash aggregation. Bigrams are adjacent CODE
     * POINT pairs, exactly the strings `substr(i, 2)` over
-    * `sequence(1, length(s) - 1)` produced (Spark's substr/length count code
-    * points, so the UTF-16 walk steps with offsetByCodePoints — surrogate
-    * pairs are one character on both routes; LmScoreSpec pins kernel ≡
+    * `sequence(1, length(s) - 1)` produced (LmScoreSpec pins kernel ≡
     * explode+groupBy corpus-wide plus adversarial unicode legs). Counts are
     * exact integers, so every downstream aggregate regroups bit-identically
     * (the fixed-point-exactness rule in the scoring comment below). Per-row
     * work is O(doc length) — the same linear pass the explode paid, minus
-    * the 64-bit-hash shuffle of one row per bigram INSTANCE. */
-  private[graft] val bigramCounts = udf { (s: String) =>
-    if (s == null || s.length < 2) Seq.empty[(String, Long)]
-    else {
-      val m = new java.util.LinkedHashMap[String, Long]
-      var i = 0
-      var next = s.offsetByCodePoints(i, 1)
-      while (next < s.length) {
-        val end = s.offsetByCodePoints(next, 1)
-        val bg = s.substring(i, end)
-        m.merge(bg, 1L, (a, b) => a + b)
-        i = next
-        next = end
-      }
-      val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](m.size)
-      val it = m.entrySet().iterator()
-      while (it.hasNext) { val e = it.next(); out += ((e.getKey, e.getValue)) }
-      out.toSeq
-    }
-  }
+    * the 64-bit-hash shuffle of one row per bigram INSTANCE.
+    *
+    * r19: the kernel is the codegen expression [[graft.functions
+    * .BigramCounts]] (guide §4) — the r18 ScalaUDF made the same decisions
+    * but paid a UTF8String→String decode per row, a CatalystTypeConverter
+    * re-encode per produced pair, and a WholeStageCodegen break at the
+    * projection; the expression walks the raw UTF-8 bytes with zero-copy
+    * bigram slices inside codegen. */
+  private[graft] def bigramCounts(s: Column): Column =
+    graft.functions.LmExpressions.bigram_counts(s)
 
   def bigramScores(spark: SparkSession, dir: String): DataFrame = {
     val norm = Tables.spread(spark, Tables.documents(spark, dir))
@@ -85,30 +73,38 @@ object LmScore {
     // cab derives from F by an exact integer re-aggregation: F's rows are
     // already per-(doc, bg) distinct, so the map-side partial aggregation
     // compresses each task to its distinct (lang, bg) set and the exchange
-    // carries model-scale rows. It stays UNCACHED — recomputing the
-    // row-local kernel per consumer is three cheap linear passes, where
-    // caching would serialize a doc-scale table (the pinned LmScoreSpec
-    // contract). The session-lifetime cache below holds vocab —
-    // model-scale, as pinned.
-    val cab = f.groupBy("lang", "bg")
-      .agg(sum("c").cast("double").as("c_ab"))
-    // context counts ALSO aggregate straight from F — NOT from cab's
-    // result: phrased over cab, the optimizer re-expanded cab's whole
-    // aggregation chain under ca and AQE could not reuse it (the r18 plan
-    // audit counted 17 query stages for a 463k-row corpus, with stage
-    // scheduling, not compute, dominating). Numerically identical: c(a·)
-    // is an integer below 2⁵³ on either route — integer sums cast at the
-    // end, no accumulation-order exposure.
-    val ca = f.groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
-      .agg(sum("c").cast("double").as("c_a"))
-    // per-doc array_distinct BEFORE the explode: the corpus vocabulary is
-    // the union of per-doc character sets, so deduplicating row-locally
+    // carries model-scale rows. F itself stays UNCACHED (caching would
+    // serialize a doc-scale table — the pinned LmScoreSpec contract), but
+    // cab IS cached: it is the KB-scale model table (langs × vocab² rows,
+    // like vocab below), and caching it lets the context counts derive
+    // from it WITHOUT the optimizer re-expanding cab's aggregation chain
+    // (the r18 hazard — phrased over an uncached cab, ca re-ran the whole
+    // kernel pass; the InMemoryRelation breaks that re-expansion), so the
+    // query runs TWO kernel passes over the corpus instead of three
+    // (guide §2.4 — remove passes outright).
+    val cabCounts = f.groupBy("lang", "bg")
+      .agg(sum("c").as("n_ab")).cache()
+    val cab = cabCounts
+      .select(col("lang"), col("bg"), col("n_ab").cast("double").as("c_ab"))
+    // context counts c(a·) = Σ_b c(ab) — an exact integer regrouping of
+    // the cached model table (long sums below 2⁵³ cast at the end, no
+    // accumulation-order exposure), numerically identical to aggregating
+    // the instances directly.
+    val ca = cabCounts
+      .groupBy(col("lang").as("lang_a"), substring(col("bg"), 1, 1).as("a"))
+      .agg(sum("n_ab").cast("double").as("c_a"))
+    // per-doc distinct characters BEFORE the explode: the corpus vocabulary
+    // is the union of per-doc character sets, so deduplicating row-locally
     // first shrinks the exploded stream from Σ doc-lengths to
-    // Σ per-doc-distinct (~5× here, unboundedly more on long docs) with
-    // an identical countDistinct result
+    // Σ per-doc-distinct (~5× here, unboundedly more on long docs) with an
+    // identical countDistinct result. r19: the row-local step is the
+    // codegen expression [[graft.functions.DistinctChars]] — bit-identical
+    // to array_distinct(split(s, "")) (LmScoreSpec pins it over the corpus
+    // plus unicode edges) without the regex zero-width split's one
+    // single-char String allocation per corpus CHARACTER (guide §4).
     val vocab = norm
       .select(col("lang"),
-        explode(array_distinct(split(col("s"), ""))).as("c"))
+        explode(graft.functions.LmExpressions.distinct_chars(col("s"))).as("c"))
       .groupBy("lang").agg(countDistinct("c").cast("double").as("v")).cache()
     f
       .join(broadcast(cab), Seq("lang", "bg"))

@@ -990,6 +990,22 @@ class LmScoreSpec extends AnyFunSuite {
         s"onlyExplode=${onlyB.take(5)} countDiff=${diff.take(5)}"
     })
     assert(a.nonEmpty)
+    // distinct-chars kernel ≡ array_distinct(split(s, "")) on the SAME
+    // adversarial corpus — element order included (array equality), since
+    // both contracts are first-occurrence order; split("") on the empty
+    // string yields [""] and the kernel must too
+    val viaChars = norm.select(col("doc_id"),
+      graft.functions.LmExpressions.distinct_chars(col("s")).as("cs"))
+    val viaSplit = norm.select(col("doc_id"),
+      array_distinct(split(col("s"), "")).as("cs"))
+    val ca2 = viaChars.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val cb2 = viaSplit.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(ca2 == cb2, {
+      val bad = ca2.keySet.filter(k => ca2(k) != cb2.getOrElse(k, Vector()))
+      s"distinct-chars/split disagree on docs ${bad.take(5)}"
+    })
   }
 }
 
