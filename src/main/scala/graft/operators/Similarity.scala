@@ -530,7 +530,7 @@ object Similarity {
     // candidate broadcast is gone.
     val qdot = graft.functions.VectorExpressions.dot_product_int(
       col("qemb"), col("q_qemb"))
-    rerankCarried(
+    rerankFused(
       qc.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("qscore", qdot.cast("double")),
@@ -554,29 +554,28 @@ object Similarity {
     * them back INTO a fresh scan of `vecs`, hash-join, re-aggregate —
     * which cost two extra broadcast builds, a corpus re-scan, and a
     * sequential barrier between the stages. Here the whole search is one
-    * corpus pass + one 20-group exchange; the survivors' embeddings ride
-    * the heap (m × dim doubles per query — tier constants, corpus-
-    * independent, so the shuffle stays k-bounded at any scale). Decisions
-    * are bit-identical: same stage-1 heap order, same candidate set, same
-    * `round(cosine_sim, 6)` on the same emb values (the carried emb IS the
-    * scan's emb), same stage-2 heap order (OperatorsSpec pins the fused
-    * search against the stored-index search, which still runs the
-    * compositional two-pass tail; the unchanged DuckDB oracles are the
-    * final arbiter). `first(q_emb)` is deterministic — q_emb is
-    * functionally determined by the grouping key. */
-  private def rerankCarried(scored: DataFrame, k: Int, m: Int): DataFrame = {
-    val topm = udaf(new TopK.ScoreEmbTopKAgg(m),
-      org.apache.spark.sql.Encoders.product[TopK.ScoredEmb])
-    val topk = udaf(new TopK.ScoreTopKAgg(k),
-      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    * corpus pass + one 20-group exchange. The exact cosine is computed
+    * INLINE next to the stage-1 score (one extra dim-length dot per scored
+    * row — the same arithmetic scale as the stage-1 score itself), so the
+    * row entering the aggregation is three primitive scalars: the first
+    * fused form instead carried the float emb through the heap, and the
+    * per-row encoder conversion of that dim-sized payload (plus a second
+    * udaf pass over the exploded survivors) dominated the whole query's
+    * task time (~10.5 CPU-s at sf0.1, ProfileExec). Decisions are
+    * bit-identical: same stage-1 heap order, same candidate set, same
+    * `round(cosine_sim, 6)` on the same emb values, same stage-2 heap
+    * order — now the finish() of ONE m-bounded aggregator
+    * ([[TopK.RerankTopKAgg]]; OperatorsSpec pins the fused search against
+    * the stored-index search, which still runs the compositional two-pass
+    * tail; the unchanged DuckDB oracles are the final arbiter). */
+  private def rerankFused(scored: DataFrame, k: Int, m: Int): DataFrame = {
+    val agg = udaf(new TopK.RerankTopKAgg(m, k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored2])
     scored
+      .select(col("q_id"), col("vec_id"), col("qscore"),
+        round(cosine_sim(col("emb"), col("q_emb")), 6).as("cosine"))
       .groupBy("q_id")
-      .agg(topm(col("vec_id"), col("qscore"), col("emb")).as("top"),
-        first(col("q_emb")).as("q_emb"))
-      .select(col("q_id"), explode(col("top")).as("s"), col("q_emb"))
-      .withColumn("cosine", round(cosine_sim(col("s.emb"), col("q_emb")), 6))
-      .groupBy("q_id")
-      .agg(topk(col("s.vec_id"), col("cosine")).as("top"))
+      .agg(agg(col("vec_id"), col("qscore"), col("cosine")).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("s.vec_id").as("vec_id"), col("s.cosine").as("cosine"))
@@ -588,7 +587,7 @@ object Similarity {
     * re-rank of the nQueries×m candidates — the candidate list broadcasts
     * INTO the float scan, so the big table is read once and never
     * shuffles. `q` must carry (q_id, q_emb). Inline searches use
-    * [[rerankCarried]] instead (r19). */
+    * [[rerankFused]] instead (r19). */
   private def exactRerank(vecs: DataFrame, cands: DataFrame, q: DataFrame,
       k: Int): DataFrame = {
     val topk = udaf(new TopK.ScoreTopKAgg(k),
@@ -1008,7 +1007,7 @@ object Similarity {
     * Lloyd-refined by [[pqTrain]]) — cb(s)(ci), all subspaces equal
     * width. Codes are computed inline, so the float emb is in the scored
     * row and the whole search is ONE corpus pass through the fused
-    * carried-embedding tail ([[rerankCarried]], r19 — identical decisions,
+    * fused one-aggregation tail ([[rerankFused]], r19 — identical decisions,
     * see its doc); [[pqSearchOverCodes]] is the same search over a
     * PRE-ENCODED code table (the stored-index read path, where stage 2
     * must re-attach the candidate list to the float scan). StreamIndexSpec
@@ -1018,7 +1017,7 @@ object Similarity {
       nQueries: Int, k: Int, m: Int): DataFrame = {
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    rerankCarried(
+    rerankFused(
       vecs.select(col("vec_id"), col("emb"),
           graft.functions.PqExpressions.pq_encode(col("emb"), cb).as("codes"))
         .crossJoin(broadcast(q))

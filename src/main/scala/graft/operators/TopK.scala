@@ -30,8 +30,16 @@ object TopK {
   class BoundedTopK[T: scala.reflect.runtime.universe.TypeTag](
       k: Int, ord: Ordering[T]) extends Aggregator[T, List[T], Seq[T]] {
     override def zero: List[T] = Nil
+    // Short-circuit (r19, the BoundedKth pattern): a row sorting STRICTLY
+    // after a full buffer's worst can never enter the top-k — most rows of
+    // a large group exit on this one comparison instead of paying the
+    // O(k log k) re-sort (the sort was ~half the ANN tiers' task time).
+    // STRICT, not lteq: on a tie with the worst, the stable sort path
+    // keeps the NEW element (prepended) — rows tying the boundary must
+    // still take that path so results stay bit-identical.
     override def reduce(b: List[T], a: T): List[T] =
-      (a :: b).sorted(ord).take(k)
+      if (b.lengthCompare(k) >= 0 && ord.compare(b.last, a) < 0) b
+      else (a :: b).sorted(ord).take(k)
     override def merge(x: List[T], y: List[T]): List[T] =
       (x ++ y).sorted(ord).take(k)
     override def finish(b: List[T]): Seq[T] = b.sorted(ord)
@@ -111,17 +119,43 @@ object TopK {
   class ScoreTopKAgg(k: Int)
     extends BoundedTopK[Scored](k, Ordering.by(s => (-s.cosine, s.vec_id)))
 
-  /** [[Scored]] with the candidate's float embedding riding along as an
-    * order-inert payload — the fused-rerank shape (r19): the stage-1 ADC /
-    * int8 heap makes exactly the (score DESC, vec_id ASC) decisions
-    * [[ScoreTopKAgg]] made, and the m survivors carry their embeddings out
-    * of the aggregation, so the exact re-rank never re-scans the corpus or
-    * broadcasts a candidate list back into it. Buffer stays m-bounded
-    * (m × dim doubles — constants of the tier, corpus-independent). */
-  case class ScoredEmb(vec_id: Long, cosine: Double, emb: Seq[Double])
+  /** Candidate row of the fused two-stage re-rank (r19): the stage-1
+    * approximate score (ADC / int8 dot) AND the exact rounded cosine ride
+    * together as three primitive scalars. The first fused form carried the
+    * candidate's float embedding through the heap instead (ScoredEmb) and
+    * computed cosine on the m survivors — identical decisions, but every
+    * scored row paid the encoder's array→Seq conversion on a dim-sized
+    * payload and the survivors paid a second udaf aggregation pass.
+    * Computing the cosine INLINE (same `round(cosine_sim, 6)` expression,
+    * same emb values — exact same numbers) makes the scored row 24 bytes
+    * and the whole tail ONE bounded aggregation. */
+  case class Scored2(vec_id: Long, qscore: Double, cosine: Double)
 
-  class ScoreEmbTopKAgg(k: Int)
-    extends BoundedTopK[ScoredEmb](k, Ordering.by(s => (-s.cosine, s.vec_id)))
+  /** The fused tail: keep the top-m candidates per query by stage-1 score
+    * — exactly [[ScoreTopKAgg]]'s (score DESC, vec_id ASC) decisions —
+    * then finish by re-ranking those m survivors by exact cosine through
+    * the SAME (cosine DESC, vec_id ASC) order the old second-stage heap
+    * used, cut to k. One ObjectHashAggregate, one exchange, buffer
+    * m-bounded (3 scalars per entry). */
+  class RerankTopKAgg(m: Int, k: Int)
+      extends Aggregator[Scored2, List[Scored2], Seq[Scored]] {
+    private val stage1: Ordering[Scored2] = Ordering.by(s => (-s.qscore, s.vec_id))
+    override def zero: List[Scored2] = Nil
+    // same strict short-circuit as [[BoundedTopK]]: losers exit on one
+    // comparison, boundary ties still take the stable-sort path
+    override def reduce(b: List[Scored2], a: Scored2): List[Scored2] =
+      if (b.lengthCompare(m) >= 0 && stage1.compare(b.last, a) < 0) b
+      else (a :: b).sorted(stage1).take(m)
+    override def merge(x: List[Scored2], y: List[Scored2]): List[Scored2] =
+      (x ++ y).sorted(stage1).take(m)
+    override def finish(b: List[Scored2]): Seq[Scored] =
+      b.sortBy(s => (-s.cosine, s.vec_id)).take(k)
+        .map(s => Scored(s.vec_id, s.cosine))
+    override def bufferEncoder: Encoder[List[Scored2]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored2]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
 
   /** Latest-K events per event_type — identical semantics (and oracle) to
     * the window-based `q_tail_n_per_key`, different physics. */

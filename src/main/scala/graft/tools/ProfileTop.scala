@@ -31,14 +31,16 @@ object ProfileTop {
       try graft.SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
       catch { case e: Throwable => println(s"[warm $n] $e") }
     }
-    println(f"${"query"}%-28s ${"plan"}%8s ${"exec1"}%8s ${"exec2"}%8s")
+    println(f"${"query"}%-28s ${"plan"}%8s ${"exec1"}%8s ${"exec2"}%8s ${"exec3"}%8s ${"exec4"}%8s")
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       val (tPlan, df) = sec { val d = fn(spark, dir); d.queryExecution.executedPlan; d }
       val (tExec1, _) = sec(df.queryExecution.toRdd.count())
       val df2 = fn(spark, dir)
       val (tExec2, _) = sec(df2.queryExecution.toRdd.count())
-      println(f"$n%-28s $tPlan%8.2f $tExec1%8.2f $tExec2%8.2f")
+      val (tExec3, _) = sec(fn(spark, dir).queryExecution.toRdd.count())
+      val (tExec4, _) = sec(fn(spark, dir).queryExecution.toRdd.count())
+      println(f"$n%-28s $tPlan%8.2f $tExec1%8.2f $tExec2%8.2f $tExec3%8.2f $tExec4%8.2f")
       if (sys.env.contains("PROFILE_TOP_EXPLAIN"))
         println(df2.queryExecution.executedPlan.toString
           .split("\n").take(25).mkString("\n"))
