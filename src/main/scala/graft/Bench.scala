@@ -333,11 +333,22 @@ object Bench {
     * stays timed. Each touch is independent and failure-isolated: a
     * broken artifact surfaces in its own query's timing/crash, never as
     * a silently-cold sibling. */
-  private def warmup(spark: SparkSession, sfDir: String): Unit = {
-    def touch(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+  /** Returns the per-touch wall seconds so the UNTIMED pre-build cost is a
+    * visible, comparable artifact number (r19, the verdict's auditability
+    * ask): policy-(a)/(b) membership moves work out of the timed region by
+    * design, and without `warmup_sec` in the artifact that relocation could
+    * silently shrink the timed denominator round over round. Informational,
+    * threshold-free — BenchTaintSpec pins the accounting. */
+  private def warmup(spark: SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def touch(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
       try { df.queryExecution.toRdd.count(); () }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $tag failed: $e") }
+      timings += tag -> (System.nanoTime() - t0) / 1e9
+    }
     import graft.operators._
     // session + codegen + file-index spin-up (the original warm-up)
     touch("entry")(SparkEntry.entry(spark))
@@ -424,7 +435,13 @@ object Bench {
     touch("ivf_stored_index")(Similarity.semanticProbeStoredQuery(spark, sfDir))
     touch("lm_stored_model")(NgramLm.scoreStoredQuery(spark, sfDir))
     touch("rag_stored_index")(Rag.ragRetrieveStored(spark, sfDir))
+    timings.toSeq
   }
+
+  /** Sum of the per-touch warm-up seconds, 3 dp — the artifact's
+    * `warmup_sec` (BenchTaintSpec pins the arithmetic). */
+  private[graft] def warmupTotal(touches: Seq[(String, Double)]): Double =
+    math.rint(touches.map(_._2).sum * 1e3) / 1e3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -465,7 +482,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    warmup(spark, sfDir)
+    val warmupTouches = warmup(spark, sfDir)
     // optional comma-separated name filter for targeted perf iteration —
     // the driver never sets it, so the per-round artifact always covers the
     // full registry. Filtered artifacts are STAMPED as such below: a
@@ -681,14 +698,18 @@ object Bench {
       s""""clean_total":$cleanTotal,"total_linear":$totalLinear,""" +
       s""""total_truth_twins":$totalTwins,"clean_total_linear":$cleanTotalLinear,""" +
       s""""filtered":$filtered,"query_count":${results.size},""" +
-      s""""registry_count":${SparkEntry.queries.size}"""
+      s""""registry_count":${SparkEntry.queries.size},""" +
+      s""""warmup_sec":${warmupTotal(warmupTouches)}"""
     // per-query detail first, short summary LAST: the driver tail-captures
     // the END of stdout, so the short line must be the final one to survive
     // truncation. Exactly one line carries "metric":"total" (a
     // grep+json.loads consumer must never see two).
     // rerun_queries/honest_worst_case_total now ride `common` (both lines);
     // the detail line keeps the per-query first_run/kept provenance maps
-    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"external_cpu_sec":$extMap,"first_run_sec":$firstRunMap,"kept_sec":$keptMap,$common}"""
+    val warmupMap = warmupTouches
+      .map { case (tag, s) => s"\"" + tag + "\":" + r3(s) }
+      .mkString("{", ",", "}")
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"external_cpu_sec":$extMap,"first_run_sec":$firstRunMap,"kept_sec":$keptMap,"warmup_touch_sec":$warmupMap,$common}"""
     println(detailLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec",$common}""")
     // the r7 round artifact lost its per-query map to driver-side stdout

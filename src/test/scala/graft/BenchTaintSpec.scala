@@ -81,6 +81,18 @@ class BenchTaintSpec extends AnyFunSuite {
     assert(math.abs(m - 14.0) < 1e-9, m.toString)
   }
 
+  test("warmup_sec: the untimed pre-build cost is a visible artifact sum") {
+    // the r19 auditability contract: policy-(a)/(b) warm-up relocation
+    // must surface as a comparable number, never silently shrink the
+    // timed denominator. warmup_sec = the 3-dp sum of per-touch seconds;
+    // informational and threshold-free by design (no taint input).
+    assert(Bench.warmupTotal(Seq.empty) == 0.0)
+    val w = Bench.warmupTotal(Seq(("a", 1.2345), ("b", 0.0004), ("c", 2.5)))
+    assert(math.abs(w - 3.735) < 1e-9, w.toString)
+    // rounding is on the SUM, not per-touch — sub-ms touches still count
+    assert(Bench.warmupTotal(Seq.fill(10)(("t", 0.0004))) == 0.004)
+  }
+
   test("canary kernel: deterministic work, sane timing, min-of-3 sampling") {
     // JIT-warm, then sample: the kernel must take real, repeatable time
     (1 to 5).foreach(_ => Bench.canaryOnce())
