@@ -203,36 +203,29 @@ object Similarity {
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("label").as("q_label"))
-    val topk = udaf(new TopK.ScoreTopKAgg(k),
-      org.apache.spark.sql.Encoders.product[TopK.Scored])
-    val nbrIds = c.crossJoin(broadcast(q))
+    // ONE corpus pass, ONE aggregation (guide §2.4, r19): the neighbor's
+    // label rides the k-bounded heap as an order-inert payload and the
+    // majority vote runs in the aggregator's finish() — the old plan
+    // re-scanned the corpus to attach labels to the broadcast top-k id
+    // list and voted through two more keyed aggregations (10 stages for a
+    // 50-row answer; stage latency, not compute, dominated the bench
+    // line). Decisions are bit-identical: same (cosine DESC, vec_id ASC)
+    // heap, same neighbor set, same max-count/smallest-label vote —
+    // label ties compared in UTF8String binary order, exactly what the
+    // relational min(struct(-cnt, nbr_label)) did (SimilaritySpec pins
+    // the vote against the window form; the DuckDB oracle is unchanged).
+    val vote = udaf(new TopK.LabelVoteAgg(k),
+      org.apache.spark.sql.Encoders.product[TopK.ScoredLab])
+    c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(cosine_sim(col("emb"), col("q_emb")), 6))
       .groupBy("q_id", "q_label")
-      .agg(topk(col("vec_id"), col("cosine")).as("top"))
-      .select(col("q_id"), col("q_label"), explode(col("top")).as("s"))
-      .select(col("q_id"), col("q_label"), col("s.vec_id").as("vec_id"))
-    // neighbor labels: one more corpus scan joined against the broadcast
-    // nQueries·k id list — never a corpus-side shuffle
-    val voted = c.select(col("vec_id"), col("label").as("nbr_label"))
-      .join(broadcast(nbrIds), "vec_id")
-      .groupBy("q_id", "q_label", "nbr_label").agg(count(lit(1)).as("cnt"))
-    // majority vote + agreement in ONE map-side-combinable aggregation
-    // (guide §2.4): the rank-1 row of the old row_number() window over
-    // (cnt DESC, nbr_label ASC) is exactly min(struct(-cnt, nbr_label)) —
-    // struct ordering is lexicographic, the vote multiset is unchanged, so
-    // the selected (majority_label, majority_count) is identical and the
-    // per-query sort the two windows paid is gone.
-    voted
-      .groupBy("q_id", "q_label")
-      .agg(min(struct((-col("cnt")).as("negc"), col("nbr_label"))).as("mj"),
-        sum(when(col("nbr_label") === col("q_label"), col("cnt"))
-          .otherwise(0L)).as("agree"))
+      .agg(vote(col("vec_id"), col("cosine"), col("label"), col("q_label")).as("v"))
       .select(col("q_id"), col("q_label"),
-        col("mj.nbr_label").as("majority_label"),
-        (-col("mj.negc")).cast("long").as("majority_count"),
-        col("agree").cast("long").as("n_agree"),
-        (col("mj.nbr_label") =!= col("q_label")).as("suspect"))
+        col("v.majority_label").as("majority_label"),
+        col("v.majority_count").as("majority_count"),
+        col("v.n_agree").as("n_agree"),
+        (col("v.majority_label") =!= col("q_label")).as("suspect"))
   }
 
   /** DuckDB oracle for [[labelNoiseKnn]] — window-ranked kNN, then the

@@ -157,6 +157,49 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
 
+  /** Scored neighbor with its label riding as an order-inert payload —
+    * the label-noise audit's fused shape (r19). Labels keep the
+    * embeddings table's native INT type so the vote tiebreak is the same
+    * integer order the relational form used. */
+  case class ScoredLab(vec_id: Long, cosine: Double, nbr_label: Int,
+      q_label: Int)
+
+  /** The label-vote result of one anchor's k nearest neighbors. */
+  case class LabelVote(majority_label: Int, majority_count: Long,
+      n_agree: Long)
+
+  /** Fused kNN + majority vote (r19): keep the k nearest neighbors per
+    * anchor through [[ScoreTopKAgg]]'s exact (cosine DESC, vec_id ASC)
+    * heap order — the labels are payload — then finish() runs the vote the
+    * old plan spelled as a second corpus scan + broadcast join + two keyed
+    * aggregations: count per neighbor label, majority = max count with
+    * smallest-label tiebreak (native int order — exactly what
+    * min(struct(-cnt, nbr_label)) selected), n_agree = neighbors sharing
+    * the anchor's own label. */
+  class LabelVoteAgg(k: Int)
+      extends Aggregator[ScoredLab, List[ScoredLab], LabelVote] {
+    private val ord: Ordering[ScoredLab] = Ordering.by(s => (-s.cosine, s.vec_id))
+    override def zero: List[ScoredLab] = Nil
+    override def reduce(b: List[ScoredLab], a: ScoredLab): List[ScoredLab] =
+      if (b.lengthCompare(k) >= 0 && ord.compare(b.last, a) < 0) b
+      else (a :: b).sorted(ord).take(k)
+    override def merge(x: List[ScoredLab], y: List[ScoredLab]): List[ScoredLab] =
+      (x ++ y).sorted(ord).take(k)
+    override def finish(b: List[ScoredLab]): LabelVote = {
+      val cnts = b.groupBy(_.nbr_label).view.mapValues(_.size.toLong).toSeq
+      val (mjLabel, mjCnt) = cnts.reduceLeft { (a, c) =>
+        if (c._2 > a._2 || (c._2 == a._2 && c._1 < a._1)) c else a
+      }
+      val qLabel = b.head.q_label // constant within the group
+      LabelVote(mjLabel, mjCnt,
+        cnts.collectFirst { case (l, n) if l == qLabel => n }.getOrElse(0L))
+    }
+    override def bufferEncoder: Encoder[List[ScoredLab]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredLab]]()
+    override def outputEncoder: Encoder[LabelVote] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[LabelVote]()
+  }
+
   /** Latest-K events per event_type — identical semantics (and oracle) to
     * the window-based `q_tail_n_per_key`, different physics. */
   def tailKHeap(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
