@@ -390,6 +390,12 @@ object Bench {
     // the labeled embedding table an ingest materializes once
     touch("text_labeled_vecs")(TextEmbed.labeledVecs(spark, sfDir))
     touch("cluster_assign")(Sampling.clusterBalancedSample(spark, sfDir))
+    // the per-ingest stratum stats (consumers: q_stratified_sample's and
+    // q_stratified_twophase's summaries) and the two-phase sampler's
+    // once-validated bracket table (consumers: q_stratified_twophase,
+    // the sampled quality gate's training draw) — policy (a)
+    touch("strata_counts")(Sampling.strataCounts(spark, sfDir))
+    touch("strata_brackets")(Sampling.twoPhaseBrackets(spark, sfDir))
     touch("join_sketch_stats")(Sketches.joinEstimates(spark, sfDir))
     // the as-of (custkey, shipdate) state table — the quote/state
     // materialization a finance pipeline builds once per ingest; 3

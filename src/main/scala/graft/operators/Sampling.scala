@@ -27,6 +27,20 @@ import graft.Tables
   */
 object Sampling {
 
+  private val strataCountsMemo = new SessionMemo[String, DataFrame]
+
+  /** Per-stratum document counts (lang, n_docs) — MEMOIZED per (session,
+    * dir) and cached (r19, policy (a)): the per-ingest stratum-stats table
+    * a pipeline materializes once. Registered consumers: the
+    * q_stratified_sample summary and the q_stratified_twophase summary
+    * (each previously re-aggregated the corpus per call for the same
+    * |langs|-row answer). Metadata-scale: one row per stratum. */
+  private[graft] def strataCounts(spark: SparkSession, dir: String): DataFrame =
+    strataCountsMemo.getOrElseUpdate(spark, dir) {
+      Tables.documents(spark, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs")).cache()
+    }
+
   /** The sampled rows (deterministic; membership is hash-defined and
     * engine-specific, so this is gate-checked via [[stratifiedSummary]]). */
   def stratifiedSample(spark: SparkSession, dir: String,
@@ -50,8 +64,10 @@ object Sampling {
       frac: Double = 0.1, seed: Int = 42): DataFrame = {
     val sampled = stratifiedSample(spark, dir, frac, seed)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-    Tables.documents(spark, dir).groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"))
+    // n_docs from the memoized per-ingest stratum stats (r19) — the
+    // summary's corpus-side re-aggregation was a second full scan for a
+    // |langs|-row table both sampler summaries already share
+    strataCounts(spark, dir)
       .join(sampled, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
@@ -82,21 +98,66 @@ object Sampling {
     * a metadata-scale count check per call, never a silently undersized
     * sample. At 100 TB the only per-stratum sort left is the ε-band;
     * everything else is scans and broadcast-joined scalar brackets. */
+  private val bracketsMemo =
+    new SessionMemo[(String, Double, Int, Int), DataFrame]
+
+  /** The per-stratum bracket table (lang, k, lo, hi) of the two-phase
+    * sampler — MEMOIZED per (session, dir, frac, seed, accuracy) and
+    * cached (r19, policy (a)): the sketch-bracket artifact an ingest
+    * materializes next to its stratum stats. Registered consumers:
+    * q_stratified_twophase and the sampled quality gate's training draw
+    * (`Classifier.qualityTrainSampledFull`). The bracket-breach refusal
+    * runs HERE, once per (session, key): breach iff some stratum has
+    * n_sure > k (lo too high — over-selection) or n_sure + n_band < k
+    * (hi too low — the band can't fill the remaining seats); when
+    * n_sure ≤ k ≤ n_sure + n_band the band rank filter takes exactly
+    * k − n_sure rows, so got = k — the same condition the old per-call
+    * output-count collect tested, derived from ONE corpus pass instead of
+    * executing the whole selection pipeline eagerly on every call (the
+    * r18 bench line spent more wall in this check than in the query). */
+  private[graft] def twoPhaseBrackets(spark: SparkSession, dir: String,
+      frac: Double = 0.1, seed: Int = 42, accuracy: Int = 100): DataFrame =
+    bracketsMemo.getOrElseUpdate(spark, (dir, frac, seed, accuracy)) {
+      val eps = 1.0 / accuracy
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          xxhash64(col("doc_id"), lit(seed)).as("h"))
+      val brackets = docs.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          percentile_approx(col("h"),
+            array(lit(math.max(0.0, frac - 2 * eps)),
+              lit(math.min(1.0, frac + 5 * eps))),
+            lit(accuracy)).as("pcts"))
+        .select(col("lang"),
+          ceil(col("n_docs") * frac).as("k"),
+          col("pcts").getItem(0).as("lo"), col("pcts").getItem(1).as("hi"))
+        .cache()
+      val bad = docs.join(broadcast(brackets), "lang")
+        .groupBy("lang").agg(
+          sum(when(col("h") < col("lo"), 1L).otherwise(0L)).as("n_sure"),
+          sum(when(col("h") >= col("lo") && col("h") <= col("hi"), 1L)
+            .otherwise(0L)).as("n_band"))
+        .join(broadcast(brackets.select(col("lang"), col("k"))), "lang")
+        .filter(col("n_sure") > col("k") ||
+          col("n_sure") + col("n_band") < col("k"))
+        .collect()
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"two-phase bracket breach (raise accuracy): " +
+            bad.map(r => s"${r.getString(0)} n_sure=${r.getLong(1)} " +
+              s"n_band=${r.getLong(2)} k=${r.getLong(3)}").mkString(", "))
+      brackets
+    }
+
   def stratifiedSampleTwoPhase(spark: SparkSession, dir: String,
       frac: Double = 0.1, seed: Int = 42, accuracy: Int = 100): DataFrame = {
-    val eps = 1.0 / accuracy
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         xxhash64(col("doc_id"), lit(seed)).as("h"))
-    val brackets = docs.groupBy("lang").agg(
-        count(lit(1)).as("n_docs"),
-        percentile_approx(col("h"),
-          array(lit(math.max(0.0, frac - 2 * eps)),
-            lit(math.min(1.0, frac + 5 * eps))),
-          lit(accuracy)).as("pcts"))
-      .select(col("lang"),
-        ceil(col("n_docs") * frac).as("k"),
-        col("pcts").getItem(0).as("lo"), col("pcts").getItem(1).as("hi"))
+    // brackets are the memoized, ONCE-validated per-ingest artifact —
+    // the per-call eager breach collect (which executed this whole
+    // selection pipeline a second time) lives in [[twoPhaseBrackets]]
+    val brackets = twoPhaseBrackets(spark, dir, frac, seed, accuracy)
     val joined = docs.join(broadcast(brackets), "lang")
     val sure = joined.filter(col("h") < col("lo"))
     val nSure = sure.groupBy("lang").agg(count(lit(1)).as("n_sure"))
@@ -106,21 +167,8 @@ object Sampling {
       .withColumn("rk", row_number().over(wBand))
       .join(broadcast(nSure), Seq("lang"), "left")
       .filter(col("rk") <= col("k") - coalesce(col("n_sure"), lit(0L)))
-    val selected = sure.select("doc_id", "lang")
+    sure.select("doc_id", "lang")
       .unionAll(fromBand.select("doc_id", "lang"))
-    // loud refusal on a bracket breach: every stratum must fill its k
-    // seats exactly (the window form always does) — one tiny aggregate,
-    // the quantParams/centroid class of driver-side metadata action
-    val short = selected.groupBy("lang").agg(count(lit(1)).as("got"))
-      .join(broadcast(brackets.select(col("lang"), col("k"))), "lang")
-      .filter(col("got") =!= col("k"))
-      .collect()
-    if (short.nonEmpty)
-      throw new IllegalStateException(
-        s"two-phase bracket breach (raise accuracy): " +
-          short.map(r => s"${r.getString(0)} got=${r.getLong(1)} k=${r.getLong(2)}")
-            .mkString(", "))
-    selected
   }
 
   /** Per-stratum allocation of the two-phase form — by membership
@@ -132,8 +180,7 @@ object Sampling {
       frac: Double = 0.1, seed: Int = 42): DataFrame = {
     val sampled = stratifiedSampleTwoPhase(spark, dir, frac, seed)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-    Tables.documents(spark, dir).groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"))
+    strataCounts(spark, dir)
       .join(sampled, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
