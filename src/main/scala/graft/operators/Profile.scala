@@ -118,8 +118,19 @@ object Profile {
     * uses a different sketch, so no cross-engine hash oracle exists by
     * construction; correctness is the bracket. */
   def profileLineitemApprox(spark: SparkSession, dir: String): DataFrame = {
+    // ONE pass (r19): the exact profiler splits its string min/max into a
+    // second scan because a string buffer in the same aggregate would
+    // demote the (k+1)-way Expand output to a SortAggregate (the measured
+    // 11 s). The approx pass has NO Expand — HLL sketches are fixed-width
+    // mergeable buffers — so the string min/max can ride the SAME
+    // aggregate: the operator becomes one ObjectHashAggregate fold over
+    // one scan instead of two sequential full scans through a 1×1 cross
+    // join (lineitem ships as one file ⇒ each scan was a serial task; the
+    // second pass was pure added wall). Same aggregates, same values —
+    // global aggregation, no grouping, identical per-partition fold
+    // order. ProfileSpec pins the Expand-free plan and the 3σ bracket.
     val li = Tables.lineitem(spark, dir)
-    val aggsHash: Seq[Column] =
+    val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
         (numericCols ++ stringCols).flatMap { c =>
           Seq(count(col(c)).as(s"${c}__nn"),
@@ -129,14 +140,12 @@ object Profile {
           Seq(round(min(col(c)), 6).as(s"${c}__min"),
             round(max(col(c)), 6).as(s"${c}__max"),
             round(avg(col(c)), 6).as(s"${c}__avg"))
+        } ++
+        stringCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__smin"),
+            max(col(c)).as(s"${c}__smax"))
         }
-    val aggsStr: Seq[Column] = stringCols.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}__smin"),
-        max(col(c)).as(s"${c}__smax"))
-    }
-    val one = li.agg(aggsHash.head, aggsHash.tail: _*)
-      .crossJoin(li.agg(aggsStr.head, aggsStr.tail: _*))
-    unpivot(one)
+    unpivot(li.agg(aggs.head, aggs.tail: _*))
   }
 
   /** The REGISTERED approx form since r16 (the q_cardinality_approx

@@ -63,12 +63,21 @@ class ProfileSpec extends AnyFunSuite {
     }, s"Expand output must not be sort-aggregated:\n$plan")
   }
 
-  test("approx profiler: Expand-free plan, HLL within 3-sigma of exact") {
+  test("approx profiler: Expand-free ONE-scan plan, HLL within 3-sigma of exact") {
     val qe = Profile.profileLineitemApprox(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
     assert(!plan.contains("Expand"),
       s"approx_count_distinct must collapse the Expand:\n$plan")
-    assert(plan.contains("HashAggregate"))
+    // r19: ONE aggregation pass over ONE scan — the string min/max ride
+    // the same (keyless, therefore sort-free) aggregate the sketches use;
+    // the old split paid a second sequential full scan through a 1x1
+    // cross join. A keyless SortAggregate is a fold, not a sort — the
+    // exact profiler's demotion hazard needs the Expand this plan lacks.
+    assert("FileScan|Scan parquet".r.findAllIn(plan).length == 1,
+      s"the approx profile must be ONE pass over ONE scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the two-pass cross join must be gone:\n$plan")
     val exact = Profile.profileLineitem(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
     val approx = Profile.profileLineitemApprox(spark, sf).collect()
