@@ -200,6 +200,15 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[LabelVote]()
   }
 
+  /** (value ASC, event_id ASC) bounded top-k with the row's coarse key
+    * riding as payload — the rank-battery's heap (r19): the first 8 rows
+    * of the total (value, event_id) order per type, without sorting the
+    * whole partition in one task. */
+  case class RankItem(event_id: Long, value: Double, f: Long)
+
+  class RankTopKAgg(k: Int)
+    extends BoundedTopK[RankItem](k, Ordering.by(i => (i.value, i.event_id)))
+
   /** Latest-K events per event_type — identical semantics (and oracle) to
     * the window-based `q_tail_n_per_key`, different physics. */
   def tailKHeap(spark: SparkSession, dir: String, k: Int = K): DataFrame = {

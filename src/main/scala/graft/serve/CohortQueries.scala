@@ -136,19 +136,65 @@ object CohortQueries {
     * (ntile splits by row POSITION, so determinism requires a total
     * order). Output bounded to 8 rows per key by the same total order. */
   def rankBattery(spark: SparkSession, dir: String): DataFrame = {
-    val coarse = Window.partitionBy("event_type").orderBy(floor(col("value")))
-    val total = Window.partitionBy("event_type")
-      .orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("rnk", rank().over(coarse))
-      .withColumn("drnk", dense_rank().over(coarse))
-      .withColumn("prnk", round(percent_rank().over(coarse), 6))
-      .withColumn("cume", round(cume_dist().over(coarse), 6))
-      .withColumn("quartile", ntile(4).over(total))
-      .withColumn("rn", row_number().over(total))
-      .filter(col("rn") <= 8)
-      .select(col("event_type"), col("event_id"), col("rnk"), col("drnk"),
-        col("prnk"), col("cume"), col("quartile"), col("rn"))
+    // r19 (guide §2.4 — the window-to-bounded-aggregation rewrite): the
+    // old form ran SIX window functions over full event_type partitions —
+    // two full-partition sorts per type in single tasks (the mega-stratum
+    // hazard; at bench scale the whole query was 3 serial tasks) — to
+    // keep 8 rows per type. Every emitted value is derivable from (a) the
+    // k-bounded (value, event_id) heap that picks the 8 output rows and
+    // their positions rn, and (b) per-(type, ⌊value⌋) group counts, whose
+    // per-type running sums are a window over DISTINCT-FLOOR rows
+    // (metadata-scale partitions, same guarantee the label-noise vote
+    // relied on):
+    //   rank       = 1 + #rows in strictly-lower floor groups
+    //   dense_rank = index of the row's floor group
+    //   percent_rank = (rank−1)/(N−1), 0 when N=1  (Spark's PercentRank)
+    //   cume_dist  = #rows in floor groups ≤ mine / N
+    //   ntile(4)   = Spark's NTile bucketing from (rn, N): the first
+    //                N%4 buckets hold ⌊N/4⌋+1 rows, the rest ⌊N/4⌋
+    // — all exact integer arithmetic, so the rounded doubles are
+    // bit-identical to the window form's (the unchanged DuckDB window
+    // oracle is the arbiter).
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        floor(col("value")).cast("long").as("f"))
+    val top8 = udaf(new graft.operators.TopK.RankTopKAgg(8),
+      org.apache.spark.sql.Encoders.product[graft.operators.TopK.RankItem])
+    val top = ev.groupBy("event_type")
+      .agg(top8(col("event_id"), col("value"), col("f")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rn"),
+        col("s.event_id").as("event_id"), col("s.f").as("f"))
+    val wF = Window.partitionBy("event_type").orderBy("f")
+    val stats = ev.groupBy("event_type", "f").agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(
+        sum("c").over(wF.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("le",
+        sum("c").over(wF.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("didx", row_number().over(wF))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    // integral arithmetic spelled with floor(): Column./ is DOUBLE
+    // division — exact here because every operand is an integer far below
+    // 2^53, so floor recovers the integer quotient bit-exactly
+    val small = floor(col("n") / lit(4.0)).cast("long")
+    val r = col("n") % lit(4L)
+    val big = small + lit(1L)
+    val cut = r * big
+    def ceilDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor((a + b - lit(1L)).cast("double") / b.cast("double")).cast("long")
+    top.join(stats, Seq("event_type", "f"))
+      .select(col("event_type"), col("event_id"),
+        (col("below") + 1L).cast("int").as("rnk"),
+        col("didx").cast("int").as("drnk"),
+        round(when(col("n") > 1L,
+          col("below").cast("double") / (col("n") - 1L).cast("double"))
+          .otherwise(lit(0.0)), 6).as("prnk"),
+        round(col("le").cast("double") / col("n").cast("double"), 6).as("cume"),
+        when(col("rn") <= cut, ceilDiv(col("rn").cast("long"), big))
+          .otherwise(r + ceilDiv(col("rn").cast("long") - cut, small))
+          .cast("int").as("quartile"),
+        col("rn"))
   }
 
   val rankBatterySql: String =

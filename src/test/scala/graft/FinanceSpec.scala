@@ -215,6 +215,37 @@ class FinanceSpec extends AnyFunSuite {
     }
   }
 
+  test("rank battery: heap + group-count form ≡ the six-window form, row for row") {
+    // the r19 rewrite's pin: rank/dense_rank/percent_rank/cume_dist/
+    // ntile/row_number re-derived from the bounded heap and the
+    // floor-group counts must match the literal window spelling exactly —
+    // including ntile's uneven first-bucket split and the N=1
+    // percent_rank edge (exercised by whichever types the fixture holds)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val coarse = Window.partitionBy("event_type").orderBy(floor(col("value")))
+    val total = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val windowed = graft.Tables.events(spark, sf)
+      .withColumn("rnk", rank().over(coarse))
+      .withColumn("drnk", dense_rank().over(coarse))
+      .withColumn("prnk", round(percent_rank().over(coarse), 6))
+      .withColumn("cume", round(cume_dist().over(coarse), 6))
+      .withColumn("quartile", ntile(4).over(total))
+      .withColumn("rn", row_number().over(total))
+      .filter(col("rn") <= 8)
+      .select(col("event_type"), col("event_id"), col("rnk"), col("drnk"),
+        col("prnk"), col("cume"), col("quartile"), col("rn"))
+      .collect().map(r => r.toSeq).toSet
+    val got = graft.serve.CohortQueries.rankBattery(spark, sf)
+      .collect().map(r => r.toSeq).toSet
+    assert(got == windowed, {
+      val miss = windowed -- got; val extra = got -- windowed
+      s"rank battery drifted from the window form: missing=${miss.take(3)} " +
+        s"extra=${extra.take(3)}"
+    })
+  }
+
   test("grouping sets: grand total row equals the sum of per-type rows") {
     val rows = graft.serve.CohortQueries.groupingSets(spark, sf).collect()
     val grand = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
