@@ -42,13 +42,19 @@ object ProfileExec {
         taskMs.set(0); gcMs.set(0); deserMs.set(0)
         val df = fn(spark, dir)
         df.queryExecution.executedPlan // plan outside the timed window
+        val cg = org.apache.spark.metrics.source.CodegenMetrics
+        val cgT0 = cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+        val cgN0 = cg.METRIC_COMPILATION_TIME.getCount
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(200) // listener drain
+        val cgMs = cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum - cgT0
+        val cgN = cg.METRIC_COMPILATION_TIME.getCount - cgN0
         println(f"[exec] $n%-26s run$i wall=$wall%6.3f jobs=${jobs.get}%3d " +
           f"stages=${stages.get}%3d tasks=${tasks.get}%4d taskSec=${taskMs.get / 1e3}%7.2f " +
-          f"gcSec=${gcMs.get / 1e3}%6.2f deserSec=${deserMs.get / 1e3}%6.2f")
+          f"gcSec=${gcMs.get / 1e3}%6.2f deserSec=${deserMs.get / 1e3}%6.2f " +
+          f"cgN=$cgN%3d cgSec=${cgMs / 1e3}%6.2f")
       }
     }
     spark.stop()

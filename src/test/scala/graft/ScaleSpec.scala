@@ -211,15 +211,18 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bloom semi join: bloom prefilter sits below the join") {
-    // the UDF probe must run in the scan stage (before any exchange), so
-    // pruned rows never reach the shuffle — the operator's entire point
+    // the probe must run in the scan stage (before any exchange), so
+    // pruned rows never reach the shuffle — the operator's entire point.
+    // r19: the probe is the codegen BloomFilterMightContain expression
+    // (prettyName might_contain), no ScalaUDF serde boundary in the scan
     val qe = operators.Pruning.bloomSemiJoin(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"exact verify join must remain:\n$plan")
-    // the probe must reach the SCAN's DataFilters (runs during the parquet
-    // read, before the join and any exchange) — the operator's entire point
     val scan = qe.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(scan.contains("UDF("), s"bloom probe not in the scan's DataFilters:\n$scan")
+    assert(scan.contains("might_contain"),
+      s"bloom probe not in the scan's DataFilters:\n$scan")
+    assert(!plan.contains("UDF("),
+      s"the probe must be the codegen expression, not a ScalaUDF:\n$plan")
   }
 
   test("stratified sample: exactly one shuffle (rank + count share the stratum exchange)") {
